@@ -1,13 +1,108 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching ANSI-SQL oracle in
+  * [[oracleSql]] (run by the driver in DuckDB over the same parquet
+  * tables) unless the operator is not SQL-expressible, in which case the
+  * driver records a rows-only check.
+  *
+  * Column names are aliased identically on both sides — the driver's
+  * compare sorts columns by name before hashing values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q1-shaped aggregate (SURVEY §2.4 A1/A2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"           -> (CoreQueries.q1Agg(_, _)),
+    "q2_topk_price"    -> (CoreQueries.q2TopkPrice(_, _)),
+    "q3_topk_duration" -> (CoreQueries.q3TopkDuration(_, _)),
+    "q4_point_filter"  -> (CoreQueries.q4PointFilter(_, _)),
+    "q5_argmax_avg"    -> (CoreQueries.q5ArgmaxAvg(_, _)),
+    "j1_join_broadcast" -> (CoreQueries.j1JoinBroadcast(_, _)),
+    "j2_join_shuffle"   -> (CoreQueries.j2JoinShuffle(_, _)),
+    "j3_join_anti"      -> (CoreQueries.j3JoinAnti(_, _)),
+    "w1_running_sum"    -> (CoreQueries.w1RunningSum(_, _)),
+    "w2_rank_in_group"  -> (CoreQueries.w2RankInGroup(_, _)),
+    "dedup_first_wins"  -> (CoreQueries.dedupFirstWins(_, _)),
+    "dedup_losers"      -> (CoreQueries.dedupLosers(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_topk_price" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q3_topk_duration" ->
+      """SELECT event_id,
+        |  CAST(date_diff('second', date_trunc('day', ts), ts) AS BIGINT) AS secs_into_day
+        |FROM events ORDER BY secs_into_day DESC, event_id LIMIT 100""".stripMargin,
+    "q4_point_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_suppkey = 3 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q5_argmax_avg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY event_type
+        |ORDER BY avg_value DESC, event_type LIMIT 1""".stripMargin,
+    "j1_join_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "j2_join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "j3_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderstatus = 'F' AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "w1_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "w2_rank_in_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "dedup_first_wins" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "dedup_losers" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) t
+        |WHERE rn > 1 ORDER BY event_id""".stripMargin,
+  )
 }

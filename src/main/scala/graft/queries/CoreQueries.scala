@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core analytic query surface.
+  *
+  * Re-expresses the reference's declared queries (README.md:21-25,
+  * provisioned by indexes in TaxiEtl/script.sql:55-97) over the harness
+  * tables, plus the join/window vocabulary a real user of such a pipeline
+  * needs. Reference operator ids follow SURVEY.md §2.
+  *
+  * Cross-engine determinism: every floating-point aggregate is computed as
+  * an EXACT decimal sum (order-independent, identical in Spark and DuckDB)
+  * and only then cast to double — so the driver's hash compare cannot be
+  * broken by summation order. Raw double columns are passed through
+  * untouched.
+  *
+  * Scale notes (100 TB):
+  *  - aggregations are plain hash aggregates (partial + final, one shuffle);
+  *  - top-k compiles to TakeOrderedAndProject (per-partition heaps, no
+  *    global sort);
+  *  - small dimension joins are explicitly broadcast;
+  *  - the fact-fact join shuffles on the join key only, and AQE handles
+  *    skew/size re-planning at runtime.
+  */
+object CoreQueries {
+
+  /** Exact, order-independent sum of a double column: decimal(18,2) sum
+    * cast back to double. Identical bit-for-bit across engines. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Deterministic average built from the exact sum (NOT avg(), whose
+    * accumulation order varies across engines/partitionings). */
+  private def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** A1/A2 analog — TPC-H Q1-shaped aggregate over lineitem.
+    * Reference shape: run-counter aggregation + group-avg
+    * (TripEtlPipelineService.cs:174-193; README.md:22). */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** T1 — top-100 by a measure (reference: top-100 longest rides by
+    * trip_distance, README.md:23, index script.sql:71-83). Compiles to
+    * TakeOrderedAndProject: per-partition heaps, no global sort. */
+  def q2TopkPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(100)
+  }
+
+  /** T2 — top-100 by a derived duration column (reference: top-100 by the
+    * persisted computed column TravelTimeSeconds, README.md:24,
+    * script.sql:44,85-97). Here: seconds-into-day derived from the event
+    * timestamp, materialized in the projection exactly like the
+    * reference's persisted computed column. */
+  def q3TopkDuration(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id",
+        (unix_timestamp($"ts") - unix_timestamp(date_trunc("day", $"ts")))
+          .cast("long").as("secs_into_day"))
+      .orderBy($"secs_into_day".desc, $"event_id".asc)
+      .limit(100)
+  }
+
+  /** T3 — point filter on a key column (reference: search by PULocationID,
+    * README.md:25, index script.sql:55-68). The predicate is pushed to the
+    * parquet scan (PushedFilters); at scale the table would be
+    * partitioned/bucketed by this key for pruning. */
+  def q4PointFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .filter($"l_suppkey" === 3)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity",
+        $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** A2 — group-avg + argmax: "which group has the highest average value"
+    * (reference Q1: highest avg tip_amount by PULocationID, README.md:22). */
+  def q5ArgmaxAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(davg($"value").as("avg_value"))
+      .orderBy($"avg_value".desc, $"event_type".asc)
+      .limit(1)
+  }
+
+  /** Broadcast dimension join: orders ⋈ customer ⋈ nation → revenue per
+    * nation. Both dims are broadcast explicitly — at 100 TB the fact side
+    * never shuffles for this query shape. (Joins are absent in the
+    * reference — SURVEY §2.7 — this is the north-star extension
+    * vocabulary.) */
+  def j1JoinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  /** Fact-fact shuffle join: lineitem ⋈ orders on the order key. One
+    * shuffle per side on the join key; AQE converts to broadcast when the
+    * build side turns out small, and splits skewed partitions. */
+  def j2JoinShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Anti join: customers with no completed high-value order. The filter on
+    * the right side is pushed below the join (Catalyst PushDownPredicates),
+    * so only the qualifying key set shuffles/broadcasts. */
+  def j3JoinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.orders(spark, sfDir)
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 150000)
+    Tables.customer(spark, sfDir)
+      .join(bigOrders, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Window: per-user running total ordered by event id (the reference's
+    * only window-shaped computation is W1 first-wins dedup; this is the
+    * general analytic-window surface). One hash exchange on user_id. */
+  def w1RunningSum(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    Tables.events(spark, sfDir)
+      .select(
+        $"event_id", $"user_id",
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double")
+          .as("running_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Window: top-3 orders per customer by totalprice (ROW_NUMBER — the
+    * exact operator the reference's README equates its dedup to,
+    * README.md:84-87). */
+  def w2RankInGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, sfDir)
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(w).cast("long").as("rn"))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** W1/A3 analog — first-occurrence-wins dedup, winners. Key =
+    * (user_id, event_type), "file order" = event_id (the stable ordinal;
+    * reference: TripDuplicateDetectorService.cs:36-49 +
+    * TripEtlPipelineService.cs:129-155 → ROW_NUMBER per README.md:84-87).
+    * One hash exchange on the dedup key; no driver-side state — this is
+    * exactly what removes the reference's acknowledged ~10 GB HashSet
+    * failure mode (README.md:77-78). */
+  def dedupFirstWins(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSplit(spark, sfDir, winners = true)
+
+  /** W1 side output — the duplicate rows that lost (rn > 1), matching the
+    * reference's duplicates.csv branch (TripEtlPipelineService.cs:138-140). */
+  def dedupLosers(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSplit(spark, sfDir, winners = false)
+
+  private def dedupSplit(spark: SparkSession, sfDir: String, winners: Boolean): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type").orderBy($"event_id")
+    val ranked = Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        row_number().over(w).as("rn"))
+    (if (winners) ranked.filter($"rn" === 1) else ranked.filter($"rn" > 1))
+      .drop("rn")
+      .orderBy($"event_id")
+  }
+}
