@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, TaxiQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,15 @@ object SparkEntry {
     "w2_rank_in_group"  -> (CoreQueries.w2RankInGroup(_, _)),
     "dedup_first_wins"  -> (CoreQueries.dedupFirstWins(_, _)),
     "dedup_losers"      -> (CoreQueries.dedupLosers(_, _)),
+    // Full reference-ETL surface over the bundled 30k taxi CSV (oracle
+    // replays the whole pipeline in SQL — parse, normalize, dedup, Q1-Q4):
+    "taxi_stats"                -> (TaxiQueries.stats(_, _)),
+    "taxi_trips"                -> (TaxiQueries.tripsQuery(_, _)),
+    "taxi_duplicates"           -> (TaxiQueries.duplicates(_, _)),
+    "taxi_q1_avg_tip_by_pu"     -> (TaxiQueries.q1AvgTipByPu(_, _)),
+    "taxi_q2_top100_distance"   -> (TaxiQueries.q2Top100Distance(_, _)),
+    "taxi_q3_top100_travel_time" -> (TaxiQueries.q3Top100TravelTime(_, _)),
+    "taxi_q4_filter_by_pu"      -> (TaxiQueries.q4FilterByPu(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,5 +113,5 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) t
         |WHERE rn > 1 ORDER BY event_id""".stripMargin,
-  )
+  ) ++ TaxiQueries.oracles
 }

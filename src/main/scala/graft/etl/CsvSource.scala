@@ -1,0 +1,83 @@
+package graft.etl
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** S1–S3 — CSV source with the reference's exact read semantics
+  * (TaxiEtl/TaxiEtl.Infrastructure/Persistence/Services/CsvTripReaderService.cs):
+  *
+  *  - naive `split(delimiter)` with NO quote/escape handling (`:119`) —
+  *    deliberately not Spark's univocity CSV reader, which honors quotes;
+  *  - rows shorter than a required column index are null-padded (`:121-124`);
+  *  - blank lines are skipped WITHOUT consuming a line number (`:97-101`);
+  *  - 1-based data-row `line_number` in file order;
+  *  - header resolved case-insensitively, first duplicate name wins
+  *    (`:163-184`), fail-fast when a required column is missing (`:210-221`).
+  *
+  * Scale: the file is read as parallel text splits. The only extra pass is
+  * the single lightweight `zipWithIndex` count job that assigns stable
+  * file-order ordinals (SURVEY §7.4 H1) — `monotonically_increasing_id`
+  * would NOT be stable across split planning. Header skipping is done in
+  * partition 0 directly, so there is no second indexing pass.
+  */
+object CsvSource {
+
+  /** Canonical required columns, resolved by name (TripFieldNames.cs:9-18). */
+  val RequiredColumns: Seq[String] = Seq(
+    "tpep_pickup_datetime", "tpep_dropoff_datetime", "passenger_count",
+    "trip_distance", "store_and_fwd_flag", "PULocationID", "DOLocationID",
+    "fare_amount", "tip_amount")
+
+  val LineNumberCol = "line_number"
+
+  /** Raw (pre-parse) column name for a canonical field. */
+  def rawCol(field: String): String = s"raw_$field"
+
+  private def splitLine(line: String, delimiter: String): Array[String] =
+    line.split(Pattern.quote(delimiter), -1) // -1: keep trailing empty fields
+
+  /** Case-insensitive name→index map, first occurrence wins on duplicates. */
+  private[etl] def columnMap(headerCols: Seq[String]): Map[String, Int] =
+    headerCols.iterator.zipWithIndex.foldLeft(Map.empty[String, Int]) {
+      case (m, (name, i)) =>
+        val k = name.trim.toLowerCase
+        if (m.contains(k)) m else m + (k -> i)
+    }
+
+  /** Read the CSV into line_number + raw_* string columns (one per required
+    * column, in canonical order). Throws IllegalArgumentException when a
+    * required column is absent from the header. */
+  def read(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
+    val lines = spark.sparkContext.textFile(path)
+    val headerLine = lines.first() match {
+      case h if h.startsWith("﻿") => h.substring(1) // BOM, like .NET StreamReader
+      case h => h
+    }
+    val cmap = columnMap(splitLine(headerLine, delimiter).toIndexedSeq)
+    val missing = RequiredColumns.filterNot(c => cmap.contains(c.toLowerCase))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"required column(s) missing from CSV header: ${missing.mkString(", ")}")
+    val indices = RequiredColumns.map(c => cmap(c.toLowerCase)).toArray
+
+    val delim = delimiter
+    val data = lines
+      // drop the header in place: partition 0 of a single-file textFile
+      // starts at byte 0, so its first element is the header line
+      .mapPartitionsWithIndex((pi, it) => if (pi == 0) it.drop(1) else it)
+      .filter(l => l.trim.nonEmpty) // blank lines don't consume a number
+      .zipWithIndex()
+      .map { case (line, idx0) =>
+        val fields = splitLine(line, delim)
+        val cells = indices.map(j => if (j < fields.length) fields(j) else null)
+        Row.fromSeq((idx0 + 1L) +: cells.toSeq)
+      }
+
+    val schema = StructType(
+      StructField(LineNumberCol, LongType, nullable = false) +:
+        RequiredColumns.map(c => StructField(rawCol(c), StringType, nullable = true)))
+    spark.createDataFrame(data, schema)
+  }
+}

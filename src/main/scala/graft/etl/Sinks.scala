@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import CsvSource.rawCol
+
+/** S4/S5 — the two sinks.
+  *
+  * S5 "table" sink: the harness has no SQL Server, so the canonical target
+  * is a parquet directory with the dbo.Trips schema (script.sql:31-47),
+  * including the persisted computed column materialized at write time
+  * (script.sql:44). `writeInsertedJdbc` carries the reference's batched
+  * bulk-load configuration (SqlBulkTripInserterService.cs:57-129 →
+  * JDBC `batchsize`) for a real database target.
+  *
+  * S4 duplicates sink: losers of first-wins dedup, written as the RAW
+  * pre-parse strings + LineNumber (CsvDuplicateTripWriter.cs:21-33,116-133
+  * — SURVEY §7.4 H5: NOT the normalized values). Spark's CSV writer quoting
+  * is RFC-4180 (quote iff needed, double inner quotes), matching
+  * `:135-158`.
+  */
+object Sinks {
+
+  /** Target-table columns in dbo.Trips order (script.sql:33-44). */
+  private val tripCols = Seq(
+    col("pickup_utc").as("tpep_pickup_datetime"),
+    col("dropoff_utc").as("tpep_dropoff_datetime"),
+    col("passenger_count"),
+    col("trip_distance"),
+    col("store_and_fwd_flag"),
+    col("pulocation_id").as("PULocationID"),
+    col("dolocation_id").as("DOLocationID"),
+    col("fare_amount"),
+    col("tip_amount"),
+    col("travel_time_seconds").as("TravelTimeSeconds"))
+
+  def insertedRows(annotated: DataFrame): DataFrame =
+    annotated
+      .filter(Stats.statusCol === "inserted")
+      .select(tripCols: _*)
+
+  def writeInserted(annotated: DataFrame, path: String): Unit =
+    insertedRows(annotated).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** JDBC variant of S5 — untestable in this container (no database), but
+    * the full configuration surface of the reference's bulk insert. */
+  def writeInsertedJdbc(
+      annotated: DataFrame, url: String, table: String, batchSize: Int): Unit =
+    insertedRows(annotated).write.mode(SaveMode.Append)
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .save()
+
+  def duplicateRows(annotated: DataFrame): DataFrame =
+    annotated
+      .filter(Stats.statusCol === "duplicate")
+      .select(
+        col(CsvSource.LineNumberCol).as("LineNumber") +:
+          CsvSource.RequiredColumns.map(c => col(rawCol(c)).as(c)): _*)
+
+  def writeDuplicates(annotated: DataFrame, path: String): Unit =
+    duplicateRows(annotated)
+      .orderBy("LineNumber")
+      .coalesce(1) // one small side file per run, like the reference's single duplicates.csv
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(path)
+}

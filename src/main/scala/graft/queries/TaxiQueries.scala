@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{CsvSource, EtlConfig, Pipeline, Sinks, Stats}
+
+/** The reference's own surface, run end-to-end on its bundled 30,000-row
+  * CSV and exposed as driver-checkable relational results. The DuckDB
+  * oracles replicate the full pipeline (naive-split read → parse-validate →
+  * EST→UTC normalize → first-wins dedup) in SQL — so these rows verify the
+  * ENTIRE ETL, not just the final counters.
+  *
+  * Queries Q1–Q4 are the four analytic queries declared in
+  * /root/reference/README.md:21-25 and provisioned by the indexes in
+  * TaxiEtl/script.sql:55-97, executed here over the inserted-trips result.
+  *
+  * All timestamps are emitted as formatted strings (cross-engine parquet
+  * timestamp-logical-type differences would otherwise break the hash
+  * compare); integer-ish columns are emitted as BIGINT on both sides.
+  */
+object TaxiQueries {
+
+  val ReferenceCsv = "/root/reference/TaxiEtl/data/sample-cab-data.csv"
+
+  private def config = EtlConfig(
+    inputCsvPath = ReferenceCsv,
+    duplicatesCsvPath = "", insertedPath = "") // sinks unused here
+
+  /** Annotated frame over the reference CSV (sfDir is ignored — this
+    * surface is pinned to the reference's own data). */
+  private def annotated(spark: SparkSession): DataFrame =
+    Pipeline.annotate(spark, config)
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  private def trips(spark: SparkSession): DataFrame =
+    annotated(spark).filter(Stats.statusCol === "inserted").select(
+      fmtTs(col("pickup_utc")).as("pickup_utc"),
+      fmtTs(col("dropoff_utc")).as("dropoff_utc"),
+      col("passenger_count").cast("long").as("passenger_count"),
+      col("trip_distance"),
+      col("store_and_fwd_flag"),
+      col("pulocation_id").cast("long").as("pulocation_id"),
+      col("dolocation_id").cast("long").as("dolocation_id"),
+      col("fare_amount"), col("tip_amount"),
+      col("travel_time_seconds").cast("long").as("travel_time_seconds"))
+
+  /** A1 — the six golden counters as a single relational row
+    * (README.md:44). */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    Stats.asDataFrame(annotated(spark))
+
+  /** The inserted dbo.Trips rows (S5 result set). */
+  def tripsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    trips(spark).orderBy(col("pickup_utc"), col("dropoff_utc"), col("passenger_count"))
+
+  /** S4 — duplicates side output: raw pre-parse strings + LineNumber
+    * (SURVEY §7.4 H5). */
+  def duplicates(spark: SparkSession, sfDir: String): DataFrame =
+    Sinks.duplicateRows(annotated(spark)).orderBy(col("LineNumber"))
+
+  /** Q1 — which pickup location has the highest average tip
+    * (README.md:22; covering index script.sql:55-68). */
+  def q1AvgTipByPu(spark: SparkSession, sfDir: String): DataFrame =
+    trips(spark)
+      .groupBy(col("pulocation_id"))
+      .agg((sum(col("tip_amount")).cast("double") / count(lit(1))).as("avg_tip"))
+      .orderBy(col("avg_tip").desc, col("pulocation_id").asc)
+      .limit(1)
+
+  /** Q2 — top 100 longest rides by distance (README.md:23). The dedup key
+    * is unique per inserted row, so it is the deterministic tiebreaker. */
+  def q2Top100Distance(spark: SparkSession, sfDir: String): DataFrame =
+    trips(spark)
+      .select(col("trip_distance"), col("pickup_utc"), col("dropoff_utc"),
+        col("passenger_count"))
+      .orderBy(col("trip_distance").desc, col("pickup_utc"), col("dropoff_utc"),
+        col("passenger_count"))
+      .limit(100)
+
+  /** Q3 — top 100 by travel time (README.md:24; computed column
+    * script.sql:44). */
+  def q3Top100TravelTime(spark: SparkSession, sfDir: String): DataFrame =
+    trips(spark)
+      .select(col("travel_time_seconds"), col("pickup_utc"), col("dropoff_utc"),
+        col("passenger_count"))
+      .orderBy(col("travel_time_seconds").desc, col("pickup_utc"), col("dropoff_utc"),
+        col("passenger_count"))
+      .limit(100)
+
+  /** Q4 — point search by PULocationID (README.md:25). */
+  def q4FilterByPu(spark: SparkSession, sfDir: String): DataFrame =
+    trips(spark)
+      .filter(col("pulocation_id") === 238)
+      .select(col("pickup_utc"), col("dropoff_utc"), col("passenger_count"),
+        col("fare_amount"), col("tip_amount"))
+      .orderBy(col("pickup_utc"), col("dropoff_utc"), col("passenger_count"))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles
+  // ---------------------------------------------------------------------
+
+  /** Shared oracle prefix: the full pipeline in SQL. `row_number() OVER ()`
+    * reflects file order for DuckDB's insertion-order-preserving CSV scan —
+    * validated against an independent first-wins simulation (identical
+    * winner/loser line numbers on all 15 duplicate groups). */
+  val oracleCte: String =
+    s"""WITH raw AS (
+       |  SELECT *, row_number() OVER () AS line_number
+       |  FROM read_csv('$ReferenceCsv', header=true, all_varchar=true, quote='', sep=',')
+       |),
+       |parsed AS (
+       |  SELECT line_number,
+       |    tpep_pickup_datetime AS raw_pickup, tpep_dropoff_datetime AS raw_dropoff,
+       |    passenger_count AS raw_pc, trip_distance AS raw_dist,
+       |    store_and_fwd_flag AS raw_flag, PULocationID AS raw_pu,
+       |    DOLocationID AS raw_do, fare_amount AS raw_fare, tip_amount AS raw_tip,
+       |    try_strptime(trim(tpep_pickup_datetime), '%m/%d/%Y %I:%M:%S %p') AS pickup_ts,
+       |    try_strptime(trim(tpep_dropoff_datetime), '%m/%d/%Y %I:%M:%S %p') AS dropoff_ts,
+       |    CASE WHEN regexp_matches(trim(passenger_count), '^[+-]?[0-9]+$$')
+       |         THEN TRY_CAST(trim(passenger_count) AS BIGINT) END AS pc,
+       |    TRY_CAST(replace(trim(trip_distance), ',', '') AS DECIMAL(9,3)) AS dist,
+       |    trim(store_and_fwd_flag) AS flag_t,
+       |    CASE WHEN regexp_matches(trim(PULocationID), '^[+-]?[0-9]+$$')
+       |         THEN TRY_CAST(trim(PULocationID) AS BIGINT) END AS pu,
+       |    CASE WHEN regexp_matches(trim(DOLocationID), '^[+-]?[0-9]+$$')
+       |         THEN TRY_CAST(trim(DOLocationID) AS BIGINT) END AS dol,
+       |    TRY_CAST(replace(trim(fare_amount), ',', '') AS DECIMAL(10,2)) AS fare,
+       |    TRY_CAST(replace(trim(tip_amount), ',', '') AS DECIMAL(10,2)) AS tip
+       |  FROM raw
+       |),
+       |flagged AS (
+       |  SELECT *,
+       |    (pickup_ts IS NOT NULL AND dropoff_ts IS NOT NULL
+       |     AND pc IS NOT NULL AND pc BETWEEN 0 AND 255
+       |     AND dist IS NOT NULL AND dist >= 0
+       |     AND flag_t IS NOT NULL AND flag_t <> ''
+       |     AND pu IS NOT NULL AND pu BETWEEN 0 AND 2147483647
+       |     AND dol IS NOT NULL AND dol BETWEEN 0 AND 2147483647
+       |     AND fare IS NOT NULL AND fare >= 0
+       |     AND tip IS NOT NULL AND tip >= 0) AS parse_ok
+       |  FROM parsed
+       |),
+       |norm AS (
+       |  SELECT *,
+       |    (pickup_ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS pickup_utc,
+       |    (dropoff_ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC' AS dropoff_utc,
+       |    CASE WHEN upper(flag_t)='N' THEN 'No'
+       |         WHEN upper(flag_t)='Y' THEN 'Yes' END AS flag_n
+       |  FROM flagged WHERE parse_ok
+       |),
+       |valid AS (
+       |  SELECT * FROM norm WHERE flag_n IS NOT NULL AND dropoff_utc >= pickup_utc
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY pickup_utc, dropoff_utc, pc ORDER BY line_number) AS rn
+       |  FROM valid
+       |),
+       |trips AS (
+       |  SELECT strftime(pickup_utc, '%Y-%m-%d %H:%M:%S') AS pickup_utc,
+       |         strftime(dropoff_utc, '%Y-%m-%d %H:%M:%S') AS dropoff_utc,
+       |         pc AS passenger_count, dist AS trip_distance,
+       |         flag_n AS store_and_fwd_flag, pu AS pulocation_id,
+       |         dol AS dolocation_id, fare AS fare_amount, tip AS tip_amount,
+       |         date_diff('second', pickup_utc, dropoff_utc) AS travel_time_seconds
+       |  FROM ranked WHERE rn = 1
+       |)
+       |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "taxi_stats" -> (oracleCte +
+      """SELECT (SELECT count(*) FROM raw) AS total,
+        |  (SELECT count(*) FROM flagged WHERE parse_ok) AS parsed,
+        |  (SELECT count(*) FROM raw) - (SELECT count(*) FROM valid) AS invalid,
+        |  (SELECT count(*) FROM ranked WHERE rn > 1) AS duplicates,
+        |  (SELECT count(*) FROM ranked WHERE rn = 1) AS inserted,
+        |  (SELECT count(*) FROM ranked WHERE rn > 1) AS duplicates_file""".stripMargin),
+    "taxi_trips" -> (oracleCte +
+      """SELECT * FROM trips
+        |ORDER BY pickup_utc, dropoff_utc, passenger_count""".stripMargin),
+    "taxi_duplicates" -> (oracleCte +
+      """SELECT r.line_number AS "LineNumber",
+        |  p.raw_pickup AS tpep_pickup_datetime, p.raw_dropoff AS tpep_dropoff_datetime,
+        |  p.raw_pc AS passenger_count, p.raw_dist AS trip_distance,
+        |  p.raw_flag AS store_and_fwd_flag, p.raw_pu AS "PULocationID",
+        |  p.raw_do AS "DOLocationID", p.raw_fare AS fare_amount, p.raw_tip AS tip_amount
+        |FROM (SELECT line_number FROM ranked WHERE rn > 1) r
+        |JOIN parsed p USING (line_number)
+        |ORDER BY r.line_number""".stripMargin),
+    "taxi_q1_avg_tip_by_pu" -> (oracleCte +
+      """SELECT pulocation_id,
+        |  CAST(SUM(tip_amount) AS DOUBLE) / COUNT(*) AS avg_tip
+        |FROM trips GROUP BY pulocation_id
+        |ORDER BY avg_tip DESC, pulocation_id LIMIT 1""".stripMargin),
+    "taxi_q2_top100_distance" -> (oracleCte +
+      """SELECT trip_distance, pickup_utc, dropoff_utc, passenger_count
+        |FROM trips
+        |ORDER BY trip_distance DESC, pickup_utc, dropoff_utc, passenger_count
+        |LIMIT 100""".stripMargin),
+    "taxi_q3_top100_travel_time" -> (oracleCte +
+      """SELECT travel_time_seconds, pickup_utc, dropoff_utc, passenger_count
+        |FROM trips
+        |ORDER BY travel_time_seconds DESC, pickup_utc, dropoff_utc, passenger_count
+        |LIMIT 100""".stripMargin),
+    "taxi_q4_filter_by_pu" -> (oracleCte +
+      """SELECT pickup_utc, dropoff_utc, passenger_count, fare_amount, tip_amount
+        |FROM trips WHERE pulocation_id = 238
+        |ORDER BY pickup_utc, dropoff_utc, passenger_count""".stripMargin),
+  )
+}
