@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ext.{DedupOps, JsonMediaOps, SimilarityOps, TextOps}
 import graft.queries.{CoreQueries, TaxiQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,6 +45,22 @@ object SparkEntry {
     "taxi_q2_top100_distance"   -> (TaxiQueries.q2Top100Distance(_, _)),
     "taxi_q3_top100_travel_time" -> (TaxiQueries.q3Top100TravelTime(_, _)),
     "taxi_q4_filter_by_pu"      -> (TaxiQueries.q4FilterByPu(_, _)),
+    // LLM-data-pipeline operators (north star): text analysis, dedup
+    // (exact / n-gram Jaccard / MinHash-LSH / SimHash), ANN, JSON, media:
+    "text_stats"       -> (TextOps.textStats(_, _)),
+    "text_quality"     -> (TextOps.textQuality(_, _)),
+    "lang_id"          -> (TextOps.langId(_, _)),
+    "token_count"      -> (TextOps.tokenCount(_, _)),
+    "doc_fingerprint"  -> (TextOps.fingerprint(_, _)),
+    "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
+    "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
+    "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
+    "doc_simhash"      -> (DedupOps.simhash(_, _)),        // no SQL oracle (xxhash64)
+    "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // no SQL oracle
+    "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
+    "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),   // approximate by design
+    "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),
+    "media_meta"       -> (JsonMediaOps.mediaMeta(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,5 +130,6 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) t
         |WHERE rn > 1 ORDER BY event_id""".stripMargin,
-  ) ++ TaxiQueries.oracles
+  ) ++ TaxiQueries.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
+    SimilarityOps.oracles ++ JsonMediaOps.oracles
 }

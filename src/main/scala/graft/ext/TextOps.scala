@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the analysis half
+  * of an LLM training-data pipeline (north-star extension; the reference
+  * has no text ops, SURVEY §2.3).
+  *
+  * Everything is built from codegen'd Column expressions (split / filter /
+  * transform / aggregate) — no UDFs — so each op is a single scan with no
+  * shuffle: embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens with empties removed (texts carry trailing spaces). */
+  private def tokens(c: Column): Column =
+    filter(split(trim(c), " "), t => t =!= "")
+
+  private val Stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Per-document structural stats: char/token counts, vocabulary size,
+    * average token length. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      col("lang"),
+      col("n_chars"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      (aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x).cast("double") / size(toks)).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length / alpha / stopword / repetition signals folded
+    * into one score — the usual cheap pre-filter before expensive dedup or
+    * model-based scoring. All ratios derive from exact integer counts, so
+    * the score is bit-deterministic. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val alphaChars = length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val alphaRatio = alphaChars / length(col("text"))
+    val stopRatio = size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") / nTok
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    val lengthOk = (size(toks) >= 5 && size(toks) <= 100000).cast("int").cast("double")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      alphaRatio.as("alpha_ratio"),
+      stopRatio.as("stopword_ratio"),
+      uniqRatio.as("uniq_token_ratio"),
+      (lengthOk * (alphaRatio + stopRatio + uniqRatio) / lit(3.0)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language identification by marker-token voting (n-gram-free heuristic;
+    * a real pipeline would plug a fastText-style model in the same shape).
+    * Tie-break follows the declaration order of the CASE chain. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isInCollection(markers))).cast("long")
+    val sEn = score(Seq("the", "is", "and", "of", "a"))
+    val sDe = score(Seq("der", "die", "und", "ist", "das"))
+    val sEs = score(Seq("el", "la", "de", "que", "es"))
+    val sFr = score(Seq("le", "les", "et", "est", "une"))
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("lang").as("lang_meta"),
+      sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
+      when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+        .when(sDe >= sEs && sDe >= sFr, "de")
+        .when(sEs >= sFr, "es")
+        .otherwise("fr").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish token counting: word / number / other-symbol pieces via one
+    * regex — the cheap stand-in for a real tokenizer's piece count. */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpe_ish_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over the whitespace-normalized lowercase
+    * text (stable content hash for exact dedup / lineage at any scale). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+        |  CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) AS avg_token_len
+        |FROM (SELECT *, list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+        |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_token_ratio,
+        |  (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |    * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+        |       + CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) AS DOUBLE) / len(toks)
+        |       + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) / 3.0 AS quality_score
+        |FROM (SELECT *, list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+        |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang AS lang_meta,
+        |  CAST(len(list_filter(toks, t -> t IN ('the','is','and','of','a'))) AS BIGINT) AS s_en,
+        |  CAST(len(list_filter(toks, t -> t IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
+        |  CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','es'))) AS BIGINT) AS s_es,
+        |  CAST(len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS BIGINT) AS s_fr,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_es >= s_fr THEN 'es'
+        |    ELSE 'fr' END AS lang_pred
+        |FROM (SELECT *, list_filter(string_split(trim(lower(text)), ' '), t -> t <> '') AS toks
+        |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

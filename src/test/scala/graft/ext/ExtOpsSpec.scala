@@ -1,0 +1,97 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Behavior tests for the LLM-pipeline operators that have no SQL oracle
+  * (approximate / hash-based), plus planted-fixture tests for the dedup
+  * family (the harness `documents` table has no exact duplicates, so edge
+  * cases are planted here). */
+class ExtOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Write a documents-shaped fixture parquet and return its directory. */
+  private def docsFixture(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    rows.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup groups identical normalized texts, keeper = min doc_id") {
+    val dir = docsFixture(Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "  ALPHA   beta GAMMA ", "en"), // same after lower+ws-normalize
+      (3L, "unrelated text entirely", "en")))
+    val out = DedupOps.exactDedup(spark, dir).collect()
+    assert(out.length == 2)
+    val grp = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(grp.getAs[Long]("keeper_doc_id") == 1L)
+  }
+
+  test("minhash LSH reproduces exact jaccard pairs on planted near-dups") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en"),
+      (4L, "a b", "en"))) // < 3 tokens: no shingles, must not crash/pair
+    val exact = DedupOps.jaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    assert(lsh == exact)
+  }
+
+  test("simhash near-dup candidates recover most true jaccard pairs (recall)") {
+    val truePairs = DedupOps.jaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = DedupOps.simhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty) // planted near-dup pairs in the harness data
+    // 64-bit simhash over ~13-token docs is a noisy candidate generator —
+    // recall is high but not guaranteed total (unlike the verified LSH path)
+    val recall = truePairs.intersect(cands).size.toDouble / truePairs.size
+    assert(recall >= 0.7, s"recall=$recall over ${truePairs.size} pairs")
+  }
+
+  test("simhash of identical texts is identical, near-dup texts are close") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, base, "en"), (2L, base, "en"),
+      (3L, (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2", "en")))
+    val sigs = DedupOps.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 8)
+  }
+
+  test("IVF top-k returns k ranked neighbors per query with plausible recall") {
+    val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.ivfTopk(spark, sfDir).collect()
+    assert(ivf.length == 50) // 10 queries x k=5
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // harness vectors are unclustered, so recall ~ nprobe/nlists is the
+    // honest expectation; the assertion guards against a broken probe path
+    val recall = brute.intersect(ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.25, s"recall=$recall")
+    // ranks are 1..k and unique per query
+    val ranksOk = ivf.groupBy(_.getLong(0)).values
+      .forall(rs => rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L))
+    assert(ranksOk)
+  }
+
+  test("media_meta stub: byte counts real, fake dims deterministic") {
+    val out = JsonMediaOps.mediaMeta(spark, sfDir).limit(3).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_bytes")
+      assert(r.getAs[Long]("width") == n % 640 + 16)
+      assert(r.getAs[Long]("n_frames") == n / 256 + 1)
+    }
+  }
+}
