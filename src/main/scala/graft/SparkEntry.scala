@@ -59,6 +59,7 @@ object SparkEntry {
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // no SQL oracle
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),   // approximate by design
+    "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),
     "media_meta"       -> (JsonMediaOps.mediaMeta(_, _)),
   )

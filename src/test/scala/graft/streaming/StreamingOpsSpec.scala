@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming semantics, driven through MemoryStream micro-batches: state
+  * must carry ACROSS batches (that is what distinguishes streaming dedup
+  * from a per-batch dropDuplicates). */
+class StreamingOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming dedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Int)]
+    val deduped = StreamingOps.dedupWithinWatermark(
+      input.toDS().toDF("ts", "k", "v"), "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), "a", 1), (ts("2024-01-01 00:00:10"), "a", 2),
+        (ts("2024-01-01 00:00:20"), "b", 3))
+      q.processAllAvailable()
+      // second batch: duplicate of "a" within the watermark window
+      input.addData((ts("2024-01-01 00:01:00"), "a", 4), (ts("2024-01-01 00:01:10"), "c", 5))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("k", "v").as[(String, Int)]
+        .collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq == Seq("a", "b", "c"))
+      assert(out.find(_._1 == "a").get._2 == 1) // FIRST occurrence won
+    } finally q.stop()
+  }
+
+  test("windowed counts aggregate by event-time window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedCounts(
+      input.toDS().toDF("ts", "g"), "ts", "5 minutes", "10 minutes", "g")
+    val q = counts.writeStream.format("memory")
+      .queryName("win_out").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "x"), (ts("2024-01-01 00:02:00"), "x"),
+        (ts("2024-01-01 00:11:00"), "x"), (ts("2024-01-01 00:03:00"), "y"))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select("window_start", "g", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(out.contains((ts("2024-01-01 00:00:00"), "x", 2L)))
+      assert(out.contains((ts("2024-01-01 00:10:00"), "x", 1L)))
+      assert(out.contains((ts("2024-01-01 00:00:00"), "y", 1L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key stats across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val stats = StreamingOps.runningStats(input.toDS())
+    val q = stats.writeStream.format("memory")
+      .queryName("stats_out").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 3.0))
+      q.processAllAvailable()
+      val latest = spark.table("stats_out")
+        .as[StreamingOps.KeyedCount].collect()
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.n) }
+      assert(latest("a").n == 3 && latest("a").total == 6.0)
+      assert(latest("b").n == 1 && latest("b").total == 10.0)
+    } finally q.stop()
+  }
+}
