@@ -29,6 +29,9 @@ object SparkEntry {
     "q3_topk_duration" -> (CoreQueries.q3TopkDuration(_, _)),
     "q4_point_filter"  -> (CoreQueries.q4PointFilter(_, _)),
     "q5_argmax_avg"    -> (CoreQueries.q5ArgmaxAvg(_, _)),
+    "q6_rollup"        -> (CoreQueries.q6Rollup(_, _)),
+    "q7_count_distinct" -> (CoreQueries.q7CountDistinct(_, _)),
+    "q8_approx_distinct" -> (CoreQueries.q8ApproxDistinct(_, _)), // HLL: rows-only
     "j1_join_broadcast" -> (CoreQueries.j1JoinBroadcast(_, _)),
     "j2_join_shuffle"   -> (CoreQueries.j2JoinShuffle(_, _)),
     "j3_join_anti"      -> (CoreQueries.j3JoinAnti(_, _)),
@@ -90,6 +93,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
         |FROM events GROUP BY event_type
         |ORDER BY avg_value DESC, event_type LIMIT 1""".stripMargin,
+    "q6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q7_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "j1_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -103,6 +103,43 @@ object CoreQueries {
       .limit(1)
   }
 
+  /** Rollup: subtotals per (returnflag, linestatus), per returnflag, and
+    * grand total — grouping-set aggregation over the fact table (absent in
+    * the reference, SURVEY §2.4; a single pass with grouping-id
+    * expansion). Null ordering is pinned explicitly because engines
+    * default differently. */
+  def q6Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Exact distinct counts per group (the oracle-checkable face of
+    * cardinality estimation; the HLL variant is asserted within error
+    * bounds in tests — HLL sketches are implementation-specific and can
+    * never hash-match across engines). */
+  def q7CountDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count_distinct($"l_partkey").as("n_parts"),
+        count_distinct($"l_suppkey").as("n_supps"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate distinct (HLL++) next to the exact value — rows-only in
+    * the driver check; the relative-error contract is test-asserted. */
+  def q8ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(count_distinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Broadcast dimension join: orders ⋈ customer ⋈ nation → revenue per
     * nation. Both dims are broadcast explicitly — at 100 TB the fact side
     * never shuffles for this query shape. (Joins are absent in the

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL-function surface: custom expressions must be callable from
+  * plain spark.sql once GraftExtensions is installed. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("vec_dot / minhash_signature / simhash64 are callable from SQL") {
+    val base = spark // ensure shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val dot = s2.sql(
+        "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head().getDouble(0)
+      assert(dot == 11.0)
+      // decimal literals (what plain SQL array(1.0, 2.0) infers) must coerce
+      val dotDec = s2.sql(
+        "SELECT vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d").head().getDouble(0)
+      assert(dotDec == 11.0)
+      val sig = s2.sql(
+        "SELECT minhash_signature(array(42L, 7L)) AS s").head()
+        .getSeq[Long](0)
+      assert(sig.length == 128)
+      val sh = s2.sql("SELECT simhash64(array(0L)) AS h").head().getLong(0)
+      assert(sh == 0L) // all bits vote -1 except none set -> ties -> ...
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
