@@ -28,9 +28,15 @@ object TaxiQueries {
     duplicatesCsvPath = "", insertedPath = "") // sinks unused here
 
   /** Annotated frame over the reference CSV (sfDir is ignored — this
-    * surface is pinned to the reference's own data). */
+    * surface is pinned to the reference's own data). Cached per session:
+    * seven registered queries consume this frame, and without the persist
+    * each would re-run the whole text-scan + parse + window (measured
+    * ~2 s/query at bench time — the classic share-the-scan pattern). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   private def annotated(spark: SparkSession): DataFrame =
-    Pipeline.annotate(spark, config)
+    cache.computeIfAbsent(spark, s => Pipeline.annotate(s, config).persist())
 
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
