@@ -35,6 +35,16 @@ class CsvSourceSpec extends SparkSpec {
     assert(row.getAs[String]("raw_fare_amount") == "first")
   }
 
+  test("missing input file fails fast") {
+    intercept[Exception](
+      CsvSource.read(spark, "/tmp/definitely/does/not/exist.csv"))
+  }
+
+  test("empty input file fails fast (no header to resolve)") {
+    val path = writeCsv(Seq(""))
+    intercept[Exception](CsvSource.read(spark, path))
+  }
+
   test("missing required column fails fast") {
     val path = writeCsv(Seq("tpep_pickup_datetime,foo", "x,y"))
     val e = intercept[IllegalArgumentException](CsvSource.read(spark, path))
