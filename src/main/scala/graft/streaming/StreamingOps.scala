@@ -45,6 +45,43 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col(s"window.start").as("window_start"), col(groupCol), col("n"))
 
+  /** The taxi ETL as an unbounded stream: the SAME ParseValidate /
+    * Normalize column expressions run unchanged under Structured Streaming
+    * (they are pure projections — mode-agnostic by construction). Only the
+    * order-dependent pieces change shape: header resolution becomes a
+    * known column layout (streams have no header row), and first-wins
+    * dedup becomes first-ARRIVAL-wins keyed state (`dropDuplicates` —
+    * streams have no file order; SURVEY §2.8).
+    *
+    * @param rawLines streaming DataFrame with a single `value` string
+    *                 column (e.g. from readStream.text or a socket)
+    * @param columnIndex canonical-field -> position in the delimited line
+    * @return valid, deduplicated trips with the dbo.Trips-shaped columns
+    */
+  def taxiEtlStream(
+      rawLines: DataFrame,
+      config: graft.etl.EtlConfig,
+      columnIndex: Map[String, Int]): DataFrame = {
+    import graft.etl.{CsvSource, Dedup => _, _}
+    val fields = split(col("value"),
+      java.util.regex.Pattern.quote(config.delimiter), -1)
+    val raw = rawLines
+      .filter(trim(col("value")) =!= "") // blank lines dropped, as in batch
+      .select(CsvSource.RequiredColumns.map(c =>
+        fields.getItem(columnIndex(c)).as(CsvSource.rawCol(c))): _*)
+    val normalized = Normalize.normalize(
+      ParseValidate.parse(raw, config.inputDateTimeFormat),
+      config.enableTimeZoneConversion, config.inputTimeZoneId)
+    normalized
+      .filter(col(ParseValidate.ParseErrorCol).isNull &&
+        col(Normalize.NormErrorCol).isNull)
+      .dropDuplicates("pickup_utc", "dropoff_utc", "passenger_count")
+      .select(col("pickup_utc"), col("dropoff_utc"), col("passenger_count"),
+        col("trip_distance"), col("store_and_fwd_flag"),
+        col("pulocation_id"), col("dolocation_id"),
+        col("fare_amount"), col("tip_amount"), col("travel_time_seconds"))
+  }
+
   final case class KeyedCount(key: String, n: Long, total: Double)
 
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per

@@ -58,6 +58,34 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("taxi ETL runs as a stream: parse + normalize + cross-batch dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val colIdx = graft.etl.CsvSource.RequiredColumns.zipWithIndex.toMap
+    val out = StreamingOps.taxiEtlStream(
+      input.toDS().toDF("value"),
+      graft.etl.EtlConfig(inputCsvPath = "", duplicatesCsvPath = "", insertedPath = ""),
+      colIdx)
+    val q = out.writeStream.format("memory")
+      .queryName("taxi_stream_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        "01/01/2020 12:28:15 AM,01/01/2020 12:33:03 AM,1,1.2,N,238,239,6,1.47",
+        "01/01/2020 12:28:15 AM,01/01/2020 12:33:03 AM,1,9.9,Y,1,2,3,4", // dup key
+        "bad-date,01/01/2020 12:33:03 AM,1,1.2,N,238,239,6,1.47",        // invalid
+        "")                                                               // blank
+      q.processAllAvailable()
+      // second batch: same key again -> state drops it
+      input.addData("01/01/2020 12:28:15 AM,01/01/2020 12:33:03 AM,1,0.1,N,9,9,1,1")
+      q.processAllAvailable()
+      val rows = spark.table("taxi_stream_out").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[java.sql.Timestamp]("pickup_utc") ==
+        java.sql.Timestamp.valueOf("2020-01-01 05:28:15")) // EST->UTC applied
+      assert(rows(0).getAs[Int]("travel_time_seconds") == 288)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
