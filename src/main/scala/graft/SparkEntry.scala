@@ -32,6 +32,9 @@ object SparkEntry {
     "q6_rollup"        -> (CoreQueries.q6Rollup(_, _)),
     "q7_count_distinct" -> (CoreQueries.q7CountDistinct(_, _)),
     "q8_approx_distinct" -> (CoreQueries.q8ApproxDistinct(_, _)), // HLL: rows-only
+    "q9_correlated"    -> (CoreQueries.q9Correlated(_, _)),
+    "sessionize"       -> (graft.ext.TemporalOps.sessionize(_, _)),
+    "asof_join"        -> (graft.ext.TemporalOps.asofJoin(_, _)),
     "j1_join_broadcast" -> (CoreQueries.j1JoinBroadcast(_, _)),
     "j2_join_shuffle"   -> (CoreQueries.j2JoinShuffle(_, _)),
     "j3_join_anti"      -> (CoreQueries.j3JoinAnti(_, _)),
@@ -102,6 +105,12 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q9_correlated" ->
+      """SELECT o.o_orderkey, o.o_custkey FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "j1_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
@@ -144,5 +153,5 @@ object SparkEntry {
         |  FROM events) t
         |WHERE rn > 1 ORDER BY event_id""".stripMargin,
   ) ++ TaxiQueries.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-    SimilarityOps.oracles ++ JsonMediaOps.oracles
+    SimilarityOps.oracles ++ JsonMediaOps.oracles ++ graft.ext.TemporalOps.oracles
 }

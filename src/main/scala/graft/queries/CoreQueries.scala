@@ -140,6 +140,22 @@ object CoreQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Correlated subquery through the SQL entry path: orders priced at
+    * more than 1.5x their customer's average. Catalyst decorrelates the
+    * per-row subquery into an aggregate + join — the query shape that
+    * separates a real optimizer from per-row re-execution. The inner
+    * average uses the exact-decimal-sum formulation on both engines so
+    * the threshold comparison is bit-deterministic. */
+  def q9Correlated(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey FROM orders_v o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
   /** Broadcast dimension join: orders ⋈ customer ⋈ nation → revenue per
     * nation. Both dims are broadcast explicitly — at 100 TB the fact side
     * never shuffles for this query shape. (Joins are absent in the
