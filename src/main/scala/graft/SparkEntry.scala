@@ -58,6 +58,7 @@ object SparkEntry {
     "lang_id"          -> (TextOps.langId(_, _)),
     "token_count"      -> (TextOps.tokenCount(_, _)),
     "doc_fingerprint"  -> (TextOps.fingerprint(_, _)),
+    "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // no SQL oracle (xxhash64)
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

@@ -98,6 +98,24 @@ object TextOps {
       md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowed rolling-hash fingerprints: Rabin-Karp hash of every k-char
+    * gram, keeping the minimum of each w-gram window (winnowing). Unlike
+    * the md5 whole-document fingerprint, these survive insertions/shifts —
+    * two documents sharing any sufficiently long run of text share
+    * fingerprints, which is what plagiarism-style / near-dup pipelines
+    * select on. One O(n) native pass per row
+    * ([[graft.functions.WinnowFingerprint]]); no shuffle. No SQL oracle
+    * (Spark-side hash scheme); the behavioral contract is test-asserted. */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val text = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.winnowFingerprint(text, k, w)
+          .as("fingerprints"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id, lang, n_chars,

@@ -129,7 +129,72 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** Winnowed Rabin-Karp fingerprints of a string: hash every k-char gram
+  * with a TRUE rolling hash (O(1) per step: h' = (h - c_out*B^(k-1))*B +
+  * c_in over 64-bit arithmetic), then keep the minimum hash of every
+  * w-gram window via a monotonic deque — O(n) total per document. Output:
+  * sorted distinct minima (array<long>).
+  *
+  * Why a native expression: the HOF formulation (transform over sequence +
+  * slice + array_min) inlines the gram-array computation into EVERY window
+  * lambda under CollapseProject, which turned a 500-doc dataset into an
+  * effectively unbounded interpreted O(n^3) evaluation (observed as a hung
+  * Verify run). Single-pass native eval is exact and linear.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  private val B = 1000003L
+  private val bPow = { var p = 1L; (1 until k).foreach(_ => p *= B); p } // B^(k-1)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val m = n - k + 1
+    val hashes = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * bPow) * B + s.charAt(i + k - 1)
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min per sliding window of size w (monotonic deque)
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    if (m <= w) out += hashes.min
+    else {
+      val deque = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < m) {
+        while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(j))
+          deque.pollLast()
+        deque.addLast(j)
+        if (deque.peekFirst() <= j - w) deque.pollFirst()
+        if (j >= w - 1) out += hashes(deque.peekFirst())
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
+  /** Winnowed rolling-hash fingerprints over a string column. */
+  def winnowFingerprint(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprint(
+      GraftBridge.expression(text.cast("string")), k, w))
+
   /** MinHash signature column over an array<long> of base hashes. */
   def minhashSignature(baseHashes: Column): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(baseHashes)))

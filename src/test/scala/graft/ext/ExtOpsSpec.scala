@@ -86,6 +86,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(ranksOk)
   }
 
+  test("winnowed rolling-hash fingerprints survive a prefix shift") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, base, "en"),
+      (2L, base, "en"),                       // identical
+      (3L, "inserted prefix " + base, "en"),  // shifted content
+      (4L, "zz", "en")))                      // shorter than k: no grams
+    val fps = TextOps.winnowFingerprints(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    // a fixed-offset chunking would share ~nothing after a shift; winnowed
+    // rolling hashes keep most fingerprints in common
+    val overlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap >= 0.8, s"overlap=$overlap")
+    assert(fps(4L).isEmpty)
+  }
+
   test("media_meta stub: byte counts real, fake dims deterministic") {
     val out = JsonMediaOps.mediaMeta(spark, sfDir).limit(3).collect()
     out.foreach { r =>
