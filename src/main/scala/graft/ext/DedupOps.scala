@@ -33,11 +33,23 @@ object DedupOps {
       |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
       |                 element_at(toks, i + 2)))) END""".stripMargin)
 
+  /** Shingled documents, cached per (session, sfDir): the shingle
+    * projection is an interpreted higher-order transform, and the LSH +
+    * verify DAG references it on up to six branches (both band-join sides,
+    * both inverted-index sides, both size lookups) — without the persist
+    * each branch recomputes it (~3-5 s each at sf0.1, the dominant cost of
+    * minhash_near_dup). The cached frame is 1 row/doc of short strings. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def withShingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("sh", shingleExpr)
-      .select(col("doc_id"), col("sh"))
+    shingleCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("sh", shingleExpr)
+        .select(col("doc_id"), col("sh"))
+        .persist()
+    })
 
   /** Exact dedup by content hash (whitespace-normalized, lowercased):
     * keeper = min doc_id per group. One shuffle on the 128-bit hash. */
