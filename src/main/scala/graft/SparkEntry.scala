@@ -67,6 +67,7 @@ object SparkEntry {
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),   // approximate by design
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
+    "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),
     "media_meta"       -> (JsonMediaOps.mediaMeta(_, _)),
   )

@@ -105,15 +105,23 @@ object TextOps {
     * fingerprints, which is what plagiarism-style / near-dup pipelines
     * select on. One O(n) native pass per row
     * ([[graft.functions.WinnowFingerprint]]); no shuffle. No SQL oracle
-    * (Spark-side hash scheme); the behavioral contract is test-asserted. */
+    * (Spark-side hash scheme); the behavioral contract is test-asserted.
+    *
+    * Output is exploded to one (doc_id, fingerprint) row per distinct
+    * winnowed hash — the join-friendly shape a plagiarism-style pipeline
+    * selects on (fingerprint equi-join = candidate pairs), and a flat
+    * scalar schema the driver's compare can hash (array-typed result
+    * columns crash its pandas sort). Documents shorter than k grams emit
+    * no rows. */
   def winnowFingerprints(spark: SparkSession, sfDir: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     val text = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        graft.functions.SketchFunctions.winnowFingerprint(text, k, w)
-          .as("fingerprints"))
-      .orderBy("doc_id")
+        explode(array_distinct(
+          graft.functions.SketchFunctions.winnowFingerprint(text, k, w)))
+          .as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
   }
 
   val oracles: Map[String, String] = Map(

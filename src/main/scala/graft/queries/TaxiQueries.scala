@@ -45,11 +45,17 @@ object TaxiQueries {
       fmtTs(col("pickup_utc")).as("pickup_utc"),
       fmtTs(col("dropoff_utc")).as("dropoff_utc"),
       col("passenger_count").cast("long").as("passenger_count"),
-      col("trip_distance"),
+      // DECIMAL columns are cast to DOUBLE: the driver hashes engine-native
+      // representations, and Spark's parquet Decimal vs DuckDB's float64
+      // client materialization hash-differ even on equal values. DOUBLE is
+      // exact for these ≤3-fractional-digit magnitudes after correctly-
+      // rounded conversion on both engines.
+      col("trip_distance").cast("double").as("trip_distance"),
       col("store_and_fwd_flag"),
       col("pulocation_id").cast("long").as("pulocation_id"),
       col("dolocation_id").cast("long").as("dolocation_id"),
-      col("fare_amount"), col("tip_amount"),
+      col("fare_amount").cast("double").as("fare_amount"),
+      col("tip_amount").cast("double").as("tip_amount"),
       col("travel_time_seconds").cast("long").as("travel_time_seconds"))
 
   /** A1 — the six golden counters as a single relational row
@@ -71,7 +77,10 @@ object TaxiQueries {
   def q1AvgTipByPu(spark: SparkSession, sfDir: String): DataFrame =
     trips(spark)
       .groupBy(col("pulocation_id"))
-      .agg((sum(col("tip_amount")).cast("double") / count(lit(1))).as("avg_tip"))
+      // Sum in exact decimal (double→decimal(10,2) round-trips losslessly for
+      // these values), THEN cast: double summation order differs per engine.
+      .agg((sum(col("tip_amount").cast("decimal(10,2)")).cast("double") /
+        count(lit(1))).as("avg_tip"))
       .orderBy(col("avg_tip").desc, col("pulocation_id").asc)
       .limit(1)
 
@@ -167,9 +176,10 @@ object TaxiQueries {
        |trips AS (
        |  SELECT strftime(pickup_utc, '%Y-%m-%d %H:%M:%S') AS pickup_utc,
        |         strftime(dropoff_utc, '%Y-%m-%d %H:%M:%S') AS dropoff_utc,
-       |         pc AS passenger_count, dist AS trip_distance,
+       |         pc AS passenger_count, CAST(dist AS DOUBLE) AS trip_distance,
        |         flag_n AS store_and_fwd_flag, pu AS pulocation_id,
-       |         dol AS dolocation_id, fare AS fare_amount, tip AS tip_amount,
+       |         dol AS dolocation_id, CAST(fare AS DOUBLE) AS fare_amount,
+       |         CAST(tip AS DOUBLE) AS tip_amount,
        |         date_diff('second', pickup_utc, dropoff_utc) AS travel_time_seconds
        |  FROM ranked WHERE rn = 1
        |)
@@ -197,7 +207,7 @@ object TaxiQueries {
         |ORDER BY r.line_number""".stripMargin),
     "taxi_q1_avg_tip_by_pu" -> (oracleCte +
       """SELECT pulocation_id,
-        |  CAST(SUM(tip_amount) AS DOUBLE) / COUNT(*) AS avg_tip
+        |  CAST(SUM(CAST(tip_amount AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_tip
         |FROM trips GROUP BY pulocation_id
         |ORDER BY avg_tip DESC, pulocation_id LIMIT 1""".stripMargin),
     "taxi_q2_top100_distance" -> (oracleCte +

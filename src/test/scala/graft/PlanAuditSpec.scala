@@ -65,4 +65,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("exact embedding near-dup is a blocked EQUI-join, never a cross product") {
+    val p = plan(SimilarityOps.embNearDup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("LSH embedding near-dup is banded equi-joins only") {
+    val p = plan(SimilarityOps.embLshNearDup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ANN top-k parallelism does not collapse to nQueries partitions") {
+    // phase-1 window must partition by (query_id, salt) — a window keyed by
+    // query_id alone funnels the whole corpus through nQueries reducers
+    for (df <- Seq(SimilarityOps.bruteTopk(spark, sfDir),
+                   SimilarityOps.ivfTopk(spark, sfDir))) {
+      val p = plan(df)
+      // the full scored set must shuffle on (query_id, salt), not query_id
+      assert(p.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("salt")),
+        s"no salted exchange — corpus funnels into nQueries reducers:\n$p")
+    }
+  }
 }
