@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
-import graft.functions.{MinHashSignature, SimHash64, VecDot}
+import graft.functions.{MediaHeaderDecode, MinHashSignature, SimHash64, SynthMedia, VecDot}
 
 /** SparkSessionExtensions entry point: registers the custom codegen'd
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -20,8 +20,9 @@ import graft.functions.{MinHashSignature, SimHash64, VecDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")
+  // implementing class is per-function — DESCRIBE FUNCTION reports it
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage, "")
 
   // SQL callers pass whatever numeric array the literal syntax infers
   // (array(1.0, 2.0) is array<decimal>): coerce explicitly, as the Scala
@@ -32,16 +33,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two numeric-array vectors"),
+      info(classOf[VecDot],
+        "vec_dot", "vec_dot(a, b) - dot product of two numeric-array vectors"),
       (args: Seq[Expression]) => VecDot(asDoubles(args(0)), asDoubles(args(1)))))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),
-      info("minhash_signature",
+      info(classOf[MinHashSignature], "minhash_signature",
         "minhash_signature(hashes) - 128-perm MinHash signature over array<long>"),
       (args: Seq[Expression]) => MinHashSignature(asLongs(args(0)))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(hashes) - 64-bit SimHash over array<long>"),
+      info(classOf[SimHash64],
+        "simhash64", "simhash64(hashes) - 64-bit SimHash over array<long>"),
       (args: Seq[Expression]) => SimHash64(asLongs(args(0)))))
+    ext.injectFunction((
+      FunctionIdentifier("synth_media"),
+      info(classOf[SynthMedia], "synth_media",
+        "synth_media(doc_id, text) - byte-correct PNG/BMP/WAV container carrying text"),
+      (args: Seq[Expression]) =>
+        SynthMedia(Cast(args(0), LongType), Cast(args(1), StringType))))
+    ext.injectFunction((
+      FunctionIdentifier("media_header_decode"),
+      info(classOf[MediaHeaderDecode], "media_header_decode",
+        "media_header_decode(blob) - parse format/width/height/n_frames from container headers"),
+      (args: Seq[Expression]) => MediaHeaderDecode(args(0))))
   }
 }

@@ -50,6 +50,24 @@ object CsvSource {
     * column, in canonical order). Throws IllegalArgumentException when a
     * required column is absent from the header. */
   def read(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
+    // The in-place header drop below assumes exactly one input file
+    // (partition 0 = byte 0 of THE file). A directory or glob would
+    // silently treat every other file's header as a data row — fail fast
+    // instead; multi-file ingestion belongs to a per-file wrapper that
+    // assigns (file_id, offset) ordinals (PERF.md's documented scale path).
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved = fs.globStatus(hPath) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case sts  => sts.flatMap {
+        case d if d.isDirectory => fs.listStatus(d.getPath).filter(_.isFile)
+        case f => Array(f)
+      }
+    }
+    if (resolved.length != 1)
+      throw new IllegalArgumentException(
+        s"CSV source requires exactly one input file, '$path' resolves to " +
+          s"${resolved.length} (line numbers and header handling are per-file)")
     val lines = spark.sparkContext.textFile(path)
     val headerLine = lines.first() match {
       case h if h.startsWith("﻿") => h.substring(1) // BOM, like .NET StreamReader

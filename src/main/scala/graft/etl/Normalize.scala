@@ -32,8 +32,24 @@ object Normalize {
       convertToUtc: Boolean = true,
       tzId: String = "America/New_York"): DataFrame = {
 
+    /** EST→UTC with .NET ambiguity semantics: for fall-back wall-clock
+      * times that occur twice, Spark's to_utc_timestamp resolves to the
+      * EARLIER instant (daylight offset) while .NET
+      * TimeZoneInfo.ConvertTimeToUtc resolves to STANDARD time
+      * (TripRowNormalizerService.cs:81-96 inherits that default). Detect
+      * ambiguity by round-trip: the local time L is ambiguous iff the
+      * instant one hour after Spark's resolution maps back to the same
+      * wall clock (i.e. the zone fell back in between) — then take the
+      * later (standard) instant. Assumes the zone's DST shift is one hour,
+      * true for America/New_York and every zone the reference targets. */
     def toUtc(c: Column): Column =
-      if (convertToUtc) to_utc_timestamp(c, tzId) else c
+      if (!convertToUtc) c
+      else {
+        val daylight = to_utc_timestamp(c, tzId)
+        val standard = daylight + expr("INTERVAL '1' HOUR")
+        when(from_utc_timestamp(standard, tzId) === c, standard)
+          .otherwise(daylight)
+      }
 
     /** True when the local wall-clock time does not exist in tzId (DST
       * spring-forward gap): converting to UTC and back does not round-trip. */

@@ -37,10 +37,24 @@ object ParseValidate {
   /** Lenient fallback formats approximating invariant-culture
     * DateTime.TryParse for the formats that occur in taxi-style data. The
     * golden-stats run uses no configured format (appsettings.json has no
-    * InputDateTimeFormat), so this path is the one the reference exercised. */
+    * InputDateTimeFormat), so this path is the one the reference exercised.
+    *
+    * Coverage contract: the invariant culture accepts more shapes than any
+    * finite format list; this list covers US-style 12/24-hour (with and
+    * without seconds / fractional seconds), ISO date and 'T' forms (again
+    * ± seconds/fractions), and bare dates. Offset-suffixed ISO forms
+    * (+05:00 / Z) are intentionally excluded: the reference treats inputs
+    * as wall-clock EST, so an explicit offset would be silently discarded
+    * — rejecting them is the safer divergence (documented here as the
+    * supported subset). Order matters: earlier formats win, and the
+    * fractional variants precede their whole-second prefixes so the
+    * fraction is consumed, not rejected. */
   private val LenientFormats = Seq(
-    "M/d/yyyy h:mm:ss a", "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm",
-    "yyyy-M-d H:mm:ss", "yyyy-M-d'T'H:mm:ss", "M/d/yyyy", "yyyy-M-d")
+    "M/d/yyyy h:mm:ss.SSS a", "M/d/yyyy h:mm:ss a", "M/d/yyyy h:mm a",
+    "M/d/yyyy H:mm:ss.SSS", "M/d/yyyy H:mm:ss", "M/d/yyyy H:mm",
+    "yyyy-M-d H:mm:ss.SSS", "yyyy-M-d H:mm:ss", "yyyy-M-d H:mm",
+    "yyyy-M-d'T'H:mm:ss.SSS", "yyyy-M-d'T'H:mm:ss", "yyyy-M-d'T'H:mm",
+    "M/d/yyyy", "yyyy-M-d")
 
   private def parseTs(c: Column, fmt: Option[String]): Column = fmt match {
     case Some(f) => try_to_timestamp(c, lit(f))

@@ -61,11 +61,39 @@ object Sinks {
         col(CsvSource.LineNumberCol).as("LineNumber") +:
           CsvSource.RequiredColumns.map(c => col(rawCol(c)).as(c)): _*)
 
-  def writeDuplicates(annotated: DataFrame, path: String): Unit =
-    duplicateRows(annotated)
-      .orderBy("LineNumber")
-      .coalesce(1) // one small side file per run, like the reference's single duplicates.csv
+  /** Append-across-runs, like the reference: CsvDuplicateTripWriter.cs:56-109
+    * opens duplicates.csv in append mode and writes the header only when
+    * the file is absent. Reproduced distributed-ly: existing rows (read
+    * back from the single CSV part, file order preserved by the
+    * one-partition read) come first, the new run's rows follow in line
+    * order, and the whole file is rewritten via a temp dir + atomic-ish
+    * rename — so the final content is byte-equivalent to a true append
+    * with one header. No collect: rows never pass through the driver. */
+  def writeDuplicates(annotated: DataFrame, path: String): Unit = {
+    val spark = annotated.sparkSession
+    val fresh = duplicateRows(annotated)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      if (fs.exists(target)) {
+        val existing = spark.read.option("header", "true").schema(fresh.schema)
+          .csv(path)
+          .coalesce(1) // single part file: one partition keeps file order
+          .withColumn("_run", lit(0))
+          .withColumn("_idx", monotonically_increasing_id())
+        val appended = fresh
+          .withColumn("_run", lit(1))
+          .withColumn("_idx", col("LineNumber"))
+        existing.union(appended)
+          .orderBy(col("_run"), col("_idx"))
+          .drop("_run", "_idx")
+      } else fresh.orderBy("LineNumber")
+    val tmp = new org.apache.hadoop.fs.Path(path + "._tmp")
+    out.coalesce(1) // one small side file, like the reference's single duplicates.csv
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
-      .csv(path)
+      .csv(tmp.toString)
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
 }

@@ -38,18 +38,17 @@ object DedupOps {
     * verify DAG references it on up to six branches (both band-join sides,
     * both inverted-index sides, both size lookups) — without the persist
     * each branch recomputes it (~3-5 s each at sf0.1, the dominant cost of
-    * minhash_near_dup). The cached frame is 1 row/doc of short strings. */
-  private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * minhash_near_dup). The cached frame is 1 row/doc of short strings;
+    * entries evict on session end ([[graft.SessionFrameCache]]). */
+  private val shingleCache = new graft.SessionFrameCache[String]
 
   private def withShingles(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.computeIfAbsent((spark, sfDir), { case (s, dir) =>
-      Tables.documents(s, dir)
+    shingleCache.getOrElseUpdate(spark, sfDir) {
+      Tables.documents(spark, sfDir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("sh", shingleExpr)
         .select(col("doc_id"), col("sh"))
-        .persist()
-    })
+    }
 
   /** Exact dedup by content hash (whitespace-normalized, lowercased):
     * keeper = min doc_id per group. One shuffle on the 128-bit hash. */

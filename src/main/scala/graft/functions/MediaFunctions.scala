@@ -1,0 +1,183 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real multimodal byte plumbing: container synthesis and header decode.
+  *
+  * The north-star brief asks for image/audio/video as opaque binary
+  * columns with a REAL decode step. This container has no codec
+  * libraries, but container *headers* need none: PNG (RFC 2083 signature
+  * + IHDR chunk incl. CRC32), BMP (BITMAPFILEHEADER + BITMAPINFOHEADER,
+  * little-endian), and WAV (RIFF/WAVE/fmt/data, little-endian) are all
+  * fixed-offset binary structures. `synth` builds byte-correct files
+  * (valid magic, sizes, CRCs) carrying the document text as the opaque
+  * payload; `decode` parses format, dimensions and frame count back out
+  * of the BYTES — a real parse that fails on corrupt input, not a
+  * formula on row values.
+  *
+  * Both steps are native codegen'd Catalyst expressions (the Scala-side
+  * equivalent of the Python `mapInPandas` decode shape the brief
+  * sketches): per-row byte work stays in the JVM inside whole-stage
+  * codegen, one scan, no shuffle, no Python round-trip.
+  */
+object MediaBytes {
+
+  /** Header overhead per container, used by the DuckDB oracle to predict
+    * blob sizes arithmetically. */
+  val PngOverhead = 8 + 25 + 12 // signature + IHDR chunk + IEND chunk
+  val BmpOverhead = 14 + 40     // BITMAPFILEHEADER + BITMAPINFOHEADER
+  val WavOverhead = 44          // RIFF + fmt + data chunk headers
+
+  /** Deterministic container synthesis: format rotates by doc_id mod 3,
+    * image dims derive from the payload length (so the oracle can predict
+    * them without parsing bytes). Payload is the raw text bytes — an
+    * opaque carrier, not a rendered raster; the decode contract is the
+    * header, exactly like a truncated real-world file. */
+  def synth(docId: Long, text: UTF8String): Array[Byte] = {
+    val payload = text.getBytes
+    val n = payload.length
+    val width = n % 640 + 16
+    val height = (n * 31) % 480 + 16
+    (docId % 3) match {
+      case 0 => png(width, height, payload)
+      case 1 => bmp(width, height, payload)
+      case _ => wav(payload)
+    }
+  }
+
+  /** Byte-correct PNG: signature, IHDR (width/height big-endian, 8-bit
+    * truecolor) with a valid CRC32, IEND, then the opaque payload. */
+  def png(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(PngOverhead + payload.length) // big-endian
+    out.put(Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      0x0d.toByte, 0x0a.toByte, 0x1a.toByte, 0x0a.toByte))
+    val ihdr = ByteBuffer.allocate(17)
+    ihdr.put("IHDR".getBytes("US-ASCII"))
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    out.putInt(13).put(ihdr.array())
+    val crc = new CRC32(); crc.update(ihdr.array())
+    out.putInt(crc.getValue.toInt)
+    out.putInt(0).put("IEND".getBytes("US-ASCII"))
+    val crc2 = new CRC32(); crc2.update("IEND".getBytes("US-ASCII"))
+    out.putInt(crc2.getValue.toInt)
+    out.put(payload)
+    out.array()
+  }
+
+  /** Byte-correct 24bpp BMP: BITMAPFILEHEADER + BITMAPINFOHEADER
+    * (little-endian), payload as the pixel-array region. */
+  def bmp(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(BmpOverhead + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(BmpOverhead + payload.length) // file size
+    out.putInt(0)                            // reserved
+    out.putInt(BmpOverhead)                  // pixel-array offset
+    out.putInt(40)                           // info-header size
+    out.putInt(w).putInt(h)
+    out.putShort(1).putShort(24)             // planes, bpp
+    out.putInt(0).putInt(payload.length)     // compression, image size
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    out.put(payload)
+    out.array()
+  }
+
+  /** Byte-correct PCM WAV: mono, 16-bit, 16 kHz; payload is the data
+    * chunk, so n_frames = payload / blockAlign(2). */
+  def wav(payload: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(WavOverhead + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + payload.length)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(1)       // PCM, mono
+    out.putInt(16000).putInt(32000)   // sample rate, byte rate
+    out.putShort(2).putShort(16)      // block align, bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(payload.length)
+    out.put(payload)
+    out.array()
+  }
+
+  /** Header parse: (format, width, height, n_frames) from the BYTES.
+    * Magic-number dispatch, then fixed-offset reads in the container's
+    * own endianness. Unknown/corrupt input degrades to ("unknown",0,0,0)
+    * instead of throwing — at 100 TB some blobs are always damaged. */
+  def decode(blob: Array[Byte]): InternalRow = {
+    def r(f: String, w: Int, h: Int, fr: Long): InternalRow =
+      new GenericInternalRow(Array[Any](UTF8String.fromString(f), w, h, fr))
+    if (blob.length >= 24 && (blob(0) & 0xff) == 0x89 &&
+        blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G') {
+      val bb = ByteBuffer.wrap(blob) // PNG ints are big-endian
+      r("png", bb.getInt(16), bb.getInt(20), 1L)
+    } else if (blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M') {
+      val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+      r("bmp", bb.getInt(18), bb.getInt(22), 1L)
+    } else if (blob.length >= 44 && blob(0) == 'R' && blob(1) == 'I' &&
+        blob(2) == 'F' && blob(3) == 'F' && blob(8) == 'W' &&
+        blob(9) == 'A' && blob(10) == 'V' && blob(11) == 'E') {
+      val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+      val blockAlign = bb.getShort(32).toLong max 1L
+      r("wav", 0, 0, bb.getInt(40).toLong / blockAlign)
+    } else r("unknown", 0, 0, 0L)
+  }
+}
+
+/** `synth_media(doc_id, text)` → binary. Codegen is a single static-shaped
+  * call into [[MediaBytes]] — no interpretation overhead, and the byte
+  * assembly itself is intrinsically imperative (the legitimate use of a
+  * helper method over inline codegen). */
+case class SynthMedia(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "synth_media"
+
+  override def nullSafeEval(id: Any, text: Any): Any =
+    MediaBytes.synth(id.asInstanceOf[Long], text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (id, t) =>
+      s"${ev.value} = graft.functions.MediaBytes$$.MODULE$$.synth($id, $t);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SynthMedia = copy(newLeft, newRight)
+}
+
+/** `media_header_decode(blob)` → struct<format,width,height,n_frames>. */
+case class MediaHeaderDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+  override def prettyName: String = "media_header_decode"
+
+  override def nullSafeEval(b: Any): Any =
+    MediaBytes.decode(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.MediaBytes$$.MODULE$$.decode($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaHeaderDecode =
+    copy(newChild)
+}
+
+object MediaFunctions {
+  def synthMedia(docId: Column, text: Column): Column =
+    GraftBridge.column(SynthMedia(
+      GraftBridge.expression(docId.cast("long")),
+      GraftBridge.expression(text)))
+
+  def mediaHeaderDecode(blob: Column): Column =
+    GraftBridge.column(MediaHeaderDecode(GraftBridge.expression(blob)))
+}

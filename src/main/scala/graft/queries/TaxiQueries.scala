@@ -31,12 +31,12 @@ object TaxiQueries {
     * surface is pinned to the reference's own data). Cached per session:
     * seven registered queries consume this frame, and without the persist
     * each would re-run the whole text-scan + parse + window (measured
-    * ~2 s/query at bench time — the classic share-the-scan pattern). */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    * ~2 s/query at bench time — the classic share-the-scan pattern).
+    * Entries evict on session end ([[graft.SessionFrameCache]]). */
+  private val cache = new graft.SessionFrameCache[Unit]
 
   private def annotated(spark: SparkSession): DataFrame =
-    cache.computeIfAbsent(spark, s => Pipeline.annotate(s, config).persist())
+    cache.getOrElseUpdate(spark, ()) { Pipeline.annotate(spark, config) }
 
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 

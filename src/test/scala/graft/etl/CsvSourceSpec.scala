@@ -51,6 +51,15 @@ class CsvSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("tpep_dropoff_datetime"))
   }
 
+  test("directory / multi-file input fails fast (header handling is per-file)") {
+    val dir = Files.createTempDirectory("csvmulti")
+    Files.writeString(dir.resolve("a.csv"), fullHeader + "\nA,B,1,2,N,3,4,5,6")
+    Files.writeString(dir.resolve("b.csv"), fullHeader + "\nC,D,1,2,N,3,4,5,6")
+    val e = intercept[IllegalArgumentException](
+      CsvSource.read(spark, dir.toString))
+    assert(e.getMessage.contains("exactly one input file"), e.getMessage)
+  }
+
   test("custom delimiter") {
     val path = writeCsv(Seq(fullHeader.replace(",", ";"), "A;B;1;2;N;3;4;5;6"))
     val row = CsvSource.read(spark, path, delimiter = ";").head()

@@ -40,6 +40,26 @@ class NormalizeSpec extends SparkSpec {
     assert(r.getAs[String](Normalize.NormErrorCol).contains("nonexistent"))
   }
 
+  test("DST fall-back ambiguous local time resolves to STANDARD offset, like .NET") {
+    // 2020-11-01 01:30 occurs twice in America/New_York: 05:30Z (EDT, -4)
+    // and 06:30Z (EST, -5). .NET TimeZoneInfo.ConvertTimeToUtc picks
+    // standard time; Spark's bare to_utc_timestamp picks daylight.
+    val r = normOne(validRow(Map(
+      0 -> "11/01/2020 01:30:00 AM", 1 -> "11/01/2020 01:45:00 AM")), convert = true)
+    assert(r.getAs[String](Normalize.NormErrorCol) == null)
+    assert(r.getAs[Timestamp]("pickup_utc") == Timestamp.valueOf("2020-11-01 06:30:00"))
+    assert(r.getAs[Timestamp]("dropoff_utc") == Timestamp.valueOf("2020-11-01 06:45:00"))
+  }
+
+  test("times adjacent to the fall-back hour are not shifted by ambiguity handling") {
+    // 00:30 EDT (unambiguous, before the repeat) and 02:30 EST (after it)
+    val r = normOne(validRow(Map(
+      0 -> "11/01/2020 12:30:00 AM", 1 -> "11/01/2020 02:30:00 AM")), convert = true)
+    assert(r.getAs[String](Normalize.NormErrorCol) == null)
+    assert(r.getAs[Timestamp]("pickup_utc") == Timestamp.valueOf("2020-11-01 04:30:00"))
+    assert(r.getAs[Timestamp]("dropoff_utc") == Timestamp.valueOf("2020-11-01 07:30:00"))
+  }
+
   test("flag 'Z' fails normalization") {
     val r = normOne(validRow(Map(4 -> "Z")), convert = true)
     assert(r.getAs[String](Normalize.NormErrorCol)

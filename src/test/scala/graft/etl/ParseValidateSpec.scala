@@ -35,6 +35,21 @@ class ParseValidateSpec extends SparkSpec {
     assert(errorOf(validRow(), fmt) != null) // M/d/yyyy form rejected
   }
 
+  test("lenient fallback accepts the common invariant-culture shapes") {
+    val accepted = Seq(
+      "1/2/2020 3:04 PM",              // 12-hour, no seconds
+      "1/2/2020 03:04:05.120 PM",      // 12-hour with fractional seconds
+      "2020-1-2 3:04",                 // ISO-ish, no seconds
+      "2020-01-02T03:04:05",           // ISO 'T'
+      "2020-01-02T03:04:05.250",       // ISO 'T' with fraction
+      "1/2/2020")                      // bare date
+    for (v <- accepted)
+      assert(errorOf(validRow(Map(0 -> v))) == null, s"rejected: $v")
+    // offset-suffixed forms are deliberately NOT accepted: inputs are
+    // wall-clock EST and an explicit offset would be silently discarded
+    assert(errorOf(validRow(Map(0 -> "2020-01-02T03:04:05+05:00"))) != null)
+  }
+
   test("fields are trimmed before parsing") {
     val r = parseOne(validRow(Map(2 -> "  1  ", 4 -> "  N ")))
     assert(r.getAs[String](ParseValidate.ParseErrorCol) == null)

@@ -148,12 +148,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(p16.nonEmpty)
   }
 
-  test("media_meta stub: byte counts real, fake dims deterministic") {
-    val out = JsonMediaOps.mediaMeta(spark, sfDir).limit(3).collect()
+  test("media bytes: synthesized containers are byte-correct and decode round-trips") {
+    import graft.functions.MediaBytes
+    import java.nio.charset.StandardCharsets.UTF_8
+    val payload = "hello media".getBytes(UTF_8)
+    // PNG: signature + IHDR dims round-trip, and the IHDR CRC is valid
+    val png = MediaBytes.png(123, 77, payload)
+    val pngRow = MediaBytes.decode(png)
+    assert(pngRow.getString(0) == "png" && pngRow.getInt(1) == 123 &&
+      pngRow.getInt(2) == 77 && pngRow.getLong(3) == 1L)
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 17) // IHDR type+data
+    assert(java.nio.ByteBuffer.wrap(png).getInt(29) == crc.getValue.toInt)
+    // BMP: little-endian dims at fixed offsets
+    val bmpRow = MediaBytes.decode(MediaBytes.bmp(31, 17, payload))
+    assert(bmpRow.getString(0) == "bmp" && bmpRow.getInt(1) == 31 &&
+      bmpRow.getInt(2) == 17)
+    // WAV: frames = payload / blockAlign(2)
+    val wavRow = MediaBytes.decode(MediaBytes.wav(payload))
+    assert(wavRow.getString(0) == "wav" &&
+      wavRow.getLong(3) == payload.length / 2)
+    // corrupt input degrades, never throws
+    assert(MediaBytes.decode("not a container".getBytes(UTF_8)).getString(0) == "unknown")
+  }
+
+  test("media_meta: real header decode over synthesized blobs") {
+    val out = JsonMediaOps.mediaMeta(spark, sfDir).collect()
+    assert(out.map(_.getAs[String]("format")).toSet == Set("png", "bmp", "wav"))
     out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
       val n = r.getAs[Long]("n_bytes")
-      assert(r.getAs[Long]("width") == n % 640 + 16)
-      assert(r.getAs[Long]("n_frames") == n / 256 + 1)
+      val payload = n - (id % 3 match {
+        case 0 => 45; case 1 => 54; case _ => 44 })
+      id % 3 match {
+        case 2 =>
+          assert(r.getAs[Long]("width") == 0 && r.getAs[Long]("n_frames") == payload / 2)
+        case _ =>
+          assert(r.getAs[Long]("width") == payload % 640 + 16)
+          assert(r.getAs[Long]("height") == (payload * 31) % 480 + 16)
+          assert(r.getAs[Long]("n_frames") == 1L)
+      }
     }
   }
 }
