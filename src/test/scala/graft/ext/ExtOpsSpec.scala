@@ -54,9 +54,10 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truePairs.nonEmpty) // planted near-dup pairs in the harness data
     // 64-bit simhash over ~13-token docs is a noisy candidate generator —
-    // recall is high but not guaranteed total (unlike the verified LSH path)
+    // recall is high but not guaranteed total (unlike the verified LSH
+    // path). Deterministic on fixed data: measured 27/28 = 0.964.
     val recall = truePairs.intersect(cands).size.toDouble / truePairs.size
-    assert(recall >= 0.7, s"recall=$recall over ${truePairs.size} pairs")
+    assert(recall >= 0.9, s"recall=$recall over ${truePairs.size} pairs")
   }
 
   test("simhash of identical texts is identical, near-dup texts are close") {
@@ -77,9 +78,10 @@ class ExtOpsSpec extends SparkSpec {
     assert(ivf.length == 50) // 10 queries x k=5
     val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
     // harness vectors are unclustered, so recall ~ nprobe/nlists is the
-    // honest expectation; the assertion guards against a broken probe path
+    // honest expectation; the assertion guards against a broken probe
+    // path. Deterministic on fixed data: measured 0.36.
     val recall = brute.intersect(ivfSet).size.toDouble / brute.size
-    assert(recall >= 0.25, s"recall=$recall")
+    assert(recall >= 0.3, s"recall=$recall")
     // ranks are 1..k and unique per query
     val ranksOk = ivf.groupBy(_.getLong(0)).values
       .forall(rs => rs.map(_.getLong(1)).sorted.toSeq == (1L to 5L))

@@ -11,7 +11,10 @@ class QueriesSpec extends SparkSpec {
     rows.foreach { r =>
       val exact = r.getAs[Long]("exact_parts").toDouble
       val approx = r.getAs[Long]("approx_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.1,
+      // rsd is configured at 0.02; measured error on this data is 0.005.
+      // The bound is the configured rsd itself — HLL++ at this
+      // cardinality is comfortably inside one relative standard deviation
+      assert(math.abs(approx - exact) / exact <= 0.02,
         s"approx=$approx exact=$exact for ${r.getAs[String]("l_returnflag")}")
     }
   }
