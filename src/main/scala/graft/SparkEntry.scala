@@ -58,7 +58,10 @@ object SparkEntry {
     "lang_id"          -> (TextOps.langId(_, _)),
     "token_count"      -> (TextOps.tokenCount(_, _)),
     "doc_fingerprint"  -> (TextOps.fingerprint(_, _)),
-    "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // no SQL oracle (xxhash64)
+    "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // no SQL oracle (hash scheme)
+    "doc_winnow_pairs" -> (TextOps.winnowPairs(_, _)),        // no SQL oracle (hash scheme)
+    "top_ngrams"       -> (TextOps.topNgrams(_, _)),
+    "source_stats"     -> (TextOps.sourceStats(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

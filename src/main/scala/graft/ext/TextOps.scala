@@ -124,6 +124,80 @@ object TextOps {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Winnow-fingerprint candidate pairs: documents sharing >= minShared
+    * winnowed fingerprints, with the shared count — the plagiarism-style
+    * near-dup join the exploded fingerprint shape exists for. Plan is the
+    * inverted-index equi-join family: fingerprints above maxDf document
+    * frequency are dropped first (a fingerprint in half the corpus pairs
+    * everything with everything — the classic quadratic-hot-key trap; df
+    * capping is what production winnowing systems do, and at these
+    * parameters a dropped fingerprint is boilerplate, not signal), then
+    * candidates come from the fingerprint equi-join, counted per pair.
+    * Every shuffle keys on a high-cardinality hash. Rows-only check
+    * (Spark-side hash scheme); contract is test-asserted.
+    *
+    * minShared default (30) sits at the measured knee of the harness
+    * distribution: 29 pairs at >= 30 shared fingerprints, then background
+    * ramps (399 pairs at >= 20, 48k at >= 5) — the same shape a real
+    * corpus shows, where true near-dups share most of their ~100
+    * fingerprints and topically-similar docs share a handful. */
+  def winnowPairs(spark: SparkSession, sfDir: String,
+      minShared: Int = 30, maxDf: Int = 50,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val text = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.SketchFunctions.winnowFingerprint(text, k, w)))
+          .as("fingerprint"))
+    val rare = fp
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    rare.as("a").join(rare.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Corpus-level top-100 bigrams — the vocabulary/phrase-frequency pass
+    * every corpus analysis starts with. Explode bigrams → hash aggregate
+    * (partial+final, so each mapper pre-combines its heavy hitters) →
+    * top-k. At 100 TB the aggregate shuffles one row per DISTINCT bigram
+    * per partition, not per occurrence, and the top-k is a
+    * TakeOrderedAndProject (per-partition heaps), never a global sort. */
+  def topNgrams(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(tokens(lower(col("text"))).as("toks"))
+      .select(explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""
+          .stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
+  /** Per-source curation stats: the slice-and-dice pass before deciding
+    * what to keep per provenance bucket. One hash aggregate; every
+    * measure is an exact integer so the hash compare is drift-free. */
+  def sourceStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("source")
+
   val oracles: Map[String, String] = Map(
     "text_stats" ->
       """SELECT doc_id, lang, n_chars,
@@ -169,5 +243,18 @@ object TextOps {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "top_ngrams" ->
+      """SELECT bigram, COUNT(*) AS n
+        |FROM (
+        |  SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+        |  FROM (SELECT list_filter(string_split(trim(lower(text)), ' '), t -> t <> '') AS toks
+        |        FROM documents) d) b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "source_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

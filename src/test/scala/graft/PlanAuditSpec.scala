@@ -78,6 +78,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("winnow pair join is an equi-join; bigram top-k avoids a global sort") {
+    val p = plan(graft.ext.TextOps.winnowPairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    val png = plan(graft.ext.TextOps.topNgrams(spark, sfDir))
+    assert(png.contains("TakeOrderedAndProject"), png)
+    assert("HashAggregate".r.findAllIn(png).length >= 2, png) // map-side combine
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers

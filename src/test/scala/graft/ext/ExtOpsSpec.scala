@@ -106,6 +106,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(!fps.contains(4L)) // shorter than k: no grams, no rows
   }
 
+  test("winnow candidate pairs find shifted near-dups, ignore unrelated docs") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, base, "en"),
+      (2L, "inserted prefix " + base, "en"),      // shifted copy
+      (3L, (100 to 140).map(i => s"v$i").mkString(" "), "en"))) // unrelated
+    val pairs = TextOps.winnowPairs(spark, dir, minShared = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // a shifted copy shares most fingerprints, far above the floor
+    assert(pairs.head._3 >= 5L)
+  }
+
+  test("top bigrams count corpus phrases with deterministic tie-break") {
+    val dir = docsFixture(Seq(
+      (1L, "a b a b c", "en"), (2L, "a b x", "en")))
+    val out = TextOps.topNgrams(spark, dir, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head == ("a b", 3L)) // "a b" twice in doc 1, once in doc 2
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.distinct)
+  }
+
   /** Write an embeddings-shaped fixture parquet and return its directory. */
   private def embFixture(rows: Seq[(Long, Array[Float], Int)]): String = {
     import spark.implicits._
