@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Structured Streaming variants of the pipeline's stateful operators
   * (SURVEY §2.8 — the reference is a bounded pull loop; these are the
@@ -83,6 +83,74 @@ object StreamingOps {
   }
 
   final case class KeyedCount(key: String, n: Long, total: Double)
+
+  final case class SessionEvent(user: String, at: java.sql.Timestamp)
+  final case class Session(user: String, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, nEvents: Long)
+  /** Keyed state for [[sessionizeStream]] (public: state encoders are
+    * codegen'd and need a visible constructor). */
+  final case class OpenSession(start: Long, last: Long, n: Long)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState — the
+    * unbounded sibling of [[graft.ext.TemporalOps.sessionize]]. A session
+    * is emitted only when it CLOSES (no event for `gap`), which is why
+    * this is flatMap (0..n completed sessions per invocation) and not map
+    * (exactly one output): the open session stays in keyed state, closed
+    * ones flush. An EVENT-time timeout (watermark-driven, not wall-clock —
+    * deterministic under replay and in tests) flushes a key's open session
+    * once the watermark passes its gap deadline, so state is bounded by
+    * the number of ACTIVE users, not all users ever seen — the property
+    * that keeps the state store alive at production key cardinalities. */
+  def sessionizeStream(stream: Dataset[SessionEvent],
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import stream.sparkSession.implicits._
+    stream
+      .withWatermark("at", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          if (!rows.hasNext) { // timeout fired: flush the open session
+            val closed = state.getOption.map(s =>
+              Session(user, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n)).iterator
+            state.remove()
+            closed
+          } else {
+            val sorted = rows.map(_.at.getTime).toSeq.sorted
+            var open = state.getOption
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out += Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // deadline can't be set behind the current watermark (Spark
+              // rejects it) — a key whose gap already elapsed flushes on
+              // the next watermark tick instead
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Stream-static enrichment: an unbounded fact stream joined to a small
+    * static dimension — planned as a BroadcastHashJoin per micro-batch, so
+    * the stream side never shuffles (the streaming analog of j1). */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per
     * key — the reference's run counters as continuously-updated state

@@ -86,6 +86,55 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on gap, keeps open state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionizeStream(input.toDS(), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamingOps.SessionEvent("u1", ts("2024-01-01 00:00:00")),
+        StreamingOps.SessionEvent("u1", ts("2024-01-01 00:05:00")),
+        StreamingOps.SessionEvent("u2", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // nothing closed yet: both sessions still open in state
+      assert(spark.table("sess_out").count() == 0)
+      // u1 returns after a > 10 min gap: first session closes via the gap
+      // logic; u2's idle session may also flush via the event-time timeout
+      // once the watermark passes its deadline
+      input.addData(StreamingOps.SessionEvent("u1", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("sess_out").as[StreamingOps.Session].collect()
+      val u1 = closed.filter(_.user == "u1")
+      assert(u1.length == 1)
+      assert(u1(0).nEvents == 2)
+      assert(u1(0).start == ts("2024-01-01 00:00:00"))
+      assert(u1(0).end == ts("2024-01-01 00:05:00"))
+      // the still-open u1 session (started 01:00) must NOT be emitted
+      assert(!closed.exists(_.start == ts("2024-01-01 01:00:00")))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins the dimension without shuffling the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val dim = Seq(("a", "Alpha"), ("b", "Beta")).toDF("k", "name")
+    val enriched = StreamingOps.enrichStream(input.toDS().toDF("k", "v"), dim, "k")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enrich_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("a", 1), ("c", 2))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").as[(String, Int, String)]
+        .collect().sortBy(_._1)
+      assert(out.toSeq == Seq(("a", 1, "Alpha"), ("c", 2, null)))
+      assert(q.lastProgress == null ||
+        !spark.table("enrich_out").queryExecution.executedPlan.toString
+          .contains("CartesianProduct"))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
