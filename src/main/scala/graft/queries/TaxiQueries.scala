@@ -67,6 +67,17 @@ object TaxiQueries {
   def tripsQuery(spark: SparkSession, sfDir: String): DataFrame =
     trips(spark).orderBy(col("pickup_utc"), col("dropoff_utc"), col("passenger_count"))
 
+  /** O4 — per-row diagnostics: every data row classified as
+    * invalid_parse / invalid_normalize / duplicate / inserted. The oracle
+    * replays the classification per line in SQL, so this checks the
+    * pipeline's decision for EACH of the 30,000 rows, not just the six
+    * aggregate counters. */
+  def rowStatus(spark: SparkSession, sfDir: String): DataFrame =
+    annotated(spark).select(
+      col(graft.etl.CsvSource.LineNumberCol).as("line_number"),
+      Stats.statusCol.as("status"))
+      .orderBy("line_number")
+
   /** S4 — duplicates side output: raw pre-parse strings + LineNumber
     * (SURVEY §7.4 H5). */
   def duplicates(spark: SparkSession, sfDir: String): DataFrame =
@@ -196,6 +207,17 @@ object TaxiQueries {
     "taxi_trips" -> (oracleCte +
       """SELECT * FROM trips
         |ORDER BY pickup_utc, dropoff_utc, passenger_count""".stripMargin),
+    "taxi_row_status" -> (oracleCte +
+      """SELECT f.line_number,
+        |  CASE WHEN NOT f.parse_ok THEN 'invalid_parse'
+        |       WHEN n.flag_n IS NULL OR n.dropoff_utc < n.pickup_utc
+        |         THEN 'invalid_normalize'
+        |       WHEN r.rn > 1 THEN 'duplicate'
+        |       ELSE 'inserted' END AS status
+        |FROM flagged f
+        |LEFT JOIN norm n USING (line_number)
+        |LEFT JOIN ranked r USING (line_number)
+        |ORDER BY f.line_number""".stripMargin),
     "taxi_duplicates" -> (oracleCte +
       """SELECT r.line_number AS "LineNumber",
         |  p.raw_pickup AS tpep_pickup_datetime, p.raw_dropoff AS tpep_dropoff_datetime,
