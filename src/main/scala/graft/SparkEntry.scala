@@ -46,6 +46,7 @@ object SparkEntry {
     // replays the whole pipeline in SQL — parse, normalize, dedup, Q1-Q4):
     "taxi_stats"                -> (TaxiQueries.stats(_, _)),
     "taxi_row_status"           -> (TaxiQueries.rowStatus(_, _)),
+    "taxi_rejects"              -> (TaxiQueries.rejects(_, _)),
     "taxi_trips"                -> (TaxiQueries.tripsQuery(_, _)),
     "taxi_duplicates"           -> (TaxiQueries.duplicates(_, _)),
     "taxi_q1_avg_tip_by_pu"     -> (TaxiQueries.q1AvgTipByPu(_, _)),

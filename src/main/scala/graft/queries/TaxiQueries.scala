@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.{CsvSource, EtlConfig, Pipeline, Sinks, Stats}
+import graft.etl.{CsvSource, EtlConfig, Normalize, ParseValidate, Pipeline, Sinks, Stats}
 
 /** The reference's own surface, run end-to-end on its bundled 30,000-row
   * CSV and exposed as driver-checkable relational results. The DuckDB
@@ -76,6 +76,21 @@ object TaxiQueries {
     annotated(spark).select(
       col(graft.etl.CsvSource.LineNumberCol).as("line_number"),
       Stats.statusCol.as("status"))
+      .orderBy("line_number")
+
+  /** O4/P2 — the reject report: line_number + the exact first-error-wins
+    * message for every invalid row (reference messages from
+    * TripRowParserService.cs:26-156 / TripRowNormalizerService.cs:70-167).
+    * The oracle rebuilds each message in SQL, so the 145 invalid rows
+    * verify message TEXT and field precedence, not just the counts. */
+  def rejects(spark: SparkSession, sfDir: String): DataFrame =
+    annotated(spark)
+      .filter(col(ParseValidate.ParseErrorCol).isNotNull ||
+        col(Normalize.NormErrorCol).isNotNull)
+      .select(
+        col(CsvSource.LineNumberCol).as("line_number"),
+        coalesce(col(ParseValidate.ParseErrorCol), col(Normalize.NormErrorCol))
+          .as("error"))
       .orderBy("line_number")
 
   /** S4 — duplicates side output: raw pre-parse strings + LineNumber
@@ -196,7 +211,41 @@ object TaxiQueries {
        |)
        |""".stripMargin
 
+  /** SQL fragment for one field of the first-error-wins chain: empty check
+    * then the field's own invalid condition, with the reference's exact
+    * message text (TripRowParserService.cs:26-156). */
+  private def fieldErrSql(field: String, raw: String, badCond: String): String =
+    s"""    WHEN coalesce(trim($raw), '') = '' THEN '$field value is missing or empty'
+       |    WHEN $badCond THEN 'invalid $field value: ''' || trim($raw) || ''''""".stripMargin
+
+  /** The reject-report oracle: parse errors rebuilt per field in
+    * declaration order, then the normalize chain on parse-ok rows. */
+  private val rejectsSql: String = oracleCte +
+    s""", perr AS (
+       |  SELECT line_number, CASE
+       |${fieldErrSql("tpep_pickup_datetime", "raw_pickup", "pickup_ts IS NULL")}
+       |${fieldErrSql("tpep_dropoff_datetime", "raw_dropoff", "dropoff_ts IS NULL")}
+       |${fieldErrSql("passenger_count", "raw_pc", "pc IS NULL OR pc < 0 OR pc > 255")}
+       |${fieldErrSql("trip_distance", "raw_dist", "dist IS NULL OR dist < 0")}
+       |${fieldErrSql("store_and_fwd_flag", "raw_flag", "FALSE")}
+       |${fieldErrSql("PULocationID", "raw_pu", "pu IS NULL OR pu < 0 OR pu > 2147483647")}
+       |${fieldErrSql("DOLocationID", "raw_do", "dol IS NULL OR dol < 0 OR dol > 2147483647")}
+       |${fieldErrSql("fare_amount", "raw_fare", "fare IS NULL OR fare < 0")}
+       |${fieldErrSql("tip_amount", "raw_tip", "tip IS NULL OR tip < 0")}
+       |  END AS pe FROM parsed
+       |)
+       |SELECT * FROM (
+       |  SELECT p.line_number, COALESCE(p.pe,
+       |    CASE WHEN n.flag_n IS NULL
+       |           THEN 'invalid store_and_fwd_flag value: ''' || n.flag_t || ''''
+       |         WHEN n.dropoff_utc < n.pickup_utc
+       |           THEN 'domain validation failed: dropoff is earlier than pickup'
+       |    END) AS error
+       |  FROM perr p LEFT JOIN norm n USING (line_number)
+       |) WHERE error IS NOT NULL ORDER BY line_number""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "taxi_rejects" -> rejectsSql,
     "taxi_stats" -> (oracleCte +
       """SELECT (SELECT count(*) FROM raw) AS total,
         |  (SELECT count(*) FROM flagged WHERE parse_ok) AS parsed,
