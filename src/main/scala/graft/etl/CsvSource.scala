@@ -98,4 +98,87 @@ object CsvSource {
         RequiredColumns.map(c => StructField(rawCol(c), StringType, nullable = true)))
     spark.createDataFrame(data, schema)
   }
+
+  val SrcFileCol = "src_file"
+  val ByteOffsetCol = "byte_offset"
+
+  /** The 100 TB ingestion path: a directory/glob of CSV shards, ordered by
+    * (src_file, byte_offset) instead of a global line number.
+    *
+    * Why this exists: `read`'s file-order line numbers need a
+    * `zipWithIndex` count job — fine for one file, a needless global
+    * barrier for a sharded dataset. Here the ordinal is the line's OWN
+    * byte offset (TextInputFormat hands it to every record for free), so
+    * there is no counting pass at all, and first-wins dedup ordering is
+    * (src_file, byte_offset) lexicographic — stable under any split
+    * planning, any number of files.
+    *
+    * Per-file headers: every shard's offset-0 line is its header; they are
+    * validated identical to the resolved header (fail-fast on drift — a
+    * reordered shard would otherwise silently misassign columns) and
+    * dropped by the `offset != 0` filter, with no special-casing of
+    * partition 0. Blank lines are skipped; offsets are naturally sparse so
+    * nothing needs renumbering. */
+  def readSharded(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = (fs.globStatus(hPath) match {
+      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+      case sts => sts.flatMap {
+        case d if d.isDirectory => fs.listStatus(d.getPath).filter(_.isFile)
+        case f => Array(f)
+      }
+    }).map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no input files match '$path'")
+
+    // resolve + cross-validate headers with one tiny distributed job (one
+    // line read per shard) — no full scan before the real one
+    val headerLines = spark.sparkContext
+      .parallelize(files.toIndexedSeq, math.min(files.length, 64))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(f)
+        val in = p.getFileSystem(conf).open(p)
+        try {
+          val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+            in, java.nio.charset.StandardCharsets.UTF_8))
+          (f, Option(r.readLine()).getOrElse(""))
+        } finally in.close()
+      }.collect().toMap
+    val first = headerLines(files.head) match {
+      case h if h.startsWith("﻿") => h.substring(1)
+      case h => h
+    }
+    val cmap = columnMap(splitLine(first, delimiter).toIndexedSeq)
+    val missing = RequiredColumns.filterNot(c => cmap.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"required column(s) missing from CSV header: ${missing.mkString(", ")}")
+    val drift = headerLines.filter { case (_, h) =>
+      columnMap(splitLine(h.stripPrefix("﻿"), delimiter).toIndexedSeq) != cmap }
+    require(drift.isEmpty,
+      s"shard header drift (reorder/rename) in: ${drift.keys.toSeq.sorted.mkString(", ")}")
+    val indices = RequiredColumns.map(c => cmap(c.toLowerCase)).toArray
+
+    val delim = delimiter
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        it.collect { case (off, line)
+            if off.get != 0L && line.toString.trim.nonEmpty =>
+          val fields = splitLine(line.toString, delim)
+          val cells = indices.map(j => if (j < fields.length) fields(j) else null)
+          Row.fromSeq(file +: off.get +: cells.toSeq)
+        }
+      }
+    val schema = StructType(
+      StructField(SrcFileCol, StringType, nullable = false) +:
+        StructField(ByteOffsetCol, LongType, nullable = false) +:
+        RequiredColumns.map(c => StructField(rawCol(c), StringType, nullable = true)))
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -25,14 +25,21 @@ object Dedup {
 
   val DupRankCol = "dup_rank"
 
-  def withFirstWins(df: DataFrame): DataFrame = {
+  /** @param orderCols the file-order ordinal — `line_number` for the
+    *   single-file source, `(src_file, byte_offset)` for the sharded
+    *   scale path. Invalid rows get singleton window partitions keyed by
+    *   their own ordinal (null for valid rows — they all share it and are
+    *   partitioned by the dedup key alone). */
+  def withFirstWins(
+      df: DataFrame,
+      orderCols: Seq[String] = Seq(CsvSource.LineNumberCol)): DataFrame = {
     val valid = col(ParseValidate.ParseErrorCol).isNull &&
       col(Normalize.NormErrorCol).isNull
+    val singleton = orderCols.map(c => when(valid, lit(null)).otherwise(col(c)))
     val w = Window
-      .partitionBy(
-        when(valid, lit(0L)).otherwise(col(CsvSource.LineNumberCol)),
-        col("pickup_utc"), col("dropoff_utc"), col("passenger_count"))
-      .orderBy(col(CsvSource.LineNumberCol))
+      .partitionBy(singleton ++ Seq(
+        col("pickup_utc"), col("dropoff_utc"), col("passenger_count")): _*)
+      .orderBy(orderCols.map(col): _*)
     df.withColumn(DupRankCol,
       when(valid, row_number().over(w)).otherwise(lit(null).cast("int")))
   }

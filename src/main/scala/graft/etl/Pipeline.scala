@@ -26,6 +26,19 @@ object Pipeline {
     Dedup.withFirstWins(normalized)
   }
 
+  /** The sharded scale path: same parse/normalize/dedup stages over a
+    * directory/glob of CSV shards, with (src_file, byte_offset) as the
+    * file-order ordinal — no global line-number count job (see
+    * [[CsvSource.readSharded]]). */
+  def annotateSharded(spark: SparkSession, config: EtlConfig): DataFrame = {
+    val raw = CsvSource.readSharded(spark, config.inputCsvPath, config.delimiter)
+    val parsed = ParseValidate.parse(raw, config.inputDateTimeFormat)
+    val normalized = Normalize.normalize(
+      parsed, config.enableTimeZoneConversion, config.inputTimeZoneId)
+    Dedup.withFirstWins(normalized,
+      orderCols = Seq(CsvSource.SrcFileCol, CsvSource.ByteOffsetCol))
+  }
+
   /** Run the full ETL: write inserted rows + duplicates side output, return
     * the six counters. */
   def run(spark: SparkSession, config: EtlConfig): Stats.EtlStats = {
