@@ -35,6 +35,7 @@ object SparkEntry {
     "q9_correlated"    -> (CoreQueries.q9Correlated(_, _)),
     "sessionize"       -> (graft.ext.TemporalOps.sessionize(_, _)),
     "asof_join"        -> (graft.ext.TemporalOps.asofJoin(_, _)),
+    "range_join_counts" -> (graft.ext.TemporalOps.rangeJoinCounts(_, _)),
     "j1_join_broadcast" -> (CoreQueries.j1JoinBroadcast(_, _)),
     "j2_join_shuffle"   -> (CoreQueries.j2JoinShuffle(_, _)),
     "j3_join_anti"      -> (CoreQueries.j3JoinAnti(_, _)),

@@ -65,7 +65,48 @@ object TemporalOps {
       .orderBy(col("event_id"))
   }
 
+  /** Bucketized range join: count events inside each "incident window"
+    * ([trigger ts, +windowMinutes) for every event with value above the
+    * threshold). A naive interval join (`p.ts BETWEEN i.start AND i.end`)
+    * has no equi key, so Spark plans a BroadcastNestedLoopJoin — quadratic
+    * and broadcast-bound. The scalable shape bins time into
+    * window-length buckets: each interval explodes to its (at most two)
+    * covered bins, points carry their own bin, the join is a pure
+    * EQUI-join on bin, and the exact [start, end) predicate filters the
+    * small bin-local candidate set. Each (interval, point) pair meets at
+    * most once (a point has exactly one bin), so no distinct is needed.
+    * At 100 TB the bin key is dense and uniform — shuffle-parallel with
+    * no skew, the same trick production range-join optimizers apply.
+    * The trigger event lies inside its own window, so every window
+    * reports >= 1. Threshold sits > 0.5 away from every data value, so
+    * cross-engine float comparison cannot flip membership. */
+  def rangeJoinCounts(spark: SparkSession, sfDir: String,
+      threshold: Double = 300.0, windowMinutes: Int = 10): DataFrame = {
+    val binSecs = windowMinutes * 60L
+    val e = Tables.events(spark, sfDir)
+    val points = e.select(col("event_id"), col("ts"),
+      floor(unix_timestamp(col("ts")) / binSecs).as("bin"))
+    val intervals = e.filter(col("value") > threshold)
+      .select(col("event_id").as("win_id"), col("ts").as("win_start"),
+        (col("ts") + expr(s"INTERVAL $windowMinutes MINUTES")).as("win_end"))
+    val exploded = intervals.select(col("win_id"), col("win_start"), col("win_end"),
+      explode(sequence(
+        floor(unix_timestamp(col("win_start")) / binSecs),
+        floor(unix_timestamp(col("win_end")) / binSecs))).as("bin"))
+    exploded.join(points, usingColumn = "bin")
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("win_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "range_join_counts" ->
+      """SELECT i.win_id, COUNT(*) AS n_events
+        |FROM (SELECT event_id AS win_id, ts AS s, ts + INTERVAL 10 MINUTE AS e
+        |      FROM events WHERE value > 300.0) i
+        |JOIN events ev ON ev.ts >= i.s AND ev.ts < i.e
+        |GROUP BY i.win_id ORDER BY win_id""".stripMargin,
     "sessionize" ->
       """SELECT event_id, user_id, session_id FROM (
         |  SELECT event_id, user_id,

@@ -87,6 +87,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(png).length >= 2, png) // map-side combine
   }
 
+  test("bucketized range join is an equi-join on the bin, never a nested loop") {
+    val df = graft.ext.TemporalOps.rangeJoinCounts(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // every window contains at least its own trigger event
+    assert(df.collect().forall(_.getAs[Long]("n_events") >= 1L))
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers
