@@ -65,6 +65,7 @@ object SparkEntry {
     "doc_winnow_pairs" -> (TextOps.winnowPairs(_, _)),        // no SQL oracle (hash scheme)
     "top_ngrams"       -> (TextOps.topNgrams(_, _)),
     "source_stats"     -> (TextOps.sourceStats(_, _)),
+    "train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

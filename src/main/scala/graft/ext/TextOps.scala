@@ -165,6 +165,24 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Leakage-resistant train/test split: assignment is a pure function of
+    * the NORMALIZED CONTENT hash (salted), not of doc_id or randomness —
+    * so exact duplicates always land in the same split (no train/test
+    * leakage through copies), the split is reproducible across runs,
+    * machines and engines, and re-sharding the corpus cannot move a
+    * document. testPct is approximated by the first hex byte of the hash
+    * (256 buckets); shuffle-free single scan. */
+  def trainTestSplit(spark: SparkSession, sfDir: String,
+      testPct: Int = 10, salt: String = "graft"): DataFrame = {
+    val cut = f"${(256 * testPct) / 100}%02x"
+    val h = md5(concat(lit(salt),
+      regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(substring(h, 1, 2) < cut, "test").otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level top-100 bigrams — the vocabulary/phrase-frequency pass
     * every corpus analysis starts with. Explode bigrams → hash aggregate
     * (partial+final, so each mapper pre-combines its heavy hitters) →
@@ -250,6 +268,11 @@ object TextOps {
         |  FROM (SELECT list_filter(string_split(trim(lower(text)), ' '), t -> t <> '') AS toks
         |        FROM documents) d) b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "train_test_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < '19'
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "source_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

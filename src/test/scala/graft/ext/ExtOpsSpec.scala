@@ -106,6 +106,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(!fps.contains(4L)) // shorter than k: no grams, no rows
   }
 
+  test("train/test split: content-hash based, duplicates co-assigned, fraction sane") {
+    val dir = docsFixture(Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "  ALPHA   beta GAMMA ", "en"), // same normalized content as 1
+      (3L, "something else", "en")))
+    val splits = TextOps.trainTestSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits(1L) == splits(2L)) // copies can never straddle the split
+    val big = TextOps.trainTestSplit(spark, sfDir).collect()
+    val testFrac = big.count(_.getString(1) == "test").toDouble / big.length
+    // 25/256 = 9.77% expected; binomial noise at n=500
+    assert(testFrac > 0.04 && testFrac < 0.17, s"testFrac=$testFrac")
+  }
+
   test("winnow candidate pairs find shifted near-dups, ignore unrelated docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val dir = docsFixture(Seq(
