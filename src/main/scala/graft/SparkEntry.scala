@@ -73,6 +73,7 @@ object SparkEntry {
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // no SQL oracle
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),   // approximate by design
+    "ann_quantized_topk" -> (SimilarityOps.quantizedTopk(_, _)), // int8: rows-only
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),

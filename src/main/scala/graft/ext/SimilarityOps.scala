@@ -182,6 +182,32 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Int8-quantized exact-rerank-free ANN: per-vector symmetric scalar
+    * quantization (scale = max|x|/127, elements rounded to int8 — 4× the
+    * vectors per byte of executor memory / shuffle / cache, which at
+    * 100 TB is the difference between an in-memory and a spilling search).
+    * Cosine is computed on the int8 codes directly: the per-vector scales
+    * cancel in dot/(‖a‖·‖b‖), so no dequantization multiply is needed.
+    * Same broadcast-queries + salted two-phase top-k shape as
+    * [[bruteTopk]]; approximate by rounding, so registered rows-only with
+    * the recall contract test-asserted against the exact ranking. */
+  def quantizedTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val scale = greatest(
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0,
+      lit(1e-12))
+    val q8 = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") / scale).cast("tinyint")).as("qv"))
+    val q = q8.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+    val scored = q8.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qv"), col("q_qv")).as("cos"))
+    topkPerQuery(scored, k)
+  }
+
   /** Banded random-hyperplane LSH near-dup — the APPROXIMATE production
     * path (the SimHash idea applied to real-valued vectors). Signature =
     * sign bits of dot products against `bands × rowsPerBand` seeded
