@@ -59,6 +59,7 @@ object SparkEntry {
     "text_stats"       -> (TextOps.textStats(_, _)),
     "text_quality"     -> (TextOps.textQuality(_, _)),
     "lang_id"          -> (TextOps.langId(_, _)),
+    "lang_id_ngram"    -> (TextOps.langIdNgram(_, _)),
     "token_count"      -> (TextOps.tokenCount(_, _)),
     "doc_fingerprint"  -> (TextOps.fingerprint(_, _)),
     "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // no SQL oracle (hash scheme)

@@ -80,6 +80,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language frequent character trigrams (space-padded shapes carry
+    * word-boundary signal). Shared by the Spark column expression and the
+    * DuckDB oracle below so both engines score identically. */
+  private val TrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "he ", " an", "nd ", "ing"),
+    "de" -> Seq("der", "ie ", "und", "ch ", "ein", "sch"),
+    "es" -> Seq(" de", "de ", "la ", "el ", "que", "ion"),
+    "fr" -> Seq(" le", "les", "ent", "eur", "aux", "une"))
+
+  /** Language identification by character-n-gram profile voting — the
+    * n-gram heuristic proper (the marker-token variant above is the
+    * word-level sibling; a production pipeline swaps in a fastText-style
+    * model in the same single-scan shape). Trigram counts per language
+    * profile, argmax with declaration-order tie-break; one scan, no
+    * shuffle, no UDFs. */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = expr(
+      "transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
+    val scores = TrigramProfiles.map { case (lang, tris) =>
+      lang -> size(filter(grams, g => g.isInCollection(tris))).cast("long")
+    }
+    val Seq(sEn, sDe, sEs, sFr) = scores.map(_._2)
+    Tables.documents(spark, sfDir)
+      .withColumn("t", lower(col("text")))
+      .select(
+        col("doc_id") +: col("lang").as("lang_meta") +:
+          scores.map { case (l, s) => s.as(s"s_$l") } :+
+          when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+            .when(sDe >= sEs && sDe >= sFr, "de")
+            .when(sEs >= sFr, "es")
+            .otherwise("fr").as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish token counting: word / number / other-symbol pieces via one
     * regex — the cheap stand-in for a real tokenizer's piece count. */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
@@ -268,6 +302,20 @@ object TextOps {
         |  FROM (SELECT list_filter(string_split(trim(lower(text)), ' '), t -> t <> '') AS toks
         |        FROM documents) d) b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+    "lang_id_ngram" -> {
+      val scoreExprs = TrigramProfiles.map { case (l, tris) =>
+        val inList = tris.map(t => s"'$t'").mkString(", ")
+        s"CAST(len(list_filter(grams, g -> g IN ($inList))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id, lang AS lang_meta,
+         |  $scoreExprs,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+         |FROM (SELECT *, [substr(t, i, 3) for i in range(1, greatest(len(t) - 2, 0) + 1)] AS grams
+         |      FROM (SELECT *, lower(text) AS t FROM documents) d0) d
+         |ORDER BY doc_id""".stripMargin
+    },
     "train_test_split" ->
       """SELECT doc_id,
         |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < '19'
