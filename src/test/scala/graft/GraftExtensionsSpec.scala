@@ -28,6 +28,14 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(sig.length == 128)
       val sh = s2.sql("SELECT simhash64(array(0L)) AS h").head().getLong(0)
       assert(sh == 0L) // all bits vote -1 except none set -> ties -> ...
+      // media round-trip through pure SQL: synthesize then header-decode
+      val m = s2.sql(
+        """SELECT m.* FROM (
+          |  SELECT media_header_decode(synth_media(1, 'hello world')) AS m) t""".stripMargin)
+        .head()
+      assert(m.getAs[String]("format") == "bmp") // doc_id 1 -> bmp
+      assert(m.getAs[Int]("width") == 11 % 640 + 16)
+      assert(m.getAs[Long]("n_frames") == 1L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
