@@ -70,6 +70,7 @@ object SparkEntry {
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
+    "dedup_clusters"   -> (DedupOps.dedupClusters(_, _)),
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // no SQL oracle (xxhash64)
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // no SQL oracle
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),

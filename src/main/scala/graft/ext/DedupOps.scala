@@ -200,6 +200,53 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the near-dup pair graph — the step that
+    * turns PAIRS into dedup CLUSTERS (keeper = min doc_id per component;
+    * transitive near-dups A~B~C collapse to one cluster even when A and C
+    * are not directly similar). Iterative min-label propagation: every
+    * doc starts labeled with its own id; each round every doc takes the
+    * min of its own and its neighbors' labels; fixpoint = component
+    * minimum. Each round is one equi-join + hash aggregate; the driver
+    * only ever sees the converged/changed COUNT (O(1)), never rows.
+    * Singletons keep their own id, so the output is the complete
+    * (doc_id, cluster_id) keeper table.
+    *
+    * At 100 TB: rounds = graph diameter; near-dup components are
+    * shallow (pairs come from banded LSH, so components are cliques-ish
+    * and converge in 2-3 rounds). For adversarially long chains the
+    * standard upgrade is alternating large-star/small-star (O(log n)
+    * rounds) plus per-round checkpointing to cut lineage — same
+    * join+aggregate building blocks. */
+  def dedupClusters(spark: SparkSession, sfDir: String, maxIters: Int = 20): DataFrame = {
+    val pairs = minhashNearDup(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("label")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+        .select(col("src").as("doc_id"), col("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
   /** The shared shingle CTE for DuckDB oracles. */
   private def shingleCteFrom(from: String) =
     s"""WITH t AS (
@@ -232,5 +279,26 @@ object DedupOps {
     // LSH + exact verification must reproduce the exact all-pairs result
     // over the FULL corpus (the whole point of the banded path):
     "minhash_near_dup" -> jaccardSql("documents"),
+    // components via transitive closure (recursive CTE) over the same
+    // exact-Jaccard pair graph the banded path reproduces:
+    "dedup_clusters" -> (shingleCteFrom("documents")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT d.doc_id,
+        |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
   )
 }

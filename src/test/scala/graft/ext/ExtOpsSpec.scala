@@ -47,6 +47,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dedup clusters: transitive chains collapse, singletons keep their id") {
+    def doc(lo: Int): String = (lo until lo + 40).map(i => s"w$i").mkString(" ")
+    // 1~2 and 2~3 are near-dups (jaccard ≈ 0.65/0.81) but 1~3 is NOT
+    // (≈ 0.52 < 0.6): only transitive closure puts all three together
+    val dir = docsFixture(Seq(
+      (1L, doc(1), "en"), (2L, doc(9), "en"), (3L, doc(13), "en"),
+      (4L, (100 to 140).map(i => s"v$i").mkString(" "), "en")))
+    val pairs = DedupOps.minhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)), s"1~3 directly similar: $pairs")
+    val clusters = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("simhash near-dup candidates recover most true jaccard pairs (recall)") {
     val truePairs = DedupOps.jaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
