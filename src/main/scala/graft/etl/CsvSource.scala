@@ -49,21 +49,29 @@ object CsvSource {
   /** Read the CSV into line_number + raw_* string columns (one per required
     * column, in canonical order). Throws IllegalArgumentException when a
     * required column is absent from the header. */
+  /** Files a path/glob resolves to (one level of directory expansion) —
+    * shared by the single-file guard in [[read]] and the shard listing in
+    * [[readSharded]] so both always agree on what "the input files" are. */
+  private def resolveInputFiles(
+      spark: SparkSession, path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(hPath) match {
+      case null => Array.empty
+      case sts => sts.flatMap {
+        case d if d.isDirectory => fs.listStatus(d.getPath).filter(_.isFile)
+        case f => Array(f)
+      }
+    }
+  }
+
   def read(spark: SparkSession, path: String, delimiter: String = ","): DataFrame = {
     // The in-place header drop below assumes exactly one input file
     // (partition 0 = byte 0 of THE file). A directory or glob would
     // silently treat every other file's header as a data row — fail fast
     // instead; multi-file ingestion belongs to a per-file wrapper that
     // assigns (file_id, offset) ordinals (PERF.md's documented scale path).
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val resolved = fs.globStatus(hPath) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case sts  => sts.flatMap {
-        case d if d.isDirectory => fs.listStatus(d.getPath).filter(_.isFile)
-        case f => Array(f)
-      }
-    }
+    val resolved = resolveInputFiles(spark, path)
     if (resolved.length != 1)
       throw new IllegalArgumentException(
         s"CSV source requires exactly one input file, '$path' resolves to " +
@@ -123,23 +131,26 @@ object CsvSource {
     import org.apache.hadoop.io.{LongWritable, Text}
     import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
 
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = (fs.globStatus(hPath) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case sts => sts.flatMap {
-        case d if d.isDirectory => fs.listStatus(d.getPath).filter(_.isFile)
-        case f => Array(f)
-      }
-    }).map(_.getPath.toString).sorted
+    val files = resolveInputFiles(spark, path).map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no input files match '$path'")
 
     // resolve + cross-validate headers with one tiny distributed job (one
-    // line read per shard) — no full scan before the real one
+    // line read per shard) — no full scan before the real one. The
+    // session's Hadoop configuration must travel to the executors (a bare
+    // `new Configuration()` would drop spark.hadoop.* credentials and fs
+    // settings — fatal on s3a/hdfs, invisible on local fs), so its
+    // properties are shipped through the closure and rebuilt per task.
+    val confProps: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.result()
+    }
     val headerLines = spark.sparkContext
       .parallelize(files.toIndexedSeq, math.min(files.length, 64))
       .map { f =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confProps.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(f)
         val in = p.getFileSystem(conf).open(p)
         try {

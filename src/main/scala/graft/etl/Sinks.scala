@@ -93,7 +93,15 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .csv(tmp.toString)
-    fs.delete(target, true)
+    // swap via a backup rename, not delete-then-rename: a crash between a
+    // delete and the rename would lose every prior run's accumulated
+    // duplicates — something a true append can never do. Worst case here
+    // leaves the old data at ._bak plus the new data at ._tmp, both
+    // recoverable.
+    val bak = new org.apache.hadoop.fs.Path(path + "._bak")
+    fs.delete(bak, true)
+    if (fs.exists(target)) fs.rename(target, bak)
     fs.rename(tmp, target)
+    fs.delete(bak, true)
   }
 }

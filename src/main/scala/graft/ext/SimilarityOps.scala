@@ -114,13 +114,28 @@ object SimilarityOps {
     topkPerQuery(scored, k)
   }
 
-  /** Unit-normalized vectors: cosine == dot of unit vectors, normalization
-    * paid once per row instead of once per pair. */
+  /** Unit-normalized vectors: cosine == dot of unit vectors. The norm is
+    * computed in its OWN projection column and the lambda divides by that
+    * attribute — a `norm(...)` written lexically inside the transform
+    * lambda is re-evaluated per ELEMENT (HOF lambdas get no
+    * loop-invariant hoisting), turning O(dim) normalization into O(dim²).
+    * Cached per (session, sfDir): embNearDup consumes it on both join
+    * sides and embLshNearDup on three branches plus the dim probe —
+    * without the persist each branch re-runs the scan + normalization. */
+  private val unitCache = new graft.SessionFrameCache[String]
+
   private def unitVectors(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / norm(col("embedding")))
-          .as("unit"))
+    unitCache.getOrElseUpdate(spark, sfDir) {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        // nrm stays in the output schema: with TWO references (lambda +
+        // output) CollapseProject refuses to inline the expensive norm
+        // back into the per-element lambda; with one it would re-inline
+        // and the hoist above becomes a no-op (verified on the optimized
+        // plan). Consumers select `unit` only.
+        .select(col("vec_id"), col("nrm"),
+          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("unit"))
+    }
 
   /** Embedding-cosine near-duplicate pairs (the vector-space sibling of
     * the text dedup family) — EXACT, via a blocked pair join.

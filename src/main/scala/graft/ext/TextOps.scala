@@ -96,8 +96,13 @@ object TextOps {
     * profile, argmax with declaration-order tie-break; one scan, no
     * shuffle, no UDFs. */
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    // explicit empty-array guard: sequence(1, 0) is DESCENDING in Spark
+    // ([1, 0]), which would emit junk sub-3-char grams for tiny texts —
+    // harmless to the 3-char profile scores, but not worth relying on
     val grams = expr(
-      "transform(sequence(1, greatest(length(t) - 2, 0)), i -> substring(t, i, 3))")
+      """CASE WHEN length(t) < 3 THEN array()
+        |ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END"""
+        .stripMargin)
     val scores = TrigramProfiles.map { case (lang, tris) =>
       lang -> size(filter(grams, g => g.isInCollection(tris))).cast("long")
     }
@@ -208,6 +213,11 @@ object TextOps {
     * (256 buckets); shuffle-free single scan. */
   def trainTestSplit(spark: SparkSession, sfDir: String,
       testPct: Int = 10, salt: String = "graft"): DataFrame = {
+    // 100 would render a 3-char cut ("100") that a 2-char hex prefix
+    // compares against lexicographically — silently sending ~94% to
+    // train. A 100% "split" is meaningless anyway: reject outside [0, 99].
+    require(testPct >= 0 && testPct < 100,
+      s"testPct must be in [0, 99], got $testPct")
     val cut = f"${(256 * testPct) / 100}%02x"
     val h = md5(concat(lit(salt),
       regexp_replace(lower(trim(col("text"))), "\\s+", " ")))

@@ -124,7 +124,11 @@ object StreamingOps {
             sorted.foreach { t =>
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(s.copy(last = t, n = s.n + 1))
+                  // late-but-admitted events (t inside the open session,
+                  // possibly before its last or even its start) must
+                  // WIDEN the session, never move its end backwards
+                  open = Some(OpenSession(
+                    math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   out += Session(user, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.last), s.n)

@@ -116,6 +116,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization widens on late-but-admitted events, never shrinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionizeStream(input.toDS(), gapMs = 10 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_late_out").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(StreamingOps.SessionEvent("u1", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // late event (before the open session's start) still inside the
+      // 10-minute watermark: must extend the session backwards
+      input.addData(StreamingOps.SessionEvent("u1", ts("2024-01-01 09:55:00")))
+      q.processAllAvailable()
+      // a much later event closes the first session
+      input.addData(StreamingOps.SessionEvent("u1", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val closed = spark.table("sess_late_out").as[StreamingOps.Session]
+        .collect().filter(_.nEvents == 2)
+      assert(closed.length == 1)
+      assert(closed(0).start == ts("2024-01-01 09:55:00"))
+      assert(closed(0).end == ts("2024-01-01 10:00:00")) // NOT moved backwards
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without shuffling the stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
