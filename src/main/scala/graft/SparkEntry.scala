@@ -43,6 +43,7 @@ object SparkEntry {
     "w2_rank_in_group"  -> (CoreQueries.w2RankInGroup(_, _)),
     "dedup_first_wins"  -> (CoreQueries.dedupFirstWins(_, _)),
     "dedup_losers"      -> (CoreQueries.dedupLosers(_, _)),
+    "merge_upsert"      -> (CoreQueries.mergeUpsert(_, _)),
     // Full reference-ETL surface over the bundled 30k taxi CSV (oracle
     // replays the whole pipeline in SQL — parse, normalize, dedup, Q1-Q4):
     "taxi_stats"                -> (TaxiQueries.stats(_, _)),
@@ -164,6 +165,23 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) t
         |WHERE rn > 1 ORDER BY event_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice + 1000 AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 1)
+        |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM (
+        |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL SELECT * FROM updates)
+        |ORDER BY o_orderkey""".stripMargin,
   ) ++ TaxiQueries.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
     SimilarityOps.oracles ++ JsonMediaOps.oracles ++ graft.ext.TemporalOps.oracles
 }

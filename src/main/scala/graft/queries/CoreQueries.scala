@@ -249,4 +249,33 @@ object CoreQueries {
       .drop("rn")
       .orderBy($"event_id")
   }
+
+  /** MERGE INTO / SCD-1 upsert, expressed relationally: the new snapshot
+    * is (base ANTI-JOIN updates) ∪ updates — matched keys take the
+    * update's values, unmatched keys keep the base row, brand-new keys
+    * insert. The reference's sink is append-only (SqlBulkCopy); this is
+    * the companion every warehouse needs. The "updates" batch is derived
+    * deterministically from the data (every 10th order re-priced +1000,
+    * plus key-shifted inserts) so the DuckDB oracle replays it exactly.
+    *
+    * Scale shape: one shuffle on the merge key for the anti join; at
+    * 100 TB base and updates are bucketed on o_orderkey (plans/Layouts)
+    * so the anti join is exchange-free and the union is a metadata op. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast("decimal(18,2)").as("o_totalprice"))
+    val updates = base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" + 1000).cast("decimal(18,2)").as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 10 === 1)
+        .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice"))
+    base.join(updates.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .union(updates)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast("double").as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
 }
