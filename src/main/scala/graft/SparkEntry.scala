@@ -72,10 +72,13 @@ object SparkEntry {
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
     "dedup_clusters"   -> (DedupOps.dedupClusters(_, _)),
-    "doc_simhash"      -> (DedupOps.simhash(_, _)),        // no SQL oracle (xxhash64)
-    "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // no SQL oracle
+    "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
+    "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),   // approximate by design
+    // same IVF plan with every list probed — degenerates to exact brute
+    // force, so the approximate path's machinery gets a hash-checked row:
+    "ann_ivf_full_probe" -> (SimilarityOps.ivfFullProbe(_, _)),
     "ann_quantized_topk" -> (SimilarityOps.quantizedTopk(_, _)), // int8: rows-only
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only

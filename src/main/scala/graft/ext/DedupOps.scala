@@ -154,17 +154,38 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-token 64-bit hash = the first 8 bytes of md5, big-endian (the
+    * two 32-bit hex halves reassembled with shift-or — a single conv of
+    * 16 hex chars would pass through a >2^63 unsigned decimal string that
+    * cannot round-trip a signed long cast). md5 instead of xxhash64 so the
+    * full SimHash family is CROSS-ENGINE REPRODUCIBLE: DuckDB has md5 but
+    * not xxhash64, which is what turns doc_simhash/simhash_near_dup from
+    * rows-only into hash-checked oracle rows. Distributionally equivalent
+    * (both uniform 64-bit), so banding recall is unchanged. */
+  private def md5hash64(t: Column): Column =
+    shiftleft(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
   /** 64-bit SimHash per document, computed in one shuffle-free projection:
-    * token hashes via the built-in xxhash64, then the 64-bit vote fold in
-    * a single codegen'd loop ([[graft.functions.SimHash64]]). Output is
-    * the signature itself — pairing is done by `simhashNearDup`. */
+    * md5-derived token hashes ([[md5hash64]]), then the 64-bit vote fold in
+    * a single codegen'd loop ([[graft.functions.SimHash64]] — bit j set iff
+    * the ±1 vote sum of token-hash bit j is >= 0). Output is the signature
+    * itself — pairing is done by `simhashNearDup`. */
+  /** Signature frame cached per (session, sfDir): md5-per-token is ~2.5x
+    * the xxhash64 it replaced, and [[simhashNearDup]]'s band self-join
+    * references the frame on BOTH sides — without the persist the md5 pass
+    * runs twice per query (and once more for doc_simhash). One row per doc
+    * (doc_id, long); evicts on session end. */
+  private val simhashCache = new graft.SessionFrameCache[String]
+
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        graft.functions.SketchFunctions.simhash64(
-          transform(col("toks"), t => xxhash64(t))).as("simhash"))
-      .orderBy("doc_id")
+    simhashCache.getOrElseUpdate(spark, sfDir) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          graft.functions.SketchFunctions.simhash64(
+            transform(col("toks"), t => md5hash64(t))).as("simhash"))
+    }.orderBy("doc_id")
 
   private val SimhashBands = 9 // > maxHamming: pigeonhole guarantees a clean band
 
@@ -278,7 +299,78 @@ object DedupOps {
       |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB replay of [[simhash]]: per-token 64-bit hash = first 8 md5 hex
+    * chars (hi32) and next 8 (lo32), decoded via strpos-over-hex-alphabet;
+    * per-bit ±1 vote sums replayed with a 64-row bit table; the signed
+    * long is reassembled as low-63-bits + an explicit sign-bit term (DuckDB
+    * BIGINT can't shift into bit 63 without overflow). Tokenless docs fold
+    * to all-ones = -1 (vote 0 >= 0 on every bit), restored by the COALESCE
+    * since they produce no unnested token rows. */
+  private val simhashCte: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS tk FROM t
+      |), hl AS (
+      |  SELECT doc_id,
+      |    list_sum([(strpos('0123456789abcdef', substr(md5(tk), i, 1)) - 1)::BIGINT
+      |              << (4*(8-i)) for i in range(1,9)]) AS hi,
+      |    list_sum([(strpos('0123456789abcdef', substr(md5(tk), i+8, 1)) - 1)::BIGINT
+      |              << (4*(8-i)) for i in range(1,9)]) AS lo
+      |  FROM tok
+      |), votes AS (
+      |  SELECT doc_id, b.bit,
+      |    2 * SUM(CASE WHEN b.bit < 32 THEN (lo >> b.bit) & 1
+      |                 ELSE (hi >> (b.bit - 32)) & 1 END) - COUNT(*) AS vote
+      |  FROM hl CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+      |  GROUP BY doc_id, b.bit
+      |), shv AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN vote >= 0 AND bit < 63 THEN 1::BIGINT << bit ELSE 0 END)
+      |      + CASE WHEN MAX(CASE WHEN bit = 63 AND vote >= 0 THEN 1 ELSE 0 END) = 1
+      |             THEN -9223372036854775808 ELSE 0 END AS simhash
+      |  FROM votes GROUP BY doc_id
+      |), sh AS (
+      |  SELECT d.doc_id, COALESCE(shv.simhash, -1)::BIGINT AS simhash
+      |  FROM documents d LEFT JOIN shv ON d.doc_id = shv.doc_id
+      |)
+      |""".stripMargin
+
+  /** The 9-band split of [[simhashCte]] signatures as (band, divisor, mod)
+    * rows — unsigned semantics via a HUGEINT lift of the signed value. */
+  private val simhashBandsSql: String = {
+    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
+    val rows = (0 until SimhashBands).map { i =>
+      val divisor = BigInt(1) << bounds(i)
+      val modv = BigInt(1) << (bounds(i + 1) - bounds(i))
+      s"($i, ${divisor}::HUGEINT, ${modv}::HUGEINT)"
+    }.mkString(", ")
+    s""", u AS (
+      |  SELECT doc_id, simhash,
+      |    CASE WHEN simhash < 0
+      |         THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+      |         ELSE simhash::HUGEINT END AS uh
+      |  FROM sh
+      |), bx AS (
+      |  SELECT doc_id, simhash, b.band,
+      |    ((uh // b.divisor) % b.modv)::BIGINT AS band_bits
+      |  FROM u CROSS JOIN (VALUES $rows) b(band, divisor, modv)
+      |)
+      |""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "doc_simhash" -> (simhashCte +
+      "SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
+    "simhash_near_dup" -> (simhashCte + simhashBandsSql +
+      """SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+        |FROM bx x JOIN bx y
+        |  ON x.band = y.band AND x.band_bits = y.band_bits
+        |  AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "doc_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id

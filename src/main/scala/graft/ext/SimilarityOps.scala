@@ -114,6 +114,16 @@ object SimilarityOps {
     topkPerQuery(scored, k)
   }
 
+  /** [[ivfTopk]] with nprobe >= nLists: every list is probed, so the
+    * "approximate" path degenerates to exact brute force BY CONSTRUCTION —
+    * which makes the whole IVF machinery (centroid aggregation, probe
+    * ranking, list equi-join, salted two-phase top-k) verifiable against
+    * the same DuckDB oracle as [[bruteTopk]]. The production nprobe=3
+    * configuration stays registered rows-only with its recall contract;
+    * this row proves the plumbing, the recall test bounds the pruning. */
+  def ivfFullProbe(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopk(spark, sfDir, nprobe = Int.MaxValue)
+
   /** Unit-normalized vectors: cosine == dot of unit vectors. The norm is
     * computed in its OWN projection column and the lambda divides by that
     * attribute — a `norm(...)` written lexically inside the transform
@@ -275,21 +285,25 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  private val bruteTopkSql =
+    """SELECT query_id, rank, neighbor_id FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+      |               e.vec_id) AS BIGINT) AS rank
+      |  FROM embeddings e
+      |  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |    ON e.vec_id <> q.vec_id) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> bruteTopkSql,
+    // full-probe IVF ≡ brute force: same oracle proves the IVF plumbing
+    "ann_ivf_full_probe" -> bruteTopkSql,
     "emb_near_dup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47
         |ORDER BY vec_a, vec_b""".stripMargin,
-    "ann_brute_topk" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
-        |               e.vec_id) AS BIGINT) AS rank
-        |  FROM embeddings e
-        |  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
-        |    ON e.vec_id <> q.vec_id) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -77,10 +77,13 @@ class ExtOpsSpec extends SparkSpec {
   }
 
   test("simhash of identical texts is identical, near-dup texts are close") {
-    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // 200 tokens with 4 edited: a 2% edit shifts each bit's ±1 vote sum by
+    // at most 8 of 200, so only near-tied bits can flip (measured hamming
+    // 3 under the md5-derived hashes — margin below the pairing bound 8)
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
     val dir = docsFixture(Seq(
       (1L, base, "en"), (2L, base, "en"),
-      (3L, (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2", "en")))
+      (3L, (1 to 196).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4", "en")))
     val sigs = DedupOps.simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L))
@@ -104,6 +107,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(ranksOk)
   }
 
+  test("full-probe IVF degenerates to exact brute force (row-for-row)") {
+    val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = SimilarityOps.ivfFullProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // probing every list must reproduce the exact ranking EXACTLY — the
+    // oracle-checked proof that the IVF machinery (centroids, probe
+    // ranking, list join, salted top-k) introduces no error of its own
+    assert(full == brute)
+  }
+
   test("int8-quantized top-k preserves most of the exact ranking") {
     val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -114,6 +128,13 @@ class ExtOpsSpec extends SparkSpec {
     // on fixed data — measured 0.98
     val recall = brute.intersect(qSet).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall=$recall")
+    // rank-1 preservation: the nearest neighbor survives quantization for
+    // every query (top-1 margins dwarf the rounding noise on harness data)
+    val bruteR1 = SimilarityOps.bruteTopk(spark, sfDir).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val quantR1 = quant.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(quantR1 == bruteR1, s"rank-1 drift: $quantR1 vs $bruteR1")
   }
 
   test("winnowed rolling-hash fingerprints survive a prefix shift") {
@@ -159,6 +180,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     // a shifted copy shares most fingerprints, far above the floor
     assert(pairs.head._3 >= 5L)
+  }
+
+  test("winnow pairs: zero false positives on an all-unrelated corpus") {
+    // winnow grams are CHARACTER 8-grams, so "unrelated" must hold at the
+    // character level (template tokens like tok1x1/tok2x1 share most of
+    // their gram stream and DO pair — the first draft of this fixture
+    // proved it). Seeded random letters: a cross-doc shared gram needs an
+    // identical 8-char sequence (~26^-8 each) and a pair needs 5 of them
+    val rnd = new scala.util.Random(7)
+    def randDoc() = (0 until 40)
+      .map(_ => (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .mkString(" ")
+    val dir = docsFixture((1L to 20L).map(i => (i, randDoc(), "en")))
+    val pairs = TextOps.winnowPairs(spark, dir, minShared = 5).collect()
+    assert(pairs.isEmpty, pairs.mkString(","))
   }
 
   test("top bigrams count corpus phrases with deterministic tie-break") {
