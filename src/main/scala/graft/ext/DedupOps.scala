@@ -221,60 +221,111 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Connected components over the near-dup pair graph — the step that
-    * turns PAIRS into dedup CLUSTERS (keeper = min doc_id per component;
-    * transitive near-dups A~B~C collapse to one cluster even when A and C
-    * are not directly similar). Iterative min-label propagation: every
-    * doc starts labeled with its own id; each round every doc takes the
-    * min of its own and its neighbors' labels; fixpoint = component
-    * minimum. Each round is one equi-join + hash aggregate; the driver
-    * only ever sees the converged/changed COUNT (O(1)), never rows.
-    * Singletons keep their own id, so the output is the complete
-    * (doc_id, cluster_id) keeper table.
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every node u connects its strictly-LARGER
+    * neighbors to m = min(Γ(u) ∪ {u}). One symmetric explode, one hash
+    * aggregate for the mins, one equi-join — no driver data. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: edges directed downward (hi → lo); every node u
+    * re-points its ≤-neighbors (and itself) at m = min(Γ≤(u) ∪ {u}). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mins = dir.groupBy("u").agg(min("v").as("mn")) // mn < u by direction
+    dir.join(mins, "u")
+      .select(col("v").as("u"), col("mn").as("v"))
+      .filter(col("u") =!= col("v")) // drop the (m, m) self-edge
+      .union(mins.select(col("u"), col("mn").as("v")))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair graph via alternating
+    * large-star/small-star — O(log n) rounds on ANY graph shape (a
+    * diameter-d min-label propagation needs d rounds; star contraction
+    * halves path lengths, so a 100-node chain converges in ~7). Each round
+    * is `smallStar(largeStar(edges))` = two aggregates + two joins, and
+    * `localCheckpoint` cuts the plan lineage so round k's plan does not
+    * embed rounds 1..k-1 (unbounded lineage is the classic iterative-Spark
+    * OOM/stack-overflow at scale; on a production cluster with a
+    * fault-tolerance requirement, swap for reliable `checkpoint` to a
+    * cluster-visible directory). Driver traffic per round is ONE
+    * (count, hash-sum) row for the convergence check — never edge data.
     *
-    * At 100 TB: rounds = graph diameter; near-dup components are
-    * shallow (pairs come from banded LSH, so components are cliques-ish
-    * and converge in 2-3 rounds). For adversarially long chains the
-    * standard upgrade is alternating large-star/small-star (O(log n)
-    * rounds) plus per-round checkpointing to cut lineage — same
-    * join+aggregate building blocks. */
-  /** Converged labels cached per (session, sfDir#maxIters): the returned
-    * frame depends on the final iteration's persisted labels, and a
-    * caller cannot unpersist through the projection — without the cache
-    * every invocation (bench runs each query twice: warm-up + timed)
-    * would strand one cached frame in the block manager. Entries evict on
-    * session end like the shingle cache. */
+    * Convergence: the star edge set is a fixpoint of both rounds, detected
+    * by an (edge count, order-independent xxhash64 sum) signature match
+    * between consecutive rounds. At the fixpoint every non-root node
+    * carries exactly one edge to its component min.
+    *
+    * @param pairs undirected edges as (doc_a, doc_b) — any orientation
+    * @return (doc_id, label): component-min label for every node that
+    *         appears in `pairs` (callers join singletons back themselves)
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    // (count, xor-of-hashes): order-independent, overflow-free (a SUM of
+    // longs trips ANSI overflow), and sound as a SET signature because the
+    // edge frame is distinct
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
+    var converged = sig._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val prev = edges
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      round += 1
+      prev.unpersist(blocking = false)
+    }
+    // fixpoint edges are (node → component min); min() guards the
+    // pre-convergence maxRounds exit where a node could carry two edges
+    val nonRoots = edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("label"))
+    val roots = edges.select(col("v").as("r")).distinct()
+      .join(edges.select(col("u")), col("r") === col("u"), "left_anti")
+      .select(col("r").as("doc_id"), col("r").as("label"))
+    nonRoots.union(roots)
+  }
+
+  /** Dedup clusters — the step that turns near-dup PAIRS into CLUSTERS
+    * (keeper = min doc_id per component; transitive near-dups A~B~C
+    * collapse to one cluster even when A and C are not directly similar).
+    * Pairs come from the banded MinHash path; components are computed with
+    * [[connectedComponents]] (large-star/small-star, O(log n) rounds);
+    * singleton docs keep their own id via the left join, so the output is
+    * the complete (doc_id, cluster_id) keeper table. */
+  /** Converged labels cached per (session, sfDir): the returned frame
+    * hangs off localCheckpoint'd edge RDDs a caller cannot release —
+    * without the cache every invocation (bench runs each query twice:
+    * warm-up + timed) would strand blocks in the block manager. Entries
+    * evict on session end like the shingle cache. */
   private val clusterCache = new graft.SessionFrameCache[String]
 
-  def dedupClusters(spark: SparkSession, sfDir: String, maxIters: Int = 20): DataFrame =
-    clusterCache.getOrElseUpdate(spark, s"$sfDir#$maxIters") {
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterCache.getOrElseUpdate(spark, sfDir) {
       val pairs = minhashNearDup(spark, sfDir).select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst").persist()
-      var labels = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("doc_id").as("label")).persist()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < maxIters) {
-        val neighborMin = edges
-          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")), "dst")
-          .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
-          .select(col("src").as("doc_id"), col("nmin"))
-        val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-          .persist()
-        val changed = next
-          .join(labels.select(col("doc_id"), col("label").as("old")), "doc_id")
-          .filter(col("label") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        iter += 1
-      }
-      edges.unpersist()
-      labels
+      val comp = connectedComponents(pairs)
+      Tables.documents(spark, sfDir)
+        .join(comp.withColumnRenamed("doc_id", "cc_id"),
+          col("doc_id") === col("cc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("label"))
     }.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
 
   /** The shared shingle CTE for DuckDB oracles. */

@@ -58,21 +58,34 @@ object StreamingOps {
     * @param columnIndex canonical-field -> position in the delimited line
     * @return valid, deduplicated trips with the dbo.Trips-shaped columns
     */
+  /** Delimited `value` lines → raw_* + typed + error columns: the SAME
+    * ParseValidate/Normalize projections as the batch pipeline, applied to
+    * a (possibly streaming) frame of lines. Extra input columns (e.g. a
+    * `line_number` ordinal) pass through untouched. Blank lines are
+    * dropped, as in batch. */
+  def annotateTaxiLines(
+      rawLines: DataFrame,
+      config: graft.etl.EtlConfig,
+      columnIndex: Map[String, Int]): DataFrame = {
+    import graft.etl.{CsvSource, Normalize, ParseValidate}
+    val fields = split(col("value"),
+      java.util.regex.Pattern.quote(config.delimiter), -1)
+    val raw = rawLines
+      .filter(trim(col("value")) =!= "")
+      .select(col("*") +: CsvSource.RequiredColumns.map(c =>
+        fields.getItem(columnIndex(c)).as(CsvSource.rawCol(c))): _*)
+      .drop("value")
+    Normalize.normalize(
+      ParseValidate.parse(raw, config.inputDateTimeFormat),
+      config.enableTimeZoneConversion, config.inputTimeZoneId)
+  }
+
   def taxiEtlStream(
       rawLines: DataFrame,
       config: graft.etl.EtlConfig,
       columnIndex: Map[String, Int]): DataFrame = {
-    import graft.etl.{CsvSource, Dedup => _, _}
-    val fields = split(col("value"),
-      java.util.regex.Pattern.quote(config.delimiter), -1)
-    val raw = rawLines
-      .filter(trim(col("value")) =!= "") // blank lines dropped, as in batch
-      .select(CsvSource.RequiredColumns.map(c =>
-        fields.getItem(columnIndex(c)).as(CsvSource.rawCol(c))): _*)
-    val normalized = Normalize.normalize(
-      ParseValidate.parse(raw, config.inputDateTimeFormat),
-      config.enableTimeZoneConversion, config.inputTimeZoneId)
-    normalized
+    import graft.etl.{Normalize, ParseValidate}
+    annotateTaxiLines(rawLines, config, columnIndex)
       .filter(col(ParseValidate.ParseErrorCol).isNull &&
         col(Normalize.NormErrorCol).isNull)
       .dropDuplicates("pickup_utc", "dropoff_utc", "passenger_count")
@@ -81,6 +94,103 @@ object StreamingOps {
         col("pulocation_id"), col("dolocation_id"),
         col("fare_amount"), col("tip_amount"), col("travel_time_seconds"))
   }
+
+  /** Six-counter accumulator for the streaming pipeline — the driver-side
+    * analog of [[graft.etl.Stats.EtlStats]], filled incrementally by
+    * [[taxiStreamBatchProcessor]] (foreachBatch callbacks run serially on
+    * the driver; LongAdder keeps it safe under query restarts too). */
+  final class TaxiStreamCounters {
+    import java.util.concurrent.atomic.LongAdder
+    val total = new LongAdder
+    val parsed = new LongAdder
+    val invalid = new LongAdder
+    val duplicates = new LongAdder
+    val inserted = new LongAdder
+    def snapshot: graft.etl.Stats.EtlStats = graft.etl.Stats.EtlStats(
+      total.sum, parsed.sum, invalid.sum, duplicates.sum, inserted.sum,
+      duplicatesFileRows = duplicates.sum)
+  }
+
+  /** The foreachBatch half of full stream/batch parity: every micro-batch
+    * feeds the reference pipeline's THREE consumers (inserted table,
+    * duplicates side file, six counters — the batch shape is
+    * `Pipeline.run`'s three actions over one persisted frame).
+    *
+    * First-wins dedup across an unbounded stream = within-batch first-wins
+    * (the batch window on the ordinal, reused as-is) + a cross-batch
+    * seen-keys table: a valid row is a duplicate iff its key was inserted
+    * by an earlier batch OR an earlier row of this batch. On a stream
+    * replayed in file order this reproduces the batch pipeline's winners
+    * EXACTLY, ordinal for ordinal.
+    *
+    * Scale/semantics notes: the seen-keys table is the keyed state, stored
+    * as parquet appends of (pickup, dropoff, passenger) — at production
+    * scale that state belongs in a transactional keyed store (the
+    * stream-side analog of the reference's acknowledged in-memory-HashSet
+    * limit); plain parquet + idempotent-enough appends is the
+    * container-testable stand-in. foreachBatch gives at-least-once sink
+    * semantics on retry; exactly-once needs a transactional sink. */
+  def taxiStreamBatchProcessor(
+      insertedPath: String,
+      duplicatesCsvPath: String,
+      seenKeysPath: String,
+      counters: TaxiStreamCounters): (DataFrame, Long) => Unit = {
+    import graft.etl.{Dedup, Normalize, ParseValidate, Sinks}
+    val keyCols = Seq("pickup_utc", "dropoff_utc", "passenger_count")
+    (batch0: DataFrame, _: Long) => if (!batch0.isEmpty) {
+      val spark = batch0.sparkSession
+      val annotated = Dedup.withFirstWins(batch0)
+      val seenExists = new org.apache.hadoop.fs.Path(seenKeysPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(seenKeysPath))
+      val seen =
+        if (seenExists) spark.read.parquet(seenKeysPath)
+        else annotated.select(keyCols.map(col): _*).limit(0)
+      val withSeen = annotated
+        .join(seen.withColumn("_seen", lit(true)), keyCols, "left")
+        .persist()
+      try {
+        val parseErr = col(ParseValidate.ParseErrorCol).isNotNull
+        val normErr = col(Normalize.NormErrorCol).isNotNull
+        val valid = !parseErr && !normErr
+        val dup = valid &&
+          (coalesce(col("_seen"), lit(false)) || col(Dedup.DupRankCol) > 1)
+        val ins = valid && !coalesce(col("_seen"), lit(false)) &&
+          col(Dedup.DupRankCol) === 1
+        def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
+        val r = withSeen.agg(count(lit(1)), cnt(!parseErr),
+          cnt(parseErr || normErr), cnt(dup), cnt(ins)).head()
+        counters.total.add(r.getLong(0))
+        counters.parsed.add(r.getLong(1))
+        counters.invalid.add(r.getLong(2))
+        counters.duplicates.add(r.getLong(3))
+        counters.inserted.add(r.getLong(4))
+        Sinks.selectTripColumns(withSeen.filter(ins))
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(insertedPath)
+        Sinks.appendDuplicateRows(
+          Sinks.selectDuplicateColumns(withSeen.filter(dup)), duplicatesCsvPath)
+        withSeen.filter(ins).select(keyCols.map(col): _*)
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(seenKeysPath)
+      } finally withSeen.unpersist()
+    }
+  }
+
+  /** Wire [[annotateTaxiLines]] + [[taxiStreamBatchProcessor]] into a
+    * running query: the full reference ETL (all three consumers) over an
+    * unbounded stream of (line_number, value) rows. */
+  def runTaxiEtlStream(
+      rawLines: DataFrame,
+      config: graft.etl.EtlConfig,
+      columnIndex: Map[String, Int],
+      seenKeysPath: String,
+      counters: TaxiStreamCounters,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    annotateTaxiLines(rawLines, config, columnIndex)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(taxiStreamBatchProcessor(
+        config.insertedPath, config.duplicatesCsvPath, seenKeysPath, counters))
+      .start()
 
   final case class KeyedCount(key: String, n: Long, total: Double)
 

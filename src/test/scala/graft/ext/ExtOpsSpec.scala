@@ -63,6 +63,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("connected components: 100-node chain collapses in O(log n) star rounds") {
+    import spark.implicits._
+    // a pure path graph is the adversarial diameter case that min-label
+    // propagation needs 99 rounds for; large-star/small-star contracts it
+    // within the maxRounds bound (~7 rounds), plus disjoint extras
+    val chain = (1L until 100L).map(i => (i, i + 1))
+    val extra = Seq((200L, 201L), (300L, 301L), (301L, 302L))
+    val labels = DedupOps.connectedComponents((chain ++ extra).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 100L).forall(labels(_) == 1L))
+    assert(labels(200L) == 200L && labels(201L) == 200L)
+    assert(Seq(300L, 301L, 302L).forall(labels(_) == 300L))
+    assert(labels.size == 105)
+  }
+
   test("simhash near-dup candidates recover most true jaccard pairs (recall)") {
     val truePairs = DedupOps.jaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -86,6 +86,54 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming taxi pipeline: three consumers reproduce the golden stats") {
+    val referenceCsv = "/root/reference/TaxiEtl/data/sample-cab-data.csv"
+    assume(new java.io.File(referenceCsv).exists())
+    implicit val sqlCtx = spark.sqlContext
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(referenceCsv)).asScala.toSeq
+    // header resolved the same way as batch: CI name -> index, then data
+    // lines numbered in file order with blanks not consuming a number
+    val header = lines.head.stripPrefix("﻿").split(",", -1)
+      .iterator.zipWithIndex
+      .foldLeft(Map.empty[String, Int]) { case (m, (n, i)) =>
+        val k = n.trim.toLowerCase
+        if (m.contains(k)) m else m + (k -> i)
+      }
+    val colIdx = graft.etl.CsvSource.RequiredColumns
+      .map(c => c -> header(c.toLowerCase)).toMap
+    val data = lines.drop(1).filter(_.trim.nonEmpty).zipWithIndex
+      .map { case (l, i) => (i + 1L, l) }
+
+    val out = tmpDir("taxistream")
+    val counters = new StreamingOps.TaxiStreamCounters
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.runTaxiEtlStream(
+      input.toDS().toDF("line_number", "value"),
+      graft.etl.EtlConfig(inputCsvPath = "",
+        duplicatesCsvPath = s"$out/duplicates", insertedPath = s"$out/trips"),
+      colIdx, s"$out/seen_keys", counters, s"$out/ckpt")
+    try {
+      // three micro-batches in file order: the 15 golden duplicates and
+      // their winners straddle batch boundaries, exercising the
+      // cross-batch seen-keys state, not just the within-batch window
+      data.grouped(10000).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(counters.snapshot == graft.etl.Stats.EtlStats(
+        total = 30000, parsed = 29855, invalid = 145,
+        duplicates = 15, inserted = 29840, duplicatesFileRows = 15))
+      val trips = spark.read.parquet(s"$out/trips")
+      assert(trips.count() == 29840)
+      assert(trips.columns.contains("TravelTimeSeconds"))
+      val dupCsv = spark.read.option("header", "true").csv(s"$out/duplicates")
+      assert(dupCsv.count() == 15)
+      assert(dupCsv.columns.head == "LineNumber")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap, keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
