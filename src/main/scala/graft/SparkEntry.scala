@@ -79,7 +79,7 @@ object SparkEntry {
     // same IVF plan with every list probed — degenerates to exact brute
     // force, so the approximate path's machinery gets a hash-checked row:
     "ann_ivf_full_probe" -> (SimilarityOps.ivfFullProbe(_, _)),
-    "ann_quantized_topk" -> (SimilarityOps.quantizedTopk(_, _)), // int8: rows-only
+    "ann_quantized_topk" -> (SimilarityOps.quantizedTopk(_, _)), // int8: oracle-checked (exact-integer sums)
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),

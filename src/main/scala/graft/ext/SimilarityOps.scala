@@ -300,6 +300,34 @@ object SimilarityOps {
     "ann_brute_topk" -> bruteTopkSql,
     // full-probe IVF ≡ brute force: same oracle proves the IVF plumbing
     "ann_ivf_full_probe" -> bruteTopkSql,
+    // int8 quantization is EXACTLY reproducible cross-engine: scale and
+    // rounding are deterministic double ops, and every dot/norm sum over
+    // int8 codes is an exact integer < 2^53 — so quantized cosines (and
+    // therefore ranks) are bit-identical, unlike raw-float scores. The
+    // "approximate" in quantized ANN is approximation of the EXACT
+    // ranking (test-asserted recall), not cross-engine nondeterminism.
+    "ann_quantized_topk" ->
+      """WITH sc AS (
+        |  SELECT vec_id,
+        |    greatest(list_max([abs(x::DOUBLE) for x in embedding]) / 127.0, 1e-12) AS s
+        |  FROM embeddings
+        |), q8 AS (
+        |  SELECT e.vec_id,
+        |    [round(x::DOUBLE / sc.s)::BIGINT for x in e.embedding] AS qv
+        |  FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_sum([e.qv[i] * q.qv[i] for i in range(1, len(e.qv)+1)])::DOUBLE
+        |      / (sqrt(list_sum([x*x for x in e.qv])::DOUBLE)
+        |         * sqrt(list_sum([x*x for x in q.qv])::DOUBLE)) AS cos
+        |  FROM q8 e JOIN (SELECT * FROM q8 WHERE vec_id < 10) q ON e.vec_id <> q.vec_id
+        |)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "emb_near_dup" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

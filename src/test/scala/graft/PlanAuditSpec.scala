@@ -96,6 +96,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.collect().forall(_.getAs[Long]("n_events") >= 1L))
   }
 
+  test("connected-components star rounds are equi-joins + hash aggregates only") {
+    import spark.implicits._
+    // one full large-star + small-star round over a real edge frame: the
+    // per-round building blocks must stay shuffle-hash operations — a
+    // nested-loop or cartesian anywhere would multiply by rounds at scale
+    val pairs = (1L until 50L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.connectedComponents(pairs)
+    val p = plan(labels)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // localCheckpoint bounds the lineage: the final plan must NOT embed
+    // the per-round join tree (a scan of checkpointed partitions instead)
+    assert(p.linesIterator.size < 60,
+      s"plan grows with rounds — lineage not cut:\n$p")
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers
