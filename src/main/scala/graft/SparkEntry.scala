@@ -68,6 +68,10 @@ object SparkEntry {
     "top_ngrams"       -> (TextOps.topNgrams(_, _)),
     "source_stats"     -> (TextOps.sourceStats(_, _)),
     "train_test_split" -> (TextOps.trainTestSplit(_, _)),
+    "pii_redact"       -> (TextOps.piiRedact(_, _)),
+    "seq_pack"         -> (TextOps.seqPack(_, _)),
+    "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
+    "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

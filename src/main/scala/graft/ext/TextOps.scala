@@ -260,7 +260,158 @@ object TextOps {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy("source")
 
+  // PII patterns shared verbatim by the Spark expressions and the DuckDB
+  // oracle — restricted to syntax with identical semantics in Java regex
+  // and RE2 (character classes, bounded/unbounded repetition, alternation;
+  // no backrefs or lookaround, which RE2 lacks).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction — the scrub pass every compliance-bound training
+    * pipeline runs before anything else: emails, then URLs, then
+    * phone-number shapes are replaced with typed sentinels (in that fixed
+    * order, so the engines agree when patterns nest, e.g. an email inside
+    * a URL). Counts are measured on the ORIGINAL text. Pure per-row
+    * projection: one scan, no shuffle, codegen'd regex. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+        .cast("long").as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        PhoneRe, "<PHONE>").as("clean_text"))
+      .orderBy("doc_id")
+
+  /** Sequence packing — the concat-then-cut document packing LLM training
+    * uses to fill fixed context windows: documents are laid end-to-end in
+    * (source, doc_id) order and each one records its running token offset
+    * and the `packTokens`-sized window it starts in.
+    *
+    * Plan: one window (prefix sum) partitioned by source. Packing is
+    * inherently a per-stream prefix sum, so the parallelism unit is the
+    * source; at 100 TB with few giant sources the standard upgrade is the
+    * two-pass distributed prefix sum (per-partition subtotals, broadcast
+    * the cumulative offsets, then a map-side add — same output, no
+    * single-reducer funnel). */
+  def seqPack(spark: SparkSession, sfDir: String, packTokens: Int = 512): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_offset div $packTokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Overlapping token-window chunking — the retrieval/embedding-side
+    * sibling of [[seqPack]]: each document explodes into windows of
+    * `chunkTokens` tokens every `stride` tokens (the last window may be
+    * short; ceil(n/stride) chunks per doc, tokenless docs emit none).
+    * One scan + explode, no shuffle. */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+      chunkTokens: Int = 32, stride: Int = 16): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - 1, $stride),
+           |  s -> concat_ws(' ', slice(toks, s + 1, $chunkTokens)))""".stripMargin))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Benchmark decontamination — the n-gram-overlap check run before
+    * training so eval data does not leak into the corpus (the GPT-3
+    * appendix-C method, 13-grams there; 4-grams here because the harness
+    * documents are ~13 tokens — measured selectivity: 11 of 495 docs at
+    * sf0.01, 724 of 4950 at sf0.1, vs 0 at 5-grams and ~30% at 3-grams).
+    * The "benchmark" is the deterministic doc_id % 100 == 0 slice
+    * standing in for an external eval set.
+    *
+    * Output: every non-benchmark document sharing at least one exact
+    * token 4-gram with any benchmark document, with how many distinct
+    * grams and how many benchmark documents it hits.
+    *
+    * Plan: distinct n-grams explode on both sides, the (small) benchmark
+    * side broadcasts, candidates come from the gram equi-join, then one
+    * hash aggregate per contaminated doc. At 100 TB the benchmark stays
+    * broadcast-sized by definition (eval sets are small); the corpus side
+    * is a single scan + explode, and the join key (5-gram text) is
+    * high-cardinality so the shuffle cannot hot-spot. */
+  def decontamNgram(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+    val gramArr = expr(
+      s"""CASE WHEN size(toks) < $n THEN array()
+         |ELSE array_distinct(transform(sequence(1, size(toks) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(toks, i, $n)))) END""".stripMargin)
+    def grams(df: DataFrame, idCol: String) = df
+      .select(col("doc_id").as(idCol), tokens(col("text")).as("toks"))
+      .select(col(idCol), explode(gramArr).as("gram"))
+    val docs = Tables.documents(spark, sfDir)
+    val bench = grams(docs.filter(col("doc_id") % 100 === 0), "bench_doc_id")
+    val corpus = grams(docs.filter(col("doc_id") % 100 =!= 0), "doc_id")
+    corpus.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        count_distinct(col("bench_doc_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    "pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$UrlRe', '<URL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "seq_pack" ->
+      """SELECT doc_id, source, n_tokens, tok_offset, tok_offset // 512 AS pack_id
+        |FROM (
+        |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    COALESCE(CAST(SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+        |        FROM documents) d) p
+        |ORDER BY doc_id""".stripMargin,
+    "chunk_docs" ->
+      """SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[(k-1)*16 + 1 : (k-1)*16 + 32], ' ') AS chunk_text
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+        |      FROM documents) d,
+        |  UNNEST(range(1, CAST(ceil(len(toks) / 16.0) AS BIGINT) + 1)) AS u(k)
+        |WHERE len(toks) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "decontam_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN []
+        |    ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+        |                        for i in range(1, len(toks) - 2)]) END) AS gram
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+        |        FROM documents) d
+        |)
+        |SELECT c.doc_id,
+        |  COUNT(DISTINCT c.gram) AS n_shared_grams,
+        |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
+        |FROM (SELECT * FROM g WHERE doc_id % 100 <> 0) c
+        |JOIN (SELECT * FROM g WHERE doc_id % 100 = 0) b ON c.gram = b.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id, lang, n_chars,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,

@@ -212,6 +212,54 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs.isEmpty, pairs.mkString(","))
   }
 
+  test("PII redaction replaces emails/urls/phones with typed sentinels, counts on original") {
+    val dir = docsFixture(Seq(
+      (1L, "mail bob.smith+x@corp.example.org or see https://ex.io/a?b=1 now", "en"),
+      (2L, "call +1 (555) 123-4567 today", "en"),
+      (3L, "clean text with no pii at all", "en")))
+    val out = TextOps.piiRedact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1 && out(1L).getAs[Long]("n_urls") == 1)
+    assert(out(1L).getAs[String]("clean_text") == "mail <EMAIL> or see <URL> now")
+    assert(out(2L).getAs[Long]("n_phones") == 1)
+    assert(out(2L).getAs[String]("clean_text") == "call <PHONE> today")
+    assert(out(3L).getAs[String]("clean_text") == "clean text with no pii at all")
+  }
+
+  test("sequence packing: running offsets and context-window ids per source") {
+    // 3 docs x 300 tokens in one source: offsets 0/300/600, packs 0/0/1
+    val dir = docsFixture((1L to 3L).map(i =>
+      (i, (1 to 300).map(j => s"t$j").mkString(" "), "en")))
+    val out = TextOps.seqPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 300L, 0L), (3L, 600L, 1L)))
+  }
+
+  test("chunking: overlapping token windows, short tail kept, empty docs dropped") {
+    val dir = docsFixture(Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" "), "en"),
+      (2L, "   ", "en"))) // tokenless: no chunks
+    val out = TextOps.chunkDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.map(c => (c._1, c._2)).toSeq == Seq((1L, 0L), (1L, 1L), (1L, 2L)))
+    assert(out(0)._3 == (1 to 32).map(i => s"w$i").mkString(" "))
+    assert(out(1)._3 == (17 to 40).map(i => s"w$i").mkString(" ")) // stride 16, short tail
+    assert(out(2)._3 == (33 to 40).map(i => s"w$i").mkString(" "))
+  }
+
+  test("decontamination flags corpus docs sharing a 4-gram with the benchmark slice") {
+    val dir = docsFixture(Seq(
+      (100L, "the quick brown fox jumps over things", "en"), // benchmark (id % 100 == 0)
+      (1L, "we saw the quick brown fox yesterday evening", "en"), // shares 2 grams
+      (2L, "completely different content here today folks ok", "en")))
+    val out = TextOps.decontamNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 shares "the quick brown fox" and "quick brown fox" is only 3
+    // tokens — 4-grams are "the quick brown fox"/"quick brown fox yesterday"...
+    // exactly one gram ("the quick brown fox") exists in both
+    assert(out.toSeq == Seq((1L, 1L, 1L)))
+  }
+
   test("top bigrams count corpus phrases with deterministic tie-break") {
     val dir = docsFixture(Seq(
       (1L, "a b a b c", "en"), (2L, "a b x", "en")))
