@@ -72,10 +72,12 @@ object SparkEntry {
     "seq_pack"         -> (TextOps.seqPack(_, _)),
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
+    "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
     "dedup_clusters"   -> (DedupOps.dedupClusters(_, _)),
+    "cluster_keepers"  -> (DedupOps.clusterKeepers(_, _)),
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),

@@ -328,6 +328,34 @@ object DedupOps {
           coalesce(col("label"), col("doc_id")).as("label"))
     }.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
 
+  /** Quality-aware cluster representatives — production dedup keeps the
+    * BEST document per near-dup cluster, not the first: one row per
+    * cluster with the argmax-quality member (ties broken by min doc_id —
+    * deterministic cross-engine because the quality score is built from
+    * exact integer ratios, see [[TextOps.textQuality]]), the member count,
+    * and the winning score.
+    *
+    * Plan: clusters (large-star/small-star) ⋈ quality (single scan), one
+    * window per cluster_id. Near-dup clusters are small by construction
+    * (banded LSH pairs), so the per-cluster window cannot funnel; the
+    * aggregate shuffles one row per doc. */
+  def clusterKeepers(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = TextOps.textQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    dedupClusters(spark, sfDir)
+      .join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(when(col("rk") === 1, col("doc_id"))).as("keeper_doc_id"),
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("quality_score"))).as("keeper_quality"))
+      .orderBy("cluster_id")
+  }
+
   /** The shared shingle CTE for DuckDB oracles. */
   private def shingleCteFrom(from: String) =
     s"""WITH t AS (
@@ -433,24 +461,54 @@ object DedupOps {
     "minhash_near_dup" -> jaccardSql("documents"),
     // components via transitive closure (recursive CTE) over the same
     // exact-Jaccard pair graph the banded path reproduces:
-    "dedup_clusters" -> (shingleCteFrom("documents")
-      .replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
-        |), edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL SELECT doc_b, doc_a FROM pairs
-        |), reach AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-        |)
-        |SELECT d.doc_id,
-        |  LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
-        |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    "dedup_clusters" -> (clustersCte +
+      "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    // keeper = argmax quality per component (quality formula identical to
+    // the text_quality oracle — exact integer ratios, so scores and
+    // therefore the argmax agree bit-for-bit):
+    "cluster_keepers" -> (clustersCte +
+      """, q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+        |      * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+        |         + CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) AS DOUBLE) / len(toks)
+        |         + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) / 3.0 AS quality_score
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+        |        FROM documents) d
+        |), ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, q.quality_score,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.quality_score DESC, c.doc_id) AS rk
+        |  FROM clusters c JOIN q ON c.doc_id = q.doc_id)
+        |SELECT cluster_id,
+        |  MIN(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc_id,
+        |  COUNT(*) AS n_members,
+        |  MAX(CASE WHEN rk = 1 THEN quality_score END) AS keeper_quality
+        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin),
   )
+
+  /** Shingles → exact-Jaccard pairs → transitive closure → per-doc
+    * cluster_id, as a reusable WITH-prefix for DuckDB oracles. */
+  private def clustersCte: String = (shingleCteFrom("documents")
+    .replaceFirst("WITH ", "WITH RECURSIVE ") +
+    """, pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+      |), clusters AS (
+      |  SELECT d.doc_id,
+      |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+      |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      |  GROUP BY d.doc_id
+      |)
+      |""".stripMargin)
 }

@@ -260,6 +260,32 @@ object TextOps {
         max(col("doc_id")).as("max_doc_id"))
       .orderBy("source")
 
+  /** Vocabulary coverage — the "how many tokens cover X% of the corpus"
+    * curve tokenizer/vocab design starts from: top-k tokens by frequency
+    * with each one's cumulative share of all token occurrences.
+    *
+    * Plan: explode → partial+final hash aggregate (one row per distinct
+    * token per partition crosses the wire) → TakeOrderedAndProject top-k.
+    * The cumulative window runs AFTER the limit, over k rows — the global
+    * ordered window that would funnel the whole vocabulary through one
+    * reducer never materializes. Shares are exact-integer ratios cast to
+    * double, so they hash-compare across engines. */
+  def vocabCoverage(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(k)
+    val total = counts.agg(sum(col("n")).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(total)
+      .withColumn("cum_share", sum(col("n")).over(w).cast("double") / col("tot"))
+      .select(col("token"), col("n"), col("cum_share"))
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
   // PII patterns shared verbatim by the Spark expressions and the DuckDB
   // oracle — restricted to syntax with identical semantics in Java regex
   // and RE2 (character classes, bounded/unbounded repetition, alternation;
@@ -368,6 +394,21 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT token, COUNT(*) AS n FROM (
+        |    SELECT unnest(list_filter(string_split(trim(lower(text)), ' '),
+        |                              t -> t <> '')) AS token
+        |    FROM documents) tk
+        |  GROUP BY token
+        |), top AS (
+        |  SELECT token, CAST(n AS BIGINT) AS n FROM counts
+        |  ORDER BY n DESC, token LIMIT 100
+        |), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+        |SELECT token, n,
+        |  CAST(SUM(n) OVER (ORDER BY n DESC, token
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t AS cum_share
+        |FROM top, tot ORDER BY n DESC, token""".stripMargin,
     "pii_redact" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,

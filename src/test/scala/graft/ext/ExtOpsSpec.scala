@@ -63,6 +63,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("cluster keepers: argmax-quality representative per cluster") {
+    def doc(lo: Int): String = (lo until lo + 40).map(i => s"w$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, doc(1), "en"), (2L, doc(9), "en"), (3L, doc(13), "en"), // one cluster
+      (4L, (100 to 140).map(i => s"v$i").mkString(" "), "en")))    // singleton
+    val quality = TextOps.textQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    val out = DedupOps.clusterKeepers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 4L))
+    val c1 = out.find(_._1 == 1L).get
+    assert(c1._3 == 3L)
+    assert(c1._4 == Seq(1L, 2L, 3L).map(quality).max)
+    assert(quality(c1._2) == c1._4) // the keeper really is the best member
+    assert(out.find(_._1 == 4L).get._2 == 4L)
+  }
+
+  test("vocab coverage: top tokens with exact cumulative shares") {
+    val dir = docsFixture(Seq((1L, "a a b", "en"), (2L, "a c", "en")))
+    val out = TextOps.vocabCoverage(spark, dir, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 3L, 0.6), ("b", 1L, 0.8), ("c", 1L, 1.0)))
+  }
+
   test("connected components: 100-node chain collapses in O(log n) star rounds") {
     import spark.implicits._
     // a pure path graph is the adversarial diameter case that min-label
