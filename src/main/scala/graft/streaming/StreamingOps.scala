@@ -137,7 +137,15 @@ object StreamingOps {
       counters: TaxiStreamCounters): (DataFrame, Long) => Unit = {
     import graft.etl.{Dedup, Normalize, ParseValidate, Sinks}
     val keyCols = Seq("pickup_utc", "dropoff_utc", "passenger_count")
-    (batch0: DataFrame, _: Long) => if (!batch0.isEmpty) {
+    (batchIn: DataFrame, _: Long) => if (!batchIn.isEmpty) {
+      // sources without a real ordinal (directory streams have no global
+      // file order) get a per-batch arrival surrogate — synthesized HERE
+      // because monotonically_increasing_id is rejected on streaming
+      // frames but fine on the materialized micro-batch
+      val batch0 =
+        if (batchIn.columns.contains(graft.etl.CsvSource.LineNumberCol)) batchIn
+        else batchIn.withColumn(graft.etl.CsvSource.LineNumberCol,
+          monotonically_increasing_id())
       val spark = batch0.sparkSession
       val annotated = Dedup.withFirstWins(batch0)
       val seenExists = new org.apache.hadoop.fs.Path(seenKeysPath)
