@@ -70,6 +70,7 @@ object SparkEntry {
     "train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "pii_redact"       -> (TextOps.piiRedact(_, _)),
     "seq_pack"         -> (TextOps.seqPack(_, _)),
+    "seq_pack_global"  -> (TextOps.seqPackGlobal(_, _)),
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),

@@ -339,6 +339,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** [[seqPack]] over ONE global stream — the case the per-source window
+    * cannot shard — via the classic TWO-PASS DISTRIBUTED PREFIX SUM, so no
+    * single reducer ever sees the whole corpus:
+    *
+    *  1. range-partition by doc_id (contiguous id ranges per partition);
+    *  2. one aggregate computes each partition's token subtotal — the
+    *     driver sees O(#partitions) rows, never documents — and a running
+    *     base offset per partition is prefixed on the driver;
+    *  3. the bases broadcast-join back and a window WITHIN each partition
+    *     (bounded rows by construction) adds the local exclusive prefix.
+    *
+    * Output is identical to a global ordered window (the oracle replays
+    * exactly that in SQL) with parallelism = #partitions instead of 1.
+    * At 100 TB, step 2's collect is a few thousand rows and every other
+    * stage is a scan, an aggregate, or a partition-local window. */
+  def seqPackGlobal(spark: SparkSession, sfDir: String,
+      packTokens: Int = 512): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // pass 1: per-partition subtotals -> driver prefix (O(#partitions))
+    val subs = toks.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("sub"), min(col("doc_id")).as("lo"))
+      .collect().sortBy(_.getAs[Long]("lo"))
+    val bases = subs.toSeq.scanLeft((0, 0L)) { case ((_, acc), r) =>
+      (r.getAs[Int]("pid"), acc + r.getAs[Long]("sub"))
+    }.sliding(2).collect { case Seq((_, base), (pid, _)) => (pid, base) }.toSeq
+    import spark.implicits._
+    val baseDf = bases.toDF("pid", "base")
+    // pass 2: partition-local exclusive prefix + broadcast base
+    val w = W.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    toks.join(broadcast(baseDf), "pid")
+      .withColumn("tok_offset",
+        col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tok_offset div $packTokens"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking — the retrieval/embedding-side
     * sibling of [[seqPack]]: each document explodes into windows of
     * `chunkTokens` tokens every `stride` tokens (the last window may be
@@ -426,6 +468,18 @@ object TextOps {
         |    COALESCE(CAST(SUM(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
         |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+        |        FROM documents) d) p
+        |ORDER BY doc_id""".stripMargin,
+    // the distributed two-pass prefix sum must equal the naive GLOBAL
+    // ordered window — which is exactly what the oracle computes
+    "seq_pack_global" ->
+      """SELECT doc_id, n_tokens, tok_offset, tok_offset // 512 AS pack_id
+        |FROM (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    COALESCE(CAST(SUM(len(toks)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
+        |  FROM (SELECT doc_id,
         |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
         |        FROM documents) d) p
         |ORDER BY doc_id""".stripMargin,

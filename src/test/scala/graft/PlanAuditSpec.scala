@@ -112,6 +112,24 @@ class PlanAuditSpec extends SparkSpec {
       s"plan grows with rounds — lineage not cut:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark side; vocab top-k heaps") {
+    val pd = plan(graft.ext.TextOps.decontamNgram(spark, sfDir))
+    assert(pd.contains("BroadcastHashJoin"), pd) // eval sets are small by definition
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"), pd)
+    val pv = plan(graft.ext.TextOps.vocabCoverage(spark, sfDir))
+    assert(pv.contains("TakeOrderedAndProject"), pv) // limit BEFORE the cum window
+    assert("HashAggregate".r.findAllIn(pv).length >= 2, pv)
+  }
+
+  test("global sequence packing never funnels documents into one reducer") {
+    val df = graft.ext.TextOps.seqPackGlobal(spark, sfDir)
+    val p = plan(df)
+    // the window must be partitioned by pid (partition-local prefix), not
+    // a global ORDER BY window (empty partition spec = one reducer)
+    assert(p.contains("windowspecdefinition(pid"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers
