@@ -18,8 +18,9 @@ import graft.streaming.StreamingOps
   * the batch sequence itself via the seen-keys state).
   *
   * Usage: EtlStreamMain <inputDir> <outputDir> [--follow]
-  * Without --follow, processes everything currently available and exits
-  * (Trigger.AvailableNow).
+  * Without --follow, drains everything currently available
+  * (processAllAvailable) and exits; with it, follows the directory until
+  * killed.
   */
 object EtlStreamMain {
   def main(args: Array[String]): Unit = {

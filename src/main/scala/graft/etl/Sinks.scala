@@ -81,9 +81,8 @@ object Sinks {
   /** Append pre-shaped duplicate rows (LineNumber + raw columns) to the
     * single-file duplicates CSV — the write half of [[writeDuplicates]],
     * callable directly from the streaming foreachBatch sink. */
-  def appendDuplicateRows(freshRows: DataFrame, path: String): Unit = {
-    val spark = freshRows.sparkSession
-    val fresh = freshRows
+  def appendDuplicateRows(fresh: DataFrame, path: String): Unit = {
+    val spark = fresh.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out =

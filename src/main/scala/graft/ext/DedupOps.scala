@@ -292,7 +292,10 @@ object DedupOps {
       converged = next == sig
       sig = next
       round += 1
-      prev.unpersist(blocking = false)
+      // Dataset.unpersist is a CacheManager no-op for localCheckpoint'd
+      // frames (RDD-level storage) — release the round's blocks eagerly
+      // through the bridge, or they pile up for the whole loop
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(prev)
     }
     // fixpoint edges are (node → component min); min() guards the
     // pre-convergence maxRounds exit where a node could carry two edges

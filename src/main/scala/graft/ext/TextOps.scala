@@ -270,11 +270,18 @@ object TextOps {
     * ordered window that would funnel the whole vocabulary through one
     * reducer never materializes. Shares are exact-integer ratios cast to
     * double, so they hash-compare across engines. */
+  /** Distinct-token counts cached per (session, sfDir): the coverage
+    * query needs them twice (top-k AND the corpus total) — without the
+    * persist the corpus-wide explode+aggregate runs as two full jobs. */
+  private val vocabCache = new graft.SessionFrameCache[String]
+
   def vocabCoverage(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
-    val counts = Tables.documents(spark, sfDir)
-      .select(explode(tokens(lower(col("text")))).as("token"))
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("n"))
+    val counts = vocabCache.getOrElseUpdate(spark, sfDir) {
+      Tables.documents(spark, sfDir)
+        .select(explode(tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+    }
     val top = counts.orderBy(col("n").desc, col("token").asc).limit(k)
     val total = counts.agg(sum(col("n")).as("tot"))
     val w = org.apache.spark.sql.expressions.Window
@@ -289,9 +296,12 @@ object TextOps {
   // PII patterns shared verbatim by the Spark expressions and the DuckDB
   // oracle — restricted to syntax with identical semantics in Java regex
   // and RE2 (character classes, bounded/unbounded repetition, alternation;
-  // no backrefs or lookaround, which RE2 lacks).
+  // no backrefs or lookaround, which RE2 lacks). Whitespace is an EXPLICIT
+  // class: Java's \s includes vertical tab (\x0B), RE2's does not, so a
+  // literal \s would silently diverge on \x0B-bearing text.
+  private val Ws = " \\t\\n\\x0B\\f\\r"
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[^\\s]+"
+  private val UrlRe = s"https?://[^$Ws]+"
   private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
 
   /** PII redaction — the scrub pass every compliance-bound training
@@ -354,13 +364,24 @@ object TextOps {
     * exactly that in SQL) with parallelism = #partitions instead of 1.
     * At 100 TB, step 2's collect is a few thousand rows and every other
     * stage is a scan, an aggregate, or a partition-local window. */
+  /** The range-partitioned (doc_id, n_tokens, pid) frame behind
+    * [[seqPackGlobal]], cached per (session, sfDir): pass 1's collect and
+    * pass 2's window would otherwise EACH run the scan+tokenize+range
+    * shuffle — and, worse, the base-offset join would silently depend on
+    * two separate jobs re-deriving identical range boundaries and pid
+    * assignments. Materializing once makes the pid mapping a fact, not a
+    * determinism assumption. */
+  private val packCache = new graft.SessionFrameCache[String]
+
   def seqPackGlobal(spark: SparkSession, sfDir: String,
       packTokens: Int = 512): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
-      .repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val toks = packCache.getOrElseUpdate(spark, sfDir) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+    }
     // pass 1: per-partition subtotals -> driver prefix (O(#partitions))
     val subs = toks.groupBy(col("pid"))
       .agg(sum(col("n_tokens")).as("sub"), min(col("doc_id")).as("lo"))
@@ -415,7 +436,7 @@ object TextOps {
     * side broadcasts, candidates come from the gram equi-join, then one
     * hash aggregate per contaminated doc. At 100 TB the benchmark stays
     * broadcast-sized by definition (eval sets are small); the corpus side
-    * is a single scan + explode, and the join key (5-gram text) is
+    * is a single scan + explode, and the join key (the n-gram text) is
     * high-cardinality so the shuffle cannot hot-spot. */
   def decontamNgram(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
     val gramArr = expr(

@@ -97,8 +97,11 @@ object StreamingOps {
 
   /** Six-counter accumulator for the streaming pipeline — the driver-side
     * analog of [[graft.etl.Stats.EtlStats]], filled incrementally by
-    * [[taxiStreamBatchProcessor]] (foreachBatch callbacks run serially on
-    * the driver; LongAdder keeps it safe under query restarts too). */
+    * [[taxiStreamBatchProcessor]]. foreachBatch callbacks run serially on
+    * the driver, so LongAdder here is belt-and-suspenders THREAD safety
+    * only — it does nothing for batch REPLAY: a checkpoint restart that
+    * re-runs a batch re-counts it (see the processor's at-least-once
+    * caveat). */
   final class TaxiStreamCounters {
     import java.util.concurrent.atomic.LongAdder
     val total = new LongAdder
@@ -127,9 +130,16 @@ object StreamingOps {
     * as parquet appends of (pickup, dropoff, passenger) — at production
     * scale that state belongs in a transactional keyed store (the
     * stream-side analog of the reference's acknowledged in-memory-HashSet
-    * limit); plain parquet + idempotent-enough appends is the
-    * container-testable stand-in. foreachBatch gives at-least-once sink
-    * semantics on retry; exactly-once needs a transactional sink. */
+    * limit); plain parquet appends are the container-testable stand-in.
+    * Failure semantics are AT-LEAST-ONCE, not exactly-once: the three
+    * sinks plus the state append are separate non-transactional writes,
+    * so a crash inside the batch followed by a checkpoint-restart replay
+    * either double-appends the batch's inserted rows (crash before the
+    * seen-keys append) or reclassifies the whole replayed batch as
+    * duplicates (crash after it), and the counters re-count either way.
+    * Exactly-once needs all four writes in one transaction — with a
+    * transactional table format, batchId-conditional MERGE on (batchId,
+    * key); nothing in the plan shape changes. */
   def taxiStreamBatchProcessor(
       insertedPath: String,
       duplicatesCsvPath: String,
