@@ -74,6 +74,7 @@ object SparkEntry {
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
+    "source_len_percentiles" -> (TextOps.sourceLenPercentiles(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

@@ -42,12 +42,17 @@ object DedupOps {
     * entries evict on session end ([[graft.SessionFrameCache]]). */
   private val shingleCache = new graft.SessionFrameCache[String]
 
+  /** (doc_id, sh) for any documents-shaped frame (doc_id + text) — the
+    * shared entry into the MinHash family for both the batch corpus path
+    * and the streaming ingest-dedup path. */
+  def shingleFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("sh", shingleExpr)
+      .select(col("doc_id"), col("sh"))
+
   private def withShingles(spark: SparkSession, sfDir: String): DataFrame =
     shingleCache.getOrElseUpdate(spark, sfDir) {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("sh", shingleExpr)
-        .select(col("doc_id"), col("sh"))
+      shingleFrame(Tables.documents(spark, sfDir))
     }
 
   /** Exact dedup by content hash (whitespace-normalized, lowercased):
@@ -94,6 +99,13 @@ object DedupOps {
           .as("jaccard"))
   }
 
+  /** Exact Jaccard for given candidate (doc_a, doc_b) pairs over one
+    * shingled frame (union both sides' shingles first when the pairs span
+    * frames) — the public face of the candidate-driven inverted-index
+    * verification, reused by the streaming ingest dedup. */
+  def jaccardForCandidates(shingled: DataFrame, candidates: DataFrame): DataFrame =
+    exactJaccard(shingled, Some(candidates))
+
   /** Sample bound for the exact all-pairs baseline: O(n²) array
     * intersections are a verifier, not a production path — on the full
     * sf0.1 corpus the unbounded version measured 818 s vs < 30 s for the
@@ -137,13 +149,19 @@ object DedupOps {
     * hash join on (band, key) → distinct candidate pairs → join back to
     * shingles → exact Jaccard filter. At 100 TB the only shuffles are the
     * band-key join and the candidate join — both equi-joins. */
+  /** (doc_id, band, band_key) LSH banding of a shingled frame — 32 bands
+    * of 4 MinHash rows each, hashed to one key per band. */
+  def bandFrame(shingled: DataFrame): DataFrame =
+    shingled.filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+          hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+
   def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
-    val sig = s.select(col("doc_id"), minhashSig(col("sh")).as("sig"))
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
-        hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val bands = bandFrame(s)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))

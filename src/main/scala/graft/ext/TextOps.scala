@@ -456,7 +456,58 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Exact per-source length percentiles (median + discrete p90) — the
+    * distribution summary a curation pass reads before setting length
+    * cutoffs. Percentile VALUES are picked by rank arithmetic over
+    * integers (odd n → middle element; even n → mean of the two middles,
+    * a half-integer exact in double; p90 → element at ceil(0.9n), type-1
+    * discrete), so both engines agree bit-for-bit — which interpolated
+    * float quantiles (percentile_cont vs Spark's percentile) cannot
+    * guarantee under different accumulation orders.
+    *
+    * Plan: one per-source sort window for ranks + one hash aggregate. An
+    * exact quantile needs its group sorted somewhere; groups here are
+    * sources (bounded row counts). At 100 TB per-key sketches
+    * (approx_percentile / KLL: one pass, mergeable, no sort) replace the
+    * exact path once groups outgrow a reducer. */
+  def sourceLenPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        // ranks via `div` (Column./ is DOUBLE division): odd n → the
+        // middle element; even n → exact half-integer mean of the two
+        (when(max(col("n")) % 2 === 1,
+          max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))))
+          .otherwise(
+            (max(when(col("rn") === expr("n div 2"), col("n_chars"))) +
+              max(when(col("rn") === expr("n div 2 + 1"), col("n_chars"))))
+              / lit(2.0))).cast("double").as("median_chars"),
+        max(when(col("rn") === expr("(n * 9 + 9) div 10"), col("n_chars")))
+          .as("p90_chars"))
+      .orderBy("source")
+  }
+
   val oracles: Map[String, String] = Map(
+    "source_len_percentiles" ->
+      """SELECT source, MAX(n) AS n_docs,
+        |  CAST(CASE WHEN MAX(n) % 2 = 1
+        |    THEN MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END)
+        |    ELSE (MAX(CASE WHEN rn = n // 2 THEN n_chars END)
+        |          + MAX(CASE WHEN rn = n // 2 + 1 THEN n_chars END)) / 2.0
+        |    END AS DOUBLE) AS median_chars,
+        |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS p90_chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin,
     "vocab_coverage" ->
       """WITH counts AS (
         |  SELECT token, COUNT(*) AS n FROM (

@@ -278,6 +278,99 @@ object StreamingOps {
       }
   }
 
+  /** Streaming MinHash near-dup INGEST dedup — the stream-shape of the
+    * corpus dedup an LLM pipeline runs at ingestion time: documents
+    * arrive in micro-batches, and a document is kept iff it is not a
+    * near-duplicate (verified Jaccard >= `threshold`) of any PREVIOUSLY
+    * KEPT document, nor a loser inside its own batch's near-dup clusters
+    * (min doc_id wins per cluster).
+    *
+    * Per micro-batch, using the SAME building blocks as the batch path:
+    * shingle the batch (one projection), band it (32x4 MinHash LSH),
+    * equi-join bands against the accumulated KEPT-document band table for
+    * cross-batch candidates, verify candidates only (candidate-driven
+    * inverted-index Jaccard — never all-pairs), then cluster the
+    * surviving batch's internal pairs (large-star/small-star) and keep
+    * each cluster's min id. Kept docs append their (doc_id, text), their
+    * shingles, and their bands to the state directory.
+    *
+    * State story at scale: the band table is the keyed state — an
+    * equi-join key lookup per batch, exactly the shape a transactional
+    * keyed store serves; shingles of kept docs are read only for verified
+    * candidates (semi-join scoped). Same at-least-once caveat as
+    * [[taxiStreamBatchProcessor]]: the three appends are not one
+    * transaction.
+    *
+    * @param docs streaming frame with (doc_id, text)
+    * @return the started query; kept docs land in `keptPath` parquet */
+  def runMinhashDedupStream(
+      docs: DataFrame,
+      statePath: String,
+      keptPath: String,
+      checkpointDir: String,
+      threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) minhashDedupBatch(batch, statePath, keptPath, threshold)
+      }
+      .start()
+
+  private[streaming] def minhashDedupBatch(
+      batch: DataFrame, statePath: String, keptPath: String,
+      threshold: Double): Unit = {
+    import graft.ext.DedupOps
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sh = DedupOps.shingleFrame(batch.select(col("doc_id"), col("text"))).persist()
+    try {
+      val bands = DedupOps.bandFrame(sh)
+      val stateShPath = s"$statePath/shingles"
+      val stateBandPath = s"$statePath/bands"
+      val haveState = fs.exists(new org.apache.hadoop.fs.Path(stateBandPath))
+      // cross-batch: batch docs banded-matching any KEPT doc -> verify
+      val dupOfKept: DataFrame =
+        if (!haveState) sh.select(col("doc_id")).limit(0)
+        else {
+          val stateBands = spark.read.parquet(stateBandPath)
+          val stateSh = spark.read.parquet(stateShPath)
+          val cand = bands.as("x").join(stateBands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.band_key") === col("y.band_key"))
+            .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+            .distinct()
+          DedupOps.jaccardForCandidates(sh.union(stateSh), cand)
+            .filter(col("jaccard") >= threshold)
+            .select(col("doc_a").as("doc_id")).distinct()
+        }
+      val fresh = sh.join(dupOfKept, Seq("doc_id"), "left_anti")
+      // within-batch: cluster the surviving docs' near-dup pairs, min wins
+      val freshBands = DedupOps.bandFrame(fresh)
+      val inBatchCand = freshBands.as("x").join(freshBands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val inBatchPairs = DedupOps.jaccardForCandidates(fresh, inBatchCand)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val losers = DedupOps.connectedComponents(inBatchPairs)
+        .filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id"))
+      val keptIds = fresh.select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+      val kept = batch.select(col("doc_id"), col("text"))
+        .join(keptIds, Seq("doc_id"), "left_semi")
+      kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(keptPath)
+      sh.join(keptIds, Seq("doc_id"), "left_semi")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stateShPath)
+      bands.join(keptIds, Seq("doc_id"), "left_semi")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stateBandPath)
+    } finally sh.unpersist()
+  }
+
   /** Stream-static enrichment: an unbounded fact stream joined to a small
     * static dimension — planned as a BroadcastHashJoin per micro-batch, so
     * the stream side never shuffles (the streaming analog of j1). */

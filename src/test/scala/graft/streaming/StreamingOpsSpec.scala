@@ -188,6 +188,29 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash ingest dedup drops near-dups of previously kept docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2" // jaccard ~0.9 vs base
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val out = tmpDir("mhstream")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.runMinhashDedupStream(
+      input.toDS().toDF("doc_id", "text"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    try {
+      // batch 1: 2 loses to 1 inside the batch cluster
+      input.addData((1L, base), (2L, near))
+      q.processAllAvailable()
+      // batch 2: 3 is a near-dup of KEPT doc 1 (cross-batch state), 4 is novel
+      input.addData((3L, near), (4L, other))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the dimension without shuffling the stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
