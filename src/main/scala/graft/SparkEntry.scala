@@ -63,8 +63,8 @@ object SparkEntry {
     "lang_id_ngram"    -> (TextOps.langIdNgram(_, _)),
     "token_count"      -> (TextOps.tokenCount(_, _)),
     "doc_fingerprint"  -> (TextOps.fingerprint(_, _)),
-    "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // no SQL oracle (hash scheme)
-    "doc_winnow_pairs" -> (TextOps.winnowPairs(_, _)),        // no SQL oracle (hash scheme)
+    "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // oracle: mod-2^64 hash replay
+    "doc_winnow_pairs" -> (TextOps.winnowPairs(_, _)),        // oracle: same + df-cap + count
     "top_ngrams"       -> (TextOps.topNgrams(_, _)),
     "source_stats"     -> (TextOps.sourceStats(_, _)),
     "train_test_split" -> (TextOps.trainTestSplit(_, _)),

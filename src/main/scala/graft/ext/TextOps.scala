@@ -143,8 +143,9 @@ object TextOps {
     * two documents sharing any sufficiently long run of text share
     * fingerprints, which is what plagiarism-style / near-dup pipelines
     * select on. One O(n) native pass per row
-    * ([[graft.functions.WinnowFingerprint]]); no shuffle. No SQL oracle
-    * (Spark-side hash scheme); the behavioral contract is test-asserted.
+    * ([[graft.functions.WinnowFingerprint]]); no shuffle. Oracle-checked:
+    * the DuckDB replay computes each gram hash non-incrementally in
+    * HUGEINT mod-2^64 arithmetic (see [[winnowFpCte]]).
     *
     * Output is exploded to one (doc_id, fingerprint) row per distinct
     * winnowed hash — the join-friendly shape a plagiarism-style pipeline
@@ -172,8 +173,8 @@ object TextOps {
     * capping is what production winnowing systems do, and at these
     * parameters a dropped fingerprint is boilerplate, not signal), then
     * candidates come from the fingerprint equi-join, counted per pair.
-    * Every shuffle keys on a high-cardinality hash. Rows-only check
-    * (Spark-side hash scheme); contract is test-asserted.
+    * Every shuffle keys on a high-cardinality hash. Oracle-checked
+    * against the same mod-2^64 replay + df-cap + shared-count in SQL.
     *
     * minShared default (30) sits at the measured knee of the harness
     * distribution: 29 pairs at >= 30 shared fingerprints, then background
@@ -493,7 +494,58 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** DuckDB replay of [[graft.functions.WinnowFingerprint]] (k=8, w=4,
+    * B=1000003 — the expression's constants): the rolling hash is
+    * NON-incremental here, h(i) = Σ_j code(i+j)·B^(7−j) mod 2^64 computed
+    * per gram with precomputed coefficient constants in HUGEINT (the sum
+    * peaks ~2^83, far inside HUGEINT), then lifted to the signed-long
+    * value Spark's wrap-around arithmetic produces (window minima compare
+    * SIGNED, so the lift happens before list_min). Character codes: Java
+    * charAt (UTF-16 unit) vs ord (codepoint) agree on the BMP text the
+    * corpus holds. Winnowing = min per w-window, distinct, sorted —
+    * byte-for-byte the expression's output. */
+  private val winnowFpCte: String = {
+    val M = BigInt(1) << 64
+    val coef = (0 until 8)
+      .map(j => (BigInt(1000003).pow(7 - j) mod M).toString).mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    [ (CASE WHEN u >= 9223372036854775808::HUGEINT
+       |            THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT
+       |      FOR u IN [ list_sum([ord(s[i+j])::HUGEINT * ([$coef])[j+1]
+       |                           FOR j IN range(0, 8)])
+       |                   % 18446744073709551616::HUGEINT
+       |                 FOR i IN range(1, len(s) - 6) ] ] AS hashes
+       |  FROM t WHERE len(s) >= 8
+       |), wnw AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hashes) <= 4 THEN [list_min(hashes)]
+       |         ELSE [ list_min(hashes[x : x + 3])
+       |                FOR x IN range(1, len(hashes) - 2) ]
+       |    END AS mins
+       |  FROM h
+       |)
+       |""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "doc_winnow" -> (winnowFpCte +
+      """SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fingerprint
+        |FROM wnw ORDER BY doc_id, fingerprint""".stripMargin),
+    "doc_winnow_pairs" -> (winnowFpCte +
+      """, fp AS (
+        |  SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM wnw
+        |), rare AS (
+        |  SELECT doc_id, fingerprint FROM fp
+        |  QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) <= 50
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM rare a JOIN rare b
+        |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 30 ORDER BY doc_a, doc_b""".stripMargin),
     "source_len_percentiles" ->
       """SELECT source, MAX(n) AS n_docs,
         |  CAST(CASE WHEN MAX(n) % 2 = 1
