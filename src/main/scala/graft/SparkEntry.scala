@@ -75,6 +75,7 @@ object SparkEntry {
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "source_len_percentiles" -> (TextOps.sourceLenPercentiles(_, _)),
+    "doc_repetition"   -> (TextOps.docRepetition(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

@@ -247,6 +247,47 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** Repetition metrics per document — the Gopher-style within-document
+    * repetition filters (a doc that repeats its own n-grams is boilerplate
+    * or spam, however good its other quality signals): duplicate-bigram
+    * fraction and the share of the single most frequent token. Exact
+    * integer ratios cast to double, so cross-engine hash-stable.
+    *
+    * Plan: tokens and bigrams explode to (doc_id, gram) and aggregate on
+    * that pair — a high-cardinality shuffle key (never per-doc arrays
+    * folded interpreted per row, the PERF.md lesson), then one join back
+    * per doc. Docs with < 2 tokens have no bigrams: ratio 0 by definition. */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("tok"))
+    val tokStats = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        max(col("c")).as("top_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_share"))
+    val bigrams = docs
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |ELSE transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""
+          .stripMargin)).as("bg"))
+    val bgStats = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_distinct"))
+      .select(col("doc_id"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .as("dup_bigram_ratio"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_token_share"),
+        coalesce(col("dup_bigram_ratio"), lit(0.0)).as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source curation stats: the slice-and-dice pass before deciding
     * what to keep per provenance bucket. One hash aggregate; every
     * measure is an exact integer so the hash compare is drift-free. */
@@ -546,6 +587,33 @@ object TextOps {
         |FROM rare a JOIN rare b
         |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 30 ORDER BY doc_a, doc_b""".stripMargin),
+    "doc_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
+        |                                    t -> t <> '')) AS tok
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2
+        |), ts AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_share
+        |  FROM tc GROUP BY doc_id
+        |), bg0 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        |    ELSE [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] END) AS bg
+        |  FROM (SELECT doc_id, list_filter(string_split(trim(lower(text)), ' '),
+        |                                   t -> t <> '') AS toks
+        |        FROM documents) d
+        |), bc AS (
+        |  SELECT doc_id, bg, COUNT(*) AS c FROM bg0 GROUP BY 1, 2
+        |), bs AS (
+        |  SELECT doc_id, 1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c) AS dup_bigram_ratio
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT ts.doc_id, n_tokens, top_token_share,
+        |  COALESCE(dup_bigram_ratio, 0.0) AS dup_bigram_ratio
+        |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
     "source_len_percentiles" ->
       """SELECT source, MAX(n) AS n_docs,
         |  CAST(CASE WHEN MAX(n) % 2 = 1

@@ -284,6 +284,19 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 1L)))
   }
 
+  test("repetition metrics: spammy docs score high, clean docs near zero") {
+    val dir = docsFixture(Seq(
+      (1L, "buy now buy now buy now buy now", "en"), // 8 toks; 7 bigrams, 2 distinct
+      (2L, "each word here appears exactly once", "en")))
+    val out = TextOps.docRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 8)
+    assert(out(1L).getAs[Double]("top_token_share") == 0.5)       // "buy" 4/8
+    assert(out(1L).getAs[Double]("dup_bigram_ratio") == 1.0 - 2.0 / 7.0)
+    assert(out(2L).getAs[Double]("top_token_share") == 1.0 / 6.0)
+    assert(out(2L).getAs[Double]("dup_bigram_ratio") == 0.0)
+  }
+
   test("top bigrams count corpus phrases with deterministic tie-break") {
     val dir = docsFixture(Seq(
       (1L, "a b a b c", "en"), (2L, "a b x", "en")))
