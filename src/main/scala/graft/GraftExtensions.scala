@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
-import graft.functions.{MediaHeaderDecode, MinHashSignature, SimHash64, SynthMedia, VecDot}
+import graft.functions.{MediaHeaderDecode, MinHashSignature, SimHash64, SynthMedia, VecDot, WinnowFingerprint}
 
 /** SparkSessionExtensions entry point: registers the custom codegen'd
   * expressions as SQL functions, so `spark.sql("SELECT vec_dot(a, b)")`
@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[SimHash64],
         "simhash64", "simhash64(hashes) - 64-bit SimHash over array<long>"),
       (args: Seq[Expression]) => SimHash64(asLongs(args(0)))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprint"),
+      info(classOf[WinnowFingerprint], "winnow_fingerprint",
+        "winnow_fingerprint(text, k, w) - winnowed Rabin-Karp fingerprints (k-char grams, w-gram windows)"),
+      (args: Seq[Expression]) => WinnowFingerprint(Cast(args(0), StringType),
+        k = args(1).eval().asInstanceOf[Number].intValue(),
+        w = args(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
       FunctionIdentifier("synth_media"),
       info(classOf[SynthMedia], "synth_media",

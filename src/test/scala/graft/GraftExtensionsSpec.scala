@@ -28,6 +28,11 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(sig.length == 128)
       val sh = s2.sql("SELECT simhash64(array(0L)) AS h").head().getLong(0)
       assert(sh == 0L) // all bits vote -1 except none set -> ties -> ...
+      // winnow_fingerprint(text, k, w): int literals drive the constants
+      val nf = s2.sql(
+        "SELECT size(winnow_fingerprint('the quick brown fox jumps', 8, 4)) AS n")
+        .head().getInt(0)
+      assert(nf > 0 && nf <= 25 - 8 + 1)
       // media round-trip through pure SQL: synthesize then header-decode
       val m = s2.sql(
         """SELECT m.* FROM (
