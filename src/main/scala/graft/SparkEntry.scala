@@ -93,6 +93,7 @@ object SparkEntry {
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),
     "media_meta"       -> (JsonMediaOps.mediaMeta(_, _)),
+    "media_transform"  -> (JsonMediaOps.mediaTransform(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -45,6 +45,38 @@ object JsonMediaOps {
         col("meta.n_frames").as("n_frames"))
       .orderBy("doc_id")
 
+  /** Metadata-level media TRANSFORM planning — the resize / frame-sample
+    * step of an image/audio pipeline, expressed over the decoded headers
+    * (the pixel/sample work itself needs codec libraries this container
+    * lacks; the Spark-side plumbing — decode, integer-exact thumbnail
+    * arithmetic, even frame sampling, schema — is the real and tested
+    * part): aspect-preserving thumbnail dims capped at 64 on the long
+    * side (integer div, so cross-engine exact) and up to 8 evenly-strided
+    * sampled frame indices. One scan, codegen'd, no shuffle. */
+  def mediaTransform(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("blob",
+        graft.functions.MediaFunctions.synthMedia(col("doc_id"), col("text")))
+      .withColumn("meta",
+        graft.functions.MediaFunctions.mediaHeaderDecode(col("blob")))
+      .withColumn("w", col("meta.width").cast("long"))
+      .withColumn("h", col("meta.height").cast("long"))
+      .withColumn("nf", col("meta.n_frames"))
+      .withColumn("mx", greatest(col("w"), col("h")))
+      .select(
+        col("doc_id"),
+        col("meta.format").as("format"),
+        when(col("mx") <= 64, col("w")) // audio (0x0) passes through here
+          .otherwise(greatest(lit(1L), expr("w * 64 div mx"))).as("thumb_w"),
+        when(col("mx") <= 64, col("h"))
+          .otherwise(greatest(lit(1L), expr("h * 64 div mx"))).as("thumb_h"),
+        col("nf").as("n_frames"),
+        when(col("nf") <= 0, lit(""))
+          .otherwise(concat_ws(",", expr(
+            "transform(sequence(0L, nf - 1, (nf + 7) div 8), x -> CAST(x AS STRING))")))
+          .as("sampled_frames"))
+      .orderBy("doc_id")
+
   val oracles: Map[String, String] = Map(
     "json_extract" ->
       """SELECT event_id,
@@ -65,5 +97,31 @@ object JsonMediaOps {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 2
         |    ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same synthesis-parameter prediction, then the transform arithmetic
+    // replayed in integer SQL: thumbnail = aspect-preserving integer
+    // scale-down to 64 on the long side; frames = up to 8 evenly strided.
+    "media_transform" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |      ELSE octet_length(encode(text)) % 640 + 16 END AS BIGINT) AS w,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |      ELSE (octet_length(encode(text)) * 31) % 480 + 16 END AS BIGINT) AS h,
+        |    CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 2
+        |      ELSE 1 END AS BIGINT) AS nf
+        |  FROM documents
+        |)
+        |SELECT doc_id, format,
+        |  CASE WHEN greatest(w, h) <= 64 THEN w
+        |       ELSE greatest(1, w * 64 // greatest(w, h)) END AS thumb_w,
+        |  CASE WHEN greatest(w, h) <= 64 THEN h
+        |       ELSE greatest(1, h * 64 // greatest(w, h)) END AS thumb_h,
+        |  nf AS n_frames,
+        |  CASE WHEN nf <= 0 THEN ''
+        |       ELSE array_to_string([CAST(x AS VARCHAR)
+        |                             FOR x IN range(0, nf, (nf + 7) // 8)], ',')
+        |  END AS sampled_frames
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }
