@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_first_wins"  -> (CoreQueries.dedupFirstWins(_, _)),
     "dedup_losers"      -> (CoreQueries.dedupLosers(_, _)),
     "merge_upsert"      -> (CoreQueries.mergeUpsert(_, _)),
+    "scd2_upsert"       -> (CoreQueries.scd2Upsert(_, _)),
     // Full reference-ETL surface over the bundled 30k taxi CSV (oracle
     // replays the whole pipeline in SQL — parse, normalize, dedup, Q1-Q4):
     "taxi_stats"                -> (TaxiQueries.stats(_, _)),
@@ -195,6 +196,29 @@ object SparkEntry {
         |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
         |  UNION ALL SELECT * FROM updates)
         |ORDER BY o_orderkey""".stripMargin,
+    "scd2_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice + 1000 AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 1)
+        |SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        |  valid_from, valid_to
+        |FROM (
+        |  SELECT b.*, 0 AS valid_from, 1 AS valid_to FROM base b
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL
+        |  SELECT b.*, 0 AS valid_from, NULL AS valid_to FROM base b
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL
+        |  SELECT u.*, 1 AS valid_from, NULL AS valid_to FROM updates u)
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
   ) ++ TaxiQueries.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
     SimilarityOps.oracles ++ JsonMediaOps.oracles ++ graft.ext.TemporalOps.oracles
 }

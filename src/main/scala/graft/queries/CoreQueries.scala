@@ -278,4 +278,42 @@ object CoreQueries {
         $"o_totalprice".cast("double").as("o_totalprice"))
       .orderBy($"o_orderkey")
   }
+
+  /** SCD-2 upsert — the history-keeping sibling of [[mergeUpsert]]: a
+    * matched key CLOSES its current row (valid_to = the new version) and
+    * opens a fresh one, an unmatched key stays open at version 0, and a
+    * brand-new key opens at version 1. Same deterministic update batch as
+    * SCD-1 so the oracle replays it.
+    *
+    * Plan shape: one semi + one anti join on the merge key (both the same
+    * shuffle), three unions (metadata ops). At 100 TB with base and
+    * updates bucketed on the key the joins are exchange-free, and the
+    * version columns make time-travel a partition filter. */
+  def scd2Upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast("decimal(18,2)").as("o_totalprice"))
+    val updates = base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_totalprice" + 1000).cast("decimal(18,2)").as("o_totalprice"))
+      .union(base.filter($"o_orderkey" % 10 === 1)
+        .select(($"o_orderkey" + 100000000L).as("o_orderkey"), $"o_custkey",
+          $"o_totalprice"))
+    val updateKeys = updates.select($"o_orderkey")
+    val closed = base.join(updateKeys, Seq("o_orderkey"), "left_semi")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        lit(0).as("valid_from"), lit(1).cast("int").as("valid_to"))
+    val stillOpen = base.join(updateKeys, Seq("o_orderkey"), "left_anti")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        lit(0).as("valid_from"), lit(null).cast("int").as("valid_to"))
+    val opened = updates
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        lit(1).as("valid_from"), lit(null).cast("int").as("valid_to"))
+    closed.union(stillOpen).union(opened)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice".cast("double").as("o_totalprice"),
+        $"valid_from", $"valid_to")
+      .orderBy($"o_orderkey", $"valid_from")
+  }
 }
