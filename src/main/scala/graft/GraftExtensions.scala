@@ -46,13 +46,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[SimHash64],
         "simhash64", "simhash64(hashes) - 64-bit SimHash over array<long>"),
       (args: Seq[Expression]) => SimHash64(asLongs(args(0)))))
+    // k/w are constructor constants (they size the rolling-hash state), so
+    // the SQL arguments must be foldable; validate and coerce explicitly —
+    // a raw eval().asInstanceOf would throw ClassCastException on a
+    // decimal literal and UnsupportedOperationException on a column ref
+    def foldableInt(e: Expression, name: String): Int = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"winnow_fingerprint: $name must be a literal integer, got ${e.sql}")
+      Option(Cast(e, org.apache.spark.sql.types.IntegerType).eval())
+        .map(_.asInstanceOf[Int])
+        .getOrElse(throw new IllegalArgumentException(
+          s"winnow_fingerprint: $name must not be null"))
+    }
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprint"),
       info(classOf[WinnowFingerprint], "winnow_fingerprint",
         "winnow_fingerprint(text, k, w) - winnowed Rabin-Karp fingerprints (k-char grams, w-gram windows)"),
-      (args: Seq[Expression]) => WinnowFingerprint(Cast(args(0), StringType),
-        k = args(1).eval().asInstanceOf[Number].intValue(),
-        w = args(2).eval().asInstanceOf[Number].intValue())))
+      (args: Seq[Expression]) => {
+        if (args.length != 3)
+          throw new IllegalArgumentException(
+            s"winnow_fingerprint(text, k, w) takes 3 arguments, got ${args.length}")
+        WinnowFingerprint(Cast(args(0), StringType),
+          k = foldableInt(args(1), "k"), w = foldableInt(args(2), "w"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("synth_media"),
       info(classOf[SynthMedia], "synth_media",

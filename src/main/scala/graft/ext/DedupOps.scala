@@ -321,7 +321,15 @@ object DedupOps {
     val roots = edges.select(col("v").as("r")).distinct()
       .join(edges.select(col("u")), col("r") === col("u"), "left_anti")
       .select(col("r").as("doc_id"), col("r").as("label"))
-    nonRoots.union(roots)
+    // materialize the (small) label table and release the fixpoint edges'
+    // checkpoint blocks — otherwise every invocation strands them for the
+    // JVM's lifetime (Dataset.unpersist can't reach them; see
+    // GraftBridge.unpersistLocalCheckpoint). The RESULT is itself a local
+    // checkpoint: callers that invoke this repeatedly (per micro-batch
+    // streams) should release it the same way once consumed.
+    val labels = nonRoots.union(roots).localCheckpoint()
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(edges)
+    labels
   }
 
   /** Dedup clusters — the step that turns near-dup PAIRS into CLUSTERS

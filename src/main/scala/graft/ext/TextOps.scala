@@ -19,6 +19,15 @@ object TextOps {
   private def tokens(c: Column): Column =
     filter(split(trim(c), " "), t => t =!= "")
 
+  /** Adjacent-token bigrams of a `toks` array column (empty under 2
+    * tokens) — shared by [[topNgrams]] and [[docRepetition]] so the two
+    * ops can never silently diverge on bigram semantics. */
+  private def bigramsExpr: Column = expr(
+    """CASE WHEN size(toks) < 2 THEN array()
+      |ELSE transform(sequence(1, size(toks) - 1),
+      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""
+      .stripMargin)
+
   private val Stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
@@ -237,11 +246,7 @@ object TextOps {
   def topNgrams(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame =
     Tables.documents(spark, sfDir)
       .select(tokens(lower(col("text"))).as("toks"))
-      .select(explode(expr(
-        """CASE WHEN size(toks) < 2 THEN array()
-          |ELSE transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""
-          .stripMargin)).as("bigram"))
+      .select(explode(bigramsExpr).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
@@ -270,11 +275,7 @@ object TextOps {
         (col("top_c").cast("double") / col("n_tokens")).as("top_token_share"))
     val bigrams = docs
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(toks) < 2 THEN array()
-          |ELSE transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""
-          .stripMargin)).as("bg"))
+      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
     val bgStats = bigrams.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

@@ -324,8 +324,13 @@ object StreamingOps {
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sh = DedupOps.shingleFrame(batch.select(col("doc_id"), col("text"))).persist()
+    // bands persist too: the 128-perm signature pass is the dominant cost
+    // of the MinHash path, and bands feed the state join, the in-batch
+    // self-join (both sides), and the state append
+    val bands = DedupOps.bandFrame(sh).persist()
+    var keptIds: DataFrame = null
+    var labels: DataFrame = null
     try {
-      val bands = DedupOps.bandFrame(sh)
       val stateShPath = s"$statePath/shingles"
       val stateBandPath = s"$statePath/bands"
       val haveState = fs.exists(new org.apache.hadoop.fs.Path(stateBandPath))
@@ -345,8 +350,11 @@ object StreamingOps {
             .select(col("doc_a").as("doc_id")).distinct()
         }
       val fresh = sh.join(dupOfKept, Seq("doc_id"), "left_anti")
-      // within-batch: cluster the surviving docs' near-dup pairs, min wins
-      val freshBands = DedupOps.bandFrame(fresh)
+      // within-batch: cluster the surviving docs' near-dup pairs, min wins.
+      // Survivors' bands come from an anti-join on the ALREADY-computed
+      // band frame — re-running bandFrame(fresh) would recompute every
+      // signature
+      val freshBands = bands.join(dupOfKept, Seq("doc_id"), "left_anti")
       val inBatchCand = freshBands.as("x").join(freshBands.as("y"),
           col("x.band") === col("y.band") &&
             col("x.band_key") === col("y.band_key") &&
@@ -356,11 +364,15 @@ object StreamingOps {
       val inBatchPairs = DedupOps.jaccardForCandidates(fresh, inBatchCand)
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"))
-      val losers = DedupOps.connectedComponents(inBatchPairs)
+      labels = DedupOps.connectedComponents(inBatchPairs)
+      val losers = labels
         .filter(col("doc_id") =!= col("label"))
         .select(col("doc_id"))
-      val keptIds = fresh.select(col("doc_id"))
+      // persisted: all three writes below fan out from it — without the
+      // persist each would re-run the state join + Jaccard verification
+      keptIds = fresh.select(col("doc_id"))
         .join(losers, Seq("doc_id"), "left_anti")
+        .persist()
       val kept = batch.select(col("doc_id"), col("text"))
         .join(keptIds, Seq("doc_id"), "left_semi")
       kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(keptPath)
@@ -368,7 +380,15 @@ object StreamingOps {
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stateShPath)
       bands.join(keptIds, Seq("doc_id"), "left_semi")
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stateBandPath)
-    } finally sh.unpersist()
+    } finally {
+      sh.unpersist()
+      bands.unpersist()
+      if (keptIds != null) keptIds.unpersist()
+      // the per-batch component labels are a local checkpoint — release
+      // its blocks or a long-running stream strands one per micro-batch
+      if (labels != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+    }
   }
 
   /** Stream-static enrichment: an unbounded fact stream joined to a small
