@@ -33,6 +33,8 @@ object SparkEntry {
     "q7_count_distinct" -> (CoreQueries.q7CountDistinct(_, _)),
     "q8_approx_distinct" -> (CoreQueries.q8ApproxDistinct(_, _)), // HLL: rows-only
     "q9_correlated"    -> (CoreQueries.q9Correlated(_, _)),
+    "q10_pivot"        -> (CoreQueries.q10Pivot(_, _)),
+    "q11_intersect"    -> (CoreQueries.q11Intersect(_, _)),
     "sessionize"       -> (graft.ext.TemporalOps.sessionize(_, _)),
     "asof_join"        -> (graft.ext.TemporalOps.asofJoin(_, _)),
     "range_join_counts" -> (graft.ext.TemporalOps.rangeJoinCounts(_, _)),
@@ -138,6 +140,23 @@ object SparkEntry {
         |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "q10_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_F,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS revenue_F,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_O,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS revenue_O,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_P,
+        |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS revenue_P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q11_intersect" ->
+      """SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderpriority""".stripMargin,
     "j1_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

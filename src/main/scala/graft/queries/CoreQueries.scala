@@ -129,6 +129,36 @@ object CoreQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** PIVOT — long-to-wide conditional aggregation (order counts and
+    * revenue per priority, one column pair per order status). The pivot
+    * values are ENUMERATED, not discovered: an unpinned `.pivot(col)`
+    * runs a driver-side distinct job first and the output schema becomes
+    * data-dependent — both wrong at 100 TB. With pinned values this is
+    * one partial+final hash aggregate, exactly a GROUP BY. */
+  def q10Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val statuses = Seq("F", "O", "P")
+    Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("revenue"))
+      .select($"o_orderpriority" +: statuses.flatMap(s => Seq(
+        coalesce(col(s"${s}_cnt"), lit(0L)).as(s"cnt_$s"),
+        coalesce(col(s"${s}_revenue"), lit(0.0)).as(s"revenue_$s"))): _*)
+      .orderBy($"o_orderpriority")
+  }
+
+  /** INTERSECT / set-op coverage: priorities that appear among BOTH
+    * fulfilled and open orders (INTERSECT is a hash semi-join after
+    * per-side distinct — one shuffle per side on the full row). */
+  def q11Intersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, sfDir)
+    o.filter($"o_orderstatus" === "F").select($"o_orderpriority")
+      .intersect(o.filter($"o_orderstatus" === "O").select($"o_orderpriority"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Approximate distinct (HLL++) next to the exact value — rows-only in
     * the driver check; the relative-error contract is test-asserted. */
   def q8ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
