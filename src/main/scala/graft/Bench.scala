@@ -54,7 +54,10 @@ object Bench {
     if (warmup) queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // 3 passes ≈ +30 s wall for a min() that survives one contended pass
+    // AND one GC/compaction hiccup — the r3 recorded figure was wrecked by
+    // exactly that class of noise
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     // pass-major order (every query once, then again) so back-to-back
     // repeats don't share a warmer cache than the single-pass queries see
