@@ -35,6 +35,7 @@ object SparkEntry {
     "q9_correlated"    -> (CoreQueries.q9Correlated(_, _)),
     "q10_pivot"        -> (CoreQueries.q10Pivot(_, _)),
     "q11_intersect"    -> (CoreQueries.q11Intersect(_, _)),
+    "q12_histogram"    -> (CoreQueries.q12Histogram(_, _)),
     "sessionize"       -> (graft.ext.TemporalOps.sessionize(_, _)),
     "asof_join"        -> (graft.ext.TemporalOps.asofJoin(_, _)),
     "range_join_counts" -> (graft.ext.TemporalOps.rangeJoinCounts(_, _)),
@@ -157,6 +158,14 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_orderpriority""".stripMargin,
+    // bin = floor(cents / 1000) via (cents - pmod) so the result is an
+    // exact multiple before division — no floor-vs-truncate ambiguity
+    "q12_histogram" ->
+      """SELECT (cents - ((cents % 1000 + 1000) % 1000)) // 1000 AS bin,
+        |  COUNT(*) AS n
+        |FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM events) t
+        |GROUP BY bin ORDER BY bin""".stripMargin,
     "j1_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

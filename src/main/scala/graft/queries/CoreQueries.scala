@@ -159,6 +159,22 @@ object CoreQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** Value HISTOGRAM with fixed-width bins — binning in exact integer
+    * arithmetic (cents div width-in-cents), never float division whose
+    * boundary ulps could flip a bin cross-engine. One partial+final hash
+    * aggregate; bins are the natural partition key for a distribution
+    * scan at any scale. */
+  def q12Histogram(spark: SparkSession, sfDir: String, widthCents: Int = 1000): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .select((($"cents" - pmod($"cents", lit(widthCents))) / widthCents)
+        .cast("long").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"bin")
+  }
+
   /** Approximate distinct (HLL++) next to the exact value — rows-only in
     * the driver check; the relative-error contract is test-asserted. */
   def q8ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
