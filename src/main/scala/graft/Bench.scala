@@ -16,7 +16,7 @@ import org.apache.spark.sql.SparkSession
   * outliers on queries whose code and plans were byte-identical to their
   * fast r2 selves, i.e. measurement noise, not plan cost):
   *  - one untimed warm-up pass (JVM/codegen/scan setup + session caches);
-  *  - N timed passes (SPARK_GRAFT_BENCH_RUNS, default 2), per-query
+  *  - N timed passes (SPARK_GRAFT_BENCH_RUNS, default 3), per-query
   *    seconds = min across passes — steady-state cost, robust to a GC
   *    pause or OS hiccup landing in one pass;
   *  - per-query telemetry in the same JSON line (gc_ms = driver-JVM GC

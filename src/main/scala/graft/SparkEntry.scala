@@ -158,14 +158,17 @@ object SparkEntry {
         |INTERSECT
         |SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_orderpriority""".stripMargin,
-    // bin = floor(cents / 1000) via (cents - pmod) so the result is an
-    // exact multiple before division — no floor-vs-truncate ambiguity
-    "q12_histogram" ->
-      """SELECT (cents - ((cents % 1000 + 1000) % 1000)) // 1000 AS bin,
-        |  COUNT(*) AS n
-        |FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |      FROM events) t
-        |GROUP BY bin ORDER BY bin""".stripMargin,
+    // bin = floor(cents / width) via (cents - pmod) so the result is an
+    // exact multiple before division — no floor-vs-truncate ambiguity;
+    // width comes from the SAME constant the Spark side uses
+    "q12_histogram" -> {
+      val w = CoreQueries.HistogramWidthCents
+      s"""SELECT (cents - ((cents % $w + $w) % $w)) // $w AS bin,
+         |  COUNT(*) AS n
+         |FROM (SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |      FROM events) t
+         |GROUP BY bin ORDER BY bin""".stripMargin
+    },
     "j1_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -164,12 +164,19 @@ object CoreQueries {
     * boundary ulps could flip a bin cross-engine. One partial+final hash
     * aggregate; bins are the natural partition key for a distribution
     * scan at any scale. */
-  def q12Histogram(spark: SparkSession, sfDir: String, widthCents: Int = 1000): DataFrame = {
+  /** Single width constant shared with the registered oracle SQL — a
+    * parameter here with a hardcoded oracle would let the two silently
+    * diverge. */
+  val HistogramWidthCents = 1000
+
+  def q12Histogram(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    val w = HistogramWidthCents
     Tables.events(spark, sfDir)
       .select(($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .select((($"cents" - pmod($"cents", lit(widthCents))) / widthCents)
-        .cast("long").as("bin"))
+      // `div`, not Column./ — the latter is DOUBLE division, which loses
+      // exactness past 2^53 (same trap Tables.events' ns->us div avoids)
+      .select(expr(s"(cents - pmod(cents, $w)) div $w").cast("long").as("bin"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n"))
       .orderBy($"bin")

@@ -112,6 +112,18 @@ class PlanAuditSpec extends SparkSpec {
       s"plan grows with rounds — lineage not cut:\n$p")
   }
 
+  test("pinned pivot plans as distributed pivotfirst aggregates, bounded exchanges") {
+    // an unpinned .pivot(col) would run a driver-side distinct job before
+    // planning and make the schema data-dependent; the pinned form plans
+    // as (key, status) partial+final aggregate -> pivotfirst aggregate,
+    // every stage map-side-combined, exchanges bounded by the two
+    // aggregates + the final sort (NOT by the data)
+    val p = plan(CoreQueries.q10Pivot(spark, sfDir))
+    assert(p.contains("pivotfirst"), p)
+    assert("partial_".r.findAllIn(p).length >= 2, p) // map-side combine everywhere
+    assert("Exchange".r.findAllIn(p).length <= 3, p)
+  }
+
   test("decontamination broadcasts the benchmark side; vocab top-k heaps") {
     val pd = plan(graft.ext.TextOps.decontamNgram(spark, sfDir))
     assert(pd.contains("BroadcastHashJoin"), pd) // eval sets are small by definition
