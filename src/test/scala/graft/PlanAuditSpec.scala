@@ -142,6 +142,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("AQE splits skewed join partitions at runtime (skew-readiness)") {
+    // the 100 TB story for unforeseen skew: AQE re-plans a sort-merge
+    // join whose shuffle stats reveal a hot key. Thresholds are scaled to
+    // test-size data; the assertion is on the FINAL adaptive plan of the
+    // executed query (skew=true on the SMJ), the same mechanism that
+    // fires at production thresholds on a cluster.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    // one hot key carrying ~90% of the left side's bytes; pads must be
+    // INCOMPRESSIBLE — skew detection reads compressed shuffle sizes, and
+    // a constant pad lz4-compresses to nothing
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 30000)
+      .map(i => (if (i % 10 != 0) 7L else i.toLong,
+        Array.fill(40)(('a' + rnd.nextInt(26)).toChar).mkString))
+      .toDF("k", "pad")
+    val right = (1 to 200).map(i => (i.toLong, s"r$i")).toDF("k", "r")
+    val joined = left.join(right, "k")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers
