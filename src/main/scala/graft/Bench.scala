@@ -6,11 +6,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — driver contract: print ONE JSON line with per-query
-  * seconds. The line is ALSO written to a file (SPARK_GRAFT_BENCH_OUT,
-  * default bench_out.json) because sbt prefixes stdout with "[info] " and
-  * Spark log noise can swallow the line (round-1 bench was lost exactly
-  * this way).
+/** Benchmark main — driver contract: the LAST stdout line is ONE compact
+  * JSON object `{"metric":"total","value":N,"unit":"sec","queries":{...}}`.
+  * Round-4 regression lesson: embedding full per-query telemetry in that
+  * line grew it past the driver's tail-capture window and the head (with
+  * the total) was cut off — so telemetry now lives ONLY in the file
+  * artifact (SPARK_GRAFT_BENCH_OUT, default bench_out.json), and the
+  * compact line is printed last, after spark.stop(), so no log noise can
+  * follow it.
   *
   * Methodology (round-4 hardening — the r3 driver run recorded 5-11x
   * outliers on queries whose code and plans were byte-identical to their
@@ -19,10 +22,12 @@ import org.apache.spark.sql.SparkSession
   *  - N timed passes (SPARK_GRAFT_BENCH_RUNS, default 3), per-query
   *    seconds = min across passes — steady-state cost, robust to a GC
   *    pause or OS hiccup landing in one pass;
-  *  - per-query telemetry in the same JSON line (gc_ms = driver-JVM GC
+  *  - a query that THROWS in a timed pass records null for that pass (and
+  *    an error flag in telemetry) instead of masquerading as a fast run;
+  *  - per-query telemetry in the file artifact (gc_ms = driver-JVM GC
   *    time attributed to the query's first timed pass, cached_mb =
-  *    block-manager storage in use after it) so an anomalous figure is
-  *    diagnosable from the artifact alone.
+  *    block-manager storage in use after it, raw runs[] so the min is
+  *    auditable) so an anomalous figure is diagnosable from the artifact.
   */
 object Bench {
 
@@ -60,32 +65,51 @@ object Bench {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val maxHeapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     // pass-major order (every query once, then again) so back-to-back
-    // repeats don't share a warmer cache than the single-pass queries see
-    val timesPerRun = (0 until runs).map { _ =>
-      queries.map { case (name, fn) =>
-        val g0 = gcMs
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> ((System.nanoTime() - t0) / 1e9, gcMs - g0, storageMb(spark))
-      }.toMap
+    // repeats don't share a warmer cache than the single-pass queries see.
+    // Per (query, pass): Right(seconds) on success, Left(error) on throw —
+    // a failing query must never contribute a deceptively fast "time".
+    val timesPerRun: Seq[Map[String, (Either[String, Double], Long, Long)]] =
+      (0 until runs).map { _ =>
+        queries.map { case (name, fn) =>
+          val g0 = gcMs
+          val t0 = System.nanoTime()
+          val r: Either[String, Double] =
+            try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+          name -> ((r, gcMs - g0, storageMb(spark)))
+        }.toMap
+      }
+    // per-query min over SUCCESSFUL passes; None when every pass failed
+    val results: Seq[(String, Option[Double])] = queries.map { case (name, _) =>
+      val ok = timesPerRun.flatMap(_(name)._1.toOption)
+      name -> (if (ok.isEmpty) None else Some(ok.min))
     }
-    val results = queries.map { case (name, _) =>
-      name -> timesPerRun.map(_(name)._1).min
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errors = results.collect { case (n, None) => n }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val telemetry = queries.map { case (name, _) =>
       val (_, gc, mb) = timesPerRun.head(name)
-      val all = timesPerRun.map(_(name)._1).mkString("[", ",", "]")
-      s""""$name":{"gc_ms":$gc,"cached_mb":$mb,"runs":$all}"""
+      val all = timesPerRun.map(_(name)._1.fold(_ => "null", _.toString))
+        .mkString("[", ",", "]")
+      val errs = timesPerRun.flatMap(_(name)._1.left.toOption).distinct
+      val errField =
+        if (errs.isEmpty) ""
+        else s""","errors":${errs.map(e => "\"" + e.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\"")
+          .mkString("[", ",", "]")}"""
+      s""""$name":{"gc_ms":$gc,"cached_mb":$mb,"runs":$all$errField}"""
     }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,"telemetry":$telemetry}"""
-    println(line)
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,"telemetry":$telemetry}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
+    try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    // the driver greps stdout's tail for this line — it must be LAST
+    println(compact)
   }
 }

@@ -20,6 +20,15 @@ final class SessionFrameCache[K] {
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
   def getOrElseUpdate(spark: SparkSession, key: K)(build: => DataFrame): DataFrame =
+    cached(spark, key)(build.persist())
+
+  /** Like [[getOrElseUpdate]] but stores the built frame AS-IS — for
+    * builders that already materialize durably (e.g. `localCheckpoint`,
+    * whose blocks a second `.persist()` would copy a second time). */
+  def getOrElseUpdateRaw(spark: SparkSession, key: K)(build: => DataFrame): DataFrame =
+    cached(spark, key)(build)
+
+  private def cached(spark: SparkSession, key: K)(build: => DataFrame): DataFrame =
     map.computeIfAbsent((spark, key), { _ =>
       if (hooked.add(spark)) {
         spark.sparkContext.addSparkListener(new SparkListener {
@@ -30,6 +39,6 @@ final class SessionFrameCache[K] {
           }
         })
       }
-      build.persist()
+      build
     })
 }

@@ -55,11 +55,12 @@ object DedupOps {
       shingleFrame(Tables.documents(spark, sfDir))
     }
 
-  /** Exact dedup by content hash (whitespace-normalized, lowercased):
+  /** Exact dedup by content hash (whitespace-normalized, lowercased —
+    * [[TextOps.normText]], the shared canonical content key):
     * keeper = min doc_id per group. One shuffle on the 128-bit hash. */
   def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("content_hash"))
+      .groupBy(md5(TextOps.normText(col("text"))).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_doc_id"))
       .orderBy("keeper_doc_id")
 
@@ -480,9 +481,9 @@ object DedupOps {
         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
     "doc_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
-        |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
-        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+      s"""SELECT md5(regexp_replace(lower(trim(text)), '${TextOps.WsRunRe}', ' ', 'g')) AS content_hash,
+         |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
     "jaccard_pairs" -> jaccardSql(
       s"(SELECT * FROM documents WHERE doc_id < $ExactBaselineMaxDocId) dd"),
     // LSH + exact verification must reproduce the exact all-pairs result

@@ -143,7 +143,7 @@ object TextOps {
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
-      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"))
+      md5(normText(col("text"))).as("fingerprint"))
       .orderBy("doc_id")
 
   /** Winnowed rolling-hash fingerprints: Rabin-Karp hash of every k-char
@@ -164,7 +164,7 @@ object TextOps {
     * no rows. */
   def winnowFingerprints(spark: SparkSession, sfDir: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    val text = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val text = normText(col("text"))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -193,7 +193,7 @@ object TextOps {
   def winnowPairs(spark: SparkSession, sfDir: String,
       minShared: Int = 30, maxDf: Int = 50,
       k: Int = 8, w: Int = 4): DataFrame = {
-    val text = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val text = normText(col("text"))
     val fp = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -229,8 +229,7 @@ object TextOps {
     require(testPct >= 0 && testPct < 100,
       s"testPct must be in [0, 99], got $testPct")
     val cut = f"${(256 * testPct) / 100}%02x"
-    val h = md5(concat(lit(salt),
-      regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+    val h = md5(concat(lit(salt), normText(col("text"))))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         when(substring(h, 1, 2) < cut, "test").otherwise("train").as("split"))
@@ -318,7 +317,11 @@ object TextOps {
     * persist the corpus-wide explode+aggregate runs as two full jobs. */
   private val vocabCache = new graft.SessionFrameCache[String]
 
-  def vocabCoverage(spark: SparkSession, sfDir: String, k: Int = 100): DataFrame = {
+  /** Default top-k for [[vocabCoverage]] — interpolated into BOTH the Spark
+    * default and the oracle's LIMIT so they cannot silently diverge. */
+  val VocabTopK = 100
+
+  def vocabCoverage(spark: SparkSession, sfDir: String, k: Int = VocabTopK): DataFrame = {
     val counts = vocabCache.getOrElseUpdate(spark, sfDir) {
       Tables.documents(spark, sfDir)
         .select(explode(tokens(lower(col("text")))).as("token"))
@@ -343,6 +346,19 @@ object TextOps {
   // class: Java's \s includes vertical tab (\x0B), RE2's does not, so a
   // literal \s would silently diverge on \x0B-bearing text.
   private val Ws = " \\t\\n\\x0B\\f\\r"
+
+  /** The whitespace-run regex used by EVERY content normalization (exact
+    * dedup, fingerprints, winnowing, train/test split) on BOTH engines —
+    * the explicit class above, not `\s`, for the same Java-vs-RE2 \x0B
+    * divergence the PII patterns avoid. Shared as ONE constant so a Spark
+    * normalization and its DuckDB oracle can never silently disagree. */
+  private[ext] val WsRunRe = s"[$Ws]+"
+
+  /** Whitespace-normalized lowercase content — THE canonical text key for
+    * hashing/fingerprinting, shared by [[fingerprint]], [[trainTestSplit]],
+    * the winnow family and [[DedupOps.exactDedup]]. */
+  private[ext] def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), WsRunRe, " ")
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = s"https?://[^$Ws]+"
   private val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
@@ -408,22 +424,27 @@ object TextOps {
     * At 100 TB, step 2's collect is a few thousand rows and every other
     * stage is a scan, an aggregate, or a partition-local window. */
   /** The range-partitioned (doc_id, n_tokens, pid) frame behind
-    * [[seqPackGlobal]], cached per (session, sfDir): pass 1's collect and
-    * pass 2's window would otherwise EACH run the scan+tokenize+range
-    * shuffle — and, worse, the base-offset join would silently depend on
-    * two separate jobs re-deriving identical range boundaries and pid
-    * assignments. Materializing once makes the pid mapping a fact, not a
-    * determinism assumption. */
+    * [[seqPackGlobal]], cached per (session, sfDir) as a LOCAL CHECKPOINT,
+    * not a plain persist: pass 1's collect and pass 2's window must see
+    * the SAME pid assignment, and a persisted frame only caches — on
+    * block/executor loss the recompute re-runs repartitionByRange +
+    * spark_partition_id and may assign different pids than the collected
+    * base offsets, silently corrupting tok_offset. localCheckpoint cuts
+    * the lineage entirely: the pid mapping either survives as materialized
+    * blocks or the job fails loudly (same durability contract
+    * [[DedupOps.connectedComponents]] relies on; a fault-tolerant cluster
+    * deployment would use reliable `checkpoint`). */
   private val packCache = new graft.SessionFrameCache[String]
 
   def seqPackGlobal(spark: SparkSession, sfDir: String,
       packTokens: Int = 512): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val toks = packCache.getOrElseUpdate(spark, sfDir) {
+    val toks = packCache.getOrElseUpdateRaw(spark, sfDir) {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
         .repartitionByRange(col("doc_id"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
     }
     // pass 1: per-partition subtotals -> driver prefix (O(#partitions))
     val subs = toks.groupBy(col("pid"))
@@ -551,7 +572,7 @@ object TextOps {
     val coef = (0 until 8)
       .map(j => (BigInt(1000003).pow(7 - j) mod M).toString).mkString(", ")
     s"""WITH t AS (
-       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '$WsRunRe', ' ', 'g') AS s
        |  FROM documents
        |), h AS (
        |  SELECT doc_id,
@@ -630,16 +651,16 @@ object TextOps {
         |  FROM documents) t
         |GROUP BY source ORDER BY source""".stripMargin,
     "vocab_coverage" ->
-      """WITH counts AS (
-        |  SELECT token, COUNT(*) AS n FROM (
-        |    SELECT unnest(list_filter(string_split(trim(lower(text)), ' '),
-        |                              t -> t <> '')) AS token
-        |    FROM documents) tk
-        |  GROUP BY token
-        |), top AS (
-        |  SELECT token, CAST(n AS BIGINT) AS n FROM counts
-        |  ORDER BY n DESC, token LIMIT 100
-        |), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+      s"""WITH counts AS (
+         |  SELECT token, COUNT(*) AS n FROM (
+         |    SELECT unnest(list_filter(string_split(trim(lower(text)), ' '),
+         |                              t -> t <> '')) AS token
+         |    FROM documents) tk
+         |  GROUP BY token
+         |), top AS (
+         |  SELECT token, CAST(n AS BIGINT) AS n FROM counts
+         |  ORDER BY n DESC, token LIMIT $VocabTopK
+         |), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
         |SELECT token, n,
         |  CAST(SUM(n) OVER (ORDER BY n DESC, token
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t AS cum_share
@@ -741,9 +762,9 @@ object TextOps {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '$WsRunRe', ' ', 'g')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "top_ngrams" ->
       """SELECT bigram, COUNT(*) AS n
         |FROM (
@@ -766,10 +787,10 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin
     },
     "train_test_split" ->
-      """SELECT doc_id,
-        |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < '19'
-        |       THEN 'test' ELSE 'train' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(text)), '$WsRunRe', ' ', 'g')), 1, 2) < '19'
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "source_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,

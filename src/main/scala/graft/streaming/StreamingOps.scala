@@ -161,8 +161,13 @@ object StreamingOps {
       val seenExists = new org.apache.hadoop.fs.Path(seenKeysPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(new org.apache.hadoop.fs.Path(seenKeysPath))
+      // distinct() on read: the at-least-once replay path (crash after the
+      // seen-keys append, batch replayed) appends the same keys twice, and
+      // a left join against duplicated state keys would row-MULTIPLY every
+      // matching row — inflating all five counters, not just re-counting
+      // the replayed batch. Dedup on read makes duplicate state harmless.
       val seen =
-        if (seenExists) spark.read.parquet(seenKeysPath)
+        if (seenExists) spark.read.parquet(seenKeysPath).distinct()
         else annotated.select(keyCols.map(col): _*).limit(0)
       val withSeen = annotated
         .join(seen.withColumn("_seen", lit(true)), keyCols, "left")
