@@ -88,13 +88,17 @@ object SparkEntry {
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
-    "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),   // approximate by design
+    // approximate recall by design, but DETERMINISTIC (exact-integer
+    // centroid/probe arithmetic) — so nprobe=3 is oracle-checked too:
+    "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),
     // same IVF plan with every list probed — degenerates to exact brute
     // force, so the approximate path's machinery gets a hash-checked row:
     "ann_ivf_full_probe" -> (SimilarityOps.ivfFullProbe(_, _)),
     "ann_quantized_topk" -> (SimilarityOps.quantizedTopk(_, _)), // int8: oracle-checked (exact-integer sums)
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
+    // production regime (0.8, 8-bit bands): oracle = exact pairs at 0.8
+    "emb_lsh_near_dup_hi" -> (SimilarityOps.embLshNearDupHi(_, _)),
     "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),
     "media_meta"       -> (JsonMediaOps.mediaMeta(_, _)),
     "media_transform"  -> (JsonMediaOps.mediaTransform(_, _)),

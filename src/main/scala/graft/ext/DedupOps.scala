@@ -160,11 +160,75 @@ object DedupOps {
           hash(slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)), b))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
 
-  def minhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Hot-key guard for every banded LSH self-join (MinHash, SimHash,
+    * hyperplane): append a `shard` column so the self-join key becomes
+    * (bandCols..., shard) and a degenerate band key shared by m rows
+    * (boilerplate docs, near-empty docs after shingle filtering, a
+    * template that collapses thousands of documents to one signature)
+    * produces O(m·maxDf) candidate pairs instead of m² — the same df-cap
+    * contract [[TextOps.winnowPairs]] uses on its inverted index, applied
+    * as sub-salting instead of dropping so hot buckets keep local recall.
+    *
+    * Mechanics: keys with df <= maxDf get shard 0 (results bit-identical
+    * to the uncapped join — defaults are chosen above the harness data's
+    * max df, so every oracle row is unchanged); hotter keys split into
+    * ceil(df/maxDf) shards by a hash of the row id alone — deliberately
+    * NOT band-dependent: a fully degenerate group (every band key shared
+    * by all m members) then produces the SAME within-shard pair set in
+    * every band, so total candidates are bounded by ~m·maxDf/2 instead of
+    * re-growing toward m² through the union of 32 independent shardings.
+    * The sacrificed cross-shard pairs are the honest cost of bounding
+    * quadratic output; exact duplicates (the common cause of degenerate
+    * buckets) are [[exactDedup]]'s job UPSTREAM of any LSH pass, and a
+    * pair whose other band keys are cold still meets there unsharded.
+    *
+    * Scale shape: df counts come from a partial+final hash aggregate
+    * (map-side combine — no single-reducer straggler on the hot key
+    * itself), only keys ABOVE the cap survive the filter (at most
+    * n·bands/maxDf of them, by counting), and they join back BROADCAST —
+    * the banded frame never shuffles for the guard. AQE's skew split can
+    * divide a hot shuffle partition; it cannot shrink quadratic join
+    * OUTPUT — this cap is what does. */
+  private[ext] def subSaltHotKeys(
+      banded: DataFrame, idCol: String, maxDf: Int,
+      bandCols: Seq[String] = Seq("band", "band_key")): DataFrame = {
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    val hot = banded.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+    banded.join(broadcast(hot), bandCols, "left")
+      .withColumn("shard",
+        when(col("df").isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col(idCol)),
+            expr(s"(df + ${maxDf - 1}) div $maxDf"))))
+      .drop("df")
+  }
+
+  /** Band-key df cap for the MinHash self-join. Harness max df per
+    * (band, band_key) measured 18 at sf0.1 (32-bit keys, no degenerate
+    * signatures in the generated corpus), so 1024 never engages there —
+    * it exists for the adversarial regime (ExtOpsSpec plants identical
+    * docs and proves the candidate count collapses ~m/cap-fold). A
+    * production corpus tunes it to its boilerplate profile. */
+  val MinHashBandDfCap = 1024
+
+  /** Band-key df cap for the SimHash self-join — higher than MinHash's
+    * because SimHash band keys are structurally DENSE: 7-8 bits each, and
+    * real token distributions skew the vote bits, so legitimate buckets
+    * are large (measured max df 1405 over 5000 docs at sf0.1). The cap
+    * sits above that (sub-salting must not engage on the oracle-checked
+    * harness rows — the pigeonhole guarantee is exact there); a corpus
+    * whose buckets outgrow it trades the tail of cross-shard pairs for
+    * bounded join output, and transitive clustering recovers members. */
+  val SimhashBandDfCap = 4096
+
+  def minhashNearDup(spark: SparkSession, sfDir: String,
+      maxBandDf: Int = MinHashBandDfCap): DataFrame = {
     val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
-    val bands = bandFrame(s)
+    val bands = subSaltHotKeys(bandFrame(s), "doc_id", maxBandDf)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.shard") === col("y.shard") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -215,21 +279,25 @@ object DedupOps {
     * band (pigeonhole) — candidates come from an equi-join on
     * (band index, band bits) and only candidates pay the popcount. Same
     * blocking idea as MinHash banding, exact instead of probabilistic. */
-  def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 8): DataFrame = {
+  def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 8,
+      maxBandDf: Int = SimhashBandDfCap): DataFrame = {
     require(maxHamming < SimhashBands, "bands must outnumber allowed bit errors")
     val s = simhash(spark, sfDir)
     // band i covers bits [i*64/9, (i+1)*64/9) — 7 or 8 bits each
     val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
-    val bands = s.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SimhashBands).map { i =>
-        val width = bounds(i + 1) - bounds(i)
-        shiftrightunsigned(col("simhash"), bounds(i))
-          .bitwiseAND(lit((1L << width) - 1))
-      }: _*)))
-      .select(col("doc_id"), col("simhash"),
-        col("pos").as("band"), col("col").as("band_bits"))
+    val bands = subSaltHotKeys(
+      s.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBands).map { i =>
+          val width = bounds(i + 1) - bounds(i)
+          shiftrightunsigned(col("simhash"), bounds(i))
+            .bitwiseAND(lit((1L << width) - 1))
+        }: _*)))
+        .select(col("doc_id"), col("simhash"),
+          col("pos").as("band"), col("col").as("band_bits")),
+      "doc_id", maxBandDf, bandCols = Seq("band", "band_bits"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
+          col("x.shard") === col("y.shard") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))

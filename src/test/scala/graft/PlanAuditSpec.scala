@@ -78,6 +78,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LSH band self-joins keep the hot-key shard in their equi-join keys") {
+    // the df-cap sub-salt (DedupOps.subSaltHotKeys) must survive
+    // optimization: if a refactor drops `shard` from the band-join keys,
+    // a degenerate band key's quadratic output silently returns. The
+    // production-regime variant also stays free of nested-loop joins.
+    val plans = Seq(
+      "minhash" -> plan(DedupOps.minhashNearDup(spark, sfDir)),
+      "simhash" -> plan(DedupOps.simhashNearDup(spark, sfDir)),
+      "embLsh" -> plan(SimilarityOps.embLshNearDup(spark, sfDir)),
+      "embLshHi" -> plan(SimilarityOps.embLshNearDupHi(spark, sfDir)))
+    plans.foreach { case (name, p) =>
+      assert(p.contains("shard"), s"$name: shard not in the plan:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("winnow pair join is an equi-join; bigram top-k avoids a global sort") {
     val p = plan(graft.ext.TextOps.winnowPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

@@ -315,6 +315,73 @@ class ExtOpsSpec extends SparkSpec {
     dir
   }
 
+  // ------------------------------------------------------------------
+  // Hot-key guard (subSaltHotKeys): the adversarial degenerate regime —
+  // every document identical, so every band key is shared by all m rows
+  // and the uncapped self-join would emit C(m,2) candidate pairs per band.
+  // Sub-salting at maxBandDf=c must bound TOTAL pairs by m·c (the same
+  // within-shard set in every band), while keeping ≥ the balanced-shard
+  // floor of ~m·(c-1)/2 pairs (local recall inside each shard) and leaving
+  // cold keys — a planted ordinary near-dup pair — bit-identical.
+  // ------------------------------------------------------------------
+
+  test("minhash hot-key guard: 10k identical docs complete in bounded candidates") {
+    val m = 10000
+    val cap = 20
+    // 3 tokens → exactly ONE shingle per doc: the "near-empty doc"
+    // degenerate class from the 100 TB analysis
+    val degenerate = (1L to m.toLong).map(i => (i, "alpha beta gamma", "en"))
+    val near1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near2 = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val dir = docsFixture(degenerate ++ Seq(
+      (20001L, near1, "en"), (20002L, near2, "en")))
+    val pairs = DedupOps.minhashNearDup(spark, dir, maxBandDf = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degeneratePairs = pairs.count(_._1 <= m)
+    // ceil(m/cap)=500 shards: balanced floor 500·C(20,2)=95_000 (convexity:
+    // any imbalance only raises the count), hard ceiling m·cap=200_000 —
+    // versus C(10_000,2) = 49_995_000 uncapped
+    assert(degeneratePairs >= 95000 && degeneratePairs <= m.toLong * cap,
+      s"degenerate candidate volume out of bounds: $degeneratePairs")
+    // cold keys (df=2 ≪ cap) are untouched: the ordinary planted pair
+    // must still verify at jaccard ≈ 0.9
+    assert(pairs.contains((20001L, 20002L)), "cold-key pair lost by the guard")
+  }
+
+  test("simhash hot-key guard bounds identical-doc candidates the same way") {
+    val m = 10000
+    val cap = 20
+    val dir = docsFixture((1L to m.toLong).map(i => (i, "alpha beta gamma", "en")))
+    val n = DedupOps.simhashNearDup(spark, dir, maxBandDf = cap).count()
+    assert(n >= 95000 && n <= m.toLong * cap, s"simhash candidate volume: $n")
+  }
+
+  test("hyperplane LSH hot-key guard bounds identical-vector candidates") {
+    val m = 2000
+    val cap = 20
+    val v = Array.tabulate(64)(i => (i % 7 + 1) / 10.0f)
+    val dir = embFixture((1L to m.toLong).map(i => (i, v, 0)))
+    val n = SimilarityOps.embLshNearDup(spark, dir, maxBandDf = cap).count()
+    // 100 shards: floor 100·C(20,2)=19_000, ceiling m·cap=40_000,
+    // versus C(2000,2) = 1_999_000 uncapped
+    assert(n >= 19000 && n <= m.toLong * cap, s"embLsh candidate volume: $n")
+  }
+
+  test("production-regime LSH (0.8, 8-bit bands) finds planted pairs, no false positives") {
+    val rnd = new scala.util.Random(11)
+    def randVec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = randVec()
+    val nearDup = base.map(x => x + 0.05f * rnd.nextGaussian().toFloat) // cos ≈ 0.997
+    val mid = base.map(x => x + 0.8f * rnd.nextGaussian().toFloat)      // cos ≈ 0.8/1.28 < 0.8
+    val dir = embFixture(Seq((1L, base, 0), (2L, nearDup, 0),
+      (3L, mid, 0), (4L, randVec(), 0), (5L, randVec(), 0)))
+    val hi = SimilarityOps.embLshNearDupHi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact verification: membership is decided by true cosine, so the
+    // planted pair is present and everything below 0.8 is absent
+    assert(hi == Set((1L, 2L)), s"got $hi")
+  }
+
   test("embedding LSH near-dup finds planted high-similarity pairs") {
     val rnd = new scala.util.Random(7)
     def randVec() = Array.fill(64)(rnd.nextGaussian().toFloat)
