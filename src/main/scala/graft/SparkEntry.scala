@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{DedupOps, JsonMediaOps, SimilarityOps, TextOps}
-import graft.queries.{CoreQueries, TaxiQueries}
+import graft.queries.{CoreQueries, TaxiQueries, TaxiScaled}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,13 @@ object SparkEntry {
     "taxi_q2_top100_distance"   -> (TaxiQueries.q2Top100Distance(_, _)),
     "taxi_q3_top100_travel_time" -> (TaxiQueries.q3Top100TravelTime(_, _)),
     "taxi_q4_filter_by_pu"      -> (TaxiQueries.q4FilterByPu(_, _)),
+    // The ETL at HARNESS SCALE: a deterministic taxi-shaped sharded CSV
+    // synthesized from `events` (rows scale with sf), ingested through
+    // readSharded + the full pipeline; oracles replay the expected result
+    // analytically from the same integer arithmetic (TaxiScaled scaladoc):
+    "taxi_scaled_stats" -> (TaxiScaled.stats(_, _)),
+    "taxi_scaled_q1"    -> (TaxiScaled.q1AvgTipByPu(_, _)),
+    "taxi_scaled_q2"    -> (TaxiScaled.q2Top100Distance(_, _)),
     // LLM-data-pipeline operators (north star): text analysis, dedup
     // (exact / n-gram Jaccard / MinHash-LSH / SimHash), ANN, JSON, media:
     "text_stats"       -> (TextOps.textStats(_, _)),
@@ -254,6 +261,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT u.*, 1 AS valid_from, NULL AS valid_to FROM updates u)
         |ORDER BY o_orderkey, valid_from""".stripMargin,
-  ) ++ TaxiQueries.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-    SimilarityOps.oracles ++ JsonMediaOps.oracles ++ graft.ext.TemporalOps.oracles
+  ) ++ TaxiQueries.oracles ++ TaxiScaled.oracles ++ TextOps.oracles ++
+    DedupOps.oracles ++ SimilarityOps.oracles ++ JsonMediaOps.oracles ++
+    graft.ext.TemporalOps.oracles
 }

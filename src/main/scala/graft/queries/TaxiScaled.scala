@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl.{EtlConfig, Pipeline, Stats}
+
+/** The reference ETL surface at HARNESS SCALE (r4 verdict item: the pinned
+  * 30k reference CSV meant the sf0.1 bench measured the ETL on ~3 MB). A
+  * taxi-shaped SHARDED CSV is synthesized deterministically from the
+  * `events` table ([[Replicas]] lines per event, so row count scales with
+  * sf: 50k lines at sf0.01, 500k at sf0.1), written once to the JVM temp
+  * dir, then ingested through the REAL scale path —
+  * [[graft.etl.CsvSource.readSharded]] (per-shard headers, (src_file,
+  * byte_offset) ordinals, no global count job) → parse-validate →
+  * EST→UTC normalize → first-wins dedup — the full pipeline of
+  * TripEtlPipelineService.cs:58-194 at a size where the bench means
+  * something. The pinned reference-CSV rows (TaxiQueries) remain the
+  * golden-parity surface; this one is the throughput surface.
+  *
+  * ORACLE STRATEGY: the DuckDB oracles never read the CSV. Generation is
+  * a pure function of the line ordinal E = event_id·[[Replicas]] + r, so
+  * the oracle derives the expected pipeline RESULT analytically from
+  * `events` with the same integer arithmetic — an independent derivation,
+  * not a mirrored implementation, which makes these rows verify the whole
+  * string round-trip (format → split → trim → parse) for free.
+  *
+  * Planting rules, all on E:
+  *   E %  97 == 0 → passenger_count empty        (parse-invalid)
+  *   E %  89 == 0 → trip_distance negative       (parse-invalid)
+  *   E %  83 == 0 → dropoff 100 s before pickup  (normalize-invalid)
+  *   E %  79 == 0 → flag 'X'                     (normalize-invalid)
+  *   E % 101 == 0 → key fields derive from g = (E div 101) % 50 instead
+  *                  of E: ~n/101 rows collapse into ≤ 50 duplicate groups
+  * Timestamps stay inside Jan 2024 (fixed EST offset — DST edges are the
+  * pinned reference surface's job); decimals are built from integer
+  * cents/millis so both engines see exact values. Incidental key
+  * collisions (small-E rows vs g-group keys) are fine: both engines
+  * resolve duplicates from the actual keys, not from the rules.
+  */
+object TaxiScaled {
+
+  val Replicas = 5
+  val NumShards = 8
+
+  /** Header: the 9 required columns located by NAME behind a leading extra
+    * column the projection must skip (the reference file carries 18
+    * columns, 9 ignored — CsvTripReaderService.cs:163-184 semantics). */
+  private val Header =
+    "extra_col,tpep_pickup_datetime,tpep_dropoff_datetime,passenger_count," +
+      "trip_distance,store_and_fwd_flag,PULocationID,DOLocationID,fare_amount,tip_amount"
+
+  private val TsFmt = "MM/dd/yyyy hh:mm:ss a"
+
+  /** (E, shard, line): the deterministic synthesis, entirely codegen'd
+    * column arithmetic — one scan of events, one explode, no shuffle. */
+  private def lineFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"))
+      .select(explode(sequence(lit(0L), lit(Replicas - 1L))).as("r"), col("event_id"))
+      .select((col("event_id") * Replicas + col("r")).as("E"))
+      .withColumn("x",
+        when(col("E") % 101 === 0, expr("(E div 101) % 50")).otherwise(col("E")))
+      .withColumn("travel",
+        when(col("E") % 83 === 0, lit(-100L)).otherwise(expr("(x * 13) % 7200")))
+      .withColumn("pickup_ts", expr(
+        "make_timestamp(2024, 1, cast(1 + x % 27 as int), cast(x % 24 as int), " +
+          "cast((x * 3) % 60 as int), cast((x * 7) % 60 as int))"))
+      .withColumn("dropoff_ts", expr("timestampadd(SECOND, travel, pickup_ts)"))
+      .withColumn("pc_s",
+        when(col("E") % 97 === 0, lit(""))
+          .otherwise(expr("cast(1 + x % 5 as string)")))
+      .withColumn("dist_milli", expr("(E * 17) % 30000"))
+      .withColumn("dist_s", concat(
+        when(col("E") % 89 === 0, lit("-")).otherwise(lit("")),
+        expr("cast(dist_milli div 1000 as string)"), lit("."),
+        lpad(expr("cast(dist_milli % 1000 as string)"), 3, "0")))
+      // ' n' exercises trim + upper on the flag path; 'X' is the planted
+      // normalize failure (TripRowNormalizerService.cs flag mapping)
+      .withColumn("flag_s",
+        when(col("E") % 79 === 0, lit("X"))
+          .when(col("E") % 2 === 0, lit(" n")).otherwise(lit("Y")))
+      .withColumn("fare_c", expr("(E * 23) % 20000"))
+      .withColumn("tip_c", expr("(E * 29) % 3000"))
+      .select(col("E"), pmod(col("E"), lit(NumShards.toLong)).as("shard"),
+        concat_ws(",",
+          col("E").cast("string"),
+          date_format(col("pickup_ts"), TsFmt),
+          date_format(col("dropoff_ts"), TsFmt),
+          col("pc_s"),
+          col("dist_s"),
+          col("flag_s"),
+          expr("cast(1 + E % 250 as string)"),
+          expr("cast(1 + (E * 3) % 250 as string)"),
+          concat(expr("cast(fare_c div 100 as string)"), lit("."),
+            lpad(expr("cast(fare_c % 100 as string)"), 2, "0")),
+          concat(expr("cast(tip_c div 100 as string)"), lit("."),
+            lpad(expr("cast(tip_c % 100 as string)"), 2, "0"))
+        ).as("line"))
+
+  /** Generate the sharded CSV once per (tmpdir, sf) and return the shard
+    * glob. Each shard file is its header + lines ascending in E (so the
+    * (src_file, byte_offset) ordinal equals ordering by (E % shards, E) —
+    * the fact the dedup oracle replays). Generation stages into a
+    * process-unique directory and renames it into place, so concurrent
+    * JVMs (driver Verify + a local bench) cannot interleave partial
+    * shards; losers just delete their staging copy. */
+  def ensureGenerated(spark: SparkSession, sfDir: String): String = synchronized {
+    import org.apache.hadoop.fs.Path
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_taxi_scaled_" + new java.io.File(sfDir).getName).getAbsolutePath
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$base/_SUCCESS"))) {
+      val stage = s"$base.stage.${java.util.UUID.randomUUID().toString.take(8)}"
+      import spark.implicits._
+      val lines = lineFrame(spark, sfDir).persist()
+      try {
+        (0 until NumShards).foreach { s =>
+          val part = s"$stage/_part_$s"
+          lines.filter(col("shard") === s)
+            .select(col("E").as("k"), col("line"))
+            .union(Seq((-1L, Header)).toDF("k", "line"))
+            .repartition(1)
+            .sortWithinPartitions("k")
+            .select("line")
+            .write.mode("overwrite").text(part)
+          val written = fs.globStatus(new Path(s"$part/part-*"))(0).getPath
+          fs.rename(written, new Path(s"$stage/shard-$s.csv"))
+          fs.delete(new Path(part), true)
+        }
+        fs.create(new Path(s"$stage/_SUCCESS")).close()
+        if (!fs.rename(new Path(stage), new Path(base)))
+          fs.delete(new Path(stage), true) // another JVM won the race
+      } finally lines.unpersist()
+    }
+    s"$base/shard-*.csv"
+  }
+
+  /** Annotated frame over the generated shards, cached per (session, sf):
+    * the stats + Q1 + Q2 rows share one scan+parse+dedup computation. */
+  private val cache = new graft.SessionFrameCache[String]
+
+  private def annotated(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate(spark, sfDir) {
+      Pipeline.annotateSharded(spark, EtlConfig(
+        inputCsvPath = ensureGenerated(spark, sfDir),
+        duplicatesCsvPath = "", insertedPath = ""))
+    }
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** The six golden counters over the scaled corpus — the bench row whose
+    * cost actually moves with sf. */
+  def stats(spark: SparkSession, sfDir: String): DataFrame =
+    Stats.asDataFrame(annotated(spark, sfDir))
+
+  private def trips(spark: SparkSession, sfDir: String): DataFrame =
+    annotated(spark, sfDir).filter(Stats.statusCol === "inserted").select(
+      fmtTs(col("pickup_utc")).as("pickup_utc"),
+      fmtTs(col("dropoff_utc")).as("dropoff_utc"),
+      col("passenger_count").cast("long").as("passenger_count"),
+      col("trip_distance").cast("double").as("trip_distance"),
+      col("pulocation_id").cast("long").as("pulocation_id"),
+      col("tip_amount"))
+
+  /** Scaled Q1 (README.md:22 shape): avg tip per pickup location, argmax.
+    * The average is computed over exact CENTS (decimal×100 → long — the
+    * sum is order-free and exact) then divided in double, mirroring the
+    * oracle's integer arithmetic literally. */
+  def q1AvgTipByPu(spark: SparkSession, sfDir: String): DataFrame =
+    trips(spark, sfDir)
+      .groupBy(col("pulocation_id"))
+      .agg((sum((col("tip_amount") * 100).cast("long")).cast("double") / 100
+        / count(lit(1))).as("avg_tip"))
+      .orderBy(col("avg_tip").desc, col("pulocation_id").asc)
+      .limit(1)
+
+  /** Scaled Q2 (README.md:23 shape): top-100 longest rides by distance,
+    * deduped-key tiebreak — TakeOrderedAndProject over the scaled corpus. */
+  def q2Top100Distance(spark: SparkSession, sfDir: String): DataFrame =
+    trips(spark, sfDir)
+      .select(col("trip_distance"), col("pickup_utc"), col("dropoff_utc"),
+        col("passenger_count"))
+      .orderBy(col("trip_distance").desc, col("pickup_utc"), col("dropoff_utc"),
+        col("passenger_count"))
+      .limit(100)
+
+  /** Shared analytic replay: expected typed pipeline values from `events`
+    * by the same integer arithmetic as [[lineFrame]] — no CSV involved. */
+  private val replayCte: String =
+    s"""WITH e AS (
+       |  SELECT event_id * $Replicas + rr.r AS E
+       |  FROM events, (SELECT unnest(range($Replicas)) AS r) rr
+       |), b AS (
+       |  SELECT E, CASE WHEN E % 101 = 0 THEN (E // 101) % 50 ELSE E END AS x
+       |  FROM e
+       |), t AS (
+       |  SELECT E, x,
+       |    make_timestamp(2024, 1, 1 + x % 27, x % 24, (x * 3) % 60,
+       |                   ((x * 7) % 60)::DOUBLE) AS pickup_ts,
+       |    CASE WHEN E % 83 = 0 THEN -100 ELSE (x * 13) % 7200 END AS travel,
+       |    (E % 97 = 0 OR E % 89 = 0) AS bad_parse,
+       |    E % 79 = 0 AS bad_flag,
+       |    1 + x % 5 AS pc
+       |  FROM b
+       |), v AS (
+       |  SELECT *,
+       |    pickup_ts + travel * INTERVAL 1 SECOND AS dropoff_ts,
+       |    NOT bad_parse AS parse_ok,
+       |    NOT (bad_parse OR bad_flag OR travel < 0) AS valid
+       |  FROM t
+       |), w AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY pickup_ts, dropoff_ts, pc ORDER BY E % $NumShards, E) AS rn
+       |  FROM v WHERE valid
+       |), trips AS (
+       |  SELECT
+       |    strftime((pickup_ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC',
+       |             '%Y-%m-%d %H:%M:%S') AS pickup_utc,
+       |    strftime((dropoff_ts AT TIME ZONE 'America/New_York') AT TIME ZONE 'UTC',
+       |             '%Y-%m-%d %H:%M:%S') AS dropoff_utc,
+       |    pc AS passenger_count,
+       |    CAST((E * 17) % 30000 AS DOUBLE) / 1000 AS trip_distance,
+       |    1 + E % 250 AS pulocation_id,
+       |    (E * 29) % 3000 AS tip_cents
+       |  FROM w WHERE rn = 1
+       |)
+       |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "taxi_scaled_stats" -> (replayCte +
+      """SELECT
+        |  (SELECT COUNT(*) FROM v)::BIGINT AS total,
+        |  (SELECT COUNT(*) FROM v WHERE parse_ok)::BIGINT AS parsed,
+        |  ((SELECT COUNT(*) FROM v) - (SELECT COUNT(*) FROM v WHERE valid))::BIGINT AS invalid,
+        |  ((SELECT COUNT(*) FROM v WHERE valid) - (SELECT COUNT(*) FROM trips))::BIGINT AS duplicates,
+        |  (SELECT COUNT(*) FROM trips)::BIGINT AS inserted,
+        |  ((SELECT COUNT(*) FROM v WHERE valid) - (SELECT COUNT(*) FROM trips))::BIGINT AS duplicates_file""".stripMargin),
+    "taxi_scaled_q1" -> (replayCte +
+      """SELECT pulocation_id,
+        |  CAST(SUM(tip_cents) AS DOUBLE) / 100 / COUNT(*) AS avg_tip
+        |FROM trips GROUP BY pulocation_id
+        |ORDER BY avg_tip DESC, pulocation_id LIMIT 1""".stripMargin),
+    "taxi_scaled_q2" -> (replayCte +
+      """SELECT trip_distance, pickup_utc, dropoff_utc, passenger_count
+        |FROM trips
+        |ORDER BY trip_distance DESC, pickup_utc, dropoff_utc, passenger_count
+        |LIMIT 100""".stripMargin),
+  )
+}

@@ -32,4 +32,16 @@ class GoldenStatsSpec extends SparkSpec {
     assert(trips.count() == 29840)
     assert(trips.columns.contains("TravelTimeSeconds"))
   }
+
+  test("scaled taxi surface reproduces its planted counts at sf0.001") {
+    // 5 lines per event over 1000 events: planted parse-invalid (E%97,
+    // E%89), normalize-invalid (E%83, E%79) and E%101 duplicate groups.
+    // Golden values derived ANALYTICALLY from the planting rules in an
+    // independent DuckDB replay (TaxiScaled.oracles) — this pins the whole
+    // sharded string round-trip: format → 8-shard write → readSharded →
+    // parse → EST→UTC → (src_file, byte_offset) first-wins dedup.
+    val r = graft.queries.TaxiScaled.stats(spark, "/root/testdata/sf0.001").head()
+    assert((0 to 5).map(r.getLong) == Seq(5000L, 4892L, 231L, 49L, 4720L, 49L),
+      s"scaled golden counters drifted: $r")
+  }
 }
