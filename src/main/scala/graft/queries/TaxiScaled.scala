@@ -64,9 +64,14 @@ object TaxiScaled {
         when(col("E") % 101 === 0, expr("(E div 101) % 50")).otherwise(col("E")))
       .withColumn("travel",
         when(col("E") % 83 === 0, lit(-100L)).otherwise(expr("(x * 13) % 7200")))
+      // pickup = Jan 1 + (x·1000003 mod 27 days) seconds: 1000003 is
+      // coprime to 2_332_800, so the offset — and therefore the dedup key
+      // — is INJECTIVE in x for any corpus below 2.33M lines (sf ≤ ~0.4):
+      // duplicates are exactly the planted g-groups, never incidental
+      // period collisions (a first-draft day/hour/min field synthesis had
+      // period 21600 and drowned the surface in accidental duplicates)
       .withColumn("pickup_ts", expr(
-        "make_timestamp(2024, 1, cast(1 + x % 27 as int), cast(x % 24 as int), " +
-          "cast((x * 3) % 60 as int), cast((x * 7) % 60 as int))"))
+        "timestampadd(SECOND, (x * 1000003) % 2332800, timestamp'2024-01-01 00:00:00')"))
       .withColumn("dropoff_ts", expr("timestampadd(SECOND, travel, pickup_ts)"))
       .withColumn("pc_s",
         when(col("E") % 97 === 0, lit(""))
@@ -106,10 +111,15 @@ object TaxiScaled {
     * process-unique directory and renames it into place, so concurrent
     * JVMs (driver Verify + a local bench) cannot interleave partial
     * shards; losers just delete their staging copy. */
+  /** Bump when the synthesis formula changes — versions the generated
+    * directory so a stale /tmp cache from an older formula can never be
+    * read against the current oracles. */
+  private val GenVersion = 2
+
   def ensureGenerated(spark: SparkSession, sfDir: String): String = synchronized {
     import org.apache.hadoop.fs.Path
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_taxi_scaled_" + new java.io.File(sfDir).getName).getAbsolutePath
+      s"graft_taxi_scaled_v${GenVersion}_" + new java.io.File(sfDir).getName).getAbsolutePath
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$base/_SUCCESS"))) {
       val stage = s"$base.stage.${java.util.UUID.randomUUID().toString.take(8)}"
@@ -197,8 +207,8 @@ object TaxiScaled {
        |  FROM e
        |), t AS (
        |  SELECT E, x,
-       |    make_timestamp(2024, 1, 1 + x % 27, x % 24, (x * 3) % 60,
-       |                   ((x * 7) % 60)::DOUBLE) AS pickup_ts,
+       |    TIMESTAMP '2024-01-01 00:00:00'
+       |      + ((x * 1000003) % 2332800) * INTERVAL 1 SECOND AS pickup_ts,
        |    CASE WHEN E % 83 = 0 THEN -100 ELSE (x * 13) % 7200 END AS travel,
        |    (E % 97 = 0 OR E % 89 = 0) AS bad_parse,
        |    E % 79 = 0 AS bad_flag,
