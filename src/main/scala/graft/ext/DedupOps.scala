@@ -222,10 +222,18 @@ object DedupOps {
     * bounded join output, and transitive clustering recovers members. */
   val SimhashBandDfCap = 4096
 
+  /** MinHash band frame cached per (session, sfDir): with the hot-key
+    * guard the banded frame feeds THREE consumers (both self-join sides +
+    * the df aggregate) — uncached, the 128-perm signature pass runs three
+    * times per query (measured +1.1 s at sf0.1 when the guard landed).
+    * One row per (doc, band) of three longs; evicts on session end. */
+  private val bandCache = new graft.SessionFrameCache[String]
+
   def minhashNearDup(spark: SparkSession, sfDir: String,
       maxBandDf: Int = MinHashBandDfCap): DataFrame = {
     val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
-    val bands = subSaltHotKeys(bandFrame(s), "doc_id", maxBandDf)
+    val bands = subSaltHotKeys(
+      bandCache.getOrElseUpdate(spark, sfDir)(bandFrame(s)), "doc_id", maxBandDf)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.shard") === col("y.shard") &&
@@ -279,21 +287,26 @@ object DedupOps {
     * band (pigeonhole) — candidates come from an equi-join on
     * (band index, band bits) and only candidates pay the popcount. Same
     * blocking idea as MinHash banding, exact instead of probabilistic. */
+  /** SimHash band frame cached per (session, sfDir) — same three-consumer
+    * shape as the MinHash band cache once the hot-key guard landed. */
+  private val simBandCache = new graft.SessionFrameCache[String]
+
   def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 8,
       maxBandDf: Int = SimhashBandDfCap): DataFrame = {
     require(maxHamming < SimhashBands, "bands must outnumber allowed bit errors")
-    val s = simhash(spark, sfDir)
     // band i covers bits [i*64/9, (i+1)*64/9) — 7 or 8 bits each
     val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
-    val bands = subSaltHotKeys(
-      s.select(col("doc_id"), col("simhash"),
+    val banded = simBandCache.getOrElseUpdate(spark, sfDir) {
+      simhash(spark, sfDir).select(col("doc_id"), col("simhash"),
         posexplode(array((0 until SimhashBands).map { i =>
           val width = bounds(i + 1) - bounds(i)
           shiftrightunsigned(col("simhash"), bounds(i))
             .bitwiseAND(lit((1L << width) - 1))
         }: _*)))
         .select(col("doc_id"), col("simhash"),
-          col("pos").as("band"), col("col").as("band_bits")),
+          col("pos").as("band"), col("col").as("band_bits"))
+    }
+    val bands = subSaltHotKeys(banded,
       "doc_id", maxBandDf, bandCols = Seq("band", "band_bits"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&

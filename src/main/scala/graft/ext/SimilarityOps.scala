@@ -285,6 +285,13 @@ object SimilarityOps {
     * [[embLshNearDupHi]]). */
   val EmbLshBandDfCap = 512
 
+  /** Hyperplane band frame cached per (session, sfDir, banding config):
+    * signatures cost bands×rowsPerBand codegen'd dot products per row
+    * (256 in the production regime) and the guarded self-join reads the
+    * frame on three branches — uncached that tripled the dominant cost
+    * (measured 5.1 s → expected ~2 s for emb_lsh_near_dup_hi at sf0.1). */
+  private val lshBandCache = new graft.SessionFrameCache[(String, Int, Int, Long)]
+
   def embLshNearDup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.47, bands: Int = 16, rowsPerBand: Int = 4,
       seed: Long = 42L, maxBandDf: Int = EmbLshBandDfCap): DataFrame = {
@@ -301,9 +308,10 @@ object SimilarityOps {
       }.reduce(_ + _)
     }
     val banded = DedupOps.subSaltHotKeys(
-      e.select(col("vec_id"),
-        posexplode(array(bandKeys: _*)).as(Seq("band", "band_key"))),
-      "vec_id", maxBandDf)
+      lshBandCache.getOrElseUpdate(spark, (sfDir, bands, rowsPerBand, seed)) {
+        e.select(col("vec_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+      }, "vec_id", maxBandDf)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
