@@ -140,8 +140,19 @@ object TaxiScaled {
           fs.delete(new Path(part), true)
         }
         fs.create(new Path(s"$stage/_SUCCESS")).close()
-        if (!fs.rename(new Path(stage), new Path(base)))
-          fs.delete(new Path(stage), true) // another JVM won the race
+        if (!fs.rename(new Path(stage), new Path(base))) {
+          // rename fails when base exists: either another JVM won the race
+          // (its _SUCCESS is there — just discard ours) or a dead run left
+          // a marker-less husk — replace it and re-check
+          if (!fs.exists(new Path(s"$base/_SUCCESS"))) {
+            fs.delete(new Path(base), true)
+            if (!fs.rename(new Path(stage), new Path(base)) &&
+                !fs.exists(new Path(s"$base/_SUCCESS")))
+              throw new IllegalStateException(
+                s"could not install generated taxi shards at $base")
+          }
+          fs.delete(new Path(stage), true)
+        }
       } finally lines.unpersist()
     }
     s"$base/shard-*.csv"
