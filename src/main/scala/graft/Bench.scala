@@ -38,6 +38,17 @@ object Bench {
   private def storageMb(spark: SparkSession): Long =
     spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024 * 1024)
 
+  /** Full JSON string escape — backslash, quote and EVERY control char.
+    * Exception messages can embed quoted input text (\f, \b, NULs from
+    * native layers); a partial escape would corrupt the one artifact that
+    * exists to diagnose the failure. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,9 +99,18 @@ object Bench {
     val errors = results.collect { case (n, None) => n }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
+    // `value` sums SUCCESSFUL queries only, so on a partial run it would
+    // read as a round-over-round speedup — `complete` makes a broken run
+    // unmistakable to any consumer comparing totals, and the errors array
+    // names the culprits
     val total = results.flatMap(_._2).sum
-    val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val complete = errors.isEmpty
+    if (!complete)
+      System.err.println(s"[bench] INCOMPLETE: ${errors.size} queries failed " +
+        s"every pass (${errors.mkString(", ")}) — total excludes them")
+    val common =
+      s""""metric":"total","value":$total,"unit":"sec","complete":$complete,"queries":$qs,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")}"""
+    val compact = s"{$common}"
     val telemetry = queries.map { case (name, _) =>
       val (_, gc, mb) = timesPerRun.head(name)
       val all = timesPerRun.map(_(name)._1.fold(_ => "null", _.toString))
@@ -98,13 +118,11 @@ object Bench {
       val errs = timesPerRun.flatMap(_(name)._1.left.toOption).distinct
       val errField =
         if (errs.isEmpty) ""
-        else s""","errors":${errs.map(e => "\"" + e.replace("\\", "\\\\")
-          .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\"")
-          .mkString("[", ",", "]")}"""
+        else s""","errors":${errs.map(jstr).mkString("[", ",", "]")}"""
       s""""$name":{"gc_ms":$gc,"cached_mb":$mb,"runs":$all$errField}"""
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,"telemetry":$telemetry}"""
+      s"""{$common,"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,"telemetry":$telemetry}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }

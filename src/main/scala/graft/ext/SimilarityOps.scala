@@ -75,8 +75,12 @@ object SimilarityOps {
 
   /** IVF-style ANN: lists = the corpus's `label` partitions, centroids =
     * per-list mean vectors, each query probes its `nprobe` closest lists.
-    * Returns the same schema as `bruteTopk`; recall is checked against it
-    * in the test suite (not oracle-checked — approximate by design). */
+    * Returns the same schema as `bruteTopk`. Recall is approximate by
+    * design (test-asserted against the exact ranking), but since r5 the
+    * centroid/probe arithmetic is exact-integer (see below), so the
+    * nprobe=3 output is DETERMINISTIC and oracle-checked
+    * (`ann_ivf_topk`) — changing the centroid arithmetic is NOT
+    * oracle-safe; the DuckDB replay mirrors it literally. */
   def ivfTopk(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -136,9 +140,9 @@ object SimilarityOps {
     * "approximate" path degenerates to exact brute force BY CONSTRUCTION —
     * which makes the whole IVF machinery (centroid aggregation, probe
     * ranking, list equi-join, salted two-phase top-k) verifiable against
-    * the same DuckDB oracle as [[bruteTopk]]. The production nprobe=3
-    * configuration stays registered rows-only with its recall contract;
-    * this row proves the plumbing, the recall test bounds the pruning. */
+    * the same DuckDB oracle as [[bruteTopk]] INDEPENDENTLY of the probe
+    * choice; the nprobe=3 row has its own quantized-replay oracle, and
+    * the recall test bounds the pruning. */
   def ivfFullProbe(spark: SparkSession, sfDir: String): DataFrame =
     ivfTopk(spark, sfDir, nprobe = Int.MaxValue)
 

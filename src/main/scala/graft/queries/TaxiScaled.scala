@@ -140,19 +140,25 @@ object TaxiScaled {
           fs.delete(new Path(part), true)
         }
         fs.create(new Path(s"$stage/_SUCCESS")).close()
-        if (!fs.rename(new Path(stage), new Path(base))) {
-          // rename fails when base exists: either another JVM won the race
-          // (its _SUCCESS is there — just discard ours) or a dead run left
-          // a marker-less husk — replace it and re-check
-          if (!fs.exists(new Path(s"$base/_SUCCESS"))) {
-            fs.delete(new Path(base), true)
-            if (!fs.rename(new Path(stage), new Path(base)) &&
-                !fs.exists(new Path(s"$base/_SUCCESS")))
-              throw new IllegalStateException(
-                s"could not install generated taxi shards at $base")
-          }
-          fs.delete(new Path(stage), true)
+        // Install. NEVER rename onto an existing directory: on the local
+        // fs a failed File.renameTo silently degrades to FileUtil.copy,
+        // which copies the staging tree INSIDE the target and still
+        // returns true — so delete any marker-less husk first, rename
+        // onto the now-absent path, and trust only the MARKER'S OBSERVED
+        // LOCATION, never the rename result. Racing JVMs generate
+        // identical bytes (the synthesis is deterministic), so the worst
+        // interleaving re-installs equivalent content.
+        var installed = fs.exists(new Path(s"$base/_SUCCESS"))
+        var attempts = 0
+        while (!installed && attempts < 3) {
+          attempts += 1
+          if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+          fs.rename(new Path(stage), new Path(base))
+          installed = fs.exists(new Path(s"$base/_SUCCESS"))
         }
+        if (fs.exists(new Path(stage))) fs.delete(new Path(stage), true)
+        if (!installed) throw new IllegalStateException(
+          s"could not install generated taxi shards at $base")
       } finally lines.unpersist()
     }
     s"$base/shard-*.csv"
