@@ -85,6 +85,8 @@ object SparkEntry {
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
+    "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
+    "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),
     "source_len_percentiles" -> (TextOps.sourceLenPercentiles(_, _)),
     "doc_repetition"   -> (TextOps.docRepetition(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),

@@ -520,6 +520,73 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SIZE stratified sampling — the curation pass that draws a fixed
+    * fraction per stratum (source): each source keeps its ceil(pct·n/100)
+    * documents ranked by a salted content hash. Unlike Bernoulli sampling
+    * the per-stratum sizes are exact and the draw is a pure function of
+    * content (reproducible across runs/engines/sharding; duplicate texts
+    * rank adjacently, like [[trainTestSplit]]'s leakage property). The
+    * ceiling is computed in integer arithmetic — (n·pct + 99) div 100 —
+    * so both engines cut at identical ranks.
+    *
+    * Plan: one per-source window (rank + count). Strata are sources —
+    * bounded groups; at 100 TB with giant strata the standard upgrade is
+    * rank-by-hash-range (sample the hash space, not row numbers), which
+    * keeps the same content-determinism with no window at all. */
+  /** Defaults shared with the oracles below (the VocabTopK pattern).
+    * TokenBudget = 200 BINDS at the driver's sf0.01 correctness scale
+    * (~25 docs × ~13 tokens per source) — a non-binding budget would
+    * reduce the oracle row to an identity check of the quality join. */
+  val StratifiedPct = 10
+  val TokenBudget = 200
+
+  def stratifiedSample(spark: SparkSession, sfDir: String,
+      pct: Int = StratifiedPct): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0, 100], got $pct")
+    val W = org.apache.spark.sql.expressions.Window
+    val byHash = W.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("strat"), normText(col("text")))).as("h"))
+      .withColumn("rk", row_number().over(byHash))
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("source"))))
+      .filter(col("rk") <= expr(s"(n * $pct + 99) div 100"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** Best-first token-budget curation — "fill each domain's token budget
+    * with its highest-quality documents": per source, documents are taken
+    * in (quality desc, doc_id) order while the RUNNING token total stays
+    * within `budget`. The greedy prefix is what data-mixture tooling
+    * actually ships (per-domain token quotas); a document whose own
+    * length exceeds the remaining budget ends its source's intake (no
+    * skip-and-continue — deterministic prefix semantics, and the oracle
+    * replays exactly that).
+    *
+    * Cross-engine determinism: quality_score is built from exact integer
+    * ratios ([[textQuality]]), so the ordering — and therefore the prefix
+    * — is bit-identical; tokenless docs carry score 0 via coalesce (the
+    * engines disagree on NULL placement under DESC). One quality scan +
+    * one per-source window. */
+  def tokenBudgetPerSource(spark: SparkSession, sfDir: String,
+      budget: Int = TokenBudget): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byQuality = W.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(textQuality(spark, sfDir)
+        .select(col("doc_id"), coalesce(col("quality_score"), lit(0.0)).as("q")),
+        "doc_id")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byQuality))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Exact per-source length percentiles (median + discrete p90) — the
     * distribution summary a curation pass reads before setting length
     * cutoffs. Percentile VALUES are picked by rank arithmetic over
@@ -595,6 +662,36 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "stratified_sample" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |      md5('strat' || regexp_replace(lower(trim(text)), '$WsRunRe', ' ', 'g')),
+         |      doc_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM documents) t
+         |WHERE rk <= (n * $StratifiedPct + 99) // 100
+         |ORDER BY doc_id""".stripMargin,
+    // greedy best-first prefix: cum is monotone, so cum <= budget IS the
+    // "take until the next doc would overflow" semantics
+    "token_budget_per_source" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    COALESCE((CASE WHEN len(toks) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |      * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+         |         + CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','on','for'))) AS DOUBLE) / len(toks)
+         |         + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) / 3.0, 0.0) AS q
+         |  FROM (SELECT doc_id, source, text,
+         |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+         |        FROM documents) d
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM q
+         |)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""".stripMargin,
     "doc_winnow" -> (winnowFpCte +
       """SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fingerprint
         |FROM wnw ORDER BY doc_id, fingerprint""".stripMargin),

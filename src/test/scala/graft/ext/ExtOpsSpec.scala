@@ -297,6 +297,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("dup_bigram_ratio") == 0.0)
   }
 
+  test("stratified sample: exact ceil(pct·n) per source, content-deterministic") {
+    val rows = (1L to 10L).map(i => (i, s"doc number $i text", "en")) ++
+      (11L to 13L).map(i => (i, s"other corpus $i", "en"))
+    val dir = docsFixture(rows)
+    // fixture source is constant ("src"): 13 docs at 10% → ceil(1.3) = 2
+    val out = TextOps.stratifiedSample(spark, dir).collect().map(_.getLong(0))
+    assert(out.length == 2)
+    // pure function of content: a second run draws the same documents
+    assert(TextOps.stratifiedSample(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == out.toSeq)
+    // 100% keeps everything, 0% keeps nothing
+    assert(TextOps.stratifiedSample(spark, dir, pct = 100).count() == 13)
+    assert(TextOps.stratifiedSample(spark, dir, pct = 0).count() == 0)
+  }
+
+  test("token budget: greedy best-first prefix stops at the first overflow") {
+    // equal-quality 3-token docs, budget 7 → cum 3, 6, 9: exactly 2 kept,
+    // and the monotone running sum never readmits later small docs
+    val dir = docsFixture(Seq(
+      (1L, "a b c", "en"), (2L, "d e f", "en"), (3L, "g h i", "en"),
+      (4L, "j", "en"))) // 1 token, but arrives after the overflow
+    val out = TextOps.tokenBudgetPerSource(spark, dir, budget = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 6L)), out.mkString(", "))
+  }
+
   test("top bigrams count corpus phrases with deterministic tie-break") {
     val dir = docsFixture(Seq(
       (1L, "a b a b c", "en"), (2L, "a b x", "en")))
