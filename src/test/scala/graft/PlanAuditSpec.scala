@@ -55,6 +55,24 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one shuffle (the dedup window key):\n$p")
   }
 
+  test("scaled taxi pipeline: dedup is the only shuffle; curation ops stay equi/window-only") {
+    // the sharded scale path must keep the pinned path's plan property:
+    // parse/normalize are pure projections, the first-wins window is the
+    // single exchange. (Generation happens once into the versioned tmp
+    // dir; this audits the INGESTION plan, not the generator.)
+    val glob = graft.queries.TaxiScaled.ensureGenerated(spark, sfDir)
+    val p = plan(Pipeline.annotateSharded(spark, EtlConfig(
+      inputCsvPath = glob, duplicatesCsvPath = "", insertedPath = "")))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"expected exactly one shuffle (the dedup window key):\n$p")
+    for (q <- Seq(graft.ext.TextOps.stratifiedSample(spark, sfDir),
+                  graft.ext.TextOps.tokenBudgetPerSource(spark, sfDir))) {
+      val cp = plan(q)
+      assert(!cp.contains("CartesianProduct") &&
+        !cp.contains("BroadcastNestedLoopJoin"), cp)
+    }
+  }
+
   test("ANN brute force broadcasts queries; corpus is never shuffled") {
     val p = plan(SimilarityOps.bruteTopk(spark, sfDir))
     assert(p.contains("Broadcast"), p)
