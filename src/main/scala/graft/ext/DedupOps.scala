@@ -189,7 +189,7 @@ object DedupOps {
     * the banded frame never shuffles for the guard. AQE's skew split can
     * divide a hot shuffle partition; it cannot shrink quadratic join
     * OUTPUT — this cap is what does. */
-  private[ext] def subSaltHotKeys(
+  private[graft] def subSaltHotKeys(
       banded: DataFrame, idCol: String, maxDf: Int,
       bandCols: Seq[String] = Seq("band", "band_key")): DataFrame = {
     require(maxDf > 0, s"maxDf must be positive, got $maxDf")

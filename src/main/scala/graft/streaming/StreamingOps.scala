@@ -358,11 +358,19 @@ object StreamingOps {
       // within-batch: cluster the surviving docs' near-dup pairs, min wins.
       // Survivors' bands come from an anti-join on the ALREADY-computed
       // band frame — re-running bandFrame(fresh) would recompute every
-      // signature
-      val freshBands = bands.join(dupOfKept, Seq("doc_id"), "left_anti")
+      // signature. The self-join carries the same hot-key guard as the
+      // batch path (DedupOps.subSaltHotKeys): a batch of boilerplate docs
+      // sharing one signature must not emit m² in-batch candidates. (The
+      // cross-batch join above is m_batch × m_state per degenerate key —
+      // linear in the batch, and kept-state cannot accumulate the
+      // degenerate group because its first batch already collapses it.)
+      val freshBands = DedupOps.subSaltHotKeys(
+        bands.join(dupOfKept, Seq("doc_id"), "left_anti"),
+        "doc_id", DedupOps.MinHashBandDfCap)
       val inBatchCand = freshBands.as("x").join(freshBands.as("y"),
           col("x.band") === col("y.band") &&
             col("x.band_key") === col("y.band_key") &&
+            col("x.shard") === col("y.shard") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
