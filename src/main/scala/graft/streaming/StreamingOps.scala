@@ -362,8 +362,10 @@ object StreamingOps {
       // batch path (DedupOps.subSaltHotKeys): a batch of boilerplate docs
       // sharing one signature must not emit m² in-batch candidates. (The
       // cross-batch join above is m_batch × m_state per degenerate key —
-      // linear in the batch, and kept-state cannot accumulate the
-      // degenerate group because its first batch already collapses it.)
+      // linear in the batch, and kept-state holds at most ~ceil(m/cap)
+      // members of a degenerate group ever: the group's FIRST batch
+      // collapses it to its per-shard keepers, and every later arrival
+      // is dropped as a dup-of-kept before reaching the state appends.)
       val freshBands = DedupOps.subSaltHotKeys(
         bands.join(dupOfKept, Seq("doc_id"), "left_anti"),
         "doc_id", DedupOps.MinHashBandDfCap)
