@@ -84,6 +84,7 @@ object SparkEntry {
     "seq_pack_global"  -> (TextOps.seqPackGlobal(_, _)),
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
+    "seg_dedup"        -> (TextOps.segDedup(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),

@@ -484,6 +484,59 @@ object TextOps {
         col("chunk_text"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** Default segment width for [[segDedup]], shared with its oracle (the
+    * VocabTopK pattern). 16 tokens ≈ one sentence on the harness corpus;
+    * measured at sf0.01: 1921 segments, 147 duplicate occurrences — the
+    * cut binds without degenerating the query into an identity check. */
+  val SegTokens = 16
+
+  /** Repeated-span removal — the C4-style curation pass that deletes text
+    * spans duplicated ACROSS the corpus while keeping exactly the first
+    * occurrence (by (doc_id, position)). Finer-grained than document
+    * dedup: boilerplate shared by otherwise-distinct pages is stripped
+    * without dropping the pages. A "span" here is a consecutive
+    * [[SegTokens]]-token window (the corpus is single-line token streams,
+    * so sentence/paragraph delimiters don't exist to split on).
+    *
+    * Output per document: segment counts and the reassembled text with
+    * duplicated segments removed.
+    *
+    * Plan: segment-granularity explode (w× fewer rows than token
+    * explode), one hash aggregate on the segment digest electing the
+    * global first occurrence, one linear equi-join marking each
+    * occurrence kept/dropped, one per-doc aggregate to reassemble.
+    * Deliberately NOT a row_number window over the digest: a degenerate
+    * corpus (the same boilerplate in m documents) would funnel m rows
+    * through one window partition, while the aggregate's map-side
+    * partials + AQE keep the join linear and skew-safe at 100 TB. */
+  def segDedup(spark: SparkSession, sfDir: String,
+      w: Int = SegTokens): DataFrame = {
+    val segs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) - 1) div $w),
+           |  s -> concat_ws(' ', slice(toks, s * $w + 1, $w)))""".stripMargin))
+        .as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        col("seg"), md5(col("seg")).as("h"))
+    val winners = segs.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("win"))
+      .select(col("h"), col("win.doc_id").as("w_doc"),
+        col("win.seg_idx").as("w_idx"))
+    segs.join(winners, "h")
+      .withColumn("kept",
+        col("doc_id") === col("w_doc") && col("seg_idx") === col("w_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — the n-gram-overlap check run before
     * training so eval data does not leak into the corpus (the GPT-3
     * appendix-C method, 13-grams there; 4-grams here because the harness
@@ -662,6 +715,27 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // same election as the Spark side: global first occurrence of each
+    // 16-token segment wins; the window here is the oracle's luxury (the
+    // Spark plan uses an aggregate + join for skew safety)
+    "seg_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+         |  FROM documents
+         |), sg AS (
+         |  SELECT doc_id, unnest([{'seg_idx': i,
+         |      'seg': array_to_string(toks[(i*$SegTokens+1):(i*$SegTokens+$SegTokens)], ' ')}
+         |      FOR i IN range(0, (len(toks) - 1) // $SegTokens + 1)]) AS s
+         |  FROM tk WHERE len(toks) > 0
+         |), f AS (
+         |  SELECT doc_id, CAST(s.seg_idx AS BIGINT) AS seg_idx, s.seg AS seg,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(s.seg) ORDER BY doc_id, s.seg_idx) AS rn
+         |  FROM sg
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
+         |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS clean_text
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "stratified_sample" ->
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source,

@@ -467,6 +467,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(MediaBytes.decode("not a container".getBytes(UTF_8)).getString(0) == "unknown")
   }
 
+  test("seg dedup drops cross-doc duplicated segments, keeps first occurrence") {
+    val segA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val segC = (1 to 16).map(i => s"c$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, s"$segA $segB", "en"), // first occurrences of both: kept whole
+      (2L, s"$segC $segA", "en"), // segA already seen in doc 1: dropped
+      (3L, segB, "en")))          // entirely boilerplate: empties out
+    val out = TextOps.segDedup(spark, dir).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_dropped"), r.getAs[String]("clean_text"))).toList
+    assert(out == List(
+      (1L, 2L, 0L, s"$segA $segB"),
+      (2L, 2L, 1L, segC),
+      (3L, 1L, 1L, "")))
+  }
+
+  test("seg dedup: within-doc repeat keeps first; short tail is its own span") {
+    val seg = (1 to 16).map(i => s"r$i").mkString(" ")
+    val dir = docsFixture(Seq((7L, s"$seg $seg tail words", "en")))
+    val r = TextOps.segDedup(spark, dir).collect().head
+    assert(r.getAs[Long]("n_segs") == 3L)
+    assert(r.getAs[Long]("n_dropped") == 1L)
+    assert(r.getAs[String]("clean_text") == s"$seg tail words")
+  }
+
   test("media_meta: real header decode over synthesized blobs") {
     val out = JsonMediaOps.mediaMeta(spark, sfDir).collect()
     assert(out.map(_.getAs[String]("format")).toSet == Set("png", "bmp", "wav"))
