@@ -36,6 +36,9 @@ object SparkEntry {
     "q10_pivot"        -> (CoreQueries.q10Pivot(_, _)),
     "q11_intersect"    -> (CoreQueries.q11Intersect(_, _)),
     "q12_histogram"    -> (CoreQueries.q12Histogram(_, _)),
+    // multi-dimensional clustering key (Morton interleave) — the sorted
+    // layout's pruning property is asserted in LayoutsSpec
+    "zorder_keys"      -> (CoreQueries.zorderKeys(_, _)),
     "sessionize"       -> (graft.ext.TemporalOps.sessionize(_, _)),
     "asof_join"        -> (graft.ext.TemporalOps.asofJoin(_, _)),
     "range_join_counts" -> (graft.ext.TemporalOps.rangeJoinCounts(_, _)),
@@ -85,6 +88,9 @@ object SparkEntry {
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     "seg_dedup"        -> (TextOps.segDedup(_, _)),
+    // two-pass sketch-then-verify: EXACT result, so oracle-checked even
+    // though pass 1 is a Misra-Gries summary
+    "heavy_hitters"    -> (TextOps.heavyHitters(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),
@@ -183,6 +189,14 @@ object SparkEntry {
          |      FROM events) t
          |GROUP BY bin ORDER BY bin""".stripMargin
     },
+    // interleave terms generated from the SAME constants as the Spark side
+    "zorder_keys" ->
+      s"""SELECT event_id,
+         |  CAST(${graft.plans.Layouts.zorderSql("user_id", "cents")} AS BIGINT) AS zval
+         |FROM (SELECT event_id, user_id,
+         |        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |      FROM events) t
+         |ORDER BY event_id""".stripMargin,
     "j1_join_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -573,6 +573,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Heavy-hitter threshold in basis points of total token occurrences
+    * (200 = 2%), and the Misra-Gries sketch size. The guarantee that
+    * makes the two-pass result EXACT needs threshold > n/(k+1):
+    * 200 bp = 2% > 1/65 ≈ 1.54%. Shared with the oracle. At sf0.01 the
+    * 2% cut keeps 30 of 31 vocabulary tokens (the corpus vocabulary is
+    * tiny and near-uniform) — binding, though the sketch's decrement
+    * path only fires when vocabulary exceeds k, which the adversarial
+    * FrequencySpec fixtures cover. */
+  val HhThresholdBp = 200
+  val HhSketchK = 64
+
+  /** EXACT corpus heavy hitters via the classic two-pass sketch-then-
+    * verify plan: pass 1 folds the token stream into one bounded
+    * Misra-Gries summary ([[graft.functions.MisraGriesAgg]]) — map-side
+    * partial sketches of ≤ k counters per partition, one O(#partitions·k)
+    * merge — plus the exact total count on the same scan; pass 2 exactly
+    * counts ONLY the sketch's candidate tokens (broadcast semi-join
+    * prune) and applies the threshold in integer arithmetic.
+    *
+    * The result is exact, not approximate: Misra-Gries guarantees every
+    * token with count > n/(k+1) survives the sketch, the threshold is
+    * above that bound, and the second pass removes false positives with
+    * true counts. At 100 TB this is THE heavy-hitter plan — the full
+    * token groupBy (cardinality = vocabulary) never happens; the only
+    * wide operation is a shuffle of k-sized sketch buffers, and pass 2's
+    * aggregate touches ≤ k distinct keys. */
+  def heavyHitters(spark: SparkSession, sfDir: String,
+      thresholdBp: Int = HhThresholdBp, k: Int = HhSketchK): DataFrame = {
+    require(thresholdBp.toLong * (k + 1) > 10000,
+      s"threshold ${thresholdBp}bp below the n/(k+1) sketch guarantee for k=$k")
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+    val cands = tok
+      .agg(graft.functions.FrequencyFunctions.misraGries(col("tok"), k).as("mg"),
+        count(lit(1)).as("n"))
+      .select(explode(map_keys(col("mg"))).as("tok"), col("n"))
+    tok.join(broadcast(cands), "tok")
+      .groupBy(col("tok"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10000 >= col("n") * thresholdBp)
+      .select(col("tok").as("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** EXACT-SIZE stratified sampling — the curation pass that draws a fixed
     * fraction per stratum (source): each source keeps its ceil(pct·n/100)
     * documents ranked by a salted content hash. Unlike Bernoulli sampling
@@ -736,6 +780,18 @@ object TextOps {
          |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
          |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS clean_text
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the sketch is a candidate generator only — the registered result is
+    // exact counts over an exact threshold, replayed directly here
+    "heavy_hitters" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(list_filter(string_split(trim(lower(text)), ' '),
+         |                            t -> t <> '')) AS token
+         |  FROM documents
+         |), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk),
+         |c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY token)
+         |SELECT token, cnt FROM c, tot
+         |WHERE cnt * 10000 >= n * $HhThresholdBp
+         |ORDER BY cnt DESC, token""".stripMargin,
     "stratified_sample" ->
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source,

@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical data layout — the Spark analog of the reference's index DDL
   * (TaxiEtl/script.sql:55-97). SQL Server uses B-tree indexes; a Spark
@@ -34,4 +35,44 @@ object Layouts {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Bits per dimension for [[zorderValue]] (16+16 → one positive
+    * 32-bit z-value in a long). Shared with the `zorder_keys` oracle. */
+  val ZBits = 16
+
+  /** Z-order (Morton) interleave of two dimensions — the clustering key
+    * behind multi-dimensional data skipping (Delta OPTIMIZE ZORDER,
+    * Iceberg sort orders). Sorting/range-partitioning 100 TB by a single
+    * column gives tight min/max file ranges on THAT column only; sorting
+    * by the interleaved key gives useful ranges on BOTH dimensions at
+    * once, so a 2-d box predicate prunes files on either column.
+    *
+    * Each dimension is first folded into [[ZBits]] bits with a
+    * non-negative mod (callers bucketize real values to ints); the
+    * interleave itself is a fixed fan of shift/mask/or terms — pure
+    * projection, whole-stage codegen, no shuffle. */
+  def zorderValue(x: Column, y: Column): Column = {
+    val m = 1L << ZBits
+    val xm = pmod(x.cast("long"), lit(m))
+    val ym = pmod(y.cast("long"), lit(m))
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(xm.bitwiseAND(lit(1L << i)), i))
+        .bitwiseOR(shiftleft(ym.bitwiseAND(lit(1L << i)), i + 1))
+    }
+  }
+
+  /** The same interleave as ANSI SQL for the DuckDB oracle (generated
+    * from the same constants, so the two sides cannot drift). */
+  def zorderSql(xExpr: String, yExpr: String): String = {
+    val m = 1L << ZBits
+    // DuckDB (Postgres-style) gives &, |, << EQUAL precedence, left-
+    // associative — every term must be fully parenthesized or the ors
+    // re-associate into the shifts
+    val terms = (0 until ZBits).flatMap { i =>
+      Seq(s"(((((($xExpr) % $m + $m) % $m) & ${1L << i})) << $i)",
+        s"(((((($yExpr) % $m + $m) % $m) & ${1L << i})) << ${i + 1})")
+    }
+    terms.mkString("(", " | ", ")")
+  }
 }

@@ -182,6 +182,22 @@ object CoreQueries {
       .orderBy($"bin")
   }
 
+  /** Z-order clustering keys over events — (user_id, value-cents) Morton
+    * interleave via [[graft.plans.Layouts.zorderValue]]. The key a 100 TB
+    * table would be range-sorted by so file-level min/max statistics prune
+    * 2-d box predicates on EITHER column; here the keys themselves are the
+    * registered result (pure codegen projection, no shuffle), and
+    * LayoutsSpec asserts the pruning property on a sorted layout. */
+  def zorderKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"user_id",
+        ($"value".cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .select($"event_id",
+        graft.plans.Layouts.zorderValue($"user_id", $"cents").as("zval"))
+      .orderBy($"event_id")
+  }
+
   /** Approximate distinct (HLL++) next to the exact value — rows-only in
     * the driver check; the relative-error contract is test-asserted. */
   def q8ApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {

@@ -208,6 +208,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
   }
 
+  test("heavy hitters: sketch aggregates in two phases; candidates broadcast") {
+    val p = plan(graft.ext.TextOps.heavyHitters(spark, sfDir))
+    // the Misra-Gries aggregate must run partial-then-merge (map-side
+    // sketches of <= k counters are what make pass 1 scale), and pass 2's
+    // candidate prune must be a broadcast join, not a shuffle of the
+    // token stream against 64 rows
+    assert("partial_misra_gries|partial_misragries".r.findFirstIn(p.toLowerCase).isDefined,
+      s"no partial sketch phase:\n$p")
+    assert("merge_misra_gries|misra_gries".r.findAllIn(p.toLowerCase).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), s"candidate prune not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("segment dedup: winner election is aggregate + equi-join, no digest window") {
+    val p = plan(graft.ext.TextOps.segDedup(spark, sfDir))
+    // a row_number window over the segment digest would funnel degenerate
+    // boilerplate through one partition; the plan must elect winners with
+    // hash aggregates and join back on the digest only
+    assert(!p.contains("Window"), s"digest window crept in:\n$p")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers
