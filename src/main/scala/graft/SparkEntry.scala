@@ -50,6 +50,8 @@ object SparkEntry {
     "dedup_first_wins"  -> (CoreQueries.dedupFirstWins(_, _)),
     "dedup_losers"      -> (CoreQueries.dedupLosers(_, _)),
     "merge_upsert"      -> (CoreQueries.mergeUpsert(_, _)),
+    // state-merge refresh must equal the full recompute (the oracle)
+    "incr_agg_refresh"  -> (CoreQueries.incrAggRefresh(_, _)),
     "scd2_upsert"       -> (CoreQueries.scd2Upsert(_, _)),
     // Full reference-ETL surface over the bundled 30k taxi CSV (oracle
     // replays the whole pipeline in SQL — parse, normalize, dedup, Q1-Q4):
@@ -238,6 +240,11 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) t
         |WHERE rn > 1 ORDER BY event_id""".stripMargin,
+    // full recompute over ALL events — the incremental merge must match it
+    "incr_agg_refresh" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey,

