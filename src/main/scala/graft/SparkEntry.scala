@@ -89,6 +89,9 @@ object SparkEntry {
     "seq_pack_global"  -> (TextOps.seqPackGlobal(_, _)),
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
+    // Bloom prefilter + exact verify join: same exact output, so it
+    // shares the exact op's oracle (registered under its own name)
+    "decontam_bloom"   -> (TextOps.decontamBloom(_, _)),
     "seg_dedup"        -> (TextOps.segDedup(_, _)),
     // two-pass sketch-then-verify: EXACT result, so oracle-checked even
     // though pass 1 is a Misra-Gries summary

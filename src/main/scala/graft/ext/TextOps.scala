@@ -555,7 +555,11 @@ object TextOps {
     * broadcast-sized by definition (eval sets are small); the corpus side
     * is a single scan + explode, and the join key (the n-gram text) is
     * high-cardinality so the shuffle cannot hot-spot. */
-  def decontamNgram(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+  /** (benchmark, corpus) distinct-gram frames shared by [[decontamNgram]]
+    * and [[decontamBloom]] so the two plans can never diverge on gram
+    * semantics. */
+  private def decontamGrams(spark: SparkSession, sfDir: String,
+      n: Int): (DataFrame, DataFrame) = {
     val gramArr = expr(
       s"""CASE WHEN size(toks) < $n THEN array()
          |ELSE array_distinct(transform(sequence(1, size(toks) - ${n - 1}),
@@ -564,13 +568,45 @@ object TextOps {
       .select(col("doc_id").as(idCol), tokens(col("text")).as("toks"))
       .select(col(idCol), explode(gramArr).as("gram"))
     val docs = Tables.documents(spark, sfDir)
-    val bench = grams(docs.filter(col("doc_id") % 100 === 0), "bench_doc_id")
-    val corpus = grams(docs.filter(col("doc_id") % 100 =!= 0), "doc_id")
+    (grams(docs.filter(col("doc_id") % 100 === 0), "bench_doc_id"),
+      grams(docs.filter(col("doc_id") % 100 =!= 0), "doc_id"))
+  }
+
+  private def decontamAgg(corpus: DataFrame, bench: DataFrame): DataFrame =
     corpus.join(broadcast(bench), "gram")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_shared_grams"),
         count_distinct(col("bench_doc_id")).as("n_bench_docs"))
       .orderBy("doc_id")
+
+  def decontamNgram(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+    val (bench, corpus) = decontamGrams(spark, sfDir, n)
+    decontamAgg(corpus, bench)
+  }
+
+  /** [[decontamNgram]] with a BLOOM-FILTER PREFILTER on the corpus side —
+    * the 100 TB shape of decontamination: the benchmark's gram set folds
+    * into one compact bitset (Spark's own runtime-filter Bloom aggregate),
+    * the corpus stream drops non-matching grams BEFORE the join, and the
+    * surviving candidates still go through the exact gram equi-join, so
+    * false positives cannot reach the output. A Bloom filter has no false
+    * negatives, which makes the prefilter sound; exactness therefore does
+    * not depend on the filter at all — same oracle as the exact op.
+    *
+    * Why it matters at scale: the join (even broadcast) materializes every
+    * corpus gram as a probe; the Bloom probe is a codegen'd predicate in
+    * the scan-side stage that kills ~all of the (overwhelmingly clean)
+    * corpus before any exchange/probe work. The one-row driver collect of
+    * the filter bytes is O(bitset), not O(data) — the same justified
+    * pattern as the ANN dim probe. */
+  def decontamBloom(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+    import graft.functions.FrequencyFunctions.{bloomFilterAgg, mightContain}
+    val (bench, corpus) = decontamGrams(spark, sfDir, n)
+    val bloomBytes = bench
+      .agg(bloomFilterAgg(xxhash64(col("gram")), expectedItems = 100000L))
+      .head.getAs[Array[Byte]](0)
+    val pruned = corpus.filter(mightContain(lit(bloomBytes), xxhash64(col("gram"))))
+    decontamAgg(pruned, bench)
   }
 
   /** Heavy-hitter threshold in basis points of total token occurrences
@@ -758,6 +794,22 @@ object TextOps {
        |""".stripMargin
   }
 
+  private val DecontamOracle =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN []
+      |    ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
+      |                        for i in range(1, len(toks) - 2)]) END) AS gram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
+      |        FROM documents) d
+      |)
+      |SELECT c.doc_id,
+      |  COUNT(DISTINCT c.gram) AS n_shared_grams,
+      |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
+      |FROM (SELECT * FROM g WHERE doc_id % 100 <> 0) c
+      |JOIN (SELECT * FROM g WHERE doc_id % 100 = 0) b ON c.gram = b.gram
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // same election as the Spark side: global first occurrence of each
     // 16-token segment wins; the window here is the oracle's luxury (the
@@ -933,21 +985,11 @@ object TextOps {
         |  UNNEST(range(1, CAST(ceil(len(toks) / 16.0) AS BIGINT) + 1)) AS u(k)
         |WHERE len(toks) > 0
         |ORDER BY doc_id, chunk_idx""".stripMargin,
-    "decontam_ngram" ->
-      """WITH g AS (
-        |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN []
-        |    ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
-        |                        for i in range(1, len(toks) - 2)]) END) AS gram
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
-        |        FROM documents) d
-        |)
-        |SELECT c.doc_id,
-        |  COUNT(DISTINCT c.gram) AS n_shared_grams,
-        |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
-        |FROM (SELECT * FROM g WHERE doc_id % 100 <> 0) c
-        |JOIN (SELECT * FROM g WHERE doc_id % 100 = 0) b ON c.gram = b.gram
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "decontam_ngram" -> DecontamOracle,
+    // the Bloom prefilter never removes a true match (no false negatives)
+    // and the exact verify join removes the false positives, so the
+    // prefiltered op answers to the SAME exact oracle
+    "decontam_bloom" -> DecontamOracle,
     "text_stats" ->
       """SELECT doc_id, lang, n_chars,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,

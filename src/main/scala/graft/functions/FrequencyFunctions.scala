@@ -142,4 +142,21 @@ object FrequencyFunctions {
     GraftBridge.column(
       MisraGriesAgg(GraftBridge.expression(c.cast("string")), k)
         .toAggregateExpression())
+
+  /** Spark's own runtime-filter Bloom aggregate (the machinery behind
+    * InjectRuntimeFilter), surfaced as a user aggregate: folds XXH64 item
+    * hashes into one binary Bloom filter. Never false-negative, so it is
+    * a sound PREFILTER for an exact join. */
+  def bloomFilterAgg(hashedItems: Column, expectedItems: Long): Column =
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftBridge.expression(hashedItems), expectedItems)
+        .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]]-built filter (binary
+    * column/literal); pairs with xxhash64 on the probe side. */
+  def mightContain(bloom: Column, hashedItem: Column): Column =
+    GraftBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftBridge.expression(bloom), GraftBridge.expression(hashedItem)))
 }

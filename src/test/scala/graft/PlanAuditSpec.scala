@@ -208,6 +208,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
   }
 
+  test("bloom decontamination probes the filter before the join") {
+    val p = plan(graft.ext.TextOps.decontamBloom(spark, sfDir))
+    // the corpus-side stage must carry the might_contain predicate (the
+    // prefilter that kills clean grams before any join work), and the
+    // verify join must still be the broadcast equi-join
+    assert(p.toLowerCase.contains("might_contain"), s"no bloom probe in plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("heavy hitters: sketch aggregates in two phases; candidates broadcast") {
     val p = plan(graft.ext.TextOps.heavyHitters(spark, sfDir))
     // the Misra-Gries aggregate must run partial-then-merge (map-side

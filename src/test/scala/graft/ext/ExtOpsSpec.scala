@@ -284,6 +284,20 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 1L)))
   }
 
+  test("bloom-prefiltered decontamination equals the exact op (FPs verified away)") {
+    val dir = docsFixture(Seq(
+      (100L, "the quick brown fox jumps over things", "en"),
+      (1L, "we saw the quick brown fox yesterday evening", "en"),
+      (2L, "completely different content here today folks ok", "en")) ++
+      // bulk of clean docs so the prefilter has something to kill
+      (10L to 60L).map(i => (i, s"clean doc $i with words w${i}a w${i}b w${i}c", "en")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(TextOps.decontamBloom(spark, dir)) ==
+      rows(TextOps.decontamNgram(spark, dir)))
+    assert(rows(TextOps.decontamBloom(spark, dir)) == Seq((1L, 1L, 1L)))
+  }
+
   test("repetition metrics: spammy docs score high, clean docs near zero") {
     val dir = docsFixture(Seq(
       (1L, "buy now buy now buy now buy now", "en"), // 8 toks; 7 bigrams, 2 distinct
