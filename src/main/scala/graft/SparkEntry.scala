@@ -109,6 +109,9 @@ object SparkEntry {
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
+    // deterministic Lloyd (exact-integer distances/centroids): the final
+    // assignment after 2 rounds is oracle-replayed in DuckDB
+    "kmeans_assign"    -> (SimilarityOps.kmeansAssign(_, _)),
     // approximate recall by design, but DETERMINISTIC (exact-integer
     // centroid/probe arithmetic) — so nprobe=3 is oracle-checked too:
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),

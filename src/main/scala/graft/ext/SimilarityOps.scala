@@ -136,6 +136,101 @@ object SimilarityOps {
     topkPerQuery(scored, k)
   }
 
+  /** Distributed k-means (Lloyd) over the embedding corpus, DETERMINISTIC
+    * end to end so the final assignment is oracle-checkable: vectors are
+    * quantized to the 1e-6 integer grid (longs), distances are exact
+    * integer sums of squared diffs (dim 64 × (2²⁰)² « 2⁶³ — no float
+    * order-dependence anywhere), seeds are the first k vectors by id,
+    * ties break to the smaller cluster id, and recomputed centroid
+    * components are floor-means via the subtract-pmod trick (the
+    * [[ivfTopk]] centroid pattern). Empty clusters keep their previous
+    * centroid. The DuckDB oracle replays every round literally —
+    * generated from the same constants by [[kmeansOracleSql]].
+    *
+    * The plan per round is the canonical scalable Lloyd: assignment is a
+    * BROADCAST of k centroids against the corpus scan (no corpus
+    * shuffle), recompute is one (cluster, pos) hash aggregate —
+    * per-round cost O(n·k·dim) compute + one shuffle of k·dim partials.
+    * Two rounds here; a long-running loop would localCheckpoint per
+    * round like connectedComponents to cut lineage. */
+  def kmeansAssign(spark: SparkSession, sfDir: String,
+      k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
+    val q6 = (c: Column) => floor(c.cast("double") * 1e6).cast("long")
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), q6).as("q"))
+    val distSq = expr(
+      "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
+
+    def assign(cents: DataFrame): DataFrame =
+      v.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("q"), col("cluster"), distSq.as("d"))
+        .groupBy(col("vec_id"), col("q"))
+        .agg(min(struct(col("d"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("q"), col("m.cluster").as("cluster"))
+
+    def recompute(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val fresh = assigned
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("cs"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("pos"),
+          expr("(cs - pmod(cs, n)) div n").as("cv"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+        .select(col("cluster"),
+          transform(col("pairs"), p => p.getField("cv")).as("c_new"))
+      prev.join(fresh, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("c_new"), col("c")).as("c"))
+    }
+
+    var cents = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("q").as("c"))
+    for (_ <- 1 to rounds) cents = recompute(assign(cents), cents)
+    assign(cents).select(col("vec_id"), col("cluster")).orderBy("vec_id")
+  }
+
+  /** Shared constants + literal round-by-round SQL replay of
+    * [[kmeansAssign]] for the oracle (generated, so the two sides share
+    * seeds/tie-breaks/floor-mean semantics by construction). */
+  val KmeansK = 8
+  val KmeansRounds = 2
+
+  private[ext] def kmeansOracleSql(k: Int = KmeansK,
+      rounds: Int = KmeansRounds): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, q, cluster
+         |  FROM (SELECT v.vec_id, v.q, cc.cluster,
+         |          list_sum(list_transform(range(1, len(v.q) + 1),
+         |            i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) AS d
+         |        FROM v, $cents cc) t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1)""".stripMargin
+    def centCtes(r: Int, assigned: String, prev: String): String =
+      s"""c${r}e AS (
+         |  SELECT cluster, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS cs, COUNT(*) AS n
+         |  FROM $assigned, LATERAL UNNEST(range(1, len(q) + 1)) AS u(i)
+         |  GROUP BY cluster, i),
+         |c${r}v AS (
+         |  SELECT cluster, pos, (cs - ((cs % n + n) % n)) // n AS cv FROM c${r}e),
+         |c${r}l AS (
+         |  SELECT cluster, list(cv ORDER BY pos) AS c_new FROM c${r}v GROUP BY cluster),
+         |c$r AS (
+         |  SELECT p.cluster, COALESCE(l.c_new, p.c) AS c
+         |  FROM $prev p LEFT JOIN c${r}l l USING (cluster))""".stripMargin
+    val roundsSql = (1 to rounds).map { r =>
+      assignCte(s"a$r", s"c${r - 1}") + ",\n" + centCtes(r, s"a$r", s"c${r - 1}")
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, q AS c FROM v WHERE vec_id < $k),
+       |$roundsSql,
+       |${assignCte("afinal", s"c$rounds")}
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+       |FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
   /** [[ivfTopk]] with nprobe >= nLists: every list is probed, so the
     * "approximate" path degenerates to exact brute force BY CONSTRUCTION —
     * which makes the whole IVF machinery (centroid aggregation, probe
@@ -361,6 +456,8 @@ object SimilarityOps {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // literal round-by-round Lloyd replay, generated from shared constants
+    "kmeans_assign" -> kmeansOracleSql(),
     "ann_brute_topk" -> bruteTopkSql,
     // full-probe IVF ≡ brute force: same oracle proves the IVF plumbing
     "ann_ivf_full_probe" -> bruteTopkSql,

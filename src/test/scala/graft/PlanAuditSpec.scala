@@ -208,6 +208,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("skew=true"), s"AQE did not mark the skewed join:\n$p")
   }
 
+  test("kmeans rounds broadcast centroids; corpus never cartesians") {
+    val p = plan(graft.ext.SimilarityOps.kmeansAssign(spark, sfDir))
+    // each Lloyd round must broadcast the k centroids against the corpus
+    // scan (BroadcastExchange), never shuffle the corpus to meet them,
+    // and recompute partials map-side (two-phase hash aggregate)
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("bloom decontamination probes the filter before the join") {
     val p = plan(graft.ext.TextOps.decontamBloom(spark, sfDir))
     // the corpus-side stage must carry the might_contain predicate (the

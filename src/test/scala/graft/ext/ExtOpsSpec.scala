@@ -355,6 +355,23 @@ class ExtOpsSpec extends SparkSpec {
     dir
   }
 
+  test("kmeans recovers planted well-separated blobs; deterministic across runs") {
+    val rnd = new scala.util.Random(3)
+    def around(c: Array[Float]): Array[Float] =
+      c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val centers = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // ids interleaved so seeds 0,1,2 land one per blob
+    val rows = (0 until 30).map(i => (i.toLong, around(centers(i % 3)), 0))
+    val dir = embFixture(rows)
+    def run() = SimilarityOps.kmeansAssign(spark, dir, k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = run()
+    // every vector clusters with its blob's seed
+    assert(got.forall { case (id, cl) => cl == id % 3 }, got.mkString(","))
+    assert(got == run(), "assignment not deterministic across runs")
+  }
+
   // ------------------------------------------------------------------
   // Hot-key guard (subSaltHotKeys): the adversarial degenerate regime —
   // every document identical, so every band key is shared by all m rows
