@@ -52,6 +52,10 @@ object SparkEntry {
     "merge_upsert"      -> (CoreQueries.mergeUpsert(_, _)),
     // state-merge refresh must equal the full recompute (the oracle)
     "incr_agg_refresh"  -> (CoreQueries.incrAggRefresh(_, _)),
+    // batch twin of the streaming windowed aggregation (same window())
+    "tumbling_counts"   -> (CoreQueries.tumblingCounts(_, _)),
+    // SemDeDup: near-dup pairs at 0.8 -> transitive closure -> min-id rep
+    "semdedup"          -> (SimilarityOps.semDedup(_, _)),
     "scd2_upsert"       -> (CoreQueries.scd2Upsert(_, _)),
     // Full reference-ETL surface over the bundled 30k taxi CSV (oracle
     // replays the whole pipeline in SQL — parse, normalize, dedup, Q1-Q4):
@@ -246,6 +250,10 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
         |  FROM events) t
         |WHERE rn > 1 ORDER BY event_id""".stripMargin,
+    "tumbling_counts" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // full recompute over ALL events — the incremental merge must match it
     "incr_agg_refresh" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,

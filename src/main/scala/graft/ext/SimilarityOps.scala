@@ -189,6 +189,34 @@ object SimilarityOps {
     assign(cents).select(col("vec_id"), col("cluster")).orderBy("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication — embedding
+    * near-duplicate PAIRS at the production threshold (0.8, the verified
+    * [[embLshNearDupHi]] regime) close transitively into components, and
+    * each component keeps its smallest vec_id as the representative.
+    * Composition of two already-oracle-checked pieces: exact blocked
+    * near-dup pairs ([[embNearDup]]) and the large-star/small-star
+    * connected components of [[graft.ext.DedupOps.connectedComponents]];
+    * the oracle replays pairs + recursive closure + min-id election.
+    *
+    * Scale shape: pair generation is the blocked equi-join (no BNLJ,
+    * CI-gated), CC is O(log n) equi-join/aggregate rounds with
+    * checkpointed lineage, keeper election is an aggregate — no windows
+    * over unbounded groups anywhere. */
+  def semDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = embNearDup(spark, sfDir, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comp = graft.ext.DedupOps.connectedComponents(pairs)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"))
+      .join(comp.withColumnRenamed("doc_id", "cid"),
+        col("vec_id") === col("cid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("rep_id"))
+      .withColumn("is_kept", col("vec_id") === col("rep_id"))
+      .orderBy("vec_id")
+  }
+
   /** Shared constants + literal round-by-round SQL replay of
     * [[kmeansAssign]] for the oracle (generated, so the two sides share
     * seeds/tie-breaks/floor-mean semantics by construction). */
@@ -458,6 +486,28 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     // literal round-by-round Lloyd replay, generated from shared constants
     "kmeans_assign" -> kmeansOracleSql(),
+    // exact pairs at 0.8 (the verified emb_lsh_near_dup_hi regime) →
+    // recursive transitive closure → min-id representative
+    "semdedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT e.vec_id,
+        |    LEAST(e.vec_id, COALESCE(MIN(r.dst), e.vec_id)) AS rep_id
+        |  FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+        |  GROUP BY e.vec_id
+        |)
+        |SELECT vec_id, rep_id, vec_id = rep_id AS is_kept
+        |FROM comp ORDER BY vec_id""".stripMargin,
     "ann_brute_topk" -> bruteTopkSql,
     // full-probe IVF ≡ brute force: same oracle proves the IVF plumbing
     "ann_ivf_full_probe" -> bruteTopkSql,

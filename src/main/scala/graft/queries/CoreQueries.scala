@@ -182,6 +182,20 @@ object CoreQueries {
       .orderBy($"bin")
   }
 
+  /** Tumbling event-time windows in BATCH via the same `window()` function
+    * Structured Streaming uses — batch/stream parity for windowed
+    * aggregation (the streaming twin is StreamingOps.windowedCounts).
+    * Pure hash aggregate on (hour, type): partial+final, no shuffle
+    * beyond the group keys. */
+  def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"event_type", $"n")
+      .orderBy("win_start", "event_type")
+  }
+
   /** Incremental aggregate (materialized-view) maintenance: yesterday's
     * per-key aggregate STATE (count + exact decimal sum over the base
     * slice) is merged with a delta slice's partial state — never

@@ -355,6 +355,19 @@ class ExtOpsSpec extends SparkSpec {
     dir
   }
 
+  test("semdedup: transitive chain keeps one min-id representative") {
+    // 1~2 and 2~3 at cos .866 >= 0.8, but 1~3 at cos .5 < 0.8 — only the
+    // transitive closure puts all three in one component; 4 is orthogonal
+    def v(th: Double) = Array(math.cos(th).toFloat, math.sin(th).toFloat, 0f, 0f)
+    val dir = embFixture(Seq(
+      (1L, v(0), 0), (2L, v(math.Pi / 6), 0), (3L, v(math.Pi / 3), 0),
+      (4L, Array(0f, 0f, 0f, 1f), 0)))
+    val out = SimilarityOps.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true)))
+  }
+
   test("kmeans recovers planted well-separated blobs; deterministic across runs") {
     val rnd = new scala.util.Random(3)
     def around(c: Array[Float]): Array[Float] =
