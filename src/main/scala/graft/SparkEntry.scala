@@ -109,6 +109,9 @@ object SparkEntry {
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
     "dedup_clusters"   -> (DedupOps.dedupClusters(_, _)),
+    // integer-deterministic PageRank over the near-dup graph (generated
+    // iteration-by-iteration oracle replay)
+    "pagerank_near_dup" -> (DedupOps.pagerankNearDup(_, _)),
     "cluster_keepers"  -> (DedupOps.clusterKeepers(_, _)),
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked

@@ -467,6 +467,92 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  /** Total PageRank mass (integer units), damping numerator (percent),
+    * and iteration count — shared with the generated oracle. */
+  val PrMass = 1000000000000L
+  val PrDamp = 85
+  val PrIters = 2
+
+  private val prEdgeCache = new graft.SessionFrameCache[String]
+
+  /** INTEGER-deterministic PageRank over the (undirected, symmetrized)
+    * near-duplicate graph — "how central is a document in its boilerplate
+    * neighborhood". All arithmetic is integer: ranks carry [[PrMass]]
+    * units, each node's contribution is `rank div degree`, damping is
+    * `(85 · inflow) div 100`, so the result is bit-identical on any
+    * engine and any partial-sum order — which is what lets a PageRank,
+    * normally a float fixpoint, be hash-checked by a generated DuckDB
+    * replay ([[pagerankOracleSql]]). Dangling (isolated) mass is NOT
+    * redistributed: isolated docs sit at the base rank, a documented
+    * simplification shared by both sides.
+    *
+    * Plan shape per iteration (the scalable Gauss-Jordan-free loop):
+    * contribution = ranks ⋈ degree (one equi-join), inflow = edges ⋈
+    * contribution + one hash aggregate on dst — O(E) shuffled rows per
+    * round, no windows, no driver state; the edge frame is a session-
+    * cached localCheckpoint so iterations do not replay the LSH pair
+    * join. At 100 TB the same loop runs with edges pre-partitioned by
+    * src (one-time shuffle amortized across iterations). */
+  def pagerankNearDup(spark: SparkSession, sfDir: String,
+      iters: Int = PrIters): DataFrame = {
+    val edges = prEdgeCache.getOrElseUpdateRaw(spark, sfDir) {
+      val pairs = minhashNearDup(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+    }
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val tot = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr(s"$PrMass div n").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.withColumnRenamed("doc_id", "src").join(deg, "src")
+        .select(col("src"), expr("r div deg").as("c"))
+      val inflow = edges.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("c")).as("inc"))
+      ranks = nodes.crossJoin(broadcast(tot))
+        .join(inflow, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), expr(
+          s"($PrMass * ${100 - PrDamp}) div (100 * n)" +
+            s" + ($PrDamp * coalesce(inc, 0L)) div 100").as("r"))
+    }
+    ranks.select(col("doc_id"), col("r").as("pr_rank")).orderBy("doc_id")
+  }
+
+  /** Literal iteration-by-iteration replay of [[pagerankNearDup]],
+    * generated from the same constants. */
+  private[ext] def pagerankOracleSql(iters: Int = PrIters): String = {
+    val base = s"($PrMass * ${100 - PrDamp}) // (100 * n)"
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT r.doc_id AS src, r.r // d.deg AS c
+         |  FROM r${i - 1} r JOIN deg d ON r.doc_id = d.src),
+         |in$i AS (
+         |  SELECT e.dst, CAST(SUM(c.c) AS BIGINT) AS inc
+         |  FROM edges e JOIN c$i c ON e.src = c.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT d.doc_id,
+         |    $base + ($PrDamp * COALESCE(i.inc, 0)) // 100 AS r
+         |  FROM documents d CROSS JOIN tot LEFT JOIN in$i i ON d.doc_id = i.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    shingleCteFrom("documents") +
+      s""", pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |tot AS (SELECT COUNT(*) AS n FROM documents),
+         |r0 AS (SELECT doc_id, $PrMass // n AS r FROM documents CROSS JOIN tot),
+         |$iterCtes
+         |SELECT doc_id, r AS pr_rank FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** The shared shingle CTE for DuckDB oracles. */
   private def shingleCteFrom(from: String) =
     s"""WITH t AS (
@@ -574,6 +660,7 @@ object DedupOps {
     // exact-Jaccard pair graph the banded path reproduces:
     "dedup_clusters" -> (clustersCte +
       "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    "pagerank_near_dup" -> pagerankOracleSql(),
     // keeper = argmax quality per component (quality formula identical to
     // the text_quality oracle — exact integer ratios, so scores and
     // therefore the argmax agree bit-for-bit):

@@ -355,6 +355,24 @@ class ExtOpsSpec extends SparkSpec {
     dir
   }
 
+  test("pagerank: hub outranks leaves, isolated docs sit at exact base rank") {
+    // star in jaccard space: hub ~ each leaf (shared 32-token runs), but
+    // the leaves mutate DIFFERENT positions so leaf~leaf < 0.6
+    val w = (1 to 40).map(i => s"w$i")
+    val hub = w.mkString(" ")
+    val leaf1 = (w.take(32) ++ (1 to 8).map(i => s"a$i")).mkString(" ")
+    val leaf2 = ((1 to 8).map(i => s"b$i") ++ w.drop(8)).mkString(" ")
+    val iso = (100 to 140).map(i => s"v$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (0L, hub, "en"), (1L, leaf1, "en"), (2L, leaf2, "en"), (3L, iso, "en")))
+    val pr = DedupOps.pagerankNearDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = (DedupOps.PrMass * (100 - DedupOps.PrDamp)) / (100L * 4)
+    assert(pr(3L) == base, s"isolated doc not at base: ${pr(3L)} vs $base")
+    assert(pr(0L) > pr(1L) && pr(1L) > pr(3L), pr.toString)
+    assert(pr(1L) == pr(2L), "symmetric leaves must tie")
+  }
+
   test("semdedup: transitive chain keeps one min-id representative") {
     // 1~2 and 2~3 at cos .866 >= 0.8, but 1~3 at cos .5 < 0.8 — only the
     // transitive closure puts all three in one component; 4 is orthogonal
