@@ -75,4 +75,28 @@ class SketchPropertiesSpec extends SparkSpec {
         s"exact=${r.getDouble(0)} approx=${r.getDouble(1)}")
     }
   }
+
+  test("misra-gries holds its guarantees on random skewed streams (any k)") {
+    val stream: Gen[(List[String], Int)] = for {
+      k <- Gen.choose(2, 24)
+      // zipf-ish: token index from a squared uniform over a small alphabet
+      toks <- Gen.listOfN(4000, Gen.choose(0.0, 1.0)
+        .map(u => s"t${(u * u * 60).toInt}"))
+    } yield (toks, k)
+    samples(stream, Seq(5L, 17L, 23L, 61L, 77L)).foreach { case (toks, k) =>
+      val truth = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size
+      val mg = toks.toDF("tok").repartition(7)
+        .agg(FrequencyFunctions.misraGries(col("tok"), k))
+        .collect().head.getAs[Map[String, Long]](0)
+      assert(mg.size <= k)
+      val guaranteed = truth.filter(_._2 > n / (k + 1)).keySet
+      assert(guaranteed.subsetOf(mg.keySet),
+        s"k=$k lost ${guaranteed -- mg.keySet}")
+      mg.foreach { case (t, est) =>
+        assert(est <= truth(t) && truth(t) - est <= n / (k + 1),
+          s"k=$k $t est=$est true=${truth(t)}")
+      }
+    }
+  }
 }
