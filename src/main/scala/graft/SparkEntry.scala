@@ -54,6 +54,12 @@ object SparkEntry {
     "incr_agg_refresh"  -> (CoreQueries.incrAggRefresh(_, _)),
     // batch twin of the streaming windowed aggregation (same window())
     "tumbling_counts"   -> (CoreQueries.tumblingCounts(_, _)),
+    "sliding_counts"    -> (CoreQueries.slidingCounts(_, _)),
+    // declarative data-quality audit: one scan for all row checks + an
+    // anti-join referential check; gate on n_violations == 0
+    "dq_checks"         -> (CoreQueries.dqChecks(_, _)),
+    // inverted-index postings with df >= 2 (retrieval-side build)
+    "postings"          -> (TextOps.postings(_, _)),
     // SemDeDup: near-dup pairs at 0.8 -> transitive closure -> min-id rep
     "semdedup"          -> (SimilarityOps.semDedup(_, _)),
     "scd2_upsert"       -> (CoreQueries.scd2Upsert(_, _)),
@@ -257,6 +263,31 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS win_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // width 2h / slide 1h: every event covered by exactly the two starts
+    // {trunc(ts)-1h, trunc(ts)} — enumerated literally
+    "sliding_counts" ->
+      """SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS win_start, event_type
+        |  FROM events) t
+        |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+    "dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'quantity_positive' AS check_name,
+        |    CAST(COUNT(*) FILTER (WHERE l_quantity IS NULL OR l_quantity <= 0) AS BIGINT) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL SELECT 'price_non_negative',
+        |    CAST(COUNT(*) FILTER (WHERE l_extendedprice < 0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'discount_in_unit_range',
+        |    CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'returnflag_in_domain',
+        |    CAST(COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'shipdate_not_null',
+        |    CAST(COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'orderkey_references_order',
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |) ORDER BY check_name""".stripMargin,
     // full recompute over ALL events — the incremental merge must match it
     "incr_agg_refresh" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,

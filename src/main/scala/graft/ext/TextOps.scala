@@ -609,6 +609,34 @@ object TextOps {
     decontamAgg(pruned, bench)
   }
 
+  /** Inverted-index postings build — the retrieval-side artifact of a
+    * training-data pipeline (BM25/keyword search over the corpus):
+    * (token, doc_id, tf) rows for every token that appears in at least
+    * [[PostingsMinDf]] documents, plus the token's document frequency so
+    * a scorer can compute idf without a second lookup.
+    *
+    * Plan: one explode → one (token, doc_id) aggregate (tf) → one token
+    * aggregate (df, map-side combined) joined back on the token. The df
+    * join key is the token itself — high cardinality, no hot spot; rare
+    * tokens are dropped BEFORE the join by the df filter. At 100 TB the
+    * postings land range-partitioned by token (the layout a search shard
+    * wants); no windows, no driver state. */
+  val PostingsMinDf = 2
+
+  def postings(spark: SparkSession, sfDir: String,
+      minDf: Int = PostingsMinDf): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    tf.join(df, "token")
+      .select(col("token"), col("doc_id"), col("tf"), col("df"))
+      .orderBy("token", "doc_id")
+  }
+
   /** Heavy-hitter threshold in basis points of total token occurrences
     * (200 = 2%), and the Misra-Gries sketch size. The guarantee that
     * makes the two-pass result EXACT needs threshold > n/(k+1):
@@ -832,6 +860,19 @@ object TextOps {
          |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped,
          |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS clean_text
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "postings" ->
+      s"""WITH tf AS (
+         |  SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
+         |                                      t -> t <> '')) AS token
+         |    FROM documents) t
+         |  GROUP BY token, doc_id
+         |), d AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY token HAVING COUNT(*) >= $PostingsMinDf
+         |)
+         |SELECT tf.token, tf.doc_id, tf.tf, d.df FROM tf JOIN d USING (token)
+         |ORDER BY token, doc_id""".stripMargin,
     // the sketch is a candidate generator only — the registered result is
     // exact counts over an exact threshold, replayed directly here
     "heavy_hitters" ->

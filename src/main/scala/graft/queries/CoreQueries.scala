@@ -196,6 +196,51 @@ object CoreQueries {
       .orderBy("win_start", "event_type")
   }
 
+  /** SLIDING event-time windows (width 2h, slide 1h) — every event lands
+    * in exactly two windows; same `window()` function as streaming, so
+    * batch/stream window semantics stay provably aligned (the oracle
+    * enumerates both covering starts per event). */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"event_type", $"n")
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Declarative data-quality checks (the Deequ/dbt-tests capability):
+    * each check is a predicate audited in ONE pass — a single aggregate
+    * of conditional counts over the scan — plus a referential-integrity
+    * check as a broadcast anti-join count. Output is (check, n_violations)
+    * so a pipeline can gate on violations == 0. At 100 TB the row checks
+    * stay one scan regardless of how many checks are declared; the FK
+    * check shuffles only the anti-join misses. */
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    def cnt(bad: Column) = sum(when(bad, 1L).otherwise(0L))
+    val rowChecks = li.agg(
+      cnt($"l_quantity".isNull || $"l_quantity" <= 0).as("quantity_positive"),
+      cnt($"l_extendedprice" < 0).as("price_non_negative"),
+      cnt($"l_discount" < 0 || $"l_discount" > 1).as("discount_in_unit_range"),
+      cnt(!$"l_returnflag".isin("A", "N", "R")).as("returnflag_in_domain"),
+      cnt($"l_shipdate".isNull).as("shipdate_not_null"))
+    val orphans = li.join(Tables.orders(spark, sfDir)
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("orderkey_references_order"))
+    val long = rowChecks.selectExpr(
+      "stack(5, 'quantity_positive', quantity_positive," +
+        " 'price_non_negative', price_non_negative," +
+        " 'discount_in_unit_range', discount_in_unit_range," +
+        " 'returnflag_in_domain', returnflag_in_domain," +
+        " 'shipdate_not_null', shipdate_not_null) AS (check_name, n_violations)")
+    long.unionByName(orphans.select(
+        lit("orderkey_references_order").as("check_name"),
+        $"orderkey_references_order".as("n_violations")))
+      .orderBy("check_name")
+  }
+
   /** Incremental aggregate (materialized-view) maintenance: yesterday's
     * per-key aggregate STATE (count + exact decimal sum over the base
     * slice) is merged with a delta slice's partial state — never
