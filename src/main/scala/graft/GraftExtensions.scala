@@ -46,18 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[SimHash64],
         "simhash64", "simhash64(hashes) - 64-bit SimHash over array<long>"),
       (args: Seq[Expression]) => SimHash64(asLongs(args(0)))))
-    // k/w are constructor constants (they size the rolling-hash state), so
-    // the SQL arguments must be foldable; validate and coerce explicitly —
-    // a raw eval().asInstanceOf would throw ClassCastException on a
-    // decimal literal and UnsupportedOperationException on a column ref
-    def foldableInt(e: Expression, name: String): Int = {
+    // constructor constants (they size per-row state), so the SQL
+    // arguments must be foldable; validate and coerce explicitly — a raw
+    // eval().asInstanceOf would throw ClassCastException on a decimal
+    // literal and UnsupportedOperationException on a column ref
+    def foldableInt(fn: String)(e: Expression, name: String): Int = {
       if (!e.foldable)
         throw new IllegalArgumentException(
-          s"winnow_fingerprint: $name must be a literal integer, got ${e.sql}")
+          s"$fn: $name must be a literal integer, got ${e.sql}")
       Option(Cast(e, org.apache.spark.sql.types.IntegerType).eval())
         .map(_.asInstanceOf[Int])
         .getOrElse(throw new IllegalArgumentException(
-          s"winnow_fingerprint: $name must not be null"))
+          s"$fn: $name must not be null"))
     }
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprint"),
@@ -68,7 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"winnow_fingerprint(text, k, w) takes 3 arguments, got ${args.length}")
         WinnowFingerprint(Cast(args(0), StringType),
-          k = foldableInt(args(1), "k"), w = foldableInt(args(2), "w"))
+          k = foldableInt("winnow_fingerprint")(args(1), "k"),
+          w = foldableInt("winnow_fingerprint")(args(2), "w"))
       }))
     ext.injectFunction((
       FunctionIdentifier("synth_media"),
@@ -81,5 +82,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[MediaHeaderDecode], "media_header_decode",
         "media_header_decode(blob) - parse format/width/height/n_frames from container headers"),
       (args: Seq[Expression]) => MediaHeaderDecode(args(0))))
+    // aggregate functions: the analyzer wraps a bare AggregateFunction in
+    // an AggregateExpression, so the builder returns it unwrapped
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      info(classOf[graft.functions.MisraGriesAgg], "misra_gries",
+        "misra_gries(item, k) - bounded k-counter frequent-items summary (map<string,long>)"),
+      (args: Seq[Expression]) => graft.functions.MisraGriesAgg(
+        Cast(args(0), StringType), k = foldableInt("misra_gries")(args(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("zorder_value"),
+      info(graft.plans.Layouts.getClass, "zorder_value",
+        "zorder_value(x, y) - 32-bit Morton interleave of two dimensions (16 bits each)"),
+      (args: Seq[Expression]) => graft.plans.Layouts.zorderExpr(args(0), args(1))))
   }
 }

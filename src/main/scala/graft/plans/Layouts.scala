@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Physical data layout — the Spark analog of the reference's index DDL
   * (TaxiEtl/script.sql:55-97). SQL Server uses B-tree indexes; a Spark
@@ -51,14 +51,27 @@ object Layouts {
     * non-negative mod (callers bucketize real values to ints); the
     * interleave itself is a fixed fan of shift/mask/or terms — pure
     * projection, whole-stage codegen, no shuffle. */
-  def zorderValue(x: Column, y: Column): Column = {
+  def zorderValue(x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(zorderExpr(
+      org.apache.spark.sql.GraftBridge.expression(x),
+      org.apache.spark.sql.GraftBridge.expression(y)))
+
+  /** The same interleave as a raw Catalyst expression tree — shared by
+    * the Column wrapper above and the `zorder_value` SQL registration in
+    * GraftExtensions (a Column-composed tree cannot be injected as a SQL
+    * function: it carries unresolved ColumnNode wrappers). */
+  def zorderExpr(x: Expression, y: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Cast, Literal, Pmod, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
     val m = 1L << ZBits
-    val xm = pmod(x.cast("long"), lit(m))
-    val ym = pmod(y.cast("long"), lit(m))
-    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(xm.bitwiseAND(lit(1L << i)), i))
-        .bitwiseOR(shiftleft(ym.bitwiseAND(lit(1L << i)), i + 1))
+    val xm = Pmod(Cast(x, LongType), Literal(m))
+    val ym = Pmod(Cast(y, LongType), Literal(m))
+    (0 until ZBits).foldLeft(Literal(0L): Expression) { (acc, i) =>
+      BitwiseOr(
+        BitwiseOr(acc,
+          ShiftLeft(BitwiseAnd(xm, Literal(1L << i)), Literal(i))),
+        ShiftLeft(BitwiseAnd(ym, Literal(1L << i)), Literal(i + 1)))
     }
   }
 

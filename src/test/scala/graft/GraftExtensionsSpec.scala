@@ -41,6 +41,19 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(m.getAs[String]("format") == "bmp") // doc_id 1 -> bmp
       assert(m.getAs[Int]("width") == 11 % 640 + 16)
       assert(m.getAs[Long]("n_frames") == 1L)
+      // misra_gries is an AGGREGATE from SQL (analyzer wraps the bare
+      // AggregateFunction); exact counts when distinct items fit in k
+      val mg = s2.sql(
+        """SELECT misra_gries(t, 8) AS m
+          |FROM (SELECT explode(array('a','a','b')) AS t)""".stripMargin)
+        .head().getAs[Map[String, Long]](0)
+      assert(mg == Map("a" -> 2L, "b" -> 1L))
+      // zorder_value: interleave of x=3 (bits 0,1), y=1 (bit 0) ->
+      // x bits at even positions, y at odd: 1|2|8 = 0b1011 = 11... y bit0
+      // lands at position 1: 3 -> 0b101, +2 -> 0b111? compute: x=3,y=1:
+      // (x bit0)<<0 + (y bit0)<<1 + (x bit1)<<2 = 1 + 2 + 4 = 7
+      val z = s2.sql("SELECT zorder_value(3, 1) AS z").head().getLong(0)
+      assert(z == 7L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
