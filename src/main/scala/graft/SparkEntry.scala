@@ -118,6 +118,9 @@ object SparkEntry {
     // integer-deterministic PageRank over the near-dup graph (generated
     // iteration-by-iteration oracle replay)
     "pagerank_near_dup" -> (DedupOps.pagerankNearDup(_, _)),
+    // blocked-Levenshtein record linkage (block-size cap, integer
+    // threshold — DuckDB levenshtein replays the same unit-cost DP)
+    "fuzzy_match"       -> (DedupOps.fuzzyMatch(_, _)),
     "cluster_keepers"  -> (DedupOps.clusterKeepers(_, _)),
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked

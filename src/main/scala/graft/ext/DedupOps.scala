@@ -467,6 +467,47 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  /** Fuzzy-match constants shared with the oracle: candidate blocks are
+    * (first two lowercased tokens, length div 40); blocks larger than
+    * [[FuzzyBlockCap]] are dropped as non-discriminative (the winnow
+    * df-cap contract — a degenerate prefix shared by m documents would
+    * otherwise cost m² edit distances); a pair matches when the edit
+    * distance is at most [[FuzzyMaxDistPct]]% of the longer text. */
+  val FuzzyBlockCap = 50
+  val FuzzyMaxDistPct = 20
+
+  /** Fuzzy string matching (record linkage): near-identical documents
+    * found by BLOCKED Levenshtein — the classic dedup path for short
+    * records (titles, addresses) where token sets are too coarse. The
+    * edit-distance predicate is integer-exact (dist·100 ≤ pct·maxlen), so
+    * the result is oracle-checkable against DuckDB's levenshtein, which
+    * implements the same unit-cost DP.
+    *
+    * Scale shape: one composite-key equi-join (block key), with block
+    * sizes capped BEFORE the join so candidate volume is ≤ cap·|blocks|;
+    * the O(len²) distance runs only on candidates. Documents whose block
+    * key is null (fewer than two tokens) are excluded by the
+    * null-propagating key on both sides. */
+  def fuzzyMatch(spark: SparkSession, sfDir: String,
+      maxDistPct: Int = FuzzyMaxDistPct, blockCap: Int = FuzzyBlockCap): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
+      concat(
+        expr("try_element_at(split(trim(lower(text)), ' '), 1)"), lit("|"),
+        expr("try_element_at(split(trim(lower(text)), ' '), 2)"), lit("|"),
+        expr("cast(length(text) div 40 as string)")).as("blk"))
+    val kept = d.join(
+      d.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= blockCap).select(col("blk")), "blk")
+    kept.as("a").join(kept.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"),
+        greatest(length(col("a.text")), length(col("b.text"))).as("mx"))
+      .filter(col("dist") * 100 <= col("mx") * maxDistPct)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Total PageRank mass (integer units), damping numerator (percent),
     * and iteration count — shared with the generated oracle. */
   val PrMass = 1000000000000L
@@ -661,6 +702,25 @@ object DedupOps {
     "dedup_clusters" -> (clustersCte +
       "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
     "pagerank_near_dup" -> pagerankOracleSql(),
+    // DuckDB levenshtein is the same unit-cost DP; the block key and the
+    // integer threshold are replayed from the shared constants
+    "fuzzy_match" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    string_split(trim(lower(text)), ' ')[1] || '|' ||
+         |    string_split(trim(lower(text)), ' ')[2] || '|' ||
+         |    CAST(length(text) // 40 AS VARCHAR) AS blk
+         |  FROM documents
+         |), k AS (
+         |  SELECT * FROM d
+         |  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= $FuzzyBlockCap
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.text, b.text) * 100
+         |      <= $FuzzyMaxDistPct * greatest(length(a.text), length(b.text))
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // keeper = argmax quality per component (quality formula identical to
     // the text_quality oracle — exact integer ratios, so scores and
     // therefore the argmax agree bit-for-bit):

@@ -355,6 +355,26 @@ class ExtOpsSpec extends SparkSpec {
     dir
   }
 
+  test("fuzzy match: small edits pair, same-block dissimilar text does not") {
+    val base = "alpha beta " + (1 to 20).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w7", "w7x").replace("w15", "q15") // few edits
+    val sameBlockFar = "alpha beta " + (100 to 119).map(i => s"z$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, base, "en"), (2L, edited, "en"), (3L, sameBlockFar, "en"),
+      (4L, "solo", "en"))) // single token: null block key, excluded
+    val out = DedupOps.fuzzyMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)), out.toString)
+  }
+
+  test("fuzzy match: oversized blocks are dropped, not exploded") {
+    // 5k identical docs share one block — the cap must kill it before the
+    // join, so candidates are zero (not 12.5M levenshtein calls)
+    val rows = (1L to 5000L).map(i => (i, "same prefix here always", "en"))
+    val dir = docsFixture(rows :+ (9001L, "other text entirely different", "en"))
+    assert(DedupOps.fuzzyMatch(spark, dir).count() == 0)
+  }
+
   test("pagerank: hub outranks leaves, isolated docs sit at exact base rank") {
     // star in jaccard space: hub ~ each leaf (shared 32-token runs), but
     // the leaves mutate DIFFERENT positions so leaf~leaf < 0.6
