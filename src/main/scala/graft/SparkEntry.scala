@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DedupOps, JsonMediaOps, SimilarityOps, TextOps}
+import graft.ext.{DedupOps, GraphOps, JsonMediaOps, SimilarityOps, TextOps}
 import graft.queries.{CoreQueries, TaxiQueries, TaxiScaled}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -121,6 +121,9 @@ object SparkEntry {
     // blocked-Levenshtein record linkage (block-size cap, integer
     // threshold — DuckDB levenshtein replays the same unit-cost DP)
     "fuzzy_match"       -> (DedupOps.fuzzyMatch(_, _)),
+    // degree-ordered triangle enumeration on the user co-engagement
+    // graph (bucket-capped pair generation; id-ordered oracle replay)
+    "triangles"         -> (GraphOps.triangles(_, _)),
     "cluster_keepers"  -> (DedupOps.clusterKeepers(_, _)),
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked
@@ -338,5 +341,5 @@ object SparkEntry {
         |ORDER BY o_orderkey, valid_from""".stripMargin,
   ) ++ TaxiQueries.oracles ++ TaxiScaled.oracles ++ TextOps.oracles ++
     DedupOps.oracles ++ SimilarityOps.oracles ++ JsonMediaOps.oracles ++
-    graft.ext.TemporalOps.oracles
+    graft.ext.TemporalOps.oracles ++ GraphOps.oracles
 }

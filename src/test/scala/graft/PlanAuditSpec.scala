@@ -131,6 +131,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.collect().forall(_.getAs[Long]("n_events") >= 1L))
   }
 
+  test("triangle enumeration is equi-joins only (wedge order rides as residual)") {
+    // the wedge join MUST hash-partition on the apex and the closing join
+    // on (mid, max) — a nested loop here is O(V^2) at 100 TB; the
+    // (deg, id) ordering must ride as a residual condition, not demote
+    // the join
+    val p = plan(graft.ext.GraphOps.triangles(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("connected-components star rounds are equi-joins + hash aggregates only") {
     import spark.implicits._
     // one full large-star + small-star round over a real edge frame: the

@@ -1,0 +1,85 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Planted-fixture tests for the co-engagement triangle family: the
+  * degree-ordered enumerator against hand-countable graphs, and the
+  * bucket cap that keeps pair generation linear under a degenerate
+  * bucket. */
+class GraphOpsSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("u_a", "u_b")
+  }
+
+  private def triples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("K4 has exactly its four triangles, emitted as sorted triples") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(triples(GraphOps.triangleEnum(k4)) ===
+      Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("a path and a star are triangle-free") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(GraphOps.triangleEnum(path).count() === 0)
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(GraphOps.triangleEnum(star).count() === 0)
+  }
+
+  test("hub with one closing edge yields exactly one triangle (no double count)") {
+    // hub 1 has max degree; orientation must still count {1,2,3} once
+    val hub = edges((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 3L))
+    assert(triples(GraphOps.triangleEnum(hub)) === Seq((1L, 2L, 3L)))
+  }
+
+  /** events-shaped fixture: (user_id, event_type, hour-offset). */
+  private def eventsDf(rows: Seq[(Long, String, Int)]) = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case ((u, et, h), i) =>
+      (i.toLong, u, et, Timestamp.valueOf(f"2026-01-01 ${h}%02d:30:00"))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+  }
+
+  test("co-engagement edges need CoocMinShared shared buckets") {
+    // users 1,2 share 3 buckets -> edge; user 3 shares only 2 -> none
+    val ev = eventsDf(Seq(
+      (1L, "a", 0), (2L, "a", 0),
+      (1L, "a", 1), (2L, "a", 1), (3L, "a", 1),
+      (1L, "b", 2), (2L, "b", 2), (3L, "b", 2),
+      // duplicate occurrence in an already-counted bucket adds nothing
+      (1L, "a", 0)))
+    val e = GraphOps.coocEdgesFrom(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e === Seq((1L, 2L)))
+  }
+
+  test("a bucket above CoocBucketCap contributes no pairs") {
+    // 1+CoocBucketCap users swarm one bucket; users 1,2 also share three
+    // small buckets -> only the (1,2) edge survives, the swarm is dropped
+    val swarm = (1L to (GraphOps.CoocBucketCap + 1L)).map(u => (u, "hot", 9))
+    val quiet = Seq(
+      (1L, "a", 0), (2L, "a", 0), (1L, "a", 1), (2L, "a", 1),
+      (1L, "b", 2), (2L, "b", 2))
+    val e = GraphOps.coocEdgesFrom(eventsDf(swarm ++ quiet)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e === Seq((1L, 2L)))
+  }
+
+  test("harness graph: triangles are closed wedges of real co-engagement edges") {
+    val tri = GraphOps.triangles(spark, "/root/testdata/sf0.001")
+    val got = triples(tri)
+    // every emitted triple must be three pairwise edges of the edge list
+    val e = GraphOps.coocEdgesFrom(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.foreach { case (a, b, c) =>
+      assert(a < b && b < c)
+      assert(e((a, b)) && e((a, c)) && e((b, c)), s"($a,$b,$c) not a triangle")
+    }
+  }
+}
