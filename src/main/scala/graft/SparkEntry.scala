@@ -60,6 +60,8 @@ object SparkEntry {
     "dq_checks"         -> (CoreQueries.dqChecks(_, _)),
     // inverted-index postings with df >= 2 (retrieval-side build)
     "postings"          -> (TextOps.postings(_, _)),
+    // keyword retrieval over the corpus: exact-integer tf-idf top-k
+    "tfidf_topk"        -> (TextOps.tfidfTopk(_, _)),
     // SemDeDup: near-dup pairs at 0.8 -> transitive closure -> min-id rep
     "semdedup"          -> (SimilarityOps.semDedup(_, _)),
     "scd2_upsert"       -> (CoreQueries.scd2Upsert(_, _)),
@@ -128,6 +130,9 @@ object SparkEntry {
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked
     "ann_brute_topk"   -> (SimilarityOps.bruteTopk(_, _)),
+    // hybrid retrieval: keyword (tf·idf) + vector (cosine) rankings
+    // fused by reciprocal rank — exact-integer scores, oracle-replayed
+    "rrf_fusion"       -> (SimilarityOps.rrfFusion(_, _)),
     // deterministic Lloyd (exact-integer distances/centroids): the final
     // assignment after 2 rounds is oracle-replayed in DuckDB
     "kmeans_assign"    -> (SimilarityOps.kmeansAssign(_, _)),

@@ -472,6 +472,118 @@ object SimilarityOps {
   def embLshNearDupHi(spark: SparkSession, sfDir: String): DataFrame =
     embLshNearDup(spark, sfDir, threshold = 0.8, bands = 32, rowsPerBand = 8)
 
+  /** Reciprocal-rank-fusion constants, shared with the oracle: the
+    * standard c = 60 (Cormack et al., SIGIR'09), an integer scale so
+    * each list's contribution `RrfScale div (c + rank)` is an exact
+    * BIGINT, list depth, and fused output depth. */
+  val RrfC = 60
+  val RrfScale = 1000000000L
+  val RrfListK = 20
+  val RrfTopF = 10
+
+  /** Hybrid retrieval: fuse a keyword ranking and a vector ranking with
+    * reciprocal-rank fusion, per query. The queries are the first
+    * `nQueries` documents (doc_id aligns with vec_id on the harness
+    * corpus): the keyword list is a more-like-this ranking — corpus docs
+    * scored by Σ tf·idf over the query doc's distinct terms, exact
+    * integers as in [[TextOps.tfidfTopk]] — and the vector list is the
+    * exact cosine top-k ([[bruteTopk]]). RRF works on RANKS only, so the
+    * fused score `Σ_lists floor(RrfScale/(c+rank))` is an exact BIGINT
+    * and the whole row is hash-checkable cross-engine.
+    *
+    * Scale shape: the keyword side is postings-shaped (query terms ⋈
+    * per-doc tf on the token key — one token-keyed shuffle; the query
+    * side is nQueries docs, tiny); its top-k reuses the salted two-phase
+    * [[topkPerQuery]] so no nQueries-reducer window ever sees the full
+    * score stream. The fusion join is (query_id, doc_id)-keyed over ≤
+    * 2·listK rows per query — bounded by construction, so the final
+    * per-query window is over ≤ 2·listK rows, not data-scale. */
+  def rrfFusion(spark: SparkSession, sfDir: String, nQueries: Int = 10,
+      listK: Int = RrfListK, topF: Int = RrfTopF): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(lower(col("text")))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), expr(s"(${TextOps.IdfScale} * n) div df").as("idf"))
+    val qterms = tok.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val kwScored = qterms.join(tf, "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(idf, "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf") * col("idf")).as("score"))
+    // topkPerQuery orders by a column named "cos" — an exact BIGINT
+    // score sorts just as well as a cosine there
+    val kw = topkPerQuery(kwScored.select(col("query_id"),
+        col("doc_id").as("vec_id"), col("score").as("cos")), listK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("k_rank"))
+    val vec = bruteTopk(spark, sfDir, nQueries, listK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("v_rank"))
+    val fused = kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"$RrfScale div ($RrfC + k_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfC + v_rank)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topF)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def rrfFusionSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
+       |                                    t -> t <> '')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY doc_id, token
+       |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |idf AS (
+       |  SELECT token, (${TextOps.IdfScale} * n.n) // COUNT(*) AS idf
+       |  FROM tf CROSS JOIN n GROUP BY token, n.n
+       |), qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id < 10
+       |), kws AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
+       |  FROM qt JOIN tf USING (token) JOIN idf USING (token)
+       |  WHERE tf.doc_id <> qt.query_id
+       |  GROUP BY qt.query_id, tf.doc_id
+       |), kwr AS (
+       |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS k_rank
+       |  FROM kws QUALIFY k_rank <= $RrfListK
+       |), vr AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+       |               e.vec_id) AS BIGINT) AS v_rank
+       |  FROM embeddings e
+       |  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |    ON e.vec_id <> q.vec_id
+       |  QUALIFY v_rank <= $RrfListK
+       |), fused AS (
+       |  SELECT COALESCE(k.query_id, v.query_id) AS query_id,
+       |         COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |    CAST(COALESCE($RrfScale // ($RrfC + k.k_rank), 0)
+       |       + COALESCE($RrfScale // ($RrfC + v.v_rank), 0) AS BIGINT) AS rrf_score
+       |  FROM kwr k FULL OUTER JOIN vr v
+       |    ON k.query_id = v.query_id AND k.doc_id = v.doc_id
+       |)
+       |SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, rrf_score
+       |FROM fused QUALIFY rank <= $RrfTopF
+       |ORDER BY query_id, rank""".stripMargin
+
   private val bruteTopkSql =
     """SELECT query_id, rank, neighbor_id FROM (
       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -509,6 +621,9 @@ object SimilarityOps {
         |SELECT vec_id, rep_id, vec_id = rep_id AS is_kept
         |FROM comp ORDER BY vec_id""".stripMargin,
     "ann_brute_topk" -> bruteTopkSql,
+    // rank-only fusion: every score is an exact BIGINT, both rankings
+    // replayed literally (keyword tf·idf + cosine top-k)
+    "rrf_fusion" -> rrfFusionSql,
     // full-probe IVF ≡ brute force: same oracle proves the IVF plumbing
     "ann_ivf_full_probe" -> bruteTopkSql,
     // nprobe=3 replay: the exact-integer centroid/probe arithmetic of

@@ -16,7 +16,7 @@ import graft.Tables
 object TextOps {
 
   /** Whitespace tokens with empties removed (texts carry trailing spaces). */
-  private def tokens(c: Column): Column =
+  private[ext] def tokens(c: Column): Column =
     filter(split(trim(c), " "), t => t =!= "")
 
   /** Adjacent-token bigrams of a `toks` array column (empty under 2
@@ -637,6 +637,51 @@ object TextOps {
       .orderBy("token", "doc_id")
   }
 
+  /** Fixed query for the registered keyword-retrieval row: one rare term
+    * (`dup`, df 25 of 500 at sf0.01 — high idf, drives the ranking) and
+    * two common ones. Shared with the oracle. */
+  val TfidfQueryTerms: Seq[String] = Seq("dup", "vector", "spark")
+  val TfidfTopK = 50
+
+  /** idf is computed as `(IdfScale * N) div df` — integer division on an
+    * integer-scaled ratio, so scores are exact BIGINTs and the ranking
+    * (score desc, doc_id) is bit-identical cross-engine. The classic
+    * `ln(N/df)` idf is a monotone transform of N/df, so for single-term
+    * queries the ranking is identical; for multi-term sums it is the
+    * standard "raw idf" weighting variant — chosen because exactness is
+    * what makes the row hash-checkable. */
+  val IdfScale = 1000000L
+
+  /** Keyword retrieval: top-[[TfidfTopK]] documents for a fixed term
+    * query, scored by Σ_t tf(d,t) · idf(t) in exact integers.
+    *
+    * Scale shape: the exploded token stream is filtered to the query's
+    * terms BEFORE any shuffle — the whole plan is proportional to the
+    * matching postings, not the corpus (the scan-side dual of the
+    * [[postings]] index build; at 100 TB the tf aggregate reads the
+    * token-partitioned postings table instead of re-tokenizing raw
+    * text, same plan from the join down). df/idf for the ≤|query| terms
+    * is a broadcast; the final top-k compiles to TakeOrderedAndProject
+    * (per-partition heaps, no global sort — gated). */
+  def tfidfTopk(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = TfidfQueryTerms, k: Int = TfidfTopK): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), expr(s"($IdfScale * n) div df").as("idf"))
+    tf.join(broadcast(idf), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Heavy-hitter threshold in basis points of total token occurrences
     * (200 = 2%), and the Misra-Gries sketch size. The guarantee that
     * makes the two-pass result EXACT needs threshold > n/(k+1):
@@ -873,6 +918,27 @@ object TextOps {
          |)
          |SELECT tf.token, tf.doc_id, tf.tf, d.df FROM tf JOIN d USING (token)
          |ORDER BY token, doc_id""".stripMargin,
+    // integer-scaled idf ((IdfScale*N) // df) -> exact BIGINT scores,
+    // same term list and tie-break as the Spark side
+    "tfidf_topk" -> {
+      val terms = TfidfQueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
+         |                                      t -> t <> '')) AS token
+         |    FROM documents) t
+         |  WHERE token IN ($terms)
+         |  GROUP BY doc_id, token
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |idf AS (
+         |  SELECT token, ($IdfScale * n.n) // COUNT(*) AS idf
+         |  FROM tf CROSS JOIN n GROUP BY token, n.n
+         |)
+         |SELECT tf.doc_id, CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
+         |FROM tf JOIN idf USING (token)
+         |GROUP BY tf.doc_id
+         |ORDER BY score DESC, doc_id LIMIT $TfidfTopK""".stripMargin
+    },
     // the sketch is a candidate generator only — the registered result is
     // exact counts over an exact threshold, replayed directly here
     "heavy_hitters" ->

@@ -131,6 +131,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.collect().forall(_.getAs[Long]("n_events") >= 1L))
   }
 
+  test("tfidf retrieval: term filter precedes the shuffle, top-k heaps, idf broadcasts") {
+    val p = plan(graft.ext.TextOps.tfidfTopk(spark, sfDir))
+    // the final top-k must be per-partition heaps, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the per-term idf frame joins broadcast (it is <= |query| rows); the
+    // 1-row corpus-count crossJoin is a broadcast too, so only a true
+    // cartesian is a defect here
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rrf fusion: token-keyed equi joins, no cartesian; fusion join keyed") {
+    val p = plan(graft.ext.SimilarityOps.rrfFusion(spark, sfDir))
+    // broadcast nested loops are fine (1-row counts, nQueries-row query
+    // frames); an unkeyed CartesianProduct is not
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("triangle enumeration is equi-joins only (wedge order rides as residual)") {
     // the wedge join MUST hash-partition on the apex and the closing join
     // on (mid, max) — a nested loop here is O(V^2) at 100 TB; the

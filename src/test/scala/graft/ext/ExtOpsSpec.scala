@@ -337,6 +337,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (2L, 6L)), out.mkString(", "))
   }
 
+  test("tfidf top-k: rare terms dominate, scores are exact integers") {
+    // 4 docs, terms x (df 2) and y (df 4): idf_x = 1e6*4//2 = 2e6,
+    // idf_y = 1e6*4//4 = 1e6. Scores: d1 = 2*2e6 + 1*1e6 = 5e6,
+    // d2 = 1*2e6 + 1e6 = 3e6, d3 = 3*1e6 = 3e6 (tie -> doc_id), d4 = 1e6
+    val dir = docsFixture(Seq(
+      (1L, "x x y z", "en"), (2L, "x y z z", "en"),
+      (3L, "y y y z", "en"), (4L, "y z z z", "en")))
+    val got = TextOps.tfidfTopk(spark, dir, terms = Seq("x", "y"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 5000000L), (2L, 3000000L), (3L, 3000000L)))
+  }
+
+  test("tfidf top-k: docs without any query term never appear") {
+    val dir = docsFixture(Seq(
+      (1L, "x a b", "en"), (2L, "a b c", "en"), (3L, "b c a", "en")))
+    val got = TextOps.tfidfTopk(spark, dir, terms = Seq("x"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("rrf fusion: both-list docs sum contributions, single-list docs keep one") {
+    import spark.implicits._
+    val dir = tmpDir("hybrid")
+    // doc 0 is the query; doc 1 shares its rare terms (keyword hit),
+    // doc 3 shares its embedding direction (vector hit), doc 2 neither
+    Seq((0L, "rare1 rare2", "en"), (1L, "rare1 rare2 filler", "en"),
+        (2L, "aaa bbb", "en"), (3L, "ccc ddd", "en"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(0f, 1f, 0f, 0f), 0),
+        (2L, Array(1f, 1f, 0f, 0f), 0), (3L, Array(2f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityOps.rrfFusion(spark, dir, nQueries = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // keyword list: [1]; vector list: [3 (cos 1), 2 (cos .707), 1 (cos 0)]
+    // doc1 = 1e9/61 + 1e9/63, doc3 = 1e9/61, doc2 = 1e9/62
+    assert(got === Seq(
+      (0L, 1L, 1L, 1000000000L / 61 + 1000000000L / 63),
+      (0L, 2L, 3L, 1000000000L / 61),
+      (0L, 3L, 2L, 1000000000L / 62)))
+  }
+
+  test("rrf fusion on harness data: contiguous ranks, bounded depth per query") {
+    val rows = SimilarityOps.rrfFusion(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.values.foreach { qs =>
+      val ranks = qs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks === (1L to ranks.size), ranks.toString)
+      assert(ranks.size <= SimilarityOps.RrfTopF)
+    }
+  }
+
   test("top bigrams count corpus phrases with deterministic tie-break") {
     val dir = docsFixture(Seq(
       (1L, "a b a b c", "en"), (2L, "a b x", "en")))
