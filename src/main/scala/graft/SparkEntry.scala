@@ -39,7 +39,14 @@ object SparkEntry {
     // multi-dimensional clustering key (Morton interleave) — the sorted
     // layout's pruning property is asserted in LayoutsSpec
     "zorder_keys"      -> (CoreQueries.zorderKeys(_, _)),
+    // small-files compaction plan: sequential-fill bin assignment over
+    // the (event_type, day) logical file inventory
+    "compaction_plan"  -> (graft.plans.Layouts.compactionPlan(_, _)),
     "sessionize"       -> (graft.ext.TemporalOps.sessionize(_, _)),
+    // strict ordered funnel (view -> click -> purchase), join-only plan
+    "funnel_counts"    -> (graft.ext.TemporalOps.funnelCounts(_, _)),
+    // first-activity-day cohorts x day-offset activity counts
+    "cohort_retention" -> (graft.ext.TemporalOps.cohortRetention(_, _)),
     "asof_join"        -> (graft.ext.TemporalOps.asofJoin(_, _)),
     "range_join_counts" -> (graft.ext.TemporalOps.rangeJoinCounts(_, _)),
     "j1_join_broadcast" -> (CoreQueries.j1JoinBroadcast(_, _)),
@@ -95,6 +102,8 @@ object SparkEntry {
     "doc_winnow_pairs" -> (TextOps.winnowPairs(_, _)),        // oracle: same + df-cap + count
     "top_ngrams"       -> (TextOps.topNgrams(_, _)),
     "source_stats"     -> (TextOps.sourceStats(_, _)),
+    // pairwise corpus drift: exact-integer total-variation distance
+    "source_drift"     -> (TextOps.sourceDrift(_, _)),
     "train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "pii_redact"       -> (TextOps.piiRedact(_, _)),
     "seq_pack"         -> (TextOps.seqPack(_, _)),
@@ -346,5 +355,6 @@ object SparkEntry {
         |ORDER BY o_orderkey, valid_from""".stripMargin,
   ) ++ TaxiQueries.oracles ++ TaxiScaled.oracles ++ TextOps.oracles ++
     DedupOps.oracles ++ SimilarityOps.oracles ++ JsonMediaOps.oracles ++
-    graft.ext.TemporalOps.oracles ++ GraphOps.oracles
+    graft.ext.TemporalOps.oracles ++ GraphOps.oracles ++
+    graft.plans.Layouts.oracles
 }

@@ -100,7 +100,106 @@ object TemporalOps {
       .orderBy("win_id")
   }
 
+  /** The funnel's ordered steps, shared with the oracle. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Ordered-funnel analysis: how many users perform each step AFTER
+    * their first occurrence of the previous step (the classic strict
+    * view → click → purchase funnel). Per user, step 1's time is the
+    * first `view`; step i's time is the first step-i event strictly
+    * after the user's step-(i-1) time. Output: one row per step with
+    * the surviving user count — all exact integers.
+    *
+    * Scale shape: one conditional aggregation per step, each a user-
+    * keyed hash aggregate joined user-to-user with the previous step's
+    * times — no windows, no per-user event sorting, no state that grows
+    * with events per user. At 100 TB this is #steps user-keyed
+    * shuffles of (user, ts) pairs, each map-side combined by min(). */
+  def funnelCounts(spark: SparkSession, sfDir: String,
+      steps: Seq[String] = FunnelSteps): DataFrame =
+    funnelCountsFrom(Tables.events(spark, sfDir), steps)
+
+  /** [[funnelCounts]] over any events-shaped frame (user_id, event_type,
+    * ts) — the planted-fixture entry. */
+  def funnelCountsFrom(e: DataFrame,
+      steps: Seq[String] = FunnelSteps): DataFrame = {
+    // fold left over steps: frame of (user_id, t) = time the user
+    // completed the prefix ending at this step
+    val first = e.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val reached = steps.tail.scanLeft(first) { (prev, step) =>
+      e.filter(col("event_type") === step)
+        .join(prev.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    }
+    val counts = reached.zip(steps.zipWithIndex).map {
+      case (df, (step, i)) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1L).as("step"), lit(step).as("event_type"),
+            col("n_users"))
+    }
+    counts.reduce(_.unionByName(_)).orderBy("step")
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort day, day offset) the number of cohort users active on that
+    * offset. One user-keyed aggregate for the cohort assignment, one
+    * distinct (user, day) projection, one equi-join back on user, one
+    * final (cohort, offset) aggregate — the canonical two-shuffle
+    * retention plan; both aggregates map-side combine and no key is
+    * hotter than a calendar day. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    cohortRetentionFrom(Tables.events(spark, sfDir))
+
+  def cohortRetentionFrom(e: DataFrame): DataFrame = {
+    val days = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val oracles: Map[String, String] = Map(
+    "funnel_counts" -> {
+      val Seq(s1, s2, s3) = FunnelSteps
+      s"""WITH r1 AS (
+         |  SELECT user_id, MIN(ts) AS t FROM events
+         |  WHERE event_type = '$s1' GROUP BY user_id
+         |), r2 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t
+         |  FROM events e JOIN r1 ON e.user_id = r1.user_id
+         |  WHERE e.event_type = '$s2' AND e.ts > r1.t
+         |  GROUP BY e.user_id
+         |), r3 AS (
+         |  SELECT e.user_id, MIN(e.ts) AS t
+         |  FROM events e JOIN r2 ON e.user_id = r2.user_id
+         |  WHERE e.event_type = '$s3' AND e.ts > r2.t
+         |  GROUP BY e.user_id
+         |)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, '$s1' AS event_type,
+         |    (SELECT COUNT(*) FROM r1) AS n_users
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), '$s2', (SELECT COUNT(*) FROM r2)
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), '$s3', (SELECT COUNT(*) FROM r3)) t
+         |ORDER BY step""".stripMargin
+    },
+    "cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), cohorts AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+        |)
+        |SELECT c.cohort_day,
+        |  CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM days d JOIN cohorts c ON d.user_id = c.user_id
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "range_join_counts" ->
       """SELECT i.win_id, COUNT(*) AS n_events
         |FROM (SELECT event_id AS win_id, ts AS s, ts + INTERVAL 10 MINUTE AS e

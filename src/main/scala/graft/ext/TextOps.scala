@@ -682,6 +682,56 @@ object TextOps {
       .limit(k)
   }
 
+  /** Pairwise distribution drift between sources: total-variation
+    * distance between token distributions, in EXACT integer arithmetic.
+    * TV(a,b) = ½ Σ_t |p_a(t) − p_b(t)|; cross-multiplying by the token
+    * totals T_a·T_b gives `tv_scaled = Σ_t |c_a·T_b − c_b·T_a|`, an
+    * exact BIGINT. Tokens present in only one source are folded in
+    * CLOSED FORM: their contribution is Σ_{t∈a∖b} c_a·T_b + Σ_{t∈b∖a}
+    * c_b·T_a, and since Σ_all c_a = T_a, `tv_scaled = 2·T_a·T_b +
+    * Σ_{t∈a∩b} (|c_a·T_b − c_b·T_a| − c_a·T_b − c_b·T_a)` — so the
+    * plan only ever joins on tokens BOTH sources share, never needs a
+    * full-outer join or a per-pair union of vocabularies. `tv` is the
+    * normalized [0,1] value (one float division of exact integers —
+    * deterministic cross-engine).
+    *
+    * Scale shape: one (source, token) hash aggregate over the corpus
+    * (map-side combined), a token-keyed self-join restricted to
+    * src_a < src_b (fanout per token = #sources containing it, bounded
+    * by #sources), a (src_a, src_b) aggregate, and a broadcast of the
+    * #sources-row totals. Nothing scales with corpus size except the
+    * first aggregate. Counts are O(corpus tokens) longs: at extreme
+    * scale the c·T products approach 2^63 — shard the corpus or compute
+    * in DECIMAL(38,0) there; the plan is unchanged. */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val inner = tc.select(col("source").as("src_a"), col("token"), col("c").as("ca"))
+      .join(tc.select(col("source").as("src_b"), col("token"), col("c").as("cb")),
+        "token")
+      .filter(col("src_a") < col("src_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("t").as("ta"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"), col("t").as("tb"))), "src_b")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(abs(col("ca") * col("tb") - col("cb") * col("ta"))
+        - col("ca") * col("tb") - col("cb") * col("ta")).as("shared_term"))
+    val pairs = tot.select(col("source").as("src_a"), col("t").as("ta"))
+      .crossJoin(tot.select(col("source").as("src_b"), col("t").as("tb")))
+      .filter(col("src_a") < col("src_b"))
+    pairs.join(inner, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        (lit(2L) * col("ta") * col("tb") + coalesce(col("shared_term"), lit(0L)))
+          .as("tv_scaled"),
+        col("ta"), col("tb"))
+      .withColumn("tv",
+        col("tv_scaled").cast("double") / (lit(2.0) * (col("ta") * col("tb")).cast("double")))
+      .select(col("src_a"), col("src_b"), col("tv_scaled"), col("tv"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Heavy-hitter threshold in basis points of total token occurrences
     * (200 = 2%), and the Misra-Gries sketch size. The guarantee that
     * makes the two-pass result EXACT needs threshold > n/(k+1):
@@ -918,6 +968,34 @@ object TextOps {
          |)
          |SELECT tf.token, tf.doc_id, tf.tf, d.df FROM tf JOIN d USING (token)
          |ORDER BY token, doc_id""".stripMargin,
+    // exact-integer TV distance; the single float division at the end is
+    // deterministic (one IEEE op over exact integers)
+    "source_drift" ->
+      """WITH tc AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source, unnest(list_filter(string_split(trim(lower(text)), ' '),
+        |                                      t -> t <> '')) AS token
+        |    FROM documents) t
+        |  GROUP BY source, token
+        |), tot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM tc GROUP BY source
+        |), inner_term AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(SUM(abs(a.c * tb.t - b.c * ta.t)
+        |             - a.c * tb.t - b.c * ta.t) AS BIGINT) AS shared_term
+        |  FROM tc a JOIN tc b ON a.token = b.token AND a.source < b.source
+        |  JOIN tot ta ON ta.source = a.source
+        |  JOIN tot tb ON tb.source = b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT p.src_a, p.src_b,
+        |  CAST(2 * p.ta * p.tb + COALESCE(i.shared_term, 0) AS BIGINT) AS tv_scaled,
+        |  CAST(2 * p.ta * p.tb + COALESCE(i.shared_term, 0) AS DOUBLE)
+        |    / (2.0 * CAST(p.ta * p.tb AS DOUBLE)) AS tv
+        |FROM (SELECT a.source AS src_a, b.source AS src_b, a.t AS ta, b.t AS tb
+        |      FROM tot a JOIN tot b ON a.source < b.source) p
+        |LEFT JOIN inner_term i ON p.src_a = i.src_a AND p.src_b = i.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
     // integer-scaled idf ((IdfScale*N) // df) -> exact BIGINT scores,
     // same term list and tie-break as the Spark side
     "tfidf_topk" -> {

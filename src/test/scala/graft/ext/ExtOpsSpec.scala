@@ -337,6 +337,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (2L, 6L)), out.mkString(", "))
   }
 
+  test("source drift: hand-computed TV on overlapping and disjoint vocabularies") {
+    import spark.implicits._
+    val dir = tmpDir("drift")
+    Seq((1L, "x x y", "a"), (2L, "x y y y", "b"), (3L, "z z", "c"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.sourceDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // a=(x:2,y:1,T=3)  b=(x:1,y:3,T=4): tv_scaled = |2*4-1*3|+|1*4-3*3| = 10,
+    // tv = 10/24 = 5/12; disjoint vocab -> tv exactly 1
+    assert(got === Seq(
+      ("a", "b", 10L, 10.0 / 24.0),
+      ("a", "c", 12L, 1.0),
+      ("b", "c", 16L, 1.0)))
+  }
+
   test("tfidf top-k: rare terms dominate, scores are exact integers") {
     // 4 docs, terms x (df 2) and y (df 4): idf_x = 1e6*4//2 = 2e6,
     // idf_y = 1e6*4//4 = 1e6. Scores: d1 = 2*2e6 + 1*1e6 = 5e6,

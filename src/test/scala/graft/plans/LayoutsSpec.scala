@@ -81,4 +81,32 @@ class LayoutsSpec extends SparkSpec {
     assert(served(byZ, box2d) <= served(byX, box2d),
       s"z=${served(byZ, box2d)} x=${served(byX, box2d)}")
   }
+
+  test("compaction bins: sequential fill by exclusive cumulative offset") {
+    import spark.implicits._
+    val inv = Seq(("a", 1L, 100L), ("b", 1L, 200L), ("c", 1L, 50L),
+        ("d", 1L, 300L), ("e", 1L, 10L))
+      .toDF("file_key", "n_rows", "bytes")
+    val got = Layouts.assignBins(inv, target = 256L).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    // cum_before: a=0, b=100, c=300, d=350, e=650 -> bins 0,0,1,1,2
+    assert(got === Seq(("a", 0L), ("b", 0L), ("c", 1L), ("d", 1L), ("e", 2L)))
+  }
+
+  test("compaction plan invariants: bins contiguous, spill bounded by one file") {
+    val rows = Layouts.compactionPlan(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // bin ids are non-decreasing in file_key order and start at 0
+    val bins = rows.map(_._3)
+    assert(bins.head === 0L)
+    assert(bins.zip(bins.tail).forall { case (a, b) => b >= a })
+    // each bin's total exceeds target by at most its last file (the
+    // sequential-fill spill contract)
+    rows.groupBy(_._3).values.foreach { fs =>
+      val total = fs.map(_._2).sum
+      assert(total <= Layouts.TargetBinBytes + fs.map(_._2).max,
+        s"bin over-packed: $total")
+    }
+  }
 }
