@@ -104,6 +104,8 @@ object SparkEntry {
     "source_stats"     -> (TextOps.sourceStats(_, _)),
     // pairwise corpus drift: exact-integer total-variation distance
     "source_drift"     -> (TextOps.sourceDrift(_, _)),
+    // per-doc out-of-vocabulary rate vs the corpus top-k vocabulary
+    "doc_oov_rate"     -> (TextOps.docOovRate(_, _)),
     "train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "pii_redact"       -> (TextOps.piiRedact(_, _)),
     "seq_pack"         -> (TextOps.seqPack(_, _)),
@@ -135,6 +137,12 @@ object SparkEntry {
     // degree-ordered triangle enumeration on the user co-engagement
     // graph (bucket-capped pair generation; id-ordered oracle replay)
     "triangles"         -> (GraphOps.triangles(_, _)),
+    // local clustering coefficient per vertex (exact counts, one
+    // deterministic float division)
+    "clustering_coeff"  -> (GraphOps.clusteringCoeff(_, _)),
+    // robust daily-count outliers per event_type (discrete median + MAD
+    // by rank arithmetic, integer-exact flags)
+    "anomaly_days"      -> (graft.ext.TemporalOps.anomalyDays(_, _)),
     "cluster_keepers"  -> (DedupOps.clusterKeepers(_, _)),
     "doc_simhash"      -> (DedupOps.simhash(_, _)),        // md5-based: oracle-checked
     "simhash_near_dup" -> (DedupOps.simhashNearDup(_, _)), // md5-based: oracle-checked

@@ -162,7 +162,73 @@ object TemporalOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** MAD multiplier for [[anomalyDays]], shared with the oracle. */
+  val AnomalyK = 3
+
+  /** Robust per-series outlier detection: for each event_type's daily
+    * count series, flag days where |n − median| > K · MAD (median
+    * absolute deviation). Median and MAD are the DISCRETE lower medians
+    * selected by rank arithmetic — exact integers, so the flag
+    * comparison is integer-exact cross-engine (the
+    * [[TextOps.sourceLenPercentiles]] trick applied twice).
+    *
+    * Scale note: the windows partition by event_type over the DAILY
+    * AGGREGATE — one row per (type, day), bounded by calendar ×
+    * #types, metadata-scale forever. The only data-scale operation is
+    * the first map-side-combined count. */
+  def anomalyDays(spark: SparkSession, sfDir: String,
+      k: Int = AnomalyK): DataFrame =
+    anomalyDaysFrom(Tables.events(spark, sfDir), k)
+
+  def anomalyDaysFrom(e: DataFrame, k: Int = AnomalyK): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
+      val w = W.partitionBy(col("event_type")).orderBy(col(value), col("day"))
+      df.withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(W.partitionBy(col("event_type"))))
+        .filter(col("rk") === expr("(cnt + 1) div 2"))
+        .select(col("event_type"), col(value).as(out))
+    }
+    val med = lowerMedian(d, "n", "med")
+    val dev = d.join(med, "event_type")
+      .withColumn("ad", abs(col("n") - col("med")))
+    val mad = lowerMedian(dev, "ad", "mad")
+    dev.join(mad, "event_type")
+      .filter(col("ad") > lit(k.toLong) * col("mad"))
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "anomaly_days" ->
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2
+         |), med AS (
+         |  SELECT event_type, n AS med FROM (
+         |    SELECT event_type, day, n,
+         |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rk,
+         |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+         |    FROM d) t
+         |  WHERE rk = (cnt + 1) // 2
+         |), dev AS (
+         |  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS ad
+         |  FROM d JOIN med m USING (event_type)
+         |), mad AS (
+         |  SELECT event_type, ad AS mad FROM (
+         |    SELECT event_type, day, ad,
+         |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad, day) AS rk,
+         |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+         |    FROM dev) t
+         |  WHERE rk = (cnt + 1) // 2
+         |)
+         |SELECT dev.event_type, dev.day, dev.n, dev.med, mad.mad
+         |FROM dev JOIN mad USING (event_type)
+         |WHERE dev.ad > $AnomalyK * mad.mad
+         |ORDER BY dev.event_type, dev.day""".stripMargin,
     "funnel_counts" -> {
       val Seq(s1, s2, s3) = FunnelSteps
       s"""WITH r1 AS (

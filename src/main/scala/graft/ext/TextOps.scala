@@ -682,6 +682,38 @@ object TextOps {
       .limit(k)
   }
 
+  /** Reference-vocabulary size for [[docOovRate]], shared with the
+    * oracle (the VocabTopK pattern): the top-20 corpus tokens by count
+    * (ties by token) — binding on the ~31-token harness vocabulary, so
+    * real docs get nonzero OOV rates. */
+  val OovVocabK = 20
+
+  /** Per-document out-of-vocabulary rate against the corpus's own top-k
+    * vocabulary — the curation signal that flags docs full of junk /
+    * rare tokens. `oov_bp = (10000 · n_oov) div n_tokens` is exact
+    * integer basis points; tokenless docs emit no row (no denominator).
+    *
+    * Scale shape: the vocabulary is a corpus-level top-k heap
+    * (TakeOrdered over the token aggregate) broadcast to a left join —
+    * the per-doc aggregate is one map-side-combined shuffle on doc_id.
+    * In production the vocab list is a given artifact (the tokenizer's
+    * vocabulary); deriving it from the corpus here exercises the same
+    * plan plus the top-k. */
+  def docOovRate(spark: SparkSession, sfDir: String,
+      vocabK: Int = OovVocabK): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabK)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("(10000 * n_oov) div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairwise distribution drift between sources: total-variation
     * distance between token distributions, in EXACT integer arithmetic.
     * TV(a,b) = ½ Σ_t |p_a(t) − p_b(t)|; cross-multiplying by the token
@@ -968,6 +1000,24 @@ object TextOps {
          |)
          |SELECT tf.token, tf.doc_id, tf.tf, d.df FROM tf JOIN d USING (token)
          |ORDER BY token, doc_id""".stripMargin,
+    // top-k vocab replayed with the same (count desc, token) tie-break;
+    // exact integer basis points
+    "doc_oov_rate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
+         |                                    t -> t <> '')) AS token
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT token FROM tok GROUP BY token
+         |  ORDER BY COUNT(*) DESC, token LIMIT $OovVocabK
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  (10000 * CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+         |    // COUNT(*) AS oov_bp
+         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // exact-integer TV distance; the single float division at the end is
     // deterministic (one IEEE op over exact integers)
     "source_drift" ->

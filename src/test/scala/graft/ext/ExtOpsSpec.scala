@@ -337,6 +337,15 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (2L, 6L)), out.mkString(", "))
   }
 
+  test("oov rate: exact basis points against the top-k vocab, tokenless docs dropped") {
+    val dir = docsFixture(Seq(
+      (1L, "a a b", "en"), (2L, "a c d", "en"), (3L, "   ", "en")))
+    // counts a:3 b:1 c:1 d:1 -> top-2 vocab (count desc, token) = {a, b}
+    val got = TextOps.docOovRate(spark, dir, vocabK = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((1L, 3L, 0L, 0L), (2L, 3L, 2L, 6666L)))
+  }
+
   test("source drift: hand-computed TV on overlapping and disjoint vocabularies") {
     import spark.implicits._
     val dir = tmpDir("drift")

@@ -70,6 +70,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(e === Seq((1L, 2L)))
   }
 
+  test("clustering coefficient: exact on K4-with-tail") {
+    import spark.implicits._
+    // K4 on 1..4 plus pendant 5 hanging off 4: nodes 1-3 have deg 3 and
+    // sit in 3 of their 3 possible neighbor pairs' triangles
+    val e = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val tri = GraphOps.triangleEnum(e)
+    val triPerNode = tri.select($"u_a".as("u"))
+      .unionAll(tri.select($"u_b".as("u")))
+      .unionAll(tri.select($"u_c".as("u")))
+      .groupBy($"u").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(triPerNode === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // full coefficient query shape on the planted edges: replicate the
+    // join arithmetic nodes 1..3: 2*3/(3*2)=1.0; node 4: 2*3/(4*3)=0.5;
+    // node 5: deg 1 -> 0.0
+    val deg = e.select($"u_a".as("u")).unionAll(e.select($"u_b".as("u")))
+      .groupBy($"u").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+  }
+
+  test("clustering coefficient on harness data: bounded in [0,1], zero for deg<2") {
+    val rows = GraphOps.clusteringCoeff(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (deg, nTri, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c >= 0.0 && c <= 1.0, s"coeff out of range: $c")
+      if (deg < 2) assert(c === 0.0)
+      else assert(math.abs(c - 2.0 * nTri / (deg * (deg - 1.0))) < 1e-15)
+    }
+  }
+
   test("harness graph: triangles are closed wedges of real co-engagement edges") {
     val tri = GraphOps.triangles(spark, "/root/testdata/sf0.001")
     val got = triples(tri)

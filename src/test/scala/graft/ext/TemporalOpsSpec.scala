@@ -55,6 +55,24 @@ class TemporalOpsSpec extends SparkSpec {
       (1L, "view", 1L), (2L, "click", 1L), (3L, "purchase", 0L)))
   }
 
+  test("anomaly days: spike beyond 3x MAD flagged, normal variation not") {
+    // series for one event_type: counts 2,2,2,3,2,2,2 over 7 days plus a
+    // 30-count spike day -> lower median 2, deviations 0,0,0,1,0,0,0,28,
+    // MAD 0 ... use a series with nonzero MAD instead: counts
+    // 10,11,12,13,14 (med 12, MAD 1) and a 20-count day (dev 8 > 3)
+    val base = Seq(10, 11, 12, 13, 14).zipWithIndex.flatMap { case (n, d) =>
+      (1 to n).map(i => (i.toLong, "view", f"2024-01-${d + 1}%02d 0${i % 9}:00:0${i % 9}"))
+    }
+    val spike = (1 to 20).map(i => (i.toLong, "view", f"2024-01-20 0${i % 9}:01:0${i % 9}"))
+    val got = TemporalOps.anomalyDaysFrom(ev(base ++ spike)).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 6 days of counts 10,11,12,13,14,20: lower median (rank 3) = 12,
+    // deviations 2,1,0,1,2,8 -> lower MAD (rank 3) = 1; only the spike
+    // day's deviation 8 exceeds 3*1
+    assert(got === Seq(("view", "2024-01-20", 20L, 12L, 1L)))
+  }
+
   test("cohort retention: offsets measured from each user's first day") {
     val rows = Seq(
       (1L, "view", "2024-01-01 10:00:00"), // cohort Jan 1
