@@ -36,6 +36,7 @@ object SparkEntry {
     "q10_pivot"        -> (CoreQueries.q10Pivot(_, _)),
     "q11_intersect"    -> (CoreQueries.q11Intersect(_, _)),
     "q12_histogram"    -> (CoreQueries.q12Histogram(_, _)),
+    "q13_cube"         -> (CoreQueries.q13Cube(_, _)),
     // multi-dimensional clustering key (Morton interleave) — the sorted
     // layout's pruning property is asserted in LayoutsSpec
     "zorder_keys"      -> (CoreQueries.zorderKeys(_, _)),
@@ -161,6 +162,8 @@ object SparkEntry {
     "ann_ivf_full_probe" -> (SimilarityOps.ivfFullProbe(_, _)),
     "ann_quantized_topk" -> (SimilarityOps.quantizedTopk(_, _)), // int8: oracle-checked (exact-integer sums)
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
+    // symmetric neighborhood graph (edge iff IN EACH OTHER'S top-k)
+    "mutual_knn_graph" -> (SimilarityOps.mutualKnn(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     // production regime (0.8, 8-bit bands): oracle = exact pairs at 0.8
     "emb_lsh_near_dup_hi" -> (SimilarityOps.embLshNearDupHi(_, _)),
@@ -199,6 +202,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q7_count_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,

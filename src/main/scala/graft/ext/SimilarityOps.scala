@@ -472,6 +472,61 @@ object SimilarityOps {
   def embLshNearDupHi(spark: SparkSession, sfDir: String): DataFrame =
     embLshNearDup(spark, sfDir, threshold = 0.8, bands = 32, rowsPerBand = 8)
 
+  /** Neighbor depth for [[mutualKnn]], shared with the oracle. */
+  val KnnK = 5
+
+  /** Mutual-kNN graph over the embedding corpus: an edge (a, b) exists
+    * iff b is in a's cosine top-k AND a is in b's — the symmetric
+    * neighborhood graph that seeds graph-based ANN indexes (NN-descent,
+    * HNSW base layers) and density-based clustering. Output carries
+    * both ranks.
+    *
+    * Plan: all-pairs scoring via the SAME B(B+1)/2 blocked equi-join as
+    * [[embNearDup]] (each unordered pair scored exactly once, no BNLJ),
+    * each pair then feeds BOTH endpoints' candidate streams, ranked by
+    * the salted two-phase [[topkPerQuery]] — no per-vector reducer ever
+    * sees more than its salt cell. The mutual filter is one (query,
+    * neighbor)=(neighbor, query) self equi-join of two k·n-row frames.
+    * Exact all-pairs scoring is the oracle-checkable baseline (n²
+    * cosines — same budget as emb_near_dup); at 100 TB the candidate
+    * stream comes from the IVF/LSH operators instead and the ranking +
+    * mutual stages are unchanged. */
+  def mutualKnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      nBlocks: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      explode(transform(sequence(col("blk"), lit(nBlocks - 1)),
+        j => col("blk") * nBlocks + j)).as("pair_key"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      explode(transform(sequence(lit(0), col("blk")),
+        i => i * nBlocks + col("blk"))).as("pair_key"))
+    // diagonal blocks double-count each pair with sides swapped; cosine
+    // is computed with a fixed fold order and multiplication commutes
+    // per element, so both copies are bit-identical and distinct()
+    // collapses them
+    val scored = a.join(b, usingColumn = "pair_key")
+      .filter(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("lo"),
+        greatest(col("va"), col("vb")).as("hi"),
+        cosine(col("ea"), col("eb")).as("cos"))
+      .distinct()
+    val directed = scored.select(col("lo").as("query_id"),
+        col("hi").as("vec_id"), col("cos"))
+      .unionAll(scored.select(col("hi").as("query_id"),
+        col("lo").as("vec_id"), col("cos")))
+    val knn = topkPerQuery(directed, k)
+    val rev = knn.select(col("query_id").as("r_nb"),
+      col("neighbor_id").as("r_q"), col("rank").as("rank_ba"))
+    knn.join(rev,
+        col("query_id") === col("r_q") && col("neighbor_id") === col("r_nb"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+        col("rank").as("rank_ab"), col("rank_ba"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Reciprocal-rank-fusion constants, shared with the oracle: the
     * standard c = 60 (Cormack et al., SIGIR'09), an integer scale so
     * each list's contribution `RrfScale div (c + rank)` is an exact
@@ -624,6 +679,23 @@ object SimilarityOps {
     // rank-only fusion: every score is an exact BIGINT, both rankings
     // replayed literally (keyword tf·idf + cosine top-k)
     "rrf_fusion" -> rrfFusionSql,
+    // full kNN ranking replayed with the same cosine and (cos desc,
+    // vec_id) tie-break; mutuality = rank-frame self-join
+    "mutual_knn_graph" ->
+      s"""WITH knn AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
+         |               b.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  QUALIFY rank <= $KnnK
+         |)
+         |SELECT x.query_id AS vec_a, x.neighbor_id AS vec_b,
+         |  x.rank AS rank_ab, y.rank AS rank_ba
+         |FROM knn x JOIN knn y
+         |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+         |WHERE x.query_id < x.neighbor_id
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // full-probe IVF ≡ brute force: same oracle proves the IVF plumbing
     "ann_ivf_full_probe" -> bruteTopkSql,
     // nprobe=3 replay: the exact-integer centroid/probe arithmetic of

@@ -116,6 +116,18 @@ object CoreQueries {
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
+  /** Full CUBE over the same pair of dimensions — all four grouping
+    * sets in one pass (Spark expands to a single expand+aggregate, not
+    * four scans; the exact-decimal sums make every stratum
+    * hash-checkable). */
+  def q13Cube(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
   /** Exact distinct counts per group (the oracle-checkable face of
     * cardinality estimation; the HLL variant is asserted within error
     * bounds in tests — HLL sketches are implementation-specific and can

@@ -142,6 +142,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("mutual knn: blocked equi-join scoring, keyed mutual join, no cartesian") {
+    val p = plan(graft.ext.SimilarityOps.mutualKnn(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("rrf fusion: token-keyed equi joins, no cartesian; fusion join keyed") {
     val p = plan(graft.ext.SimilarityOps.rrfFusion(spark, sfDir))
     // broadcast nested loops are fine (1-row counts, nQueries-row query

