@@ -91,6 +91,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => graft.functions.MisraGriesAgg(
         Cast(args(0), StringType), k = foldableInt("misra_gries")(args(1), "k"))))
     ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      info(classOf[graft.functions.TopKByScoreAgg], "topk_by_score",
+        "topk_by_score(score, id, k) - ids of the k highest (score, lowest id) rows, rank-ordered (array<long>)"),
+      (args: Seq[Expression]) => graft.functions.TopKByScoreAgg(
+        Cast(args(0), DoubleType), Cast(args(1), LongType),
+        k = foldableInt("topk_by_score")(args(2), "k"))))
+    ext.injectFunction((
       FunctionIdentifier("zorder_value"),
       info(graft.plans.Layouts.getClass, "zorder_value",
         "zorder_value(x, y) - 32-bit Morton interleave of two dimensions (16 bits each)"),

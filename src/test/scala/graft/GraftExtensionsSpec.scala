@@ -54,6 +54,12 @@ class GraftExtensionsSpec extends SparkSpec {
       // (x bit0)<<0 + (y bit0)<<1 + (x bit1)<<2 = 1 + 2 + 4 = 7
       val z = s2.sql("SELECT zorder_value(3, 1) AS z").head().getLong(0)
       assert(z == 7L)
+      // topk_by_score is an aggregate too: (score desc, id asc) order
+      val tk = s2.sql(
+        """SELECT topk_by_score(s, i, 2) AS t FROM (
+          |  SELECT * FROM VALUES (1.0, 10), (3.0, 20), (3.0, 5), (2.0, 1) v(s, i))""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(tk == Seq(5L, 20L))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -146,6 +146,11 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(graft.ext.SimilarityOps.mutualKnn(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // ranking must be the bounded-heap aggregate (partial buffers prune
+    // the n² scored stream before the exchange), never a window sorting
+    // every scored row
+    assert(p.contains("topk_by_score"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("rrf fusion: token-keyed equi joins, no cartesian; fusion join keyed") {
