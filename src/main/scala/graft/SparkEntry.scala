@@ -124,6 +124,9 @@ object SparkEntry {
     "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),
     "source_len_percentiles" -> (TextOps.sourceLenPercentiles(_, _)),
+    // GK quantile sketch (rows-only, like q8's HLL: sketch internals are
+    // engine-specific; the rank-error bound is test-asserted)
+    "source_len_approx_percentiles" -> (TextOps.sourceLenApproxPercentiles(_, _)),
     "doc_repetition"   -> (TextOps.docRepetition(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
@@ -164,6 +167,8 @@ object SparkEntry {
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     // symmetric neighborhood graph (edge iff IN EACH OTHER'S top-k)
     "mutual_knn_graph" -> (SimilarityOps.mutualKnn(_, _)),
+    // leave-one-out kNN label vote (mislabel/boundary detection)
+    "knn_classify"     -> (SimilarityOps.knnClassify(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     // production regime (0.8, 8-bit bands): oracle = exact pairs at 0.8
     "emb_lsh_near_dup_hi" -> (SimilarityOps.embLshNearDupHi(_, _)),

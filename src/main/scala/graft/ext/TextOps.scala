@@ -682,6 +682,31 @@ object TextOps {
       .limit(k)
   }
 
+  /** Accuracy knob for [[sourceLenApproxPercentiles]] — Spark's GK
+    * sketch guarantees rank error ≤ n / accuracy. */
+  val ApproxPctAccuracy = 100
+
+  /** Quantile-sketch variant of [[sourceLenPercentiles]]: per-source
+    * median and p90 of n_chars via `percentile_approx` (Greenwald-Khanna
+    * in Spark). Registered ROWS-ONLY, like q8's HLL: sketch internals
+    * are implementation-specific and can never hash-match another
+    * engine — the contract is the GK rank-error bound, asserted in
+    * ExtOpsSpec against the exact rank-arithmetic percentiles. At scale
+    * this is the one-pass mergeable-summary plan (partial sketches
+    * merge map-side; the exact variant needs a per-group sort), which
+    * completes the sketch family: frequency (Misra-Gries), membership
+    * (Bloom), cardinality (HLL), quantiles (GK). */
+  def sourceLenApproxPercentiles(spark: SparkSession, sfDir: String,
+      accuracy: Int = ApproxPctAccuracy): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(accuracy))
+          .as("median_chars_approx"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(accuracy))
+          .as("p90_chars_approx"))
+      .orderBy(col("source"))
+
   /** Reference-vocabulary size for [[docOovRate]], shared with the
     * oracle (the VocabTopK pattern): the top-20 corpus tokens by count
     * (ties by token) — binding on the ~31-token harness vocabulary, so

@@ -143,14 +143,19 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("mutual knn: blocked equi-join scoring, keyed mutual join, no cartesian") {
+    // audit the UNCACHED ranking plan — the session cache would show
+    // only a checkpoint scan. The ranking must be the bounded-heap
+    // aggregate (partial buffers prune the n² scored stream before the
+    // exchange), never a window sorting every scored row
+    val pr = plan(graft.ext.SimilarityOps.knnRanksUncached(spark, sfDir,
+      graft.ext.SimilarityOps.KnnK, 16))
+    assert(pr.contains("topk_by_score"), pr)
+    assert(!pr.contains("Window"), pr)
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
     val p = plan(graft.ext.SimilarityOps.mutualKnn(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // ranking must be the bounded-heap aggregate (partial buffers prune
-    // the n² scored stream before the exchange), never a window sorting
-    // every scored row
-    assert(p.contains("topk_by_score"), p)
-    assert(!p.contains("Window"), p)
   }
 
   test("rrf fusion: token-keyed equi joins, no cartesian; fusion join keyed") {

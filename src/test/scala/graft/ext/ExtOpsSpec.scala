@@ -337,6 +337,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L), (2L, 6L)), out.mkString(", "))
   }
 
+  test("approx percentiles sit within the GK rank-error bound of exact") {
+    val exact = TextOps.sourceLenPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sorted = graft.Tables.documents(spark, sfDir)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val approx = TextOps.sourceLenApproxPercentiles(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (src, n) = (r.getString(0), r.getLong(1))
+      val vals = sorted(src)
+      // GK bound: the returned value's RANK is within n/accuracy of the
+      // target rank (not the value itself)
+      val tol = math.max(1, n / TextOps.ApproxPctAccuracy).toInt
+      def rankOk(v: Long, q: Double): Boolean = {
+        val target = math.ceil(q * n).toInt
+        val lo = vals.count(_ < v) + 1 // lowest rank v could hold
+        val hi = vals.count(_ <= v) // highest rank v could hold
+        lo <= target + tol && hi >= target - tol
+      }
+      assert(rankOk(r.getLong(2), 0.5), s"$src median rank out of bound")
+      assert(rankOk(r.getLong(3), 0.9), s"$src p90 rank out of bound")
+      // and the sketch output is always one of the actual values
+      assert(vals.contains(r.getLong(2)) && vals.contains(r.getLong(3)))
+    }
+  }
+
   test("oov rate: exact basis points against the top-k vocab, tokenless docs dropped") {
     val dir = docsFixture(Seq(
       (1L, "a a b", "en"), (2L, "a c d", "en"), (3L, "   ", "en")))
@@ -406,6 +434,35 @@ class ExtOpsSpec extends SparkSpec {
       assert(r.getLong(2) >= 1 && r.getLong(2) <= SimilarityOps.KnnK)
       assert(r.getLong(3) >= 1 && r.getLong(3) <= SimilarityOps.KnnK)
     }
+  }
+
+  test("knn classify: planted clusters predict their own label; ties break low") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val dir = embFixture(Seq(
+      (1L, v(1f, 0f), 7), (2L, v(0.99f, 0.1f), 7), (3L, v(0.98f, 0.2f), 7),
+      (11L, v(0f, 1f), 3), (12L, v(0.1f, 0.99f), 3), (13L, v(0.2f, 0.98f), 3)))
+    val got = SimilarityOps.knnClassify(spark, dir, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(got.forall(_._4), got.mkString(","))
+    assert(got.map(x => x._1 -> x._3).toMap ===
+      Map(1L -> 7L, 2L -> 7L, 3L -> 7L, 11L -> 3L, 12L -> 3L, 13L -> 3L))
+  }
+
+  test("knn classify on harness data: one verdict per vector, bounded votes") {
+    val rows = SimilarityOps.knnClassify(spark, sfDir).collect()
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    // one row per corpus vector; the winning vote count is within [1, k]
+    assert(rows.length === n)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= SimilarityOps.KnnK)
+      assert(r.getBoolean(4) === (r.getLong(1) == r.getLong(2)))
+    }
+    // harness labels are hash-partitions, not geometric clusters: the
+    // audit's expected signal here is DISAGREEMENT near chance level
+    // (~1/#labels) — high agreement would mean the fixture changed
+    val acc = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(acc < 0.5, s"harness labels unexpectedly cluster: $acc")
   }
 
   test("rrf fusion: both-list docs sum contributions, single-list docs keep one") {
