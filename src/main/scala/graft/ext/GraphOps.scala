@@ -138,9 +138,20 @@ object GraphOps {
       coocEdgesFrom(Tables.events(spark, sfDir)).localCheckpoint()
     }
 
+  /** Enumerated triangles cached per (session, sfDir) like the edge
+    * frame: the wedge join is the heaviest graph stage and both
+    * registered queries consume its output (one tiny row per
+    * triangle). */
+  private val triCache = new graft.SessionFrameCache[String]
+
+  private def cachedTriangles(spark: SparkSession, sfDir: String): DataFrame =
+    triCache.getOrElseUpdateRaw(spark, sfDir) {
+      triangleEnum(coocEdges(spark, sfDir)).localCheckpoint()
+    }
+
   /** Registered query: triangles of the harness co-engagement graph. */
   def triangles(spark: SparkSession, sfDir: String): DataFrame =
-    triangleEnum(coocEdges(spark, sfDir))
+    cachedTriangles(spark, sfDir).orderBy(col("u_a"), col("u_b"), col("u_c"))
 
   /** Local clustering coefficient per vertex: C(v) = 2·T(v) / (deg(v)·
     * (deg(v)−1)) for deg ≥ 2, else 0 — how close each user's
@@ -153,7 +164,7 @@ object GraphOps {
     * [[triangles]] already bounds. */
   def clusteringCoeff(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = coocEdges(spark, sfDir)
-    val tri = triangleEnum(edges)
+    val tri = cachedTriangles(spark, sfDir)
     val triPerNode = tri.select(col("u_a").as("u"))
       .unionAll(tri.select(col("u_b").as("u")))
       .unionAll(tri.select(col("u_c").as("u")))

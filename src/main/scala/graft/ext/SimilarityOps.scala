@@ -496,13 +496,13 @@ object SimilarityOps {
     * ([[mutualKnn]]) and classification ([[knnClassify]]) start from
     * the same (query_id, rank, neighbor_id) frame, which is only n·k
     * rows. */
-  private val knnCache = new graft.SessionFrameCache[(String, Int)]
+  private val knnCache = new graft.SessionFrameCache[(String, Int, Int)]
 
   /** Exact cosine top-k for EVERY corpus vector (self excluded) — see
     * [[mutualKnn]] for the plan analysis. */
   def knnRanks(spark: SparkSession, sfDir: String, k: Int = KnnK,
       nBlocks: Int = 16): DataFrame =
-    knnCache.getOrElseUpdateRaw(spark, (sfDir, k)) {
+    knnCache.getOrElseUpdateRaw(spark, (sfDir, k, nBlocks)) {
       knnRanksUncached(spark, sfDir, k, nBlocks).localCheckpoint()
     }
 
@@ -565,10 +565,10 @@ object SimilarityOps {
     * vector's label is predicted by majority vote of its k nearest
     * neighbors' labels (ties → smallest label id — exact integer votes,
     * so the whole row is oracle-replayable). The expensive stage is the
-    * shared cached [[knnRanks]] frame; the vote is one broadcast label
-    * join + one (query, label) count + one argmax via the same
-    * (count desc, label asc) rank arithmetic the engine family uses
-    * everywhere. A real curation use: flagging mislabeled / boundary
+    * shared cached [[knnRanks]] frame; the vote is one KEYED label
+    * equi-join (labels are corpus-sized — never broadcast) + one
+    * (query, label) count + an argmax window over the ≤ k vote rows
+    * each query can have. A real curation use: flagging mislabeled / boundary
     * items whose neighborhoods disagree with their label. */
   def knnClassify(spark: SparkSession, sfDir: String, k: Int = KnnK,
       nBlocks: Int = 16): DataFrame = {
@@ -601,6 +601,7 @@ object SimilarityOps {
   val RrfScale = 1000000000L
   val RrfListK = 20
   val RrfTopF = 10
+  val RrfNQueries = 10
 
   /** Hybrid retrieval: fuse a keyword ranking and a vector ranking with
     * reciprocal-rank fusion, per query. The queries are the first
@@ -619,17 +620,17 @@ object SimilarityOps {
     * score stream. The fusion join is (query_id, doc_id)-keyed over ≤
     * 2·listK rows per query — bounded by construction, so the final
     * per-query window is over ≤ 2·listK rows, not data-scale. */
-  def rrfFusion(spark: SparkSession, sfDir: String, nQueries: Int = 10,
-      listK: Int = RrfListK, topF: Int = RrfTopF): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val tok = docs.select(col("doc_id"),
-      explode(TextOps.tokens(lower(col("text")))).as("token"))
+  def rrfFusion(spark: SparkSession, sfDir: String,
+      nQueries: Int = RrfNQueries, listK: Int = RrfListK,
+      topF: Int = RrfTopF): DataFrame = {
+    // tokenization, tf, and idf come from the SAME helpers as
+    // tfidfTopk (and the oracle from the same CTE strings) — the two
+    // registered retrieval queries cannot drift apart
+    val tok = TextOps.docTokens(spark, sfDir)
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(n))
-      .select(col("token"), expr(s"(${TextOps.IdfScale} * n) div df").as("idf"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
+    val idf = TextOps.idfOf(tf, n)
     val qterms = tok.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
     val kwScored = qterms.join(tf, "token")
@@ -659,19 +660,13 @@ object SimilarityOps {
   }
 
   private def rrfFusionSql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
-       |                                    t -> t <> '')) AS token
-       |  FROM documents
-       |), tf AS (
+    s"""WITH ${TextOps.TokCte}, tf AS (
        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM tok GROUP BY doc_id, token
        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-       |idf AS (
-       |  SELECT token, (${TextOps.IdfScale} * n.n) // COUNT(*) AS idf
-       |  FROM tf CROSS JOIN n GROUP BY token, n.n
-       |), qt AS (
-       |  SELECT DISTINCT doc_id AS query_id, token FROM tok WHERE doc_id < 10
+       |${TextOps.IdfCte}, qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, token FROM tok
+       |  WHERE doc_id < $RrfNQueries
        |), kws AS (
        |  SELECT qt.query_id, tf.doc_id,
        |    CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
@@ -688,7 +683,7 @@ object SimilarityOps {
        |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
        |               e.vec_id) AS BIGINT) AS v_rank
        |  FROM embeddings e
-       |  JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+       |  JOIN (SELECT * FROM embeddings WHERE vec_id < $RrfNQueries) q
        |    ON e.vec_id <> q.vec_id
        |  QUALIFY v_rank <= $RrfListK
        |), fused AS (

@@ -652,6 +652,36 @@ object TextOps {
     * what makes the row hash-checkable. */
   val IdfScale = 1000000L
 
+  /** The (doc_id, token) exploded lowercase token stream — the single
+    * tokenization every retrieval-side operator (and, via [[TokCte]],
+    * every oracle) derives from, so the engines cannot drift. */
+  private[ext] def docTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+
+  /** (token, idf) from a (doc_id, token, tf) frame and a 1-row corpus
+    * count — the one place the idf formula lives on the Spark side. */
+  private[ext] def idfOf(tf: DataFrame, n: DataFrame): DataFrame =
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("token"), expr(s"($IdfScale * n) div df").as("idf"))
+
+  /** DuckDB twin of [[docTokens]] (a CTE body: `WITH $TokCte, ...`). */
+  private[ext] val TokCte: String =
+    """tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
+      |                                    t -> t <> '')) AS token
+      |  FROM documents
+      |)""".stripMargin
+
+  /** DuckDB twin of [[idfOf]], reading CTEs `tf(doc_id, token, tf)` and
+    * `n(n)`. */
+  private[ext] val IdfCte: String =
+    s"""idf AS (
+       |  SELECT token, ($IdfScale * n.n) // COUNT(*) AS idf
+       |  FROM tf CROSS JOIN n GROUP BY token, n.n
+       |)""".stripMargin
+
   /** Keyword retrieval: top-[[TfidfTopK]] documents for a fixed term
     * query, scored by Σ_t tf(d,t) · idf(t) in exact integers.
     *
@@ -665,17 +695,12 @@ object TextOps {
     * (per-partition heaps, no global sort — gated). */
   def tfidfTopk(spark: SparkSession, sfDir: String,
       terms: Seq[String] = TfidfQueryTerms, k: Int = TfidfTopK): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val n = docs.agg(count(lit(1)).as("n"))
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("token"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n"))
+    val tf = docTokens(spark, sfDir)
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(n))
-      .select(col("token"), expr(s"($IdfScale * n) div df").as("idf"))
-    tf.join(broadcast(idf), "token")
+    tf.join(broadcast(idfOf(tf, n)), "token")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("idf")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -1028,11 +1053,7 @@ object TextOps {
     // top-k vocab replayed with the same (count desc, token) tie-break;
     // exact integer basis points
     "doc_oov_rate" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
-         |                                    t -> t <> '')) AS token
-         |  FROM documents
-         |), vocab AS (
+      s"""WITH $TokCte, vocab AS (
          |  SELECT token FROM tok GROUP BY token
          |  ORDER BY COUNT(*) DESC, token LIMIT $OovVocabK
          |)
@@ -1075,18 +1096,12 @@ object TextOps {
     // same term list and tie-break as the Spark side
     "tfidf_topk" -> {
       val terms = TfidfQueryTerms.map(t => s"'$t'").mkString(", ")
-      s"""WITH tf AS (
-         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
-         |    SELECT doc_id, unnest(list_filter(string_split(trim(lower(text)), ' '),
-         |                                      t -> t <> '')) AS token
-         |    FROM documents) t
+      s"""WITH $TokCte, tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
          |  WHERE token IN ($terms)
          |  GROUP BY doc_id, token
          |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
-         |idf AS (
-         |  SELECT token, ($IdfScale * n.n) // COUNT(*) AS idf
-         |  FROM tf CROSS JOIN n GROUP BY token, n.n
-         |)
+         |$IdfCte
          |SELECT tf.doc_id, CAST(SUM(tf.tf * idf.idf) AS BIGINT) AS score
          |FROM tf JOIN idf USING (token)
          |GROUP BY tf.doc_id
