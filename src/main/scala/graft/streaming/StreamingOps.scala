@@ -439,6 +439,34 @@ object StreamingOps {
         col("purchase_ts"), col("amount"))
   }
 
+  /** Streaming trending tokens, two-stage: a WATERMARKED stateful count
+    * per (tumbling window, token) in append mode — a (window, token)
+    * row emits exactly once, when the watermark closes its window — and
+    * a per-window top-k over those finalized rows in foreachBatch.
+    * Structured Streaming allows one stateful aggregation per query;
+    * the top-k needs no second one because it only ever sees CLOSED
+    * windows, so ranking each batch independently is already exact.
+    *
+    * Scale: stage 1's state is (open windows × active vocabulary) keyed
+    * rows in the state store, evicted at watermark close; stage 2's
+    * per-batch input is bounded by the windows that closed in that
+    * batch. The batch-side window function partitions by the closed
+    * window — bounded by vocabulary, never by stream age. */
+  def runTrendingTokens(tokens: DataFrame, windowDur: String, lateness: String,
+      k: Int)(onBatch: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val counts = tokens.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur).as("win"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win")).orderBy(col("n").desc, col("token"))
+        onBatch(batch.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k))
+      }.start()
+  }
+
   /** Custom keyed state via mapGroupsWithState: running (count, sum) per
     * key — the reference's run counters as continuously-updated state
     * (KeyValueGroupedDataset custom-state path, per the north star). */

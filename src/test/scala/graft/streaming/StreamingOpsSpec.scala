@@ -257,6 +257,38 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending tokens: windows finalize once at watermark close, exact top-k") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long)]
+    val q = StreamingOps.runTrendingTokens(
+      input.toDS().toDF("ts", "token"), "10 minutes", "5 minutes", k = 2) {
+      batch =>
+        got ++= batch.collect().map(r => (
+          r.getStruct(0).getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getLong(3)))
+    }
+    try {
+      // window [10:00, 10:10): a x3, b x1, c x2
+      input.addData(
+        (ts("2024-01-01 10:01:00"), "a"), (ts("2024-01-01 10:02:00"), "a"),
+        (ts("2024-01-01 10:03:00"), "b"), (ts("2024-01-01 10:04:00"), "c"),
+        (ts("2024-01-01 10:05:00"), "c"), (ts("2024-01-01 10:06:00"), "a"))
+      q.processAllAvailable()
+      // nothing finalized yet — watermark has not passed 10:10
+      assert(got.isEmpty)
+      // advance event time past 10:10 + 5 min lateness -> window closes
+      input.addData((ts("2024-01-01 10:16:00"), "z"))
+      q.processAllAvailable()
+      val w1 = got.filter(_._1.startsWith("2024-01-01 10:00")).toSeq
+      // top-2 of {a:3, c:2, b:1} with count-desc/token tie-break
+      assert(w1.map(r => (r._2, r._3, r._4)).sorted ===
+        Seq(("a", 3L, 1L), ("c", 2L, 2L)))
+      assert(got.size === w1.size, s"unfinalized windows leaked: $got")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key stats across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
