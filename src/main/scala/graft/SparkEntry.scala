@@ -144,6 +144,8 @@ object SparkEntry {
     // local clustering coefficient per vertex (exact counts, one
     // deterministic float division)
     "clustering_coeff"  -> (GraphOps.clusteringCoeff(_, _)),
+    // iterative k-core peeling (cascade-complete, generated oracle)
+    "kcore"             -> (GraphOps.kcore(_, _)),
     // robust daily-count outliers per event_type (discrete median + MAD
     // by rank arithmetic, integer-exact flags)
     "anomaly_days"      -> (graft.ext.TemporalOps.anomalyDays(_, _)),

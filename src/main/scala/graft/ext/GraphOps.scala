@@ -88,6 +88,47 @@ object GraphOps {
       .select(col("u_a"), col("u_b"))
   }
 
+  /** k-core threshold and peeling rounds, shared with the generated
+    * oracle. The harness graph's 10-core fixes in 5 rounds (134 of 150
+    * users survive, 1240 of 1367 edges) — 8 rounds leaves margin, and
+    * the fixpoint is test-asserted (rounds vs rounds+2 identical). */
+  val KcoreK = 10
+  val KcoreRounds = 8
+
+  /** k-core decomposition by iterative peeling: repeatedly drop
+    * vertices with degree < k until fixpoint; output the surviving
+    * vertices with their core degree. The classic cascade: removing a
+    * low-degree vertex can push its neighbors under k, so one pass is
+    * not enough — each round is one degree aggregate + two keyed
+    * semi-joins of the (shrinking) edge list, O(E) shuffled rows, no
+    * windows, localCheckpoint per round so the final plan does not
+    * embed the round tree (the connectedComponents contract). Rounds
+    * are FIXED and shared with the oracle, which replays the same
+    * peeling as generated chained CTEs — deterministic because peeling
+    * is order-independent (a vertex's fate depends only on the
+    * surviving edge SET each round). */
+  def kcoreFrom(edges: DataFrame, k: Int = KcoreK,
+      rounds: Int = KcoreRounds): DataFrame = {
+    var e = edges
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u_a").as("u"))
+        .unionAll(e.select(col("u_b").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("u"))
+      e = e.join(keep.withColumnRenamed("u", "u_a"), "u_a")
+        .join(keep.withColumnRenamed("u", "u_b"), "u_b")
+        .select(col("u_a"), col("u_b"))
+        .localCheckpoint()
+    }
+    e.select(col("u_a").as("u")).unionAll(e.select(col("u_b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+      .orderBy(col("u"))
+  }
+
+  def kcore(spark: SparkSession, sfDir: String): DataFrame =
+    kcoreFrom(coocEdges(spark, sfDir))
+
   /** (a.deg, a.id) lexicographically before (b.deg, b.id). */
   private def ordLess(da: Column, a: Column, db: Column, b: Column): Column =
     da < db || (da === db && a < b)
@@ -201,7 +242,38 @@ object GraphOps {
        |)
        |""".stripMargin
 
+  /** Generated round-by-round replay of [[kcoreFrom]] (the
+    * pagerankOracleSql pattern). */
+  private def kcoreOracleSql(k: Int = KcoreK,
+      rounds: Int = KcoreRounds): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one three times — un-materialized,
+    // e$rounds expands to 3^rounds copies of the base scan and the
+    // query dies on file handles before it dies on time
+    val roundCtes = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT u_a AS u FROM e${i - 1}
+         |    UNION ALL SELECT u_b FROM e${i - 1}) t
+         |  GROUP BY u
+         |), k$i AS MATERIALIZED (SELECT u FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u_a, e.u_b FROM e${i - 1} e
+         |  JOIN k$i a ON e.u_a = a.u
+         |  JOIN k$i b ON e.u_b = b.u)""".stripMargin
+    }.mkString(",\n")
+    coocPairsCte +
+      s""", e0 AS MATERIALIZED (SELECT u_a, u_b FROM pairs),
+         |$roundCtes
+         |SELECT u, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT u_a AS u FROM e$rounds
+         |  UNION ALL SELECT u_b FROM e$rounds) t
+         |GROUP BY u HAVING COUNT(*) >= $k
+         |ORDER BY u""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kcore" -> kcoreOracleSql(),
     "triangles" -> (coocPairsCte +
       """SELECT p1.u_a AS u_a, p1.u_b AS u_b, p2.u_b AS u_c
         |FROM pairs p1

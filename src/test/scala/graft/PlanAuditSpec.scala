@@ -165,6 +165,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("k-core peeling: equi-joins only, lineage bounded across rounds") {
+    val p = plan(graft.ext.GraphOps.kcore(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // per-round localCheckpoint must keep the final plan free of the
+    // 8-round join tree (the connectedComponents lineage contract)
+    assert(p.linesIterator.size < 40,
+      s"plan grows with rounds — lineage not cut:\n$p")
+  }
+
   test("triangle enumeration is equi-joins only (wedge order rides as residual)") {
     // the wedge join MUST hash-partition on the apex and the closing join
     // on (mid, max) — a nested loop here is O(V^2) at 100 TB; the

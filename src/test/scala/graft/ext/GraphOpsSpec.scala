@@ -100,6 +100,31 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-core: clique survives, attached tail peels away in cascade") {
+    // K5 on 1..5 (deg 4 within) + chain 5-6-7: k=4 must peel 7, then 6,
+    // and node 5's degree falls back to 4 — the clique alone survives
+    val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
+    val e = edges(k5 ++ Seq((5L, 6L), (6L, 7L)): _*)
+    val got = GraphOps.kcoreFrom(e, k = 4, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (1L to 5L).map(u => (u, 4L)))
+  }
+
+  test("k-core: a path fully unravels even though interior degrees start at k") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(GraphOps.kcoreFrom(path, k = 2, rounds = 4).count() === 0)
+  }
+
+  test("k-core on harness data: rounds reach fixpoint (more rounds change nothing)") {
+    val e = GraphOps.coocEdges(spark, "/root/testdata/sf0.001")
+    val base = GraphOps.kcoreFrom(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val more = GraphOps.kcoreFrom(e, rounds = GraphOps.KcoreRounds + 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base === more)
+    base.foreach { case (_, d) => assert(d >= GraphOps.KcoreK) }
+  }
+
   test("harness graph: triangles are closed wedges of real co-engagement edges") {
     val tri = GraphOps.triangles(spark, "/root/testdata/sf0.001")
     val got = triples(tri)
