@@ -48,6 +48,8 @@ object SparkEntry {
     "funnel_counts"    -> (graft.ext.TemporalOps.funnelCounts(_, _)),
     // first-activity-day cohorts x day-offset activity counts
     "cohort_retention" -> (graft.ext.TemporalOps.cohortRetention(_, _)),
+    // day-over-day deltas per series (lag over the daily aggregate)
+    "dod_change"       -> (graft.ext.TemporalOps.dodChange(_, _)),
     "asof_join"        -> (graft.ext.TemporalOps.asofJoin(_, _)),
     "range_join_counts" -> (graft.ext.TemporalOps.rangeJoinCounts(_, _)),
     "j1_join_broadcast" -> (CoreQueries.j1JoinBroadcast(_, _)),
@@ -107,6 +109,10 @@ object SparkEntry {
     "source_drift"     -> (TextOps.sourceDrift(_, _)),
     // per-doc out-of-vocabulary rate vs the corpus top-k vocabulary
     "doc_oov_rate"     -> (TextOps.docOovRate(_, _)),
+    // keyword-in-context windows around the first term hit (pure scan)
+    "snippets"         -> (TextOps.snippets(_, _)),
+    // equi-depth length quartiles (exact ntile, deterministic ties)
+    "len_quartiles"    -> (TextOps.lenQuartiles(_, _)),
     "train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "pii_redact"       -> (TextOps.piiRedact(_, _)),
     "seq_pack"         -> (TextOps.seqPack(_, _)),

@@ -707,6 +707,46 @@ object TextOps {
       .limit(k)
   }
 
+  /** Snippet term and half-width, shared with the oracle. `dup` is the
+    * corpus's rare term (the tfidf query driver), so snippets bind on a
+    * meaningful subset of docs. */
+  val SnippetTerm = "dup"
+  val SnippetWidth = 3
+
+  /** Keyword-in-context snippets: for every doc containing the term,
+    * the ±[[SnippetWidth]]-token window around its FIRST occurrence —
+    * the retrieval-display sibling of [[tfidfTopk]]. Pure projection +
+    * filter (array_position / slice are codegen-friendly collection
+    * ops); no shuffle at any scale. */
+  def snippets(spark: SparkSession, sfDir: String,
+      term: String = SnippetTerm, width: Int = SnippetWidth): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("pos", array_position(col("toks"), lit(term)))
+      .filter(col("pos") > 0)
+      .withColumn("start", greatest(lit(1L), col("pos") - width))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("start").cast("int"),
+          (col("pos") + width - col("start") + 1).cast("int"))).as("snippet"))
+      .orderBy(col("doc_id"))
+
+  /** Equi-depth quartile assignment by document length: ntile(4) over
+    * (n_chars, doc_id) — the deterministic tie-break makes the floor-
+    * based ntile split identical cross-engine, so a BINNING operator
+    * (usually approximated with quantile sketches at scale) gets an
+    * exact oracle. Scale note: a GLOBAL ntile is a single-reducer sort
+    * — fine for the registered corpus-profiling row; the scale path is
+    * per-group ntile (partition by source) or binning against
+    * sketch-derived cut points ([[sourceLenApproxPercentiles]]). */
+  def lenQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("quartile",
+        ntile(4).over(W.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Accuracy knob for [[sourceLenApproxPercentiles]] — Spark's GK
     * sketch guarantees rank error ≤ n / accuracy. */
   val ApproxPctAccuracy = 100
@@ -1050,6 +1090,28 @@ object TextOps {
          |)
          |SELECT tf.token, tf.doc_id, tf.tf, d.df FROM tf JOIN d USING (token)
          |ORDER BY token, doc_id""".stripMargin,
+    // same tokenization, 1-based first position, clamped slice window
+    "snippets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(lower(text)), ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, toks,
+         |    CAST(list_position(toks, '$SnippetTerm') AS BIGINT) AS pos
+         |  FROM t
+         |)
+         |SELECT doc_id, pos,
+         |  array_to_string(
+         |    list_slice(toks, GREATEST(1, pos - $SnippetWidth),
+         |               pos + $SnippetWidth), ' ') AS snippet
+         |FROM p WHERE pos > 0
+         |ORDER BY doc_id""".stripMargin,
+    // ntile(4) with the same (n_chars, doc_id) total order both sides
+    "len_quartiles" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // top-k vocab replayed with the same (count desc, token) tie-break;
     // exact integer basis points
     "doc_oov_rate" ->

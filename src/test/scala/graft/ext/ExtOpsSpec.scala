@@ -365,6 +365,18 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("snippets: window clamps at doc start, first occurrence wins, misses drop") {
+    val dir = docsFixture(Seq(
+      (1L, "dup a b c d e", "en"), // term at pos 1 -> clamped left edge
+      (2L, "a b c dup d e dup f", "en"), // first occurrence at pos 4
+      (3L, "a b c", "en"))) // no term -> no row
+    val got = TextOps.snippets(spark, dir, term = "dup", width = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, 1L, "dup a b"),
+      (2L, 4L, "b c dup d e")))
+  }
+
   test("oov rate: exact basis points against the top-k vocab, tokenless docs dropped") {
     val dir = docsFixture(Seq(
       (1L, "a a b", "en"), (2L, "a c d", "en"), (3L, "   ", "en")))
