@@ -88,10 +88,13 @@ object GraphOps {
       .select(col("u_a"), col("u_b"))
   }
 
-  /** k-core threshold and peeling rounds, shared with the generated
-    * oracle. The harness graph's 10-core fixes in 5 rounds (134 of 150
-    * users survive, 1240 of 1367 edges) — 8 rounds leaves margin, and
-    * the fixpoint is test-asserted (rounds vs rounds+2 identical). */
+  /** k-core threshold and the peel-round SAFETY BOUND, shared with the
+    * generated oracle (which unrolls this many rounds — rounds past the
+    * fixpoint are no-ops, so oracle rounds only need to be ≥ the real
+    * cascade depth). The harness graph's 10-core fixes in 5 rounds at
+    * sf0.01 (134 of 150 users, 1240 of 1367 edges); the Spark side
+    * iterates to a DETECTED fixpoint and throws if the bound is hit
+    * unconverged, so a deeper cascade can never silently truncate. */
   val KcoreK = 10
   val KcoreRounds = 8
 
@@ -107,27 +110,56 @@ object GraphOps {
     * peeling as generated chained CTEs — deterministic because peeling
     * is order-independent (a vertex's fate depends only on the
     * surviving edge SET each round). */
+  /** One peeling round, un-checkpointed — private[graft] so
+    * PlanAuditSpec can audit the REAL per-round join plan (through the
+    * eager checkpoints the final plan shows only checkpoint scans, and
+    * a join-shape assertion there would be vacuous). */
+  private[graft] def kcoreRound(e: DataFrame, k: Int): DataFrame = {
+    val deg = e.select(col("u_a").as("u"))
+      .unionAll(e.select(col("u_b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val keep = deg.filter(col("deg") >= k).select(col("u"))
+    e.join(keep.withColumnRenamed("u", "u_a"), "u_a")
+      .join(keep.withColumnRenamed("u", "u_b"), "u_b")
+      .select(col("u_a"), col("u_b"))
+  }
+
   def kcoreFrom(edges: DataFrame, k: Int = KcoreK,
-      rounds: Int = KcoreRounds): DataFrame = {
-    var e = edges
-    for (_ <- 1 to rounds) {
-      val deg = e.select(col("u_a").as("u"))
-        .unionAll(e.select(col("u_b").as("u")))
-        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("u"))
-      e = e.join(keep.withColumnRenamed("u", "u_a"), "u_a")
-        .join(keep.withColumnRenamed("u", "u_b"), "u_b")
-        .select(col("u_a"), col("u_b"))
-        .localCheckpoint()
+      maxRounds: Int = KcoreRounds): DataFrame = {
+    // iterate to FIXPOINT, detected by the per-round edge count (a
+    // round that removes no edge changes no degree, so the keep set is
+    // stable): O(maxRounds) one-long driver reads, the CC-signature
+    // contract. maxRounds is a safety bound, not the semantics — a
+    // cascade deeper than the bound fails LOUDLY here rather than
+    // silently returning a non-core (the oracle replays fixed rounds
+    // and so would agree with a truncated answer; this require is what
+    // makes that impossible).
+    var e = edges.localCheckpoint()
+    var prev = e.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      e = kcoreRound(e, k).localCheckpoint()
+      val n = e.count()
+      converged = n == prev
+      prev = n
+      r += 1
     }
+    require(converged, s"k-core peel did not converge within $maxRounds rounds")
     e.select(col("u_a").as("u")).unionAll(e.select(col("u_b").as("u")))
       .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
       .orderBy(col("u"))
   }
 
+  /** Final core frame cached per (session, sfDir) like the triangle
+    * frame — re-invocations must not replay the peel rounds. */
+  private val kcoreCache = new graft.SessionFrameCache[String]
+
   def kcore(spark: SparkSession, sfDir: String): DataFrame =
-    kcoreFrom(coocEdges(spark, sfDir))
+    kcoreCache.getOrElseUpdateRaw(spark, sfDir) {
+      kcoreFrom(coocEdges(spark, sfDir)).localCheckpoint()
+    }.orderBy(col("u"))
 
   /** (a.deg, a.id) lexicographically before (b.deg, b.id). */
   private def ordLess(da: Column, a: Column, db: Column, b: Column): Column =

@@ -182,8 +182,7 @@ object TemporalOps {
 
   def anomalyDaysFrom(e: DataFrame, k: Int = AnomalyK): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val d = e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+    val d = dailyCounts(e)
     def lowerMedian(df: DataFrame, value: String, out: String): DataFrame = {
       val w = W.partitionBy(col("event_type")).orderBy(col(value), col("day"))
       df.withColumn("rk", row_number().over(w))
@@ -201,36 +200,44 @@ object TemporalOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** The per-(event_type, day) count series — the ONE definition of
+    * "daily counts" shared by [[anomalyDaysFrom]] and [[dodChange]]
+    * (and, via [[DailyCountsCte]], by their oracles). */
+  private def dailyCounts(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** DuckDB twin of [[dailyCounts]] (CTE body). */
+  private val DailyCountsCte: String =
+    """d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |)""".stripMargin
+
   /** Day-over-day deltas per event_type: daily counts with the previous
     * day's count and the signed change (lag over the metadata-scale
     * daily aggregate — same bounded-window argument as
     * [[anomalyDays]]). First day per series has no prior: delta null. */
   def dodChange(spark: SparkSession, sfDir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val d = Tables.events(spark, sfDir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
     val w = W.partitionBy(col("event_type")).orderBy(col("day"))
-    d.withColumn("prev_n", lag(col("n"), 1).over(w))
+    dailyCounts(Tables.events(spark, sfDir))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
       .withColumn("delta", col("n") - col("prev_n"))
       .orderBy(col("event_type"), col("day"))
   }
 
   val oracles: Map[String, String] = Map(
     "dod_change" ->
-      """SELECT event_type, day, n,
-        |  lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
-        |  n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
-        |FROM (SELECT event_type, CAST(ts AS DATE) AS day,
-        |        CAST(COUNT(*) AS BIGINT) AS n
-        |      FROM events GROUP BY 1, 2) d
-        |ORDER BY event_type, day""".stripMargin,
+      s"""WITH $DailyCountsCte
+         |SELECT event_type, day, n,
+         |  lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+         |  n - lag(n) OVER (PARTITION BY event_type ORDER BY day) AS delta
+         |FROM d
+         |ORDER BY event_type, day""".stripMargin,
     "anomaly_days" ->
-      s"""WITH d AS (
-         |  SELECT event_type, CAST(ts AS DATE) AS day,
-         |    CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM events GROUP BY 1, 2
-         |), med AS (
+      s"""WITH $DailyCountsCte, med AS (
          |  SELECT event_type, n AS med FROM (
          |    SELECT event_type, day, n,
          |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rk,

@@ -715,9 +715,11 @@ object TextOps {
 
   /** Keyword-in-context snippets: for every doc containing the term,
     * the ±[[SnippetWidth]]-token window around its FIRST occurrence —
-    * the retrieval-display sibling of [[tfidfTopk]]. Pure projection +
-    * filter (array_position / slice are codegen-friendly collection
-    * ops); no shuffle at any scale. */
+    * the retrieval-display sibling of [[tfidfTopk]]. The matching and
+    * extraction are a pure projection + filter (array_position / slice
+    * are codegen-friendly collection ops, no shuffle); the trailing
+    * orderBy is one range exchange for deterministic output — drop it
+    * when consuming downstream. */
   def snippets(spark: SparkSession, sfDir: String,
       term: String = SnippetTerm, width: Int = SnippetWidth): DataFrame =
     Tables.documents(spark, sfDir)

@@ -166,11 +166,17 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("k-core peeling: equi-joins only, lineage bounded across rounds") {
+    // the per-round join shape must be audited UN-checkpointed — in the
+    // full query every round's joins execute eagerly inside
+    // localCheckpoint and the final plan shows only checkpoint scans
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u_a", "u_b")
+    val pr = plan(graft.ext.GraphOps.kcoreRound(edges, 2))
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr)
+    // per-round localCheckpoint must keep the FINAL plan free of the
+    // round join tree (the connectedComponents lineage contract)
     val p = plan(graft.ext.GraphOps.kcore(spark, sfDir))
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // per-round localCheckpoint must keep the final plan free of the
-    // 8-round join tree (the connectedComponents lineage contract)
     assert(p.linesIterator.size < 40,
       s"plan grows with rounds — lineage not cut:\n$p")
   }

@@ -100,26 +100,43 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
-  test("k-core: clique survives, attached tail peels away in cascade") {
-    // K5 on 1..5 (deg 4 within) + chain 5-6-7: k=4 must peel 7, then 6,
-    // and node 5's degree falls back to 4 — the clique alone survives
+  test("k-core: clique survives, sub-k tail nodes peel; clique degree recovers") {
+    // K5 on 1..5 (deg 4 within) + chain 5-6-7: 6 and 7 are already
+    // below k and peel together; node 5 falls back to exactly 4
     val k5 = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b))
     val e = edges(k5 ++ Seq((5L, 6L), (6L, 7L)): _*)
-    val got = GraphOps.kcoreFrom(e, k = 4, rounds = 4).collect()
+    val got = GraphOps.kcoreFrom(e, k = 4, maxRounds = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === (1L to 5L).map(u => (u, 4L)))
   }
 
+  test("k-core cascade: tail removal propagates node by node into the core") {
+    // lollipop: triangle {1,2,3} + path 3-4-5-6 at k=2. Nodes 4 and 5
+    // START at degree 2 (>= k) — only removing 6 drops 5 under k, and
+    // only removing 5 drops 4: a genuine multi-round cascade ending at
+    // the triangle
+    val lolli = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = GraphOps.kcoreFrom(lolli, k = 2, maxRounds = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // the cascade needs 3 removal rounds + 1 confirming round: a bound
+    // of 3 must fail loudly, never return a truncated "core"
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.kcoreFrom(lolli, k = 2, maxRounds = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("k-core: a path fully unravels even though interior degrees start at k") {
     val path = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
-    assert(GraphOps.kcoreFrom(path, k = 2, rounds = 4).count() === 0)
+    assert(GraphOps.kcoreFrom(path, k = 2, maxRounds = 8).count() === 0)
   }
 
   test("k-core on harness data: rounds reach fixpoint (more rounds change nothing)") {
     val e = GraphOps.coocEdges(spark, "/root/testdata/sf0.001")
     val base = GraphOps.kcoreFrom(e).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val more = GraphOps.kcoreFrom(e, rounds = GraphOps.KcoreRounds + 2)
+    val more = GraphOps.kcoreFrom(e, maxRounds = GraphOps.KcoreRounds + 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(base === more)
     base.foreach { case (_, d) => assert(d >= GraphOps.KcoreK) }
