@@ -177,6 +177,8 @@ object SparkEntry {
     "mutual_knn_graph" -> (SimilarityOps.mutualKnn(_, _)),
     // leave-one-out kNN label vote (mislabel/boundary detection)
     "knn_classify"     -> (SimilarityOps.knnClassify(_, _)),
+    // contrastive hard-negative mining (top-m cross-label neighbors)
+    "hard_negatives"   -> (SimilarityOps.hardNegatives(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     // production regime (0.8, 8-bit bands): oracle = exact pairs at 0.8
     "emb_lsh_near_dup_hi" -> (SimilarityOps.embLshNearDupHi(_, _)),

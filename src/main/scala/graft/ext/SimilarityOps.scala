@@ -508,37 +508,47 @@ object SimilarityOps {
 
   /** private[graft] so PlanAuditSpec can audit the REAL ranking plan —
     * through the cache it would only see the checkpoint scan. */
-  private[graft] def knnRanksUncached(spark: SparkSession, sfDir: String,
-      k: Int, nBlocks: Int): DataFrame = {
-    // norms are precomputed ONCE per vector and carried through the
-    // join — cosine() would recompute both 64-element norms per PAIR,
-    // tripling the flops of the quadratic stage (measured 8.0 s → 2.9 s
-    // at sf0.1). sqrt(fdot(x,x)) here is the same expression cosine()
-    // folds, so the quotient is bit-identical to the oracle's.
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+  /** All n·(n−1) DIRECTED scored pairs (query_id, vec_id, cos [,
+    * q_label, c_label]) via the ordered-pair block join: the query side
+    * owns row-block keys (blk·B + j), the candidate side column-block
+    * keys (i·B + blk), so every directed pair meets at exactly one of
+    * the B² balanced keys — no distinct, no orientation case analysis.
+    * Norms are precomputed ONCE per vector and carried through the
+    * join — cosine() would recompute both 64-element norms per PAIR,
+    * tripling the flops of the quadratic stage (measured 8.0 s → 2.9 s
+    * at sf0.1); sqrt(fdot(x,x)) is the same expression cosine() folds,
+    * so the quotient is bit-identical to the oracle's. Labels ride the
+    * SAME join when requested (hard-negative mining) — attaching them
+    * to the vector frame costs nothing, where joining them onto the
+    * 50M-row scored stream would be two more full shuffles. */
+  private def directedScored(spark: SparkSession, sfDir: String,
+      nBlocks: Int, carryLabels: Boolean = false): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: col("embedding") +:
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm") +:
+        (if (carryLabels) Seq(col("label").cast("long").as("lbl")) else Nil): _*)
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
-    // ordered-pair block join: the query side owns row-block keys
-    // (blk·B + j), the candidate side column-block keys (i·B + blk), so
-    // every DIRECTED pair (x, y), x ≠ y meets at exactly one of the B²
-    // balanced keys — no distinct, no orientation case analysis, and
-    // the kNN stream needs both directions anyway
-    val directed = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("nrm").as("na"),
-        explode(sequence(col("blk") * nBlocks,
-          col("blk") * nBlocks + nBlocks - 1)).as("pk"))
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("nrm").as("nb"),
-        explode(transform(sequence(lit(0), lit(nBlocks - 1)),
-          i => i * nBlocks + col("blk"))).as("pk")), usingColumn = "pk")
+    def side(p: String, keys: Column) = base.select(
+      col("vec_id").as(s"v$p") +: col("embedding").as(s"e$p") +:
+        col("nrm").as(s"n$p") +: explode(keys).as("pk") +:
+        (if (carryLabels) Seq(col("lbl").as(s"l$p")) else Nil): _*)
+    side("a", sequence(col("blk") * nBlocks, col("blk") * nBlocks + nBlocks - 1))
+      .join(side("b", transform(sequence(lit(0), lit(nBlocks - 1)),
+        i => i * nBlocks + col("blk"))), usingColumn = "pk")
       .filter(col("va") =!= col("vb"))
-      .select(col("va").as("query_id"), col("vb").as("vec_id"),
-        (fdot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-    // bounded-heap top-k aggregate: partial buffers prune the n² scored
-    // stream to k rows per (partition, query) BEFORE the shuffle — the
-    // window formulation (topkPerQuery) must exchange + sort every
-    // scored row instead (measured 8.2 s vs 2.9 s at sf0.1)
+      .select(col("va").as("query_id") +: col("vb").as("vec_id") +:
+        (fdot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos") +:
+        (if (carryLabels) Seq(col("la").as("q_label"), col("lb").as("c_label"))
+         else Nil): _*)
+  }
+
+  /** Rank-ordered top-k per query from a (query_id, vec_id, cos)
+    * stream via the bounded-heap aggregate: partial buffers prune the
+    * n² scored stream to k rows per (partition, query) BEFORE the
+    * shuffle — the window formulation (topkPerQuery) must exchange +
+    * sort every scored row instead (measured 8.2 s vs 2.9 s at
+    * sf0.1). */
+  private def heapRanks(directed: DataFrame, k: Int): DataFrame =
     directed.groupBy(col("query_id"))
       .agg(graft.functions.TopKFunctions.topkByScore(
         col("cos"), col("vec_id"), k).as("nbrs"))
@@ -546,7 +556,24 @@ object SimilarityOps {
         posexplode(col("nbrs")).as(Seq("pos", "neighbor_id")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("neighbor_id"))
-  }
+
+  private[graft] def knnRanksUncached(spark: SparkSession, sfDir: String,
+      k: Int, nBlocks: Int): DataFrame =
+    heapRanks(directedScored(spark, sfDir, nBlocks), k)
+
+  /** Hard-negative mining for contrastive training: each anchor's top-m
+    * most similar vectors whose label DIFFERS — the pairs a contrastive
+    * loss learns most from. Same scored stream as [[knnRanks]] with
+    * labels riding the block join; the label filter runs before the
+    * heap aggregate, so the plan cost is identical to kNN. */
+  def hardNegatives(spark: SparkSession, sfDir: String, m: Int = KnnK,
+      nBlocks: Int = 16): DataFrame =
+    heapRanks(
+      directedScored(spark, sfDir, nBlocks, carryLabels = true)
+        .filter(col("q_label") =!= col("c_label"))
+        .select(col("query_id"), col("vec_id"), col("cos")), m)
+      .select(col("query_id").as("vec_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("vec_id"), col("rank"))
 
   def mutualKnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
       nBlocks: Int = 16): DataFrame = {
@@ -740,6 +767,17 @@ object SimilarityOps {
     // rank-only fusion: every score is an exact BIGINT, both rankings
     // replayed literally (keyword tf·idf + cosine top-k)
     "rrf_fusion" -> rrfFusionSql,
+    // same ranking replay restricted to cross-label pairs
+    "hard_negatives" ->
+      s"""SELECT vec_id, rank, neighbor_id FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
+         |               b.vec_id) AS BIGINT) AS rank
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id <> b.vec_id AND a.label <> b.label) t
+         |WHERE rank <= $KnnK
+         |ORDER BY vec_id, rank""".stripMargin,
     // same kNN replay + integer vote argmax with (votes desc, label)
     // tie-break
     "knn_classify" ->

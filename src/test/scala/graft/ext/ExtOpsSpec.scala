@@ -477,6 +477,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(acc < 0.5, s"harness labels unexpectedly cluster: $acc")
   }
 
+  test("hard negatives: nearest CROSS-label vectors, same-label neighbors excluded") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    // label-0 cluster near x-axis, label-1 cluster near y-axis, plus a
+    // label-0 vector BETWEEN them that is every anchor's nearest
+    // cross-label candidate only when labels differ
+    val dir = embFixture(Seq(
+      (1L, v(1f, 0f), 0), (2L, v(0.99f, 0.05f), 0),
+      (11L, v(0f, 1f), 1), (12L, v(0.05f, 0.99f), 1),
+      (20L, v(0.7f, 0.7f), 0)))
+    val got = SimilarityOps.hardNegatives(spark, dir, m = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // label-0 anchors' nearest label-1 vector is 12 (tilted toward the
+    // x-axis); label-1 anchors' nearest label-0 is the between-vector 20
+    // — which is NEVER a negative for label-0 anchors despite being
+    // their true nearest neighbor
+    assert(got === Map(1L -> 12L, 2L -> 12L, 20L -> 12L, 11L -> 20L, 12L -> 20L))
+  }
+
   test("rrf fusion: both-list docs sum contributions, single-list docs keep one") {
     import spark.implicits._
     val dir = tmpDir("hybrid")
