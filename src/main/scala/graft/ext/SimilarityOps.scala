@@ -566,14 +566,18 @@ object SimilarityOps {
     * loss learns most from. Same scored stream as [[knnRanks]] with
     * labels riding the block join; the label filter runs before the
     * heap aggregate, so the plan cost is identical to kNN. */
+  private val hardNegCache = new graft.SessionFrameCache[(String, Int, Int)]
+
   def hardNegatives(spark: SparkSession, sfDir: String, m: Int = KnnK,
       nBlocks: Int = 16): DataFrame =
-    heapRanks(
-      directedScored(spark, sfDir, nBlocks, carryLabels = true)
-        .filter(col("q_label") =!= col("c_label"))
-        .select(col("query_id"), col("vec_id"), col("cos")), m)
-      .select(col("query_id").as("vec_id"), col("rank"), col("neighbor_id"))
-      .orderBy(col("vec_id"), col("rank"))
+    hardNegCache.getOrElseUpdateRaw(spark, (sfDir, m, nBlocks)) {
+      heapRanks(
+        directedScored(spark, sfDir, nBlocks, carryLabels = true)
+          .filter(col("q_label") =!= col("c_label"))
+          .select(col("query_id"), col("vec_id"), col("cos")), m)
+        .select(col("query_id").as("vec_id"), col("rank"), col("neighbor_id"))
+        .localCheckpoint()
+    }.orderBy(col("vec_id"), col("rank"))
 
   def mutualKnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
       nBlocks: Int = 16): DataFrame = {
