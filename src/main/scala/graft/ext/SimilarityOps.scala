@@ -506,8 +506,6 @@ object SimilarityOps {
       knnRanksUncached(spark, sfDir, k, nBlocks).localCheckpoint()
     }
 
-  /** private[graft] so PlanAuditSpec can audit the REAL ranking plan —
-    * through the cache it would only see the checkpoint scan. */
   /** All n·(n−1) DIRECTED scored pairs (query_id, vec_id, cos [,
     * q_label, c_label]) via the ordered-pair block join: the query side
     * owns row-block keys (blk·B + j), the candidate side column-block
@@ -557,6 +555,8 @@ object SimilarityOps {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("neighbor_id"))
 
+  /** private[graft] so PlanAuditSpec can audit the REAL ranking plan —
+    * through the cache it would only see the checkpoint scan. */
   private[graft] def knnRanksUncached(spark: SparkSession, sfDir: String,
       k: Int, nBlocks: Int): DataFrame =
     heapRanks(directedScored(spark, sfDir, nBlocks), k)
@@ -779,7 +779,8 @@ object SimilarityOps {
          |      ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
          |               b.vec_id) AS BIGINT) AS rank
          |  FROM embeddings a JOIN embeddings b
-         |    ON a.vec_id <> b.vec_id AND a.label <> b.label) t
+         |    ON a.vec_id <> b.vec_id AND a.label <> b.label
+         |    AND NOT isnan(list_cosine_similarity(b.embedding, a.embedding))) t
          |WHERE rank <= $KnnK
          |ORDER BY vec_id, rank""".stripMargin,
     // same kNN replay + integer vote argmax with (votes desc, label)
@@ -791,6 +792,7 @@ object SimilarityOps {
          |      ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
          |               b.vec_id) AS BIGINT) AS rank
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    AND NOT isnan(list_cosine_similarity(b.embedding, a.embedding))
          |  QUALIFY rank <= $KnnK
          |), votes AS (
          |  SELECT k.query_id, CAST(e.label AS BIGINT) AS nb_label,
@@ -819,6 +821,7 @@ object SimilarityOps {
          |      ORDER BY list_cosine_similarity(b.embedding, a.embedding) DESC,
          |               b.vec_id) AS BIGINT) AS rank
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |    AND NOT isnan(list_cosine_similarity(b.embedding, a.embedding))
          |  QUALIFY rank <= $KnnK
          |)
          |SELECT x.query_id AS vec_a, x.neighbor_id AS vec_b,
