@@ -7,13 +7,14 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: the LAST stdout line is ONE compact
-  * JSON object `{"metric":"total","value":N,"unit":"sec","queries":{...}}`.
-  * Round-4 regression lesson: embedding full per-query telemetry in that
-  * line grew it past the driver's tail-capture window and the head (with
-  * the total) was cut off — so telemetry now lives ONLY in the file
-  * artifact (SPARK_GRAFT_BENCH_OUT, default bench_out.json), and the
-  * compact line is printed last, after spark.stop(), so no log noise can
-  * follow it.
+  * JSON object `{"metric":"total","value":N,"unit":"sec","complete":B,
+  * "sf":"…","errors":[…]}` — and NOTHING per-query. Rounds 4 and 5 both
+  * lost driver-side perf tracking because the per-query map (~4.5 KB at
+  * 106 queries) was kept on that line and the driver's 2000-char tail
+  * capture truncated the head. Per-query times + telemetry live ONLY in
+  * the file artifact (SPARK_GRAFT_BENCH_OUT, default bench_out.json);
+  * the compact line is printed last, after spark.stop(), so no log noise
+  * can follow it.
   *
   * Methodology (round-4 hardening — the r3 driver run recorded 5-11x
   * outliers on queries whose code and plans were byte-identical to their
@@ -108,9 +109,13 @@ object Bench {
     if (!complete)
       System.err.println(s"[bench] INCOMPLETE: ${errors.size} queries failed " +
         s"every pass (${errors.mkString(", ")}) — total excludes them")
-    val common =
-      s""""metric":"total","value":$total,"unit":"sec","complete":$complete,"queries":$qs,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")}"""
-    val compact = s"{$common}"
+    // Compact stdout line: NO per-query map. At 106+ queries the map alone
+    // is ~4.5 KB and overflowed the driver's 2000-char tail capture in r4
+    // AND r5, truncating the head (`"metric":"total"`) and leaving
+    // `"parsed": null`. The map lives only in the file artifact below;
+    // this line stays ≤ ~300 chars at any query count.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")}}"""
     val telemetry = queries.map { case (name, _) =>
       val (_, gc, mb) = timesPerRun.head(name)
       val all = timesPerRun.map(_(name)._1.fold(_ => "null", _.toString))
@@ -122,7 +127,7 @@ object Bench {
       s""""$name":{"gc_ms":$gc,"cached_mb":$mb,"runs":$all$errField}"""
     }.mkString("{", ",", "}")
     val full =
-      s"""{$common,"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,"telemetry":$telemetry}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"queries":$qs,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")},"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,"telemetry":$telemetry}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }

@@ -19,6 +19,12 @@ object Verify {
     // SPARK_GRAFT_ONLY=q1_agg,seg_dedup restricts the dump to those names.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must not yield a vacuously partial dump with rc=0
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.view.filterKeys(names).toMap)
     selected.foreach { case (name, fn) =>

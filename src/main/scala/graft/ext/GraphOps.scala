@@ -139,17 +139,27 @@ object GraphOps {
     var converged = false
     var r = 0
     while (!converged && r < maxRounds) {
+      val dropped = e
       e = kcoreRound(e, k).localCheckpoint()
       val n = e.count()
       converged = n == prev
       prev = n
       r += 1
+      // release the superseded round's checkpoint blocks eagerly (the
+      // connectedComponents contract) — without this every peel round
+      // strands block-manager storage until JVM exit
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(dropped)
     }
     require(converged, s"k-core peel did not converge within $maxRounds rounds")
-    e.select(col("u_a").as("u")).unionAll(e.select(col("u_b").as("u")))
+    // materialize the (small) core table, then release the fixpoint
+    // edges' blocks too — the RESULT is itself a local checkpoint, same
+    // contract as connectedComponents
+    val core = e.select(col("u_a").as("u")).unionAll(e.select(col("u_b").as("u")))
       .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
-      .orderBy(col("u"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(e)
+    core.orderBy(col("u"))
   }
 
   /** Final core frame cached per (session, sfDir) like the triangle

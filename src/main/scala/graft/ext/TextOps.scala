@@ -605,7 +605,13 @@ object TextOps {
     val bloomBytes = bench
       .agg(bloomFilterAgg(xxhash64(col("gram")), expectedItems = 100000L))
       .head.getAs[Array[Byte]](0)
-    val pruned = corpus.filter(mightContain(lit(bloomBytes), xxhash64(col("gram"))))
+    // empty bench slice → the Bloom aggregate yields null, and
+    // lit(null: Array[Byte]) is a NullType literal that fails
+    // BloomFilterMightContain's analysis — skip the prefilter (the exact
+    // join yields the same empty result the prefilter would)
+    val pruned =
+      if (bloomBytes == null) corpus
+      else corpus.filter(mightContain(lit(bloomBytes), xxhash64(col("gram"))))
     decontamAgg(pruned, bench)
   }
 

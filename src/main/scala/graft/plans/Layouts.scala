@@ -103,20 +103,16 @@ object Layouts {
       .repartitionByRange(col("file_key"))
       .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint()
-    // order partition bases by UTF-8 BINARY order — the order
-    // repartitionByRange actually ranges by. Java String ordering
-    // (UTF-16 code units) disagrees on supplementary-plane characters
-    // vs U+E000..U+FFFF, which would attach bases to the wrong pids.
-    val utf8Order: Ordering[Array[Byte]] = (a, b) => {
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n && a(i) == b(i)) i += 1
-      if (i < n) (a(i) & 0xff) - (b(i) & 0xff) else a.length - b.length
-    }
+    // order partition bases by pid: RangePartitioning assigns lower key
+    // ranges to lower partition ids by construction (it is what makes
+    // Dataset.sort = repartitionByRange + local sort globally sorted), so
+    // pid order IS key order — no driver-side key comparator needed, and
+    // assignBins works for any orderable key type (the previous
+    // getAs[String] path threw ClassCastException on non-string keys).
     val subs = inv.groupBy(col("pid"))
-      .agg(sum(col("bytes")).as("sub"), min(col("file_key")).as("lo"))
+      .agg(sum(col("bytes")).as("sub"))
       .collect()
-      .sortBy(_.getAs[String]("lo").getBytes(java.nio.charset.StandardCharsets.UTF_8))(utf8Order)
+      .sortBy(_.getAs[Int]("pid"))
     val bases = subs.toSeq.scanLeft((0, 0L)) { case ((_, acc), r) =>
       (r.getAs[Int]("pid"), acc + r.getAs[Long]("sub"))
     }.sliding(2).collect { case Seq((_, base), (pid, _)) => (pid, base) }.toSeq
