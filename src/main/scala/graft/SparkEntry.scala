@@ -179,6 +179,11 @@ object SparkEntry {
     "knn_classify"     -> (SimilarityOps.knnClassify(_, _)),
     // contrastive hard-negative mining (top-m cross-label neighbors)
     "hard_negatives"   -> (SimilarityOps.hardNegatives(_, _)),
+    // ANN-backed kNN family: candidates from the probed IVF lists
+    // instead of the n² exact stream — the plan that survives 100×
+    // vectors; probe choice is exact-integer, so BOTH are oracle-checked
+    "mutual_knn_graph_ann" -> (SimilarityOps.mutualKnnAnn(_, _)),
+    "hard_negatives_ann"   -> (SimilarityOps.hardNegativesAnn(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     // production regime (0.8, 8-bit bands): oracle = exact pairs at 0.8
     "emb_lsh_near_dup_hi" -> (SimilarityOps.embLshNearDupHi(_, _)),

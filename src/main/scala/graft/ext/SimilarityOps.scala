@@ -81,30 +81,29 @@ object SimilarityOps {
     * nprobe=3 output is DETERMINISTIC and oracle-checked
     * (`ann_ivf_topk`) — changing the centroid arithmetic is NOT
     * oracle-safe; the DuckDB replay mirrors it literally. */
-  def ivfTopk(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+  /** Quantize to the 1e-6 grid as a LONG: floor of an exactly-rounded
+    * double product — deterministic per element on any engine. */
+  private def q6col(c: Column): Column = floor(c.cast("double") * 1e6).cast("long")
 
-    // Quantize to the 1e-6 grid as a LONG: floor of an exactly-rounded
-    // double product — deterministic per element on any engine.
-    val q6 = (c: Column) => floor(c.cast("double") * 1e6).cast("long")
-
-    // Centroid per list with EXACT-INTEGER arithmetic (the r4 verdict
-    // item): avg(double) depends on partial-aggregation order, so probe
-    // ranking was run- and engine-nondeterministic. Instead each component
-    // is the floor-mean of quantized values — a long sum (order-free,
-    // |cs| < 2^53 at any realistic list size × unit-scale embeddings)
-    // floor-divided by the count via the subtract-pmod trick (exact
-    // multiple before the division, the q12_histogram pattern). Probe
-    // scores then use integer-valued doubles end to end: products and
-    // partial sums stay exact (< 2^53), sqrt/div are correctly rounded —
-    // bit-identical ranking everywhere, which is what turns nprobe=3 from
-    // rows-only into an oracle-checked row. Quantization moves each
-    // centroid component by < 1e-6 — zero effect on which lists are near.
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+  /** Per-list centroids (c_label, centroid) with EXACT-INTEGER arithmetic
+    * (the r4 verdict item): avg(double) depends on partial-aggregation
+    * order, so probe ranking was run- and engine-nondeterministic.
+    * Instead each component is the floor-mean of quantized values — a
+    * long sum (order-free, |cs| < 2^53 at any realistic list size ×
+    * unit-scale embeddings) floor-divided by the count via the
+    * subtract-pmod trick (exact multiple before the division, the
+    * q12_histogram pattern). Probe scores then use integer-valued doubles
+    * end to end: products and partial sums stay exact (< 2^53), sqrt/div
+    * are correctly rounded — bit-identical ranking everywhere, which is
+    * what turns probe choice from rows-only into an oracle-checked
+    * contract. Quantization moves each centroid component by < 1e-6 —
+    * zero effect on which lists are near. Shared by [[ivfTopk]] and the
+    * ANN-kNN family ([[knnRanksAnn]]); the oracles share the matching
+    * CTE text ([[CentCtes]]). */
+  private def listCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(sum(q6(col("v"))).as("cs"), count(lit(1)).as("n"))
+      .agg(sum(q6col(col("v"))).as("cs"), count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
         expr("(cs - pmod(cs, n)) div n").as("cv"))
       .groupBy(col("label"))
@@ -112,10 +111,15 @@ object SimilarityOps {
       .select(col("label").as("c_label"),
         transform(col("pairs"), p => p.getField("cv").cast("double")).as("centroid"))
 
+  def ivfTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val centroids = listCentroids(e)
+
     // each query probes the nprobe closest centroids (by quantized query)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        transform(col("embedding"), x => q6(x).cast("double")).as("q_q6"))
+        transform(col("embedding"), x => q6col(x).cast("double")).as("q_q6"))
     // single-level window is fine HERE: it ranks nQueries × nLists rows
     // (centroids, not corpus) — tiny at any scale
     val wProbe = Window.partitionBy(col("query_id"))
@@ -579,9 +583,10 @@ object SimilarityOps {
         .localCheckpoint()
     }.orderBy(col("vec_id"), col("rank"))
 
-  def mutualKnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
-      nBlocks: Int = 16): DataFrame = {
-    val knn = knnRanks(spark, sfDir, k, nBlocks)
+  /** Mutual filter over a (query_id, rank, neighbor_id) rank frame: one
+    * (query, neighbor)=(neighbor, query) self equi-join of two k·n-row
+    * frames — shared by the exact and ANN-backed graphs. */
+  private def mutualFrom(knn: DataFrame): DataFrame = {
     val rev = knn.select(col("query_id").as("r_nb"),
       col("neighbor_id").as("r_q"), col("rank").as("rank_ba"))
     knn.join(rev,
@@ -591,6 +596,113 @@ object SimilarityOps {
         col("rank").as("rank_ab"), col("rank_ba"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  def mutualKnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      nBlocks: Int = 16): DataFrame =
+    mutualFrom(knnRanks(spark, sfDir, k, nBlocks))
+
+  /** Probe depth for the ANN-backed kNN family — same role as
+    * [[ivfTopk]]'s nprobe. */
+  val AnnKnnNprobe = 3
+
+  /** ANN candidate stream (query_id, vec_id, cos [, q_label, c_label]):
+    * every corpus vector probes its `nprobe` closest IVF lists by
+    * exact-integer centroid cosine (deterministic — the [[ivfTopk]]
+    * contract, so probe choice and therefore the candidate sets are
+    * oracle-replayable) and is scored only against vectors in those
+    * lists. This is the 100× path for the kNN-graph family: the exact
+    * [[directedScored]] stream is n² pairs; this one is
+    * n·nprobe·|list| — an nprobe/L fraction with L lists, and at real
+    * scale L grows with the corpus (k-means lists, L ≈ √n → per-query
+    * cost nprobe·n/L ≈ nprobe·√n, total n^1.5 not n²) while the plan —
+    * broadcast centroid probe, heap-pruned probe ranking, KEYED list
+    * equi-join, heap ranking — is unchanged.
+    *
+    * Plan notes: probe ranking is corpus × broadcast(L centroids)
+    * folded by the bounded-heap aggregate (partial buffers keep nprobe
+    * rows per vector BEFORE the exchange — no window ever sees the
+    * n·L probe stream); query vectors are re-attached by a KEYED join
+    * on vec_id (carrying the 64-float embedding through the aggregate
+    * would bloat every heap buffer instead); candidate generation is a
+    * keyed equi-join on the list id whose frames are balanced by
+    * construction (harness labels; k-means at scale) — the same
+    * hot-key-guard contract as the LSH band join. Norms are hoisted
+    * once per vector exactly as in [[directedScored]], so the cosine
+    * quotient is bit-identical to the exact sibling's and the oracle's.
+    * A zero vector has NaN cosine against everything: the heap
+    * aggregate skips NaNs, and the oracle guards with NOT isnan — both
+    * sides drop such rows. */
+  private def annCandidates(spark: SparkSession, sfDir: String,
+      nprobe: Int, carryLabels: Boolean = false): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val probes = e
+      .select(col("vec_id"),
+        transform(col("embedding"), x => q6col(x).cast("double")).as("q_q6"))
+      .join(broadcast(listCentroids(e)), lit(true))
+      .select(col("vec_id"), cosine(col("q_q6"), col("centroid")).as("c_cos"),
+        col("c_label").cast("long").as("c_label"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKFunctions.topkByScore(
+        col("c_cos"), col("c_label"), nprobe).as("lists"))
+      .select(col("vec_id").as("query_id"), explode(col("lists")).as("p_label"))
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"),
+      col("label").cast("long").as("c_lbl"))
+    val qside = corpus.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("nrm").as("nq"),
+      col("c_lbl").as("q_label"))
+    probes.join(qside, "query_id")
+      .join(corpus,
+        col("c_lbl") === col("p_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id") +: col("vec_id") +:
+        (fdot(col("embedding"), col("q_emb")) / (col("nrm") * col("nq"))).as("cos") +:
+        (if (carryLabels) Seq(col("q_label"), col("c_lbl").as("c_label"))
+         else Nil): _*)
+  }
+
+  private val annKnnCache = new graft.SessionFrameCache[(String, Int, Int)]
+
+  /** ANN-backed kNN ranks for EVERY corpus vector — [[knnRanks]] with
+    * the candidate stream cut from n² to the probed lists. Cached per
+    * (session, sfDir, k, nprobe) like the exact frame. */
+  def knnRanksAnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      nprobe: Int = AnnKnnNprobe): DataFrame =
+    annKnnCache.getOrElseUpdateRaw(spark, (sfDir, k, nprobe)) {
+      knnRanksAnnUncached(spark, sfDir, k, nprobe).localCheckpoint()
+    }
+
+  /** private[graft] so PlanAuditSpec can audit the REAL plan — through
+    * the cache it would only see the checkpoint scan. */
+  private[graft] def knnRanksAnnUncached(spark: SparkSession, sfDir: String,
+      k: Int, nprobe: Int): DataFrame =
+    heapRanks(annCandidates(spark, sfDir, nprobe), k)
+
+  /** [[mutualKnn]] over the ANN candidate stream — the kNN-graph entry
+    * whose plan survives 100× vectors (the r5 verdict's one weak-at-scale
+    * family). Oracle-checked by a literal replay of the probe + ranking
+    * arithmetic; recall vs the exact graph is test-asserted
+    * (ExtOpsSpec), the [[embLshNearDupHi]] pattern. */
+  def mutualKnnAnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      nprobe: Int = AnnKnnNprobe): DataFrame =
+    mutualFrom(knnRanksAnn(spark, sfDir, k, nprobe))
+
+  private val hardNegAnnCache = new graft.SessionFrameCache[(String, Int, Int)]
+
+  /** [[hardNegatives]] over the ANN candidate stream: cross-label
+    * filter BEFORE the heap aggregate, so the plan cost equals the ANN
+    * kNN — the production shape for contrastive mining at 100× corpus
+    * size. Approximate by construction: negatives come only from probed
+    * lists (recall vs the exact miner is test-asserted). */
+  def hardNegativesAnn(spark: SparkSession, sfDir: String, m: Int = KnnK,
+      nprobe: Int = AnnKnnNprobe): DataFrame =
+    hardNegAnnCache.getOrElseUpdateRaw(spark, (sfDir, m, nprobe)) {
+      heapRanks(
+        annCandidates(spark, sfDir, nprobe, carryLabels = true)
+          .filter(col("q_label") =!= col("c_label"))
+          .select(col("query_id"), col("vec_id"), col("cos")), m)
+        .select(col("query_id").as("vec_id"), col("rank"), col("neighbor_id"))
+        .localCheckpoint()
+    }.orderBy(col("vec_id"), col("rank"))
 
   /** Leave-one-out kNN classification over the labeled corpus: each
     * vector's label is predicted by majority vote of its k nearest
@@ -742,7 +854,80 @@ object SimilarityOps {
       |    ON e.vec_id <> q.vec_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Shared centroid-replay CTE text (expl → comp → cent): the
+    * exact-integer list centroids of [[listCentroids]] reproduced
+    * literally — shared by the IVF and ANN-kNN oracles so the replays
+    * cannot drift from each other (or from the Scala side). */
+  private val CentCtes =
+    """expl AS (
+      |  SELECT label,
+      |    unnest(range(len(embedding))) AS pos,
+      |    unnest([CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding]) AS qv
+      |  FROM embeddings
+      |), comp AS (
+      |  SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS cs,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM expl GROUP BY label, pos
+      |), cent AS (
+      |  SELECT label,
+      |    list((cs - ((cs % n + n) % n)) // n ORDER BY pos) AS cc
+      |  FROM comp GROUP BY label
+      |)""".stripMargin
+
+  /** WITH-prefix for the ANN-kNN oracles: full-corpus probe choice
+    * (exact-integer, NaN-guarded like the heap aggregate) → probed-list
+    * candidate scoring → per-query rank ≤ k. `labelFilter` restricts
+    * candidates (hard negatives). Generated so the graph and the miner
+    * replay identical probe/ranking arithmetic by construction. */
+  private def annKnnCtes(nprobe: Int, k: Int, labelFilter: String): String =
+    s"""WITH $CentCtes, q AS (
+       |  SELECT vec_id AS query_id, embedding, label,
+       |    [CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS qq
+       |  FROM embeddings
+       |), pscore AS (
+       |  SELECT q.query_id, c.label,
+       |    CAST(list_sum([q.qq[i] * c.cc[i] for i in range(1, len(q.qq)+1)]) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum([x*x for x in q.qq]) AS DOUBLE))
+       |         * sqrt(CAST(list_sum([x*x for x in c.cc]) AS DOUBLE))) AS pcos
+       |  FROM q, cent c
+       |), probed AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY pcos DESC, label ASC) AS probe_rank
+       |    FROM pscore WHERE NOT isnan(pcos)) t
+       |  WHERE probe_rank <= $nprobe
+       |), knn AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT p.query_id, e.vec_id AS neighbor_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+       |                 e.vec_id) AS BIGINT) AS rank
+       |    FROM probed p
+       |    JOIN embeddings e ON e.label = p.label
+       |    JOIN q ON q.query_id = p.query_id
+       |    WHERE e.vec_id <> p.query_id$labelFilter
+       |      AND NOT isnan(list_cosine_similarity(e.embedding, q.embedding))) t
+       |  WHERE rank <= $k
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // ANN-backed kNN graph: probe choice is exact-integer deterministic,
+    // candidate ranks replay the same (cos desc, vec_id) order as the
+    // exact family — so the approximate graph is itself hash-checkable
+    "mutual_knn_graph_ann" ->
+      s"""${annKnnCtes(AnnKnnNprobe, KnnK, "")}
+         |SELECT x.query_id AS vec_a, x.neighbor_id AS vec_b,
+         |  x.rank AS rank_ab, y.rank AS rank_ba
+         |FROM knn x JOIN knn y
+         |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+         |WHERE x.query_id < x.neighbor_id
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // same replay restricted to cross-label candidates
+    "hard_negatives_ann" ->
+      s"""${annKnnCtes(AnnKnnNprobe, KnnK, "\n      AND e.label <> q.label")}
+         |SELECT query_id AS vec_id, rank, neighbor_id
+         |FROM knn ORDER BY vec_id, rank""".stripMargin,
     // literal round-by-round Lloyd replay, generated from shared constants
     "kmeans_assign" -> kmeansOracleSql(),
     // exact pairs at 0.8 (the verified emb_lsh_near_dup_hi regime) →
@@ -837,20 +1022,7 @@ object SimilarityOps {
     // dot products) reproduced literally — every intermediate is exact,
     // so probe choice and therefore the candidate lists agree bit-for-bit
     "ann_ivf_topk" ->
-      """WITH expl AS (
-        |  SELECT label,
-        |    unnest(range(len(embedding))) AS pos,
-        |    unnest([CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding]) AS qv
-        |  FROM embeddings
-        |), comp AS (
-        |  SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS cs,
-        |    CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM expl GROUP BY label, pos
-        |), cent AS (
-        |  SELECT label,
-        |    list((cs - ((cs % n + n) % n)) // n ORDER BY pos) AS cc
-        |  FROM comp GROUP BY label
-        |), q AS (
+      s"""WITH $CentCtes, q AS (
         |  SELECT vec_id AS query_id, embedding,
         |    [CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS qq
         |  FROM embeddings WHERE vec_id < 10

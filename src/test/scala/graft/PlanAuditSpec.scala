@@ -158,6 +158,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("ann knn: heap-pruned probe + keyed list join, no window, no cartesian") {
+    // the centroid probe is corpus × broadcast(L centroids) — a
+    // BroadcastNestedLoopJoin over L rows is the intended shape there
+    // (the rrf 1-row-count contract); what must NOT appear is an unkeyed
+    // CartesianProduct or any window over the probe/candidate streams —
+    // both rankings are the bounded-heap aggregate
+    val pr = plan(SimilarityOps.knnRanksAnnUncached(spark, sfDir,
+      SimilarityOps.KnnK, SimilarityOps.AnnKnnNprobe))
+    assert(pr.contains("topk_by_score"), pr)
+    assert(!pr.contains("Window"), pr)
+    assert(!pr.contains("CartesianProduct"), pr)
+    val p = plan(SimilarityOps.mutualKnnAnn(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("rrf fusion: token-keyed equi joins, no cartesian; fusion join keyed") {
     val p = plan(graft.ext.SimilarityOps.rrfFusion(spark, sfDir))
     // broadcast nested loops are fine (1-row counts, nQueries-row query

@@ -157,6 +157,47 @@ class ExtOpsSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("ANN kNN ranks recover a plausible fraction of the exact ranks") {
+    val exact = SimilarityOps.knnRanks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = SimilarityOps.knnRanksAnn(spark, sfDir).collect()
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // unclustered harness vectors: recall ~ nprobe/nlists is the honest
+    // floor (the IVF contract); deterministic on fixed data
+    val recall = exact.intersect(annSet).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall=$recall")
+    // ANN ranks are contiguous 1..m per query (m <= k when probed lists
+    // hold fewer than k candidates)
+    val ranksOk = ann.groupBy(_.getLong(0)).values.forall { rs =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size).toSeq
+    }
+    assert(ranksOk)
+  }
+
+  test("ANN mutual graph and hard-negative miner track their exact siblings") {
+    val exactE = SimilarityOps.mutualKnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annE = SimilarityOps.mutualKnnAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // mutual edges need BOTH endpoints recovered, so edge recall sits
+    // below single-ended rank recall; deterministic on fixed data
+    val edgeRecall = exactE.intersect(annE).size.toDouble / exactE.size
+    assert(edgeRecall >= 0.12, s"edge recall=$edgeRecall")
+    val exactH = SimilarityOps.hardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val annH = SimilarityOps.hardNegativesAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hnRecall = exactH.intersect(annH).size.toDouble / exactH.size
+    assert(hnRecall >= 0.25, s"hard-negative recall=$hnRecall")
+    // the miner never emits a same-label pair — approximate in WHICH
+    // negatives it finds, never in their hardness contract
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(label as long) as label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(SimilarityOps.hardNegativesAnn(spark, sfDir).collect()
+      .forall(r => labels(r.getLong(0)) != labels(r.getLong(2))))
+  }
+
   test("int8-quantized top-k preserves most of the exact ranking") {
     val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
