@@ -144,6 +144,9 @@ object SparkEntry {
     // blocked-Levenshtein record linkage (block-size cap, integer
     // threshold — DuckDB levenshtein replays the same unit-cost DP)
     "fuzzy_match"       -> (DedupOps.fuzzyMatch(_, _)),
+    // block-cap telemetry: the blocks fuzzy_match's cap drops (recall
+    // decays silently with corpus growth — this is the number to watch)
+    "fuzzy_dropped_blocks" -> (DedupOps.fuzzyDroppedBlocks(_, _)),
     // degree-ordered triangle enumeration on the user co-engagement
     // graph (bucket-capped pair generation; id-ordered oracle replay)
     "triangles"         -> (GraphOps.triangles(_, _)),
