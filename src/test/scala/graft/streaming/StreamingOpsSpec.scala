@@ -211,6 +211,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minhash state bootstraps from the changelog after a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val out = tmpDir("mhrestart")
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamingOps.runMinhashDedupStream(
+      in1.toDS().toDF("doc_id", "text"),
+      s"$out/state", s"$out/kept", s"$out/ckpt1")
+    try {
+      in1.addData((1L, base))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // NEW stream, same state path: the in-memory store is gone with the
+    // first query — doc 2 must still be caught as a dup of KEPT doc 1,
+    // via the one-time changelog bootstrap
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.runMinhashDedupStream(
+      in2.toDS().toDF("doc_id", "text"),
+      s"$out/state", s"$out/kept", s"$out/ckpt2")
+    try {
+      in2.addData((2L, near))
+      q2.processAllAvailable()
+      val kept = spark.read.parquet(s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L))
+    } finally q2.stop()
+  }
+
   test("stream-static enrichment joins the dimension without shuffling the stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
