@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scaling probe (r5 verdict item 5): measure the heaviest queries at
+  * 10× the bench scale and record sf1/sf0.1 ratios, to catch super-linear
+  * growth (fuzzy-match block occupancy, LSH candidate volume, k-core
+  * rounds) empirically rather than by scaladoc.
+  *
+  * The driver ships no sf1 tables (TESTDATA.md stops at sf0.1, the
+  * testdata tree is read-only), so the probe derives one at
+  * `/tmp/graft_sf1` from sf0.1 — 10 id-shifted copies, mutated so the
+  * scale-up is ORGANIC rather than degenerate:
+  *
+  *  - `documents`: each copy's text is a per-copy deterministic token
+  *    permutation (tokens sorted by xxhash64(token, POSITION, copy)) —
+  *    copies are NOT near-duplicates of each other, so dedup-family
+  *    candidate volume grows with corpus size the way fresh content
+  *    does. Copy 0 is the original. The hash MUST include the token's
+  *    position: sorting by hash(token, copy) alone canonicalizes word
+  *    order, which turned the harness's order-perturbed near-dup
+  *    families into much closer near-dups in every copy — measured as a
+  *    184× minhash_near_dup blow-up at 10× data, a generation artifact,
+  *    not an operator property. (Exact copies would instead hand every
+  *    doc 9 twins — an adversarial hot-key fixture, which ExtOpsSpec
+  *    already covers — and measure the guards, not the scaling.)
+  *  - `embeddings`: each copy circularly shifts the vector by its copy
+  *    index (a coordinate rotation — within-copy cosine structure is
+  *    preserved exactly) and relabels lists to `label + 10·copy`, so the
+  *    IVF list count grows with the corpus (100 lists at 10 copies ≈ the
+  *    production L ~ √n regime the ANN scaladocs assume; with L fixed,
+  *    IVF candidate volume per query grows linearly with n and the probe
+  *    would measure that choice, not the plan).
+  *  - `events`: user_id/event_id shifted per copy AND ts shifted by
+  *    copy·366 days — the co-engagement graph becomes 10 disjoint
+  *    copies (10× edges, same peel depth). The ts shift is load-bearing:
+  *    with copies sharing (event_type, hour) buckets, every bucket held
+  *    10× users, the co-occurrence bucket cap dropped nearly all of
+  *    them, and the sf1 graph came out almost EMPTY (measured
+  *    triangles "ratio" 0.0 — the cap guard doing its job on a
+  *    degenerate workload, not a scaling signal). `ts` is written as
+  *    LONG nanos so [[Tables.events]] reads the derived dir exactly
+  *    like the driver-generated ones.
+  *
+  * Output: one line per query `{"query":…,"sf01_cold":…,"sf01_warm":…,
+  * "sf1_cold":…,"sf1_warm":…,"ratio":…}` plus a summary file
+  * (SPARK_GRAFT_SCALE_OUT, default scale_probe.json). The RATIO is
+  * cold/cold: several probed operators session-cache their heavy frame
+  * per (session, sfDir) — kcore, triangles, the ANN-kNN family, the LSH
+  * band frames — so a warm (second-run) comparison would measure cache
+  * reads, not the computation whose scaling is in question. A sf0.001
+  * pass runs first so whole-stage codegen is compiled before any timed
+  * run (the plan shapes are scale-independent, so without it the sf0.1
+  * cold runs would pay all compilation and deflate every ratio). */
+object ScaleProbe {
+
+  val Copies = 10
+  val Stride = 10000000L
+
+  /** The quadratic-adjacent families: dedup (token + vector + graph),
+    * retrieval fusion, decontamination, and the new ANN-kNN rows. */
+  val Probed: Seq[String] = Seq(
+    "fuzzy_match", "rrf_fusion", "doc_winnow_pairs", "minhash_near_dup",
+    "simhash_near_dup", "decontam_bloom", "semdedup", "emb_lsh_near_dup",
+    "emb_lsh_near_dup_hi", "kcore", "triangles",
+    "mutual_knn_graph_ann", "hard_negatives_ann")
+
+  def ensureGenerated(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    if (Files.exists(Paths.get(s"$outDir/_PROBE_READY"))) return
+
+    val copies = spark.range(Copies).select(col("id").cast("int").as("k"))
+
+    // documents: per-copy deterministic token permutation
+    val docs = Tables.documents(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("doc_id") + col("k") * Stride).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          array_join(transform(
+            array_sort(expr(
+              // (hash(token, pos, copy), token) pairs — position-dependent
+              "transform(split(text, ' '), (t, i) -> struct(xxhash64(t, i, k) AS h, t AS t))")),
+            s => s.getField("t")), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+
+    // embeddings: circular coordinate shift per copy + list relabel
+    val emb = Tables.embeddings(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("vec_id") + col("k") * Stride).as("vec_id"),
+        when(col("k") === 0, col("embedding")).otherwise(expr(
+          "concat(slice(embedding, k + 1, size(embedding) - k), slice(embedding, 1, k))"))
+          .as("embedding"),
+        (col("label") + col("k") * 10).cast("int").as("label"))
+    emb.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    // events: id-shifted disjoint copies; ts as long nanos (see scaladoc)
+    val ev = Tables.events(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("event_id") + col("k") * Stride).as("event_id"),
+        ((unix_micros(col("ts")) + col("k").cast("long") * 366L * 86400L * 1000000L) * 1000L)
+          .as("ts"),
+        (col("user_id") + col("k") * Stride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    Files.writeString(Paths.get(s"$outDir/_PROBE_READY"), "ok\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    ensureGenerated(spark, srcDir, sf1Dir)
+
+    def timed(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // codegen warm-up at smoke scale (untimed; see scaladoc)
+    Probed.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
+    val rows = Probed.map { name =>
+      val fn = SparkEntry.queries(name)
+      val c01 = timed(fn, srcDir)
+      val w01 = timed(fn, srcDir)
+      val c1 = timed(fn, sf1Dir)
+      val w1 = timed(fn, sf1Dir)
+      val line = f"""{"query":"$name","sf01_cold":$c01%.2f,"sf01_warm":$w01%.2f,"sf1_cold":$c1%.2f,"sf1_warm":$w1%.2f,"ratio":${c1 / c01}%.1f}"""
+      println(line)
+      line
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
+    try Files.writeString(Paths.get(out), rows.mkString("[", ",\n", "]\n"))
+    catch { case e: Throwable => System.err.println(s"[scale-probe] write failed: $e") }
+    spark.stop()
+  }
+}

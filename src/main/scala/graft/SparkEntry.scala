@@ -171,6 +171,13 @@ object SparkEntry {
     // approximate recall by design, but DETERMINISTIC (exact-integer
     // centroid/probe arithmetic) — so nprobe=3 is oracle-checked too:
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),
+    // IVF over K-MEANS lists (production construction: L a free
+    // parameter grown with the corpus) — deterministic Lloyd + integer
+    // probe metric, so oracle-checked like ann_ivf_topk
+    "ann_ivf_kmeans_topk" -> (SimilarityOps.ivfKmeansTopk(_, _)),
+    // SemDeDup as the paper runs it: pair search scoped to k-means
+    // clusters (linear at scale), CC + min-rep election as semdedup
+    "semdedup_clustered" -> (SimilarityOps.semDedupClustered(_, _)),
     // same IVF plan with every list probed — degenerates to exact brute
     // force, so the approximate path's machinery gets a hash-checked row:
     "ann_ivf_full_probe" -> (SimilarityOps.ivfFullProbe(_, _)),

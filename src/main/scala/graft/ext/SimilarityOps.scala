@@ -157,17 +157,25 @@ object SimilarityOps {
     * per-round cost O(n·k·dim) compute + one shuffle of k·dim partials.
     * Two rounds here; a long-running loop would localCheckpoint per
     * round like connectedComponents to cut lineage. */
-  def kmeansAssign(spark: SparkSession, sfDir: String,
-      k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame = {
+  /** Exact-integer squared L2 between the quantized vector `q` and a
+    * centroid `c` — the assignment metric, shared by Lloyd and the
+    * k-means-IVF probe ranking. */
+  private val kmeansDistSq = expr(
+    "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
+
+  /** The shared Lloyd machinery behind [[kmeansAssign]],
+    * [[ivfKmeansTopk]] and [[semDedupClustered]]: returns (quantized
+    * corpus `v(vec_id, q)`, final centroids `(cluster, c)`, final
+    * assignment `(vec_id, q, cluster)`). */
+  private def kmeansRun(spark: SparkSession, sfDir: String,
+      k: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     val q6 = (c: Column) => floor(c.cast("double") * 1e6).cast("long")
     val v = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), q6).as("q"))
-    val distSq = expr(
-      "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
 
     def assign(cents: DataFrame): DataFrame =
       v.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("q"), col("cluster"), distSq.as("d"))
+        .select(col("vec_id"), col("q"), col("cluster"), kmeansDistSq.as("d"))
         .groupBy(col("vec_id"), col("q"))
         .agg(min(struct(col("d"), col("cluster"))).as("m"))
         .select(col("vec_id"), col("q"), col("m.cluster").as("cluster"))
@@ -190,7 +198,51 @@ object SimilarityOps {
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("q").as("c"))
     for (_ <- 1 to rounds) cents = recompute(assign(cents), cents)
-    assign(cents).select(col("vec_id"), col("cluster")).orderBy("vec_id")
+    (v, cents, assign(cents))
+  }
+
+  def kmeansAssign(spark: SparkSession, sfDir: String,
+      k: Int = KmeansK, rounds: Int = KmeansRounds): DataFrame =
+    kmeansRun(spark, sfDir, k, rounds)._3
+      .select(col("vec_id"), col("cluster")).orderBy("vec_id")
+
+  /** IVF top-k over K-MEANS lists instead of the corpus's `label`
+    * partitions — the production IVF construction: the list count is a
+    * free parameter grown with the corpus (L ≈ √n), so per-query
+    * candidate volume is nprobe·n/L ≈ nprobe·√n regardless of any
+    * data-given partitioning ([[ivfTopk]]'s lists are the harness
+    * labels, whose count is fixed by the data). Probes are ranked by
+    * the SAME exact-integer squared-L2 metric the Lloyd assignment
+    * uses, so probe choice — and therefore the candidate lists — is
+    * deterministic and the whole row oracle-replayable (the
+    * [[ivfTopk]] nprobe=3 contract, on k-means lists).
+    *
+    * Plan: Lloyd (broadcast-assign + one (cluster,pos) aggregate per
+    * round), probe ranking over nQueries × k centroid rows (tiny),
+    * then a KEYED equi-join on the cluster id for candidates and the
+    * salted two-phase top-k. */
+  def ivfKmeansTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val (v, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("cluster").asc)
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("cluster"), kmeansDistSq.as("d"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cluster").as("p_cluster"))
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = e
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .join(broadcast(probes.join(q, "query_id")),
+        col("cluster") === col("p_cluster") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    topkPerQuery(scored, k)
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication — embedding
@@ -221,13 +273,71 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** [[semDedup]] with the pair search scoped to K-MEANS clusters — the
+    * construction the SemDeDup paper actually runs (Abbas et al. 2023
+    * §2: cluster the embeddings, find duplicates WITHIN each cluster):
+    * near-dup pairs are computed only between co-clustered vectors, CC +
+    * min-id election as in [[semDedup]]. Cross-cluster near-dup pairs
+    * are missed BY DESIGN — that approximation is what makes the
+    * operator run at scale, and the paper's finding is that it costs
+    * little recall (near-dups co-cluster).
+    *
+    * This is the production-scale sibling of the exact [[semDedup]]
+    * row: the exact op's pair stage is the all-pairs blocked join — an
+    * O(n²) scoring budget that the sf1 probe measured at ~70× for 10×
+    * vectors — while this one's is a cluster-keyed equi-join whose cost
+    * is Σ m_c², bounded by the largest cluster; with L grown with the
+    * corpus (L ≈ n/const) the per-cluster m stays bounded and total
+    * work is linear. Skew caveat: a degenerate embedding distribution
+    * can funnel one cluster — the LSH-family sub-salting guard applies
+    * if a real corpus shows it; harness clusters are balanced
+    * (test-asserted in ExtOpsSpec). */
+  /** private[graft] so PlanAuditSpec can audit the pair-join shape —
+    * inside [[semDedupClustered]] it executes eagerly within the CC
+    * materialization and the final plan shows only checkpoint scans. */
+  private[graft] def semDedupClusteredPairs(spark: SparkSession,
+      sfDir: String, threshold: Double = 0.8): DataFrame = {
+    val (_, _, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val e = Tables.embeddings(spark, sfDir)
+    val m = e.join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+    // cosine written as the LAST join conjunct (the fuzzyMatch lesson:
+    // a post-join filter would be merged in FIRST and score pairs the
+    // cheap vec_id< guard kills)
+    m.as("a").join(m.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          (fdot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))) >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+  }
+
+  def semDedupClustered(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.8): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val comp = graft.ext.DedupOps.connectedComponents(
+      semDedupClusteredPairs(spark, sfDir, threshold))
+    e.select(col("vec_id"))
+      .join(comp.withColumnRenamed("doc_id", "cid"),
+        col("vec_id") === col("cid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("rep_id"))
+      .withColumn("is_kept", col("vec_id") === col("rep_id"))
+      .orderBy("vec_id")
+  }
+
   /** Shared constants + literal round-by-round SQL replay of
     * [[kmeansAssign]] for the oracle (generated, so the two sides share
     * seeds/tie-breaks/floor-mean semantics by construction). */
   val KmeansK = 8
   val KmeansRounds = 2
 
-  private[ext] def kmeansOracleSql(k: Int = KmeansK,
+  /** CTE list (no WITH keyword) replaying Lloyd literally: `v`
+    * (quantized corpus), `c0..c<rounds>` (centroids), `afinal` (final
+    * assignment). Shared by the kmeans, k-means-IVF and clustered
+    * SemDeDup oracles so the replays cannot drift. */
+  private[ext] def kmeansCtesSql(k: Int = KmeansK,
       rounds: Int = KmeansRounds): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
@@ -252,16 +362,20 @@ object SimilarityOps {
     val roundsSql = (1 to rounds).map { r =>
       assignCte(s"a$r", s"c${r - 1}") + ",\n" + centCtes(r, s"a$r", s"c${r - 1}")
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cluster, q AS c FROM v WHERE vec_id < $k),
        |$roundsSql,
-       |${assignCte("afinal", s"c$rounds")}
+       |${assignCte("afinal", s"c$rounds")}""".stripMargin
+  }
+
+  private[ext] def kmeansOracleSql(k: Int = KmeansK,
+      rounds: Int = KmeansRounds): String =
+    s"""WITH ${kmeansCtesSql(k, rounds)}
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
        |FROM afinal ORDER BY vec_id""".stripMargin
-  }
 
   /** [[ivfTopk]] with nprobe >= nLists: every list is probed, so the
     * "approximate" path degenerates to exact brute force BY CONSTRUCTION —
@@ -912,6 +1026,56 @@ object SimilarityOps {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // k-means-IVF: Lloyd replayed literally (shared kmeansCtesSql), probe
+    // ranking by the same exact-integer squared-L2, candidate ranks by
+    // cosine — deterministic end to end, like ann_ivf_topk
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH ${kmeansCtesSql()}, probes AS (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT v.vec_id AS query_id, cc.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, len(v.q) + 1),
+         |          i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) ASC,
+         |        cc.cluster ASC) AS pr
+         |    FROM v, c$KmeansRounds cc WHERE v.vec_id < 10) t
+         |  WHERE pr <= 3
+         |)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT p.query_id, m.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(e.embedding, qe.embedding) DESC,
+         |               m.vec_id) AS BIGINT) AS rank
+         |  FROM probes p
+         |  JOIN afinal m ON m.cluster = p.cluster
+         |  JOIN embeddings e ON e.vec_id = m.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = p.query_id
+         |  WHERE m.vec_id <> p.query_id) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // clustered SemDeDup: Lloyd replay + WITHIN-cluster pairs at 0.8 +
+    // the same recursive closure/min-rep election as semdedup
+    "semdedup_clustered" ->
+      s"""WITH RECURSIVE ${kmeansCtesSql()}, pairs AS (
+         |  SELECT ma.vec_id AS doc_a, mb.vec_id AS doc_b
+         |  FROM afinal ma JOIN afinal mb
+         |    ON ma.cluster = mb.cluster AND ma.vec_id < mb.vec_id
+         |  JOIN embeddings a ON a.vec_id = ma.vec_id
+         |  JOIN embeddings b ON b.vec_id = mb.vec_id
+         |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT e.vec_id,
+         |    LEAST(e.vec_id, COALESCE(MIN(r.dst), e.vec_id)) AS rep_id
+         |  FROM embeddings e LEFT JOIN reach r ON r.src = e.vec_id
+         |  GROUP BY e.vec_id
+         |)
+         |SELECT vec_id, rep_id, vec_id = rep_id AS is_kept
+         |FROM comp ORDER BY vec_id""".stripMargin,
     // ANN-backed kNN graph: probe choice is exact-integer deterministic,
     // candidate ranks replay the same (cos desc, vec_id) order as the
     // exact family — so the approximate graph is itself hash-checkable

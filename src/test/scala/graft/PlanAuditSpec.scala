@@ -189,6 +189,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("kmeans-ivf + clustered semdedup: cluster-keyed equi joins, no cartesian") {
+    val p1 = plan(SimilarityOps.ivfKmeansTopk(spark, sfDir))
+    assert(!p1.contains("CartesianProduct"), p1)
+    // the pair stage must be audited pre-CC: inside the full op it
+    // executes eagerly within the component materialization and the
+    // final plan shows only checkpoint scans
+    // BroadcastNestedLoopJoin IS expected once: Lloyd's assign step is
+    // corpus × broadcast(k centroids) — the rrf small-frame contract.
+    // What must hold: no unkeyed CartesianProduct anywhere, and the
+    // PAIR join keyed on the cluster id with the cosine as a residual
+    // condition (never a nested loop over vectors)
+    val p2 = plan(SimilarityOps.semDedupClusteredPairs(spark, sfDir))
+    assert(!p2.contains("CartesianProduct"), p2)
+    val pairJoin = p2.split("\n").find(l =>
+      l.contains("Join") && l.contains("vec_dot") && l.contains("cluster"))
+    assert(pairJoin.isDefined, p2)
+    assert(pairJoin.get.indexOf("vec_id") < pairJoin.get.indexOf("vec_dot"),
+      pairJoin.get)
+  }
+
   test("rrf fusion: token-keyed equi joins, no cartesian; fusion join keyed") {
     val p = plan(graft.ext.SimilarityOps.rrfFusion(spark, sfDir))
     // broadcast nested loops are fine (1-row counts, nQueries-row query

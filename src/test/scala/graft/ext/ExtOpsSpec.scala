@@ -198,6 +198,46 @@ class ExtOpsSpec extends SparkSpec {
       .forall(r => labels(r.getLong(0)) != labels(r.getLong(2))))
   }
 
+  test("k-means-IVF top-k: plausible recall, clusters balanced enough to bound lists") {
+    val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.ivfKmeansTopk(spark, sfDir).collect()
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // same honest floor as label-IVF: unclustered harness vectors give
+    // recall ~ nprobe/k; deterministic on fixed data
+    val recall = brute.intersect(ivfSet).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+    // ranks contiguous from 1 per query
+    assert(ivf.groupBy(_.getLong(0)).values.forall { rs =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size).toSeq
+    })
+    // the scale story needs per-cluster sizes bounded: no k-means list
+    // may swallow the corpus (the semDedupClustered skew caveat)
+    val sizes = SimilarityOps.kmeansAssign(spark, sfDir)
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    val n = sizes.sum
+    assert(sizes.max <= n * 6 / 10, s"largest cluster ${sizes.max} of $n")
+  }
+
+  test("clustered SemDeDup refines the exact components (pairs are a subset)") {
+    val exact = SimilarityOps.semDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val clus = SimilarityOps.semDedupClustered(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clus.length == exact.length) // one row per vector, both sides
+    // within-cluster pairs ⊆ all pairs, so clustered components REFINE
+    // the exact ones: every clustered non-keeper is a non-keeper in the
+    // exact dedup too, and clustered keeps at least as many docs
+    val exactKept = exact.filter(_._3).map(_._1).toSet
+    val clusKept = clus.filter(_._3).map(_._1).toSet
+    assert(exactKept.subsetOf(clusKept), "exact keepers must survive clustering")
+    assert(clusKept.size >= exactKept.size)
+    // a clustered merge (vec -> rep != self) implies the exact dedup
+    // merged them too (possibly under a different representative)
+    val exactRep = exact.map(r => r._1 -> r._2).toMap
+    assert(clus.filter(r => !r._3).forall(r => exactRep(r._1) != r._1))
+  }
+
   test("int8-quantized top-k preserves most of the exact ranking") {
     val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
