@@ -98,6 +98,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Cast(args(0), DoubleType), Cast(args(1), LongType),
         k = foldableInt("topk_by_score")(args(2), "k"))))
     ext.injectFunction((
+      FunctionIdentifier("levenshtein_within"),
+      info(classOf[graft.functions.LevenshteinWithin], "levenshtein_within",
+        "levenshtein_within(a, b, bound) - edit distance if <= bound (per-row), else -1; banded DP"),
+      (args: Seq[Expression]) => graft.functions.LevenshteinWithin(
+        Cast(args(0), StringType), Cast(args(1), StringType),
+        Cast(args(2), org.apache.spark.sql.types.IntegerType))))
+    ext.injectFunction((
       FunctionIdentifier("zorder_value"),
       info(graft.plans.Layouts.getClass, "zorder_value",
         "zorder_value(x, y) - 32-bit Morton interleave of two dimensions (16 bits each)"),

@@ -64,9 +64,22 @@ object ScaleProbe {
     * retrieval fusion, decontamination, and the new ANN-kNN rows. */
   val Probed: Seq[String] = Seq(
     "fuzzy_match", "rrf_fusion", "doc_winnow_pairs", "minhash_near_dup",
-    "simhash_near_dup", "decontam_bloom", "semdedup", "emb_lsh_near_dup",
-    "emb_lsh_near_dup_hi", "kcore", "triangles",
-    "mutual_knn_graph_ann", "hard_negatives_ann")
+    "simhash_near_dup", "decontam_bloom", "semdedup", "semdedup_clustered",
+    "emb_lsh_near_dup", "emb_lsh_near_dup_hi", "kcore", "triangles",
+    "mutual_knn_graph_ann", "hard_negatives_ann", "ann_ivf_kmeans_topk")
+
+  /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
+    * few rows without repaying the whole sweep; unknown names fail
+    * loudly (the Verify SPARK_GRAFT_ONLY contract). */
+  private def selected: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY") match {
+      case None => Probed
+      case Some(s) =>
+        val names = s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val unknown = names.filterNot(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown probe names: ${unknown.mkString(", ")}")
+        names
+    }
 
   def ensureGenerated(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     if (Files.exists(Paths.get(s"$outDir/_PROBE_READY"))) return
@@ -134,12 +147,12 @@ object ScaleProbe {
     }
 
     // codegen warm-up at smoke scale (untimed; see scaladoc)
-    Probed.foreach { name =>
+    selected.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
 
-    val rows = Probed.map { name =>
+    val rows = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val c01 = timed(fn, srcDir)
       val w01 = timed(fn, srcDir)

@@ -60,6 +60,12 @@ class GraftExtensionsSpec extends SparkSpec {
           |  SELECT * FROM VALUES (1.0, 10), (3.0, 20), (3.0, 5), (2.0, 1) v(s, i))""".stripMargin)
         .head().getSeq[Long](0)
       assert(tk == Seq(5L, 20L))
+      // levenshtein_within: per-row bound column, -1 sentinel beyond it
+      val lv = s2.sql(
+        """SELECT levenshtein_within(a, b, bnd) AS d FROM VALUES
+          |  ('kitten', 'sitting', 3), ('kitten', 'sitting', 2) v(a, b, bnd)""".stripMargin)
+        .collect().map(_.getInt(0)).toSeq
+      assert(lv == Seq(3, -1))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -320,7 +320,10 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("kmeans rounds broadcast centroids; corpus never cartesians") {
-    val p = plan(graft.ext.SimilarityOps.kmeansAssign(spark, sfDir))
+    // audit the UNCACHED run: the public path session-caches the final
+    // assignment and would show only a checkpoint scan
+    val p = plan(graft.ext.SimilarityOps.kmeansRunUncached(spark, sfDir,
+      graft.ext.SimilarityOps.KmeansK, graft.ext.SimilarityOps.KmeansRounds)._3)
     // each Lloyd round must broadcast the k centroids against the corpus
     // scan (BroadcastExchange), never shuffle the corpus to meet them,
     // and recompute partials map-side (two-phase hash aggregate)
