@@ -112,10 +112,17 @@ object Bench {
     // Compact stdout line: NO per-query map. At 106+ queries the map alone
     // is ~4.5 KB and overflowed the driver's 2000-char tail capture in r4
     // AND r5, truncating the head (`"metric":"total"`) and leaving
-    // `"parsed": null`. The map lives only in the file artifact below;
-    // this line stays ≤ ~300 chars at any query count.
+    // `"parsed": null`. The map lives only in the file artifact below.
+    // The errors array is CAPPED too — a mass-failure run (the case where
+    // complete:false matters most) would otherwise put a KB of query
+    // names on this line and re-trigger the same truncation; the full
+    // list is in the file artifact. Line stays ≤ ~400 chars always.
+    val errsCompact =
+      (errors.take(3).map(jstr) ++
+        (if (errors.size > 3) Seq(jstr(s"...and ${errors.size - 3} more")) else Nil))
+        .mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"n_errors":${errors.size},"sf":"$sfDir","errors":$errsCompact}"""
     val telemetry = queries.map { case (name, _) =>
       val (_, gc, mb) = timesPerRun.head(name)
       val all = timesPerRun.map(_(name)._1.fold(_ => "null", _.toString))

@@ -82,7 +82,11 @@ object ScaleProbe {
     }
 
   def ensureGenerated(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    if (Files.exists(Paths.get(s"$outDir/_PROBE_READY"))) return
+    // marker carries the SOURCE dir: a probe rerun with a different
+    // SPARK_GRAFT_SF_DIR must regenerate, or the recorded "ratio" would
+    // silently compare data derived from a different scale
+    val marker = Paths.get(s"$outDir/_PROBE_READY")
+    if (Files.exists(marker) && Files.readString(marker).trim == srcDir) return
 
     val copies = spark.range(Copies).select(col("id").cast("int").as("k"))
 
@@ -123,7 +127,7 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     ev.write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
-    Files.writeString(Paths.get(s"$outDir/_PROBE_READY"), "ok\n")
+    Files.writeString(Paths.get(s"$outDir/_PROBE_READY"), srcDir + "\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -146,10 +150,17 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // codegen warm-up at smoke scale (untimed; see scaladoc)
+    // codegen warm-up at smoke scale (untimed; see scaladoc). A failed
+    // warm-up must be VISIBLE: silently skipping it would deflate every
+    // ratio (sf0.1 cold pays all codegen compilation, sf1 cold none) —
+    // the exact artifact the warm-up exists to prevent.
+    val smokeDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001")
     selected.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try SparkEntry.queries(name)(spark, smokeDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale-probe] warm-up of $name at $smokeDir FAILED " +
+          s"(${e.getMessage}) — this query's ratio will be codegen-skewed")
+      }
     }
 
     val rows = selected.map { name =>

@@ -476,6 +476,16 @@ object DedupOps {
   val FuzzyBlockCap = 50
   val FuzzyMaxDistPct = 20
 
+  /** The fuzzy-match candidate block key: (first two lowercased tokens,
+    * length-div-40 bucket), null when the text has fewer than two
+    * tokens. ONE definition shared by [[fuzzyMatch]] and
+    * [[fuzzyDroppedBlocks]] — the telemetry row's whole contract is
+    * that it counts the SAME key space the matcher blocks on. */
+  private def fuzzyBlockKey: Column = concat(
+    expr("try_element_at(split(trim(lower(text)), ' '), 1)"), lit("|"),
+    expr("try_element_at(split(trim(lower(text)), ' '), 2)"), lit("|"),
+    expr("cast(length(text) div 40 as string)"))
+
   /** Fuzzy string matching (record linkage): near-identical documents
     * found by BLOCKED Levenshtein — the classic dedup path for short
     * records (titles, addresses) where token sets are too coarse. The
@@ -490,11 +500,8 @@ object DedupOps {
     * null-propagating key on both sides. */
   def fuzzyMatch(spark: SparkSession, sfDir: String,
       maxDistPct: Int = FuzzyMaxDistPct, blockCap: Int = FuzzyBlockCap): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"),
-      concat(
-        expr("try_element_at(split(trim(lower(text)), ' '), 1)"), lit("|"),
-        expr("try_element_at(split(trim(lower(text)), ' '), 2)"), lit("|"),
-        expr("cast(length(text) div 40 as string)")).as("blk"))
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), fuzzyBlockKey.as("blk"))
     val kept = d.join(
       d.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= blockCap).select(col("blk")), "blk")
@@ -533,11 +540,7 @@ object DedupOps {
     * oracle replays the same block key + cap. */
   def fuzzyDroppedBlocks(spark: SparkSession, sfDir: String,
       blockCap: Int = FuzzyBlockCap): DataFrame =
-    Tables.documents(spark, sfDir).select(
-        concat(
-          expr("try_element_at(split(trim(lower(text)), ' '), 1)"), lit("|"),
-          expr("try_element_at(split(trim(lower(text)), ' '), 2)"), lit("|"),
-          expr("cast(length(text) div 40 as string)")).as("blk"))
+    Tables.documents(spark, sfDir).select(fuzzyBlockKey.as("blk"))
       .filter(col("blk").isNotNull)
       .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") > blockCap)

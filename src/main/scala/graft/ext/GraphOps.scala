@@ -168,7 +168,10 @@ object GraphOps {
 
   def kcore(spark: SparkSession, sfDir: String): DataFrame =
     kcoreCache.getOrElseUpdateRaw(spark, sfDir) {
-      kcoreFrom(coocEdges(spark, sfDir)).localCheckpoint()
+      // kcoreFrom's result already sits on its own local checkpoint (the
+      // peel-loop teardown materializes the core table) — checkpointing
+      // again here would strand the inner blocks and re-sort for nothing
+      kcoreFrom(coocEdges(spark, sfDir))
     }.orderBy(col("u"))
 
   /** (a.deg, a.id) lexicographically before (b.deg, b.id). */

@@ -171,19 +171,37 @@ object SimilarityOps {
   private val kmeansCentCache = new graft.SessionFrameCache[(String, Int, Int)]
   private val kmeansAssignCache = new graft.SessionFrameCache[(String, Int, Int)]
 
+  /** The (vec_id, q) quantized corpus — the Lloyd working set. */
+  private def quantizedCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), q6col(_)).as("q"))
+
+  /** One Lloyd assignment pass: nearest centroid by exact-integer
+    * squared L2, ties to the smaller cluster id. */
+  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("q"), col("cluster"), kmeansDistSq.as("d"))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("q"), col("m.cluster").as("cluster"))
+
   /** The shared Lloyd machinery behind [[kmeansAssign]],
     * [[ivfKmeansTopk]] and [[semDedupClustered]]: returns (quantized
     * corpus `v(vec_id, q)`, final centroids `(cluster, c)`, final
     * assignment `(vec_id, q, cluster)`) — the latter two checkpointed
-    * through the session caches. */
+    * through the session caches. Centroids are checkpointed FIRST and
+    * the assignment derived from the checkpointed frame, so a cold
+    * cache fill runs the Lloyd rounds exactly once (deriving both
+    * checkpoints from the uncached plan would re-run the rounds for
+    * the assignment). */
   private def kmeansRun(spark: SparkSession, sfDir: String,
       k: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
-    val (v, cents, assigned) = kmeansRunUncached(spark, sfDir, k, rounds)
+    val v = quantizedCorpus(spark, sfDir)
     val cc = kmeansCentCache.getOrElseUpdateRaw(spark, (sfDir, k, rounds)) {
-      cents.localCheckpoint()
+      kmeansRunUncached(spark, sfDir, k, rounds)._2.localCheckpoint()
     }
     val aa = kmeansAssignCache.getOrElseUpdateRaw(spark, (sfDir, k, rounds)) {
-      assigned.localCheckpoint()
+      assignTo(v, cc).localCheckpoint()
     }
     (v, cc, aa)
   }
@@ -192,16 +210,7 @@ object SimilarityOps {
     * through the cache it would only see checkpoint scans. */
   private[graft] def kmeansRunUncached(spark: SparkSession, sfDir: String,
       k: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
-    val q6 = (c: Column) => floor(c.cast("double") * 1e6).cast("long")
-    val v = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), transform(col("embedding"), q6).as("q"))
-
-    def assign(cents: DataFrame): DataFrame =
-      v.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("q"), col("cluster"), kmeansDistSq.as("d"))
-        .groupBy(col("vec_id"), col("q"))
-        .agg(min(struct(col("d"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("q"), col("m.cluster").as("cluster"))
+    val v = quantizedCorpus(spark, sfDir)
 
     def recompute(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val fresh = assigned
@@ -220,8 +229,8 @@ object SimilarityOps {
 
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("q").as("c"))
-    for (_ <- 1 to rounds) cents = recompute(assign(cents), cents)
-    (v, cents, assign(cents))
+    for (_ <- 1 to rounds) cents = recompute(assignTo(v, cents), cents)
+    (v, cents, assignTo(v, cents))
   }
 
   def kmeansAssign(spark: SparkSession, sfDir: String,

@@ -392,13 +392,30 @@ object StreamingOps {
       checkpointDir: String,
       threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery = {
     var state: MinhashState = null
-    docs.writeStream
+    val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (state == null) state = new MinhashState(batch.sparkSession, statePath)
         if (!batch.isEmpty) minhashDedupBatch(batch, state, keptPath, threshold)
       }
       .start()
+    // release the state blocks when THIS query terminates — a session
+    // that stops/restarts the stream (redeploy loop, the restart test)
+    // would otherwise strand the full band+shingle state per stopped
+    // instance until JVM exit (each restart bootstraps a fresh store)
+    val spark = docs.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          if (state != null) state.close()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
   }
 
   private[streaming] def minhashDedupBatch(
