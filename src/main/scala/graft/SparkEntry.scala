@@ -194,6 +194,9 @@ object SparkEntry {
     // vectors; probe choice is exact-integer, so BOTH are oracle-checked
     "mutual_knn_graph_ann" -> (SimilarityOps.mutualKnnAnn(_, _)),
     "hard_negatives_ann"   -> (SimilarityOps.hardNegativesAnn(_, _)),
+    // one NN-descent round over the ANN graph (neighbors-of-neighbors +
+    // reverse edges, exact-cosine re-rank) — recall recovery at O(n·k²)
+    "knn_refine_nnd"       -> (SimilarityOps.knnRefineNnd(_, _)),
     "emb_lsh_near_dup" -> (SimilarityOps.embLshNearDup(_, _)), // probabilistic: rows-only
     // production regime (0.8, 8-bit bands): oracle = exact pairs at 0.8
     "emb_lsh_near_dup_hi" -> (SimilarityOps.embLshNearDupHi(_, _)),

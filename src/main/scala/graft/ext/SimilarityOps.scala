@@ -832,6 +832,45 @@ object SimilarityOps {
       nprobe: Int = AnnKnnNprobe): DataFrame =
     mutualFrom(knnRanksAnn(spark, sfDir, k, nprobe))
 
+  /** One NN-DESCENT refinement round over the ANN kNN graph (Dong et
+    * al., WWW'11: "a neighbor of a neighbor is likely a neighbor"):
+    * each query's candidate set is its current ANN neighbors, their
+    * neighbors, and its REVERSE neighbors; candidates are re-ranked by
+    * exact cosine and the top-k kept. This is how graph-ANN systems
+    * recover the recall the probe step loses — without ever touching
+    * the n² exact stream (candidates are O(n·k²): joins over the
+    * n·k-row rank frame, then one keyed scoring join + the heap
+    * ranking). Deterministic given the deterministic base graph, so the
+    * whole round is oracle-replayable; the recall-vs-exact improvement
+    * over the unrefined graph is test-asserted (ExtOpsSpec). */
+  private val nndCache = new graft.SessionFrameCache[(String, Int, Int)]
+
+  def knnRefineNnd(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      nprobe: Int = AnnKnnNprobe): DataFrame =
+    nndCache.getOrElseUpdateRaw(spark, (sfDir, k, nprobe)) {
+      val base = knnRanksAnn(spark, sfDir, k, nprobe)
+      val direct = base.select(col("query_id"), col("neighbor_id").as("cand"))
+      val nn2 = base.as("x").join(base.as("y"),
+          col("x.neighbor_id") === col("y.query_id"))
+        .select(col("x.query_id").as("query_id"),
+          col("y.neighbor_id").as("cand"))
+      val rev = base.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("cand"))
+      val cands = direct.unionAll(nn2).unionAll(rev)
+        .filter(col("query_id") =!= col("cand"))
+        .distinct()
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+        col("embedding"), sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+      val scored = cands
+        .join(e.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("nrm").as("nq")), "query_id")
+        .join(e.select(col("vec_id").as("cand"),
+          col("embedding").as("c_emb"), col("nrm").as("nc")), "cand")
+        .select(col("query_id"), col("cand").as("vec_id"),
+          (fdot(col("c_emb"), col("q_emb")) / (col("nc") * col("nq"))).as("cos"))
+      heapRanks(scored, k).localCheckpoint()
+    }.orderBy(col("query_id"), col("rank"))
+
   private val hardNegAnnCache = new graft.SessionFrameCache[(String, Int, Int)]
 
   /** [[hardNegatives]] over the ANN candidate stream: cross-label
@@ -1108,6 +1147,30 @@ object SimilarityOps {
          |)
          |SELECT vec_id, rep_id, vec_id = rep_id AS is_kept
          |FROM comp ORDER BY vec_id""".stripMargin,
+    // NN-descent round: the ANN knn CTE expanded by neighbor-of-neighbor
+    // + reverse edges, re-ranked by exact cosine — same NaN guard and
+    // (cos desc, id) tie-break as the heap aggregate
+    "knn_refine_nnd" ->
+      s"""${annKnnCtes(AnnKnnNprobe, KnnK, "")}, cand AS (
+         |  SELECT query_id, neighbor_id AS cand FROM knn
+         |  UNION
+         |  SELECT x.query_id, y.neighbor_id
+         |  FROM knn x JOIN knn y ON x.neighbor_id = y.query_id
+         |  UNION
+         |  SELECT neighbor_id, query_id FROM knn
+         |), cand2 AS (
+         |  SELECT DISTINCT query_id, cand FROM cand WHERE query_id <> cand
+         |)
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT c.query_id, c.cand AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+         |               c.cand) AS BIGINT) AS rank
+         |  FROM cand2 c
+         |  JOIN embeddings e ON e.vec_id = c.cand
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  WHERE NOT isnan(list_cosine_similarity(e.embedding, q.embedding))) t
+         |WHERE rank <= $KnnK ORDER BY query_id, rank""".stripMargin,
     // ANN-backed kNN graph: probe choice is exact-integer deterministic,
     // candidate ranks replay the same (cos desc, vec_id) order as the
     // exact family — so the approximate graph is itself hash-checkable

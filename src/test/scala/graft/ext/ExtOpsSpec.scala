@@ -174,6 +174,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(ranksOk)
   }
 
+  test("NN-descent round improves ANN recall without touching the exact stream") {
+    val exact = SimilarityOps.knnRanks(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = SimilarityOps.knnRanksAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = SimilarityOps.knnRefineNnd(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val annRecall = exact.intersect(ann).size.toDouble / exact.size
+    val refRecall = exact.intersect(refined).size.toDouble / exact.size
+    // the refinement re-ranks a SUPERSET of each query's candidates, so
+    // per-query refined lists are at least as good; in aggregate the
+    // round must not lose recall and should gain it (deterministic on
+    // fixed data)
+    assert(refRecall >= annRecall, s"refined=$refRecall ann=$annRecall")
+    assert(refRecall > annRecall, s"no recall gained: $refRecall")
+  }
+
   test("ANN mutual graph and hard-negative miner track their exact siblings") {
     val exactE = SimilarityOps.mutualKnn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
