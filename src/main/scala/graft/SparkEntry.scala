@@ -165,6 +165,9 @@ object SparkEntry {
     // hybrid retrieval: keyword (tf·idf) + vector (cosine) rankings
     // fused by reciprocal rank — exact-integer scores, oracle-replayed
     "rrf_fusion"       -> (SimilarityOps.rrfFusion(_, _)),
+    // same fusion, vector leg from the probed IVF lists — the shape for
+    // corpora too large to scan exactly per query
+    "rrf_fusion_ann"   -> (SimilarityOps.rrfFusionAnn(_, _)),
     // deterministic Lloyd (exact-integer distances/centroids): the final
     // assignment after 2 rounds is oracle-replayed in DuckDB
     "kmeans_assign"    -> (SimilarityOps.kmeansAssign(_, _)),

@@ -948,12 +948,12 @@ object SimilarityOps {
     * score stream. The fusion join is (query_id, doc_id)-keyed over ≤
     * 2·listK rows per query — bounded by construction, so the final
     * per-query window is over ≤ 2·listK rows, not data-scale. */
-  def rrfFusion(spark: SparkSession, sfDir: String,
-      nQueries: Int = RrfNQueries, listK: Int = RrfListK,
-      topF: Int = RrfTopF): DataFrame = {
-    // tokenization, tf, and idf come from the SAME helpers as
-    // tfidfTopk (and the oracle from the same CTE strings) — the two
-    // registered retrieval queries cannot drift apart
+  /** The keyword ("more-like-this" tf·idf) rank list — shared by both
+    * fusion variants. Tokenization, tf, and idf come from the SAME
+    * helpers as tfidfTopk (and the oracle from the same CTE strings) —
+    * the registered retrieval queries cannot drift apart. */
+  private def kwRanks(spark: SparkSession, sfDir: String,
+      nQueries: Int, listK: Int): DataFrame = {
     val tok = TextOps.docTokens(spark, sfDir)
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -968,13 +968,16 @@ object SimilarityOps {
       .agg(sum(col("tf") * col("idf")).as("score"))
     // topkPerQuery orders by a column named "cos" — an exact BIGINT
     // score sorts just as well as a cosine there
-    val kw = topkPerQuery(kwScored.select(col("query_id"),
+    topkPerQuery(kwScored.select(col("query_id"),
         col("doc_id").as("vec_id"), col("score").as("cos")), listK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("k_rank"))
-    val vec = bruteTopk(spark, sfDir, nQueries, listK)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("v_rank"))
+  }
+
+  /** RRF of a keyword and a vector rank list (both (query_id, doc_id,
+    * rank)-shaped) — exact BIGINT scores, ≤ 2·listK rows per query into
+    * the final window. */
+  private def fuseRanks(kw: DataFrame, vec: DataFrame, topF: Int): DataFrame = {
     val fused = kw.join(vec, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_score",
         coalesce(expr(s"$RrfScale div ($RrfC + k_rank)"), lit(0L)) +
@@ -987,8 +990,36 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private def rrfFusionSql: String =
-    s"""WITH ${TextOps.TokCte}, tf AS (
+  def rrfFusion(spark: SparkSession, sfDir: String,
+      nQueries: Int = RrfNQueries, listK: Int = RrfListK,
+      topF: Int = RrfTopF): DataFrame =
+    fuseRanks(
+      kwRanks(spark, sfDir, nQueries, listK),
+      bruteTopk(spark, sfDir, nQueries, listK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("v_rank")),
+      topF)
+
+  /** [[rrfFusion]] with the vector leg from the PROBED IVF lists
+    * ([[ivfTopk]]) instead of the exact corpus scan — the production
+    * shape when the corpus is too large to scan per query. Keyword leg,
+    * fusion arithmetic and oracle structure are byte-shared with the
+    * exact row; only the `vr` CTE differs (the deterministic
+    * exact-integer probe replay, rank-bounded at listK). */
+  def rrfFusionAnn(spark: SparkSession, sfDir: String,
+      nQueries: Int = RrfNQueries, listK: Int = RrfListK,
+      topF: Int = RrfTopF): DataFrame =
+    fuseRanks(
+      kwRanks(spark, sfDir, nQueries, listK),
+      ivfTopk(spark, sfDir, nQueries, listK)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("v_rank")),
+      topF)
+
+  /** Keyword-leg CTEs (tok → tf/n/idf → qt → kws → kwr) — byte-shared
+    * by BOTH fusion oracles so the legs cannot drift. */
+  private def rrfKwCtes: String =
+    s"""${TextOps.TokCte}, tf AS (
        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM tok GROUP BY doc_id, token
        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
@@ -1005,16 +1036,12 @@ object SimilarityOps {
        |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS k_rank
        |  FROM kws QUALIFY k_rank <= $RrfListK
-       |), vr AS (
-       |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
-       |               e.vec_id) AS BIGINT) AS v_rank
-       |  FROM embeddings e
-       |  JOIN (SELECT * FROM embeddings WHERE vec_id < $RrfNQueries) q
-       |    ON e.vec_id <> q.vec_id
-       |  QUALIFY v_rank <= $RrfListK
-       |), fused AS (
+       |)""".stripMargin
+
+  /** Fusion tail (fused → final select) — byte-shared by both fusion
+    * oracles; expects `kwr` and `vr` CTEs in scope. */
+  private def rrfTailSql: String =
+    s"""fused AS (
        |  SELECT COALESCE(k.query_id, v.query_id) AS query_id,
        |         COALESCE(k.doc_id, v.doc_id) AS doc_id,
        |    CAST(COALESCE($RrfScale // ($RrfC + k.k_rank), 0)
@@ -1027,6 +1054,50 @@ object SimilarityOps {
        |  doc_id, rrf_score
        |FROM fused QUALIFY rank <= $RrfTopF
        |ORDER BY query_id, rank""".stripMargin
+
+  private def rrfFusionSql: String =
+    s"""WITH $rrfKwCtes, vr AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+       |               e.vec_id) AS BIGINT) AS v_rank
+       |  FROM embeddings e
+       |  JOIN (SELECT * FROM embeddings WHERE vec_id < $RrfNQueries) q
+       |    ON e.vec_id <> q.vec_id
+       |  QUALIFY v_rank <= $RrfListK
+       |), $rrfTailSql""".stripMargin
+
+  /** [[rrfFusionAnn]]'s oracle: the vector leg is the ann_ivf_topk
+    * probe replay (exact-integer centroids, nprobe=3) rank-bounded at
+    * [[RrfListK]]; keyword leg and fusion tail byte-shared with the
+    * exact oracle. */
+  private def rrfFusionAnnSql: String =
+    s"""WITH $rrfKwCtes, $CentCtes, q AS (
+       |  SELECT vec_id AS query_id, embedding,
+       |    [CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS qq
+       |  FROM embeddings WHERE vec_id < $RrfNQueries
+       |), probed AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT q.query_id, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        CAST(list_sum([q.qq[i] * c.cc[i] for i in range(1, len(q.qq)+1)]) AS DOUBLE)
+       |          / (sqrt(CAST(list_sum([x*x for x in q.qq]) AS DOUBLE))
+       |             * sqrt(CAST(list_sum([x*x for x in c.cc]) AS DOUBLE))) DESC,
+       |        c.label ASC) AS probe_rank
+       |    FROM q, cent c) t
+       |  WHERE probe_rank <= 3
+       |), vr AS (
+       |  SELECT query_id, doc_id, v_rank FROM (
+       |    SELECT p.query_id, e.vec_id AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+       |                 e.vec_id) AS BIGINT) AS v_rank
+       |    FROM probed p
+       |    JOIN embeddings e ON e.label = p.label
+       |    JOIN q ON q.query_id = p.query_id
+       |    WHERE e.vec_id <> p.query_id) t
+       |  WHERE v_rank <= $RrfListK
+       |), $rrfTailSql""".stripMargin
 
   private val bruteTopkSql =
     """SELECT query_id, rank, neighbor_id FROM (
@@ -1215,6 +1286,8 @@ object SimilarityOps {
     // rank-only fusion: every score is an exact BIGINT, both rankings
     // replayed literally (keyword tf·idf + cosine top-k)
     "rrf_fusion" -> rrfFusionSql,
+    // same fusion with the IVF-probed vector leg (production shape)
+    "rrf_fusion_ann" -> rrfFusionAnnSql,
     // same ranking replay restricted to cross-label pairs
     "hard_negatives" ->
       s"""SELECT vec_id, rank, neighbor_id FROM (
