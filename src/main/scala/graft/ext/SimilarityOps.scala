@@ -429,18 +429,48 @@ object SimilarityOps {
     * without the persist each branch re-runs the scan + normalization. */
   private val unitCache = new graft.SessionFrameCache[String]
 
+  /** Unit-normalization of an arbitrary (vec_id, embedding) frame — the
+    * hoisted-norm pattern documented on [[unitVectors]]; shared with the
+    * streaming ingest dedup. */
+  private[graft] def unitize(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      // nrm stays in the output schema: with TWO references (lambda +
+      // output) CollapseProject refuses to inline the expensive norm
+      // back into the per-element lambda; with one it would re-inline
+      // and the hoist above becomes a no-op (verified on the optimized
+      // plan). Consumers select `unit` only.
+      .select(col("vec_id"), col("nrm"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm")).as("unit"))
+
   private def unitVectors(spark: SparkSession, sfDir: String): DataFrame =
     unitCache.getOrElseUpdate(spark, sfDir) {
-      Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        // nrm stays in the output schema: with TWO references (lambda +
-        // output) CollapseProject refuses to inline the expensive norm
-        // back into the per-element lambda; with one it would re-inline
-        // and the hoist above becomes a no-op (verified on the optimized
-        // plan). Consumers select `unit` only.
-        .select(col("vec_id"), col("nrm"),
-          transform(col("embedding"), x => x.cast("double") / col("nrm")).as("unit"))
+      unitize(Tables.embeddings(spark, sfDir))
     }
+
+  /** Seeded Gaussian hyperplane matrix — ONE definition shared by the
+    * batch LSH path and the streaming ingest dedup, so a streamed corpus
+    * and its batch replay band identically. */
+  private[graft] def hyperplaneMatrix(dim: Int, bands: Int,
+      rowsPerBand: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands * rowsPerBand, dim)(rnd.nextGaussian())
+  }
+
+  /** (vec_id, band, band_key) hyperplane banding of a (vec_id, unit)
+    * frame: band key = packed sign bits of the band's hyperplane dot
+    * products. */
+  private[graft] def hyperplaneBandFrame(units: DataFrame,
+      hps: Array[Array[Double]], bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { bi =>
+      (0 until rowsPerBand).map { ri =>
+        (fdot(col("unit"), lit(hps(bi * rowsPerBand + ri))) >= 0)
+          .cast("int") * lit(1 << ri)
+      }.reduce(_ + _)
+    }
+    units.select(col("vec_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+  }
 
   /** Embedding-cosine near-duplicate pairs (the vector-space sibling of
     * the text dedup family) — EXACT, via a blocked pair join.
@@ -576,18 +606,10 @@ object SimilarityOps {
     // dimension probe: one O(1) driver action, same class as the CSV
     // header `first()` — the hyperplane matrix must match the data's dim
     val dim = e.select(size(col("unit"))).head().getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val hps = Array.fill(bands * rowsPerBand, dim)(rnd.nextGaussian())
-    val bandKeys = (0 until bands).map { bi =>
-      (0 until rowsPerBand).map { ri =>
-        (fdot(col("unit"), lit(hps(bi * rowsPerBand + ri))) >= 0)
-          .cast("int") * lit(1 << ri)
-      }.reduce(_ + _)
-    }
+    val hps = hyperplaneMatrix(dim, bands, rowsPerBand, seed)
     val banded = DedupOps.subSaltHotKeys(
       lshBandCache.getOrElseUpdate(spark, (sfDir, bands, rowsPerBand, seed)) {
-        e.select(col("vec_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+        hyperplaneBandFrame(e, hps, bands, rowsPerBand)
       }, "vec_id", maxBandDf)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&

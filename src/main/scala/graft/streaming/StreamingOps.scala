@@ -287,7 +287,7 @@ object StreamingOps {
     * the r5 verdict's "real keyed state store" item. The band table and
     * kept-doc shingles live as localCheckpointed in-memory increments
     * (an LSM shape: one increment per batch, compacted every
-    * [[MinhashState.CompactEvery]] batches so the scan count stays
+    * [[KeyedStreamState.CompactEvery]] batches so the scan count stays
     * bounded and superseded blocks are released); the parquet state
     * directories are demoted to an append-only CHANGELOG — written per
     * batch for durability, re-read only once at restart (bootstrap),
@@ -303,61 +303,56 @@ object StreamingOps {
     * orchestration stays foreachBatch rather than a chained stateful
     * operator: connected components is iterative, which no single
     * streaming operator expresses. */
-  private[streaming] final class MinhashState(
-      spark: org.apache.spark.sql.SparkSession, statePath: String) {
+  private[streaming] final class KeyedStreamState(
+      spark: org.apache.spark.sql.SparkSession, statePath: String,
+      tables: Seq[String]) {
     import org.apache.spark.sql.{GraftBridge, SaveMode}
-    private val bandPath = s"$statePath/bands"
-    private val shPath = s"$statePath/shingles"
     private val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    private var bandIncs: Vector[DataFrame] = Vector.empty
-    private var shIncs: Vector[DataFrame] = Vector.empty
+    private var incs: Map[String, Vector[DataFrame]] =
+      tables.map(_ -> Vector.empty[DataFrame]).toMap
     private var sinceCompact = 0
-    // restart bootstrap: one changelog read, then memory-only
-    if (fs.exists(new org.apache.hadoop.fs.Path(bandPath))) {
-      bandIncs = Vector(spark.read.parquet(bandPath).localCheckpoint())
-      shIncs = Vector(spark.read.parquet(shPath).localCheckpoint())
+    // restart bootstrap: one changelog read per table, then memory-only
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/${tables.head}"))) {
+      incs = tables.map(t =>
+        t -> Vector(spark.read.parquet(s"$statePath/$t").localCheckpoint())).toMap
     }
 
-    def isEmpty: Boolean = bandIncs.isEmpty
+    def isEmpty: Boolean = incs(tables.head).isEmpty
     /** Union of checkpoint scans — block reads, no recompute. */
-    def bands: DataFrame = bandIncs.reduce(_ unionAll _)
-    def shingles: DataFrame = shIncs.reduce(_ unionAll _)
+    def table(name: String): DataFrame = incs(name).reduce(_ unionAll _)
 
     /** Checkpoint the increments (one materialization), then append the
       * SAME materialized blocks to the changelog — the plan is never run
       * twice. At-least-once caveat as before: changelog + kept sink are
       * not one transaction. */
-    def append(newBands: DataFrame, newSh: DataFrame): Unit = {
-      val nb = newBands.localCheckpoint()
-      val ns = newSh.localCheckpoint()
-      ns.write.mode(SaveMode.Append).parquet(shPath)
-      nb.write.mode(SaveMode.Append).parquet(bandPath)
-      bandIncs :+= nb
-      shIncs :+= ns
+    def append(updates: Map[String, DataFrame]): Unit = {
+      require(updates.keySet == tables.toSet,
+        s"append must cover ${tables.mkString(",")}, got ${updates.keys.mkString(",")}")
+      val cps = updates.map { case (t, df) => t -> df.localCheckpoint() }
+      cps.foreach { case (t, df) =>
+        df.write.mode(SaveMode.Append).parquet(s"$statePath/$t")
+      }
+      incs = incs.map { case (t, v) => t -> (v :+ cps(t)) }
       sinceCompact += 1
-      if (sinceCompact >= MinhashState.CompactEvery) compact()
+      if (sinceCompact >= KeyedStreamState.CompactEvery) compact()
     }
 
     private def compact(): Unit = {
-      val olds = bandIncs ++ shIncs
-      val nb = bands.localCheckpoint()
-      val ns = shingles.localCheckpoint()
-      bandIncs = Vector(nb)
-      shIncs = Vector(ns)
+      val olds = incs.values.flatten.toSeq
+      incs = incs.map { case (t, _) => t -> Vector(table(t).localCheckpoint()) }
       sinceCompact = 0
       olds.foreach(GraftBridge.unpersistLocalCheckpoint(_))
     }
 
     /** Release every state block (stream teardown). */
     def close(): Unit = {
-      (bandIncs ++ shIncs).foreach(GraftBridge.unpersistLocalCheckpoint(_))
-      bandIncs = Vector.empty
-      shIncs = Vector.empty
+      incs.values.flatten.foreach(GraftBridge.unpersistLocalCheckpoint(_))
+      incs = tables.map(_ -> Vector.empty[DataFrame]).toMap
     }
   }
 
-  private[streaming] object MinhashState {
+  private[streaming] object KeyedStreamState {
     /** Compaction period: scan count is bounded by this, and compaction
       * cost (one O(state) re-materialization) amortizes to O(state/8)
       * per batch — the LSM trade. */
@@ -374,7 +369,7 @@ object StreamingOps {
     * Per micro-batch, using the SAME building blocks as the batch path:
     * shingle the batch (one projection), band it (32x4 MinHash LSH),
     * equi-join bands against the kept-document band STATE
-    * ([[MinhashState]] — in-memory keyed state with a parquet changelog)
+    * ([[KeyedStreamState]] — in-memory keyed state with a parquet changelog)
     * for cross-batch candidates, verify candidates only
     * (candidate-driven inverted-index Jaccard over the batch shingles
     * plus the CANDIDATE kept docs' shingles — semi-join scoped, so
@@ -391,11 +386,13 @@ object StreamingOps {
       keptPath: String,
       checkpointDir: String,
       threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery = {
-    var state: MinhashState = null
+    var state: KeyedStreamState = null
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (state == null) state = new MinhashState(batch.sparkSession, statePath)
+        if (state == null)
+          state = new KeyedStreamState(batch.sparkSession, statePath,
+            Seq("bands", "shingles"))
         if (!batch.isEmpty) minhashDedupBatch(batch, state, keptPath, threshold)
       }
       .start()
@@ -419,7 +416,7 @@ object StreamingOps {
   }
 
   private[streaming] def minhashDedupBatch(
-      batch: DataFrame, state: MinhashState, keptPath: String,
+      batch: DataFrame, state: KeyedStreamState, keptPath: String,
       threshold: Double): Unit = {
     import graft.ext.DedupOps
     val sh = DedupOps.shingleFrame(batch.select(col("doc_id"), col("text"))).persist()
@@ -443,7 +440,7 @@ object StreamingOps {
       val dupOfKept =
         if (state.isEmpty) sh.select(col("doc_id")).limit(0)
         else {
-          val cand = bands.as("x").join(state.bands.as("y"),
+          val cand = bands.as("x").join(state.table("bands").as("y"),
               col("x.band") === col("y.band") &&
                 col("x.band_key") === col("y.band_key"))
             .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -453,7 +450,7 @@ object StreamingOps {
           // only the CANDIDATE kept docs' shingles enter verification —
           // without the semi-join the inverted-index explode is O(state)
           // per batch even when nothing matches
-          val candSh = state.shingles.join(
+          val candSh = state.table("shingles").join(
             cand.select(col("doc_b").as("doc_id")).distinct(),
             Seq("doc_id"), "left_semi")
           val d = DedupOps.jaccardForCandidates(sh.unionAll(candSh), cand)
@@ -506,9 +503,9 @@ object StreamingOps {
       val kept = batch.select(col("doc_id"), col("text"))
         .join(keptIds, Seq("doc_id"), "left_semi")
       kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(keptPath)
-      state.append(
-        bands.join(keptIds, Seq("doc_id"), "left_semi"),
-        sh.join(keptIds, Seq("doc_id"), "left_semi"))
+      state.append(Map(
+        "bands" -> bands.join(keptIds, Seq("doc_id"), "left_semi"),
+        "shingles" -> sh.join(keptIds, Seq("doc_id"), "left_semi")))
     } finally {
       sh.unpersist()
       bands.unpersist()
@@ -516,6 +513,150 @@ object StreamingOps {
         org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(keptIds)
       // the per-batch component labels are a local checkpoint — release
       // its blocks or a long-running stream strands one per micro-batch
+      if (labels != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+      scratch.foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+    }
+  }
+
+  /** Streaming EMBEDDING near-dup ingest dedup — the vector-space
+    * sibling of [[runMinhashDedupStream]]: vectors arrive in
+    * micro-batches, and a vector is kept iff its cosine to every
+    * PREVIOUSLY KEPT vector is below `threshold` and it is not a loser
+    * of its own batch's near-dup clusters (min vec_id wins). Candidates
+    * come from the production-regime hyperplane LSH banding
+    * ([[graft.ext.SimilarityOps.embLshNearDupHi]]'s 32×8 operating
+    * point — the SAME seeded hyperplane matrix as the batch path, so a
+    * streamed corpus and its batch replay band identically); only
+    * banded candidates pay exact cosine verification, scoped by
+    * semi-join to the candidate kept vectors.
+    *
+    * State = [[KeyedStreamState]] with (bands, units) tables — the same
+    * LSM increments + changelog + restart bootstrap as the MinHash
+    * stream; the hot-key guard on the in-batch self-join is the batch
+    * family's subSaltHotKeys.
+    *
+    * @param vectors streaming frame with (vec_id, embedding)
+    * @return the started query; kept vectors land in `keptPath` */
+  def runEmbDedupStream(
+      vectors: DataFrame,
+      statePath: String,
+      keptPath: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 8,
+      seed: Long = 42L): org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: KeyedStreamState = null
+    var hps: Array[Array[Double]] = null
+    val query = vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (state == null)
+          state = new KeyedStreamState(batch.sparkSession, statePath,
+            Seq("bands", "units"))
+        if (!batch.isEmpty) {
+          if (hps == null) {
+            // dimension probe — one O(1) driver action on the first batch
+            val dim = batch.select(size(col("embedding"))).head().getInt(0)
+            hps = graft.ext.SimilarityOps.hyperplaneMatrix(
+              dim, bands, rowsPerBand, seed)
+          }
+          embDedupBatch(batch, state, keptPath, threshold, hps, bands, rowsPerBand)
+        }
+      }
+      .start()
+    val spark = vectors.sparkSession
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          if (state != null) state.close()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    query
+  }
+
+  private[streaming] def embDedupBatch(
+      batch: DataFrame, state: KeyedStreamState, keptPath: String,
+      threshold: Double, hps: Array[Array[Double]],
+      bands: Int, rowsPerBand: Int): Unit = {
+    import graft.ext.{DedupOps, SimilarityOps}
+    val units = SimilarityOps.unitize(
+      batch.select(col("vec_id"), col("embedding"))).persist()
+    val banded = SimilarityOps.hyperplaneBandFrame(
+      units, hps, bands, rowsPerBand).persist()
+    def dot(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.functions.VectorFunctions.vecDot(a, b)
+    var keptIds: DataFrame = null
+    var labels: DataFrame = null
+    val scratch = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      // cross-batch: batch vectors banding with any KEPT vector → verify
+      val dupOfKept =
+        if (state.isEmpty) units.select(col("vec_id")).limit(0)
+        else {
+          val cand = banded.as("x").join(state.table("bands").as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.band_key") === col("y.band_key"))
+            .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+            .distinct()
+            .localCheckpoint()
+          scratch += cand
+          // verification scoped to the CANDIDATE kept vectors (semi-join)
+          val candUnits = state.table("units").join(
+            cand.select(col("vec_b").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi")
+          val d = cand
+            .join(units.select(col("vec_id").as("vec_a"), col("unit").as("u_a")), "vec_a")
+            .join(candUnits.select(col("vec_id").as("vec_b"), col("unit").as("u_b")), "vec_b")
+            .filter(dot(col("u_a"), col("u_b")) >= threshold)
+            .select(col("vec_a").as("vec_id")).distinct()
+            .localCheckpoint()
+          scratch += d
+          d
+        }
+      val freshUnits = units.join(dupOfKept, Seq("vec_id"), "left_anti")
+      val freshBands = DedupOps.subSaltHotKeys(
+        banded.join(dupOfKept, Seq("vec_id"), "left_anti"),
+        "vec_id", SimilarityOps.EmbLshBandDfCap)
+      val inBatchCand = freshBands.as("x").join(freshBands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.shard") === col("y.shard") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      val inBatchPairs = inBatchCand
+        .join(freshUnits.select(col("vec_id").as("vec_a"), col("unit").as("u_a")), "vec_a")
+        .join(freshUnits.select(col("vec_id").as("vec_b"), col("unit").as("u_b")), "vec_b")
+        .filter(dot(col("u_a"), col("u_b")) >= threshold)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        .localCheckpoint()
+      scratch += inBatchPairs
+      labels = DedupOps.connectedComponents(inBatchPairs)
+      val losers = labels.filter(col("doc_id") =!= col("label"))
+        .select(col("doc_id").as("vec_id"))
+      keptIds = freshUnits.select(col("vec_id"))
+        .join(losers, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      batch.select(col("vec_id"), col("embedding"))
+        .join(keptIds, Seq("vec_id"), "left_semi")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(keptPath)
+      state.append(Map(
+        "bands" -> banded.join(keptIds, Seq("vec_id"), "left_semi"),
+        "units" -> units.select(col("vec_id"), col("unit"))
+          .join(keptIds, Seq("vec_id"), "left_semi")))
+    } finally {
+      units.unpersist()
+      banded.unpersist()
+      if (keptIds != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(keptIds)
       if (labels != null)
         org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
       scratch.foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))

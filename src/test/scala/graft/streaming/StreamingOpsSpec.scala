@@ -211,6 +211,33 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding ingest dedup drops vector near-dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // unit-direction fixtures in 8 dims: v2 = scaled v1 (cosine 1.0),
+    // v3 orthogonal to v1, v4 ~ v1 with small noise (cosine > 0.9)
+    val v1 = Array(1f, 2f, 3f, 4f, 0f, 0f, 0f, 0f)
+    val v2 = v1.map(_ * 2.5f)
+    val v3 = Array(0f, 0f, 0f, 0f, 1f, 2f, 3f, 4f)
+    val v4 = Array(1.05f, 2.05f, 2.95f, 4.02f, 0.1f, 0f, 0f, 0f)
+    val out = tmpDir("embstream")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.runEmbDedupStream(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    try {
+      // batch 1: 2 loses to 1 inside the batch cluster (cosine 1.0)
+      input.addData((1L, v1), (2L, v2))
+      q.processAllAvailable()
+      // batch 2: 4 is a near-dup of KEPT vector 1 (cross-batch state),
+      // 3 is orthogonal — novel
+      input.addData((3L, v3), (4L, v4))
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$out/kept")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("minhash state bootstraps from the changelog after a restart") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
