@@ -96,8 +96,30 @@ object StreamBench {
     val dedupRate = docs.length / dedupSecs
 
     val kept = spark.read.parquet(s"$dedupOut/kept").count()
+
+    // ---- hyperplane-LSH embedding ingest-dedup stream over embeddings --
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val embOut = tmp("streambench_emb")
+    val vecIn = MemoryStream[(Long, Array[Float])]
+    val embQ = StreamingOps.runEmbDedupStream(
+      vecIn.toDS().toDF("vec_id", "embedding"),
+      s"$embOut/state", s"$embOut/kept", s"$embOut/ckpt")
+    val vecBatch = math.max(1, vecs.length / 5)
+    val t2 = System.nanoTime()
+    try {
+      vecs.grouped(vecBatch).foreach { chunk =>
+        vecIn.addData(chunk.toIndexedSeq)
+        embQ.processAllAvailable()
+      }
+    } finally embQ.stop()
+    val embSecs = (System.nanoTime() - t2) / 1e9
+    val embRate = vecs.length / embSecs
+    val embKept = spark.read.parquet(s"$embOut/kept").count()
+
     val line =
-      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept}"""
+      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT", "stream_bench.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[stream-bench] write failed: $e") }
