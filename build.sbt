@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as compact JSON. Two settings keep sbt from breaking that framing:
+// StdoutOutput passes the forked program's stdout through verbatim
+// (no `[info] ` re-logging prefix), and showSuccess drops the trailing
+// `[success] Total time: …` line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// without this the unused-key lint prints a [warn] into the stdout the
+// driver parses
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -197,6 +197,9 @@ object SparkEntry {
     // vectors; probe choice is exact-integer, so BOTH are oracle-checked
     "mutual_knn_graph_ann" -> (SimilarityOps.mutualKnnAnn(_, _)),
     "hard_negatives_ann"   -> (SimilarityOps.hardNegativesAnn(_, _)),
+    // the classifier over the same ANN rank frame — the vote join is
+    // shared with knn_classify, which stays as the exact baseline
+    "knn_classify_ann"     -> (SimilarityOps.knnClassifyAnn(_, _)),
     // one NN-descent round over the ANN graph (neighbors-of-neighbors +
     // reverse edges, exact-cosine re-rank) — recall recovery at O(n·k²)
     "knn_refine_nnd"       -> (SimilarityOps.knnRefineNnd(_, _)),

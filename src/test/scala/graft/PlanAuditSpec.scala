@@ -187,6 +187,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), pr)
     val p = plan(SimilarityOps.mutualKnnAnn(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
+    // the ANN classifier rides the same rank frame; its vote stage is a
+    // keyed label equi-join + count + a window over ≤ k vote rows per
+    // query — the ONE acceptable window (argmax over a k-bounded frame)
+    val pc = plan(SimilarityOps.knnClassifyAnn(spark, sfDir))
+    assert(!pc.contains("CartesianProduct"), pc)
+    assert(!pc.contains("BroadcastNestedLoopJoin"), pc)
   }
 
   test("kmeans-ivf + clustered semdedup: cluster-keyed equi joins, no cartesian") {

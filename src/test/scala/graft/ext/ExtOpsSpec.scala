@@ -575,6 +575,45 @@ class ExtOpsSpec extends SparkSpec {
     assert(acc < 0.5, s"harness labels unexpectedly cluster: $acc")
   }
 
+  test("knn classify ANN: same contract as exact, predictions mostly agree") {
+    val ann = SimilarityOps.knnClassifyAnn(spark, sfDir).collect()
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    // same shape contract as the exact classifier
+    assert(ann.length === n)
+    assert(ann.map(_.getLong(0)).distinct.length === ann.length)
+    ann.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= SimilarityOps.KnnK)
+      assert(r.getBoolean(4) === (r.getLong(1) == r.getLong(2)))
+    }
+    // label agreement vs the exact vote on HARNESS data: labels are
+    // hash-partitions (noise), so the exact majority vote is itself
+    // tie-unstable and the ANN vote only sees the nprobe probed labels —
+    // agreement well above the ~1/#labels ≈ 0.1 chance floor is the
+    // honest expectation here (measured 0.356; deterministic on fixed
+    // data). The geometric-regime agreement contract is the planted
+    // test below, where it must be perfect.
+    val exact = SimilarityOps.knnClassify(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val agree = ann.count(r => exact(r.getLong(0)) == r.getLong(2)).toDouble / ann.length
+    assert(agree >= 0.3, s"ann/exact label agreement=$agree")
+  }
+
+  test("knn classify ANN: planted clusters reproduce the exact classifier verbatim") {
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    // same planted geometry as the exact classifier's test: clusters
+    // align with labels, so probed lists contain the true neighborhoods
+    // and the ANN vote must agree with the exact vote row-for-row
+    val dir = embFixture(Seq(
+      (1L, v(1f, 0f), 7), (2L, v(0.99f, 0.1f), 7), (3L, v(0.98f, 0.2f), 7),
+      (11L, v(0f, 1f), 3), (12L, v(0.1f, 0.99f), 3), (13L, v(0.2f, 0.98f), 3)))
+    val exact = SimilarityOps.knnClassify(spark, dir, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val ann = SimilarityOps.knnClassifyAnn(spark, dir, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ann == exact, s"ann=$ann exact=$exact")
+    assert(ann.forall(r => r._2 == r._3), ann.toString) // all correct
+  }
+
   test("hard negatives: nearest CROSS-label vectors, same-label neighbors excluded") {
     def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
     // label-0 cluster near x-axis, label-1 cluster near y-axis, plus a
@@ -665,6 +704,25 @@ class ExtOpsSpec extends SparkSpec {
     val rows = (1L to 5000L).map(i => (i, "same prefix here always", "en"))
     val dir = docsFixture(rows :+ (9001L, "other text entirely different", "en"))
     assert(DedupOps.fuzzyMatch(spark, dir).count() == 0)
+  }
+
+  test("fuzzy match: saturated blocks are refined by third token, not exploded or dropped") {
+    // 60 equal-length docs share (tok1, tok2, len-bucket) — past the cap
+    // (50), which without refinement dropped the whole block and lost
+    // every pair. Occupancy-adaptive keying splits it by third token
+    // into 30 two-doc blocks, each an obvious near-dup pair.
+    val rows = (0 until 30).flatMap { k =>
+      val body = (1 to 15).map(i => f"w$k%02dx$i%02d").mkString(" ")
+      Seq((k * 2L, f"alpha beta g$k%02d $body extra", "en"),
+        (k * 2L + 1L, f"alpha beta g$k%02d $body extrb", "en"))
+    }
+    val dir = docsFixture(rows)
+    val out = DedupOps.fuzzyMatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == (0 until 30).map(k => (k * 2L, k * 2L + 1L)).toSet, out.toString)
+    // and the telemetry row agrees: nothing dropped once refined
+    val dropped = DedupOps.fuzzyDroppedBlocks(spark, dir).collect().head
+    assert(dropped.getLong(0) == 0L && dropped.getLong(1) == 0L)
   }
 
   test("pagerank: hub outranks leaves, isolated docs sit at exact base rank") {
