@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 scripts/local_verify.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/local_verify.py <verify_out_dir> <sf_dir> [q1,q2,...]
+
+The optional third argument restricts the compare to those query names
+(for partial Verify dumps, e.g. the sf1 probe-family sweep); unknown
+names fail loudly, mirroring Verify's SPARK_GRAFT_ONLY contract.
 
 Expects `graft.Verify` to have been run first (it writes one parquet dir per
 query plus oracle_sql.json). For each query: run the oracle SQL in DuckDB
@@ -12,6 +16,7 @@ This is a harness for the build loop only — the driver runs its own copy of
 this logic; matching here is a strong predictor, not a guarantee.
 """
 import json
+import os
 import math
 import sys
 
@@ -43,9 +48,20 @@ def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
+        # driver-generated tables are single files; Spark-derived dirs
+        # (the ScaleProbe sf1 tree) hold part files one level down
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        names = [n.strip() for n in sys.argv[3].split(",") if n.strip()]
+        unknown = [n for n in names if n not in oracle]
+        if unknown:
+            sys.exit(f"unknown query names (no oracle): {unknown}")
+        oracle = {n: oracle[n] for n in names}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:

@@ -27,13 +27,22 @@ import org.apache.spark.sql.functions._
   *    not an operator property. (Exact copies would instead hand every
   *    doc 9 twins — an adversarial hot-key fixture, which ExtOpsSpec
   *    already covers — and measure the guards, not the scaling.)
-  *  - `embeddings`: each copy circularly shifts the vector by its copy
-  *    index (a coordinate rotation — within-copy cosine structure is
-  *    preserved exactly) and relabels lists to `label + 10·copy`, so the
-  *    IVF list count grows with the corpus (100 lists at 10 copies ≈ the
+  *  - `embeddings`: each copy applies a per-copy ORTHOGONAL transform —
+  *    circular shift by the copy index PLUS deterministic per-(coord,
+  *    copy) sign flips — so within-copy cosine structure is preserved
+  *    exactly, and relabels lists to `label + 10·copy`, so the IVF list
+  *    count grows with the corpus (100 lists at 10 copies ≈ the
   *    production L ~ √n regime the ANN scaladocs assume; with L fixed,
   *    IVF candidate volume per query grows linearly with n and the probe
-  *    would measure that choice, not the plan).
+  *    would measure that choice, not the plan). The sign flips are
+  *    load-bearing for the sf1 CORRECTNESS sweep: shift-only copies
+  *    leave a rotation symmetry — cos(q, rot₊d v) ≡ cos(q, rot₋d v) for
+  *    a query that is itself a rotation of v — that manufactures
+  *    mathematically-TIED candidate pairs no real corpus has, and the
+  *    tie then falls to sub-ulp evaluation-order differences between
+  *    engines (measured: ONE rank-4/5 swap in 100k knn_refine_nnd rows,
+  *    DuckDB scoring the tied pair bit-equal, Spark's float fold 1 ulp
+  *    apart). A copy-dependent sign pattern has no such symmetry.
   *  - `events`: user_id/event_id shifted per copy AND ts shifted by
   *    copy·366 days — the co-engagement graph becomes 10 disjoint
   *    copies (10× edges, same peel depth). The ts shift is load-bearing:
@@ -105,13 +114,18 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")).cast("long"))
     docs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
-    // embeddings: circular coordinate shift per copy + list relabel
+    // embeddings: per-copy orthogonal transform (shift + sign flips, see
+    // scaladoc) + list relabel
     val emb = Tables.embeddings(spark, srcDir)
       .join(broadcast(copies), lit(true))
       .select(
         (col("vec_id") + col("k") * Stride).as("vec_id"),
         when(col("k") === 0, col("embedding")).otherwise(expr(
-          "concat(slice(embedding, k + 1, size(embedding) - k), slice(embedding, 1, k))"))
+          """transform(
+            |  concat(slice(embedding, k + 1, size(embedding) - k),
+            |         slice(embedding, 1, k)),
+            |  (x, i) -> CASE WHEN pmod(xxhash64(i, k), 2) = 0
+            |            THEN x ELSE -x END)""".stripMargin))
           .as("embedding"),
         (col("label") + col("k") * 10).cast("int").as("label"))
     emb.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
