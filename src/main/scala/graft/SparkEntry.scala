@@ -107,6 +107,9 @@ object SparkEntry {
     "source_stats"     -> (TextOps.sourceStats(_, _)),
     // pairwise corpus drift: exact-integer total-variation distance
     "source_drift"     -> (TextOps.sourceDrift(_, _)),
+    // corpus-bigram LM likelihood (CCNet/KenLM-style quality signal,
+    // exact-integer smoothed transition probabilities)
+    "lm_likelihood"    -> (TextOps.lmLikelihood(_, _)),
     // per-doc out-of-vocabulary rate vs the corpus top-k vocabulary
     "doc_oov_rate"     -> (TextOps.docOovRate(_, _)),
     // keyword-in-context windows around the first term hit (pure scan)
@@ -185,6 +188,10 @@ object SparkEntry {
     // force, so the approximate path's machinery gets a hash-checked row:
     "ann_ivf_full_probe" -> (SimilarityOps.ivfFullProbe(_, _)),
     "ann_quantized_topk" -> (SimilarityOps.quantizedTopk(_, _)), // int8: oracle-checked (exact-integer sums)
+    // product quantization: 32-bit codes + asymmetric LUT scoring — the
+    // memory-bound ANN design; deterministic subspace Lloyd codebooks,
+    // so oracle-checked like the IVF family
+    "ann_pq_topk"        -> (SimilarityOps.pqTopk(_, _)),
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     // symmetric neighborhood graph (edge iff IN EACH OTHER'S top-k)
     "mutual_knn_graph" -> (SimilarityOps.mutualKnn(_, _)),

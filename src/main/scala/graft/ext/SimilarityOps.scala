@@ -415,6 +415,76 @@ object SimilarityOps {
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
        |FROM afinal ORDER BY vec_id""".stripMargin
 
+  /** Literal replay of [[pqTopk]] — the [[kmeansCtesSql]] construction
+    * with a `sub` key threaded through every CTE (M parallel Lloyds),
+    * then the LUT scoring: exact-integer partial dots + reconstructed
+    * norms, rank by the same two correctly-rounded IEEE ops and vec_id
+    * tie-break. Generated from the shared Pq* constants. */
+  private[ext] def pqOracleSql(nQueries: Int = 10, k: Int = 5): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, sub, q, cluster
+         |  FROM (SELECT v.vec_id, v.sub, v.q, cc.cluster,
+         |          list_sum(list_transform(range(1, len(v.q) + 1),
+         |            i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) AS d
+         |        FROM v8 v JOIN $cents cc ON cc.sub = v.sub) t
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) = 1)""".stripMargin
+    def centCtes(r: Int, assigned: String, prev: String): String =
+      s"""p${r}e AS (
+         |  SELECT sub, cluster, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS cs, COUNT(*) AS n
+         |  FROM $assigned, LATERAL UNNEST(range(1, len(q) + 1)) AS u(i)
+         |  GROUP BY sub, cluster, i),
+         |p${r}v AS (
+         |  SELECT sub, cluster, pos, (cs - ((cs % n + n) % n)) // n AS cv FROM p${r}e),
+         |p${r}l AS (
+         |  SELECT sub, cluster, list(cv ORDER BY pos) AS c_new
+         |  FROM p${r}v GROUP BY sub, cluster),
+         |p$r AS (
+         |  SELECT p.sub, p.cluster, COALESCE(l.c_new, p.c) AS c
+         |  FROM $prev p LEFT JOIN p${r}l l
+         |    ON l.sub = p.sub AND l.cluster = p.cluster)""".stripMargin
+    val roundsSql = (1 to PqRounds).map { r =>
+      assignCte(s"pa$r", s"p${r - 1}") + ",\n" + centCtes(r, s"pa$r", s"p${r - 1}")
+    }.mkString(",\n")
+    s"""WITH vq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |v8 AS (
+       |  SELECT vec_id, u.sub, q[(u.sub * $PqSubDim + 1):(u.sub * $PqSubDim + $PqSubDim)] AS q
+       |  FROM vq, LATERAL UNNEST(range(0, $PqM)) AS u(sub)),
+       |p0 AS (SELECT sub, vec_id AS cluster, q AS c FROM v8 WHERE vec_id < $PqK),
+       |$roundsSql,
+       |${assignCte("codes", s"p$PqRounds")},
+       |cn2 AS (
+       |  SELECT sub, cluster,
+       |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
+       |  FROM p$PqRounds),
+       |n2 AS (
+       |  SELECT a.vec_id, CAST(SUM(w.cn2) AS BIGINT) AS n2
+       |  FROM codes a JOIN cn2 w ON w.sub = a.sub AND w.cluster = a.cluster
+       |  GROUP BY a.vec_id),
+       |lut AS (
+       |  SELECT v.vec_id AS query_id, v.sub, cc.cluster,
+       |    CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+       |      i -> v.q[i] * cc.c[i])) AS BIGINT) AS pdot
+       |  FROM v8 v JOIN p$PqRounds cc ON cc.sub = v.sub
+       |  WHERE v.vec_id < $nQueries),
+       |dots AS (
+       |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
+       |  FROM codes a JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY l.query_id, a.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT d.query_id, d.vec_id AS neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY d.query_id
+       |      ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE)) DESC,
+       |               d.vec_id) AS BIGINT) AS rank
+       |  FROM dots d JOIN n2 ON n2.vec_id = d.vec_id
+       |  WHERE n2.n2 > 0) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** [[ivfTopk]] with nprobe >= nLists: every list is probed, so the
     * "approximate" path degenerates to exact brute force BY CONSTRUCTION —
     * which makes the whole IVF machinery (centroid aggregation, probe
@@ -557,6 +627,139 @@ object SimilarityOps {
     val scored = q8.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("q_qv")).as("cos"))
+    topkPerQuery(scored, k)
+  }
+
+  /** Product-quantization constants, shared with the generated oracle:
+    * M subspaces of SubDim dims (M·SubDim must equal the embedding dim),
+    * K codewords per subspace codebook, Lloyd training rounds. Code
+    * size = M·log2(K) = 32 bits/vector vs 2048 for the raw floats. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 16
+  val PqRounds = 2
+
+  /** The (vec_id, sub, q) quantized SUBvector corpus — [[quantizedCorpus]]
+    * cut into [[PqM]] contiguous subspaces. One scan, one explode. */
+  private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame =
+    quantizedCorpus(spark, sfDir)
+      .select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  s -> struct(s AS sub, slice(q, s * $PqSubDim + 1, $PqSubDim) AS qs))"""
+          .stripMargin)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.qs").as("q"))
+
+  /** One PQ assignment pass — [[assignTo]] with the subspace id carried
+    * through: nearest codeword per (vector, subspace) by the shared
+    * exact-integer [[kmeansDistSq]], ties to the smaller codeword id. */
+  private def pqAssignTo(v: DataFrame, cents: DataFrame): DataFrame =
+    v.join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"), col("q"), col("cluster"),
+        kmeansDistSq.as("d"))
+      .groupBy(col("vec_id"), col("sub"), col("q"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("q"), col("m.cluster").as("cluster"))
+
+  /** Codebook (sub, cluster, c) + codes (vec_id, sub, cluster) cached per
+    * (session, sfDir): the M parallel Lloyd runs are the dominant cost
+    * and both consumers (LUT scoring + reconstructed norms) read both
+    * frames. */
+  private val pqCentCache = new graft.SessionFrameCache[String]
+  private val pqCodeCache = new graft.SessionFrameCache[String]
+
+  private def pqRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val cc = pqCentCache.getOrElseUpdate(spark, sfDir) {
+      pqRunUncached(spark, sfDir)._1.localCheckpoint()
+    }
+    val codes = pqCodeCache.getOrElseUpdate(spark, sfDir) {
+      pqAssignTo(pqSubvectors(spark, sfDir), cc)
+        .select(col("vec_id"), col("sub"), col("cluster")).localCheckpoint()
+    }
+    (cc, codes)
+  }
+
+  /** private[graft] so PlanAuditSpec can audit the real training plan. */
+  private[graft] def pqRunUncached(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val v = pqSubvectors(spark, sfDir)
+    // all M subspace Lloyd runs execute as ONE dataframe program keyed by
+    // `sub` — same rounds, same seeds rule (first PqK vectors by id),
+    // same floor-mean recompute as kmeansRunUncached, one extra grouping
+    // column throughout
+    def recompute(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val fresh = assigned
+        .select(col("sub"), col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cluster"), col("pos"))
+        .agg(sum(col("x")).as("cs"), count(lit(1)).as("n"))
+        .select(col("sub"), col("cluster"), col("pos"),
+          expr("(cs - pmod(cs, n)) div n").as("cv"))
+        .groupBy(col("sub"), col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+        .select(col("sub"), col("cluster"),
+          transform(col("pairs"), p => p.getField("cv")).as("c_new"))
+      prev.join(fresh, Seq("sub", "cluster"), "left")
+        .select(col("sub"), col("cluster"),
+          coalesce(col("c_new"), col("c")).as("c"))
+    }
+    var cents = v.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").as("cluster"), col("q").as("c"))
+    for (_ <- 1 to PqRounds) cents = recompute(pqAssignTo(v, cents), cents)
+    (cents, pqAssignTo(v, cents).select(col("vec_id"), col("sub"), col("cluster")))
+  }
+
+  /** Product-quantization ANN (Jégou et al., TPAMI'11) — the MEMORY-bound
+    * ANN design: each vector is stored as M = [[PqM]] codeword ids
+    * (32 bits here vs 2 KB of floats — at 100 TB the difference between
+    * an in-memory index and one that cannot exist), and queries score
+    * candidates by ASYMMETRIC distance: the query stays full-precision,
+    * each (subspace, codeword) partial dot product is computed ONCE into
+    * a lookup table of nQueries·M·K entries, and scoring a corpus vector
+    * is M table lookups — n·M·nQueries adds replace n·dim·nQueries
+    * multiplies, and the corpus never moves (codes join the broadcast
+    * LUT in place).
+    *
+    * Deterministic end to end, so oracle-replayable like the IVF family:
+    * codebooks come from the same exact-integer Lloyd as
+    * [[kmeansAssign]] (quantized grid, integer L2, id seeds, floor-mean,
+    * smaller-id ties) run per subspace; partial dots and reconstructed
+    * norms ‖x̂‖² = Σ_sub ‖c_sub‖² are exact long sums; the only floats
+    * are the final two correctly-rounded IEEE ops dot/√n2 — and
+    * PQ-equal candidates (identical codes ⇒ identical integer scores)
+    * tie-break on vec_id identically in both engines. Approximate in
+    * WHAT it scores (the reconstruction, not the raw vector — recall vs
+    * [[bruteTopk]] is test-asserted); exact in how it computes it.
+    * Zero-reconstruction vectors (n2 = 0) have no direction and are
+    * excluded on both sides (the NaN-guard contract of the kNN family).
+    *
+    * Scale shape: training is M parallel Lloyds in one keyed dataframe
+    * (broadcast codebook, one (sub,cluster,pos) aggregate per round);
+    * encoding is one broadcast join + min-struct aggregate; scoring
+    * joins the n·M code rows to the broadcast LUT and map-side-combines
+    * the per-(query,vec) sums — one shuffle of partial sums, salted
+    * two-phase top-k after. At production scale this composes with IVF
+    * (probe lists, then PQ-score within them — IVF-PQ); both halves are
+    * now implemented and individually oracle-checked. */
+  def pqTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (cents, codes) = pqRun(spark, sfDir)
+    val cn2 = cents.select(col("sub"), col("cluster"),
+      expr("aggregate(c, 0L, (s, x) -> s + x * x)").as("cn2"))
+    val vecN2 = codes.join(broadcast(cn2), Seq("sub", "cluster"))
+      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("n2"))
+    val lut = pqSubvectors(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .join(broadcast(cents), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("cluster"),
+        expr("aggregate(zip_with(q, c, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+          .as("pdot"))
+    val dots = codes.join(broadcast(lut), Seq("sub", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("dot"))
+    val scored = dots.join(vecN2, "vec_id")
+      .filter(col("n2") > 0)
+      .select(col("query_id"), col("vec_id"),
+        (col("dot").cast("double") / sqrt(col("n2").cast("double"))).as("cos"))
     topkPerQuery(scored, k)
   }
 
@@ -1330,6 +1533,9 @@ object SimilarityOps {
          |FROM knn ORDER BY vec_id, rank""".stripMargin,
     // literal round-by-round Lloyd replay, generated from shared constants
     "kmeans_assign" -> kmeansOracleSql(),
+    // PQ: M parallel subspace Lloyds + LUT scoring, replayed literally in
+    // the same exact-integer arithmetic (generated from shared constants)
+    "ann_pq_topk" -> pqOracleSql(),
     // exact pairs at 0.8 (the verified emb_lsh_near_dup_hi regime) →
     // recursive transitive closure → min-id representative
     "semdedup" ->

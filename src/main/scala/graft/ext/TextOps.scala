@@ -812,6 +812,62 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Integer scale for smoothed bigram probabilities (shared with the
+    * oracle): p_scaled = ((c2+1)·LmScale) div (c1+V) ∈ [0, LmScale]. */
+  val LmScale = 1000000000L
+
+  /** Corpus-bigram language-model likelihood per document — the
+    * CCNet/KenLM-style quality signal the scoring family was missing:
+    * documents whose token TRANSITIONS are improbable under an n-gram
+    * model (gibberish, OCR noise, keyword-stuffed boilerplate) score
+    * low even when their token-level stats (length, stopword ratio,
+    * OOV rate) look fine. The model here is an add-one-smoothed bigram
+    * LM trained on the corpus itself; a production pipeline swaps in a
+    * reference-corpus count table (KenLM arpa → (bigram, count) rows)
+    * with the identical plan. All arithmetic is exact-integer —
+    * per-bigram `p_scaled = ((c2+1)·LmScale) div (c1+V)` (c1 = prefix
+    * occurrences, V = corpus vocabulary) and per-doc
+    * `lm_score = (Σ occurrences p_scaled) div n_bigrams` — so the row
+    * is oracle-replayable, unlike a float log-perplexity. Ranking is a
+    * monotone transform of average transition probability; docs with
+    * fewer than 2 tokens emit no row (no denominator), like
+    * [[docOovRate]]'s tokenless docs.
+    *
+    * Scale shape: two map-side-combined hash aggregates over the
+    * exploded bigram stream (corpus c2/c1 counts), a per-doc
+    * distinct-bigram pre-aggregate so the count join carries one row
+    * per (doc, bigram) — the 1:N fanout is on the doc side only, no
+    * skew amplification — a broadcast 1-row vocabulary count, and a
+    * final doc_id aggregate. Nothing quadratic; the bigram count table
+    * is the only super-linear-in-vocab state (standard n-gram pruning
+    * applies at 100 TB). c2·LmScale approaches 2^63 when a single
+    * bigram exceeds ~9×10⁹ occurrences — shard or go DECIMAL(38,0)
+    * there, the plan is unchanged (the [[sourceDrift]] caveat). */
+  def lmLikelihood(spark: SparkSession, sfDir: String): DataFrame = {
+    val bi = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(bigramsExpr).as("bigram"))
+      // whitespace tokens cannot contain spaces, so the prefix token is
+      // recoverable from the shared bigram encoding itself — ONE bigram
+      // definition across ops and oracle
+      .withColumn("t1", substring_index(col("bigram"), " ", 1))
+    val c2 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val v = docTokens(spark, sfDir)
+      .agg(countDistinct(col("token")).as("v"))
+    val perDoc = bi.groupBy(col("doc_id"), col("bigram"), col("t1"))
+      .agg(count(lit(1)).as("c_doc"))
+    perDoc.join(c2, "bigram").join(c1, "t1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("c_doc"),
+        expr(s"((c2 + 1) * $LmScale) div (c1 + v)").as("p_scaled"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        sum(col("c_doc") * col("p_scaled")).as("lm_sum"))
+      .withColumn("lm_score", expr("lm_sum div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairwise distribution drift between sources: total-variation
     * distance between token distributions, in EXACT integer arithmetic.
     * TV(a,b) = ½ Σ_t |p_a(t) − p_b(t)|; cross-multiplying by the token
@@ -1132,6 +1188,38 @@ object TextOps {
          |  (10000 * CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT))
          |    // COUNT(*) AS oov_bp
          |FROM tok LEFT JOIN vocab v ON tok.token = v.token
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // add-one-smoothed bigram LM, replayed in the same exact-integer
+    // arithmetic: per-bigram p_scaled, then the per-doc integer average
+    "lm_likelihood" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(lower(text)), ' '), t -> t <> '') AS toks
+         |  FROM documents
+         |), bi AS (
+         |  SELECT doc_id,
+         |    unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+         |  FROM tk WHERE len(toks) >= 2
+         |), b2 AS (
+         |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS t1 FROM bi
+         |), c2 AS (
+         |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM b2 GROUP BY bigram
+         |), c1 AS (
+         |  SELECT t1, CAST(COUNT(*) AS BIGINT) AS c1 FROM b2 GROUP BY t1
+         |), v AS (
+         |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+         |  FROM (SELECT unnest(toks) AS token FROM tk)
+         |), db AS (
+         |  SELECT doc_id, bigram, t1, CAST(COUNT(*) AS BIGINT) AS c_doc
+         |  FROM b2 GROUP BY doc_id, bigram, t1
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(c_doc * (((c2.c2 + 1) * $LmScale) // (c1.c1 + v.v))) AS BIGINT) AS lm_sum,
+         |  CAST(SUM(c_doc * (((c2.c2 + 1) * $LmScale) // (c1.c1 + v.v)))
+         |    // SUM(c_doc) AS BIGINT) AS lm_score
+         |FROM db JOIN c2 USING (bigram) JOIN c1 USING (t1) CROSS JOIN v
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
     // exact-integer TV distance; the single float division at the end is

@@ -371,6 +371,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("PQ: codebooks and LUT broadcast; code scoring is keyed aggregates only") {
+    // training (uncached — the public path checkpoints the codebook):
+    // every assignment pass broadcasts the M·K codeword rows against the
+    // subvector scan, recompute is partial+final aggregates
+    val pt = plan(graft.ext.SimilarityOps.pqRunUncached(spark, sfDir)._2)
+    assert(pt.contains("BroadcastExchange"), s"codebook not broadcast:\n$pt")
+    assert(!pt.contains("CartesianProduct") && !pt.contains("BroadcastNestedLoopJoin"), pt)
+    // scoring: the n·M code rows must meet the LUT via broadcast (the
+    // corpus never shuffles to be scored) and fold per (query, vec) in a
+    // two-phase hash aggregate; no window sees the unaggregated stream
+    val ps = plan(SimilarityOps.pqTopk(spark, sfDir))
+    assert(ps.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$ps")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
+    assert("HashAggregate".r.findAllIn(ps).length >= 2, ps)
+    assert(ps.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("salt")),
+      s"no salted top-k exchange:\n$ps")
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers
