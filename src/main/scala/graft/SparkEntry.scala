@@ -192,6 +192,10 @@ object SparkEntry {
     // memory-bound ANN design; deterministic subspace Lloyd codebooks,
     // so oracle-checked like the IVF family
     "ann_pq_topk"        -> (SimilarityOps.pqTopk(_, _)),
+    // IVF-PQ: coarse k-means lists prune WHICH vectors are scored, PQ
+    // codes bound the BYTES scoring touches — the billion-scale vector
+    // search architecture, composed from two oracle-checked halves
+    "ann_ivf_pq_topk"    -> (SimilarityOps.ivfPqTopk(_, _)),
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     // symmetric neighborhood graph (edge iff IN EACH OTHER'S top-k)
     "mutual_knn_graph" -> (SimilarityOps.mutualKnn(_, _)),

@@ -415,12 +415,13 @@ object SimilarityOps {
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
        |FROM afinal ORDER BY vec_id""".stripMargin
 
-  /** Literal replay of [[pqTopk]] — the [[kmeansCtesSql]] construction
-    * with a `sub` key threaded through every CTE (M parallel Lloyds),
-    * then the LUT scoring: exact-integer partial dots + reconstructed
-    * norms, rank by the same two correctly-rounded IEEE ops and vec_id
-    * tie-break. Generated from the shared Pq* constants. */
-  private[ext] def pqOracleSql(nQueries: Int = 10, k: Int = 5): String = {
+  /** CTE list (no WITH keyword) replaying PQ literally — the
+    * [[kmeansCtesSql]] construction with a `sub` key threaded through
+    * every CTE (M parallel Lloyds) — ending in `codes`, `cn2`, `n2` and
+    * the `lut` for the first nQueries vectors. Names are disjoint from
+    * [[kmeansCtesSql]]'s so the IVF-PQ oracle can concatenate both.
+    * Shared by the PQ and IVF-PQ oracles. */
+  private[ext] def pqCtesSql(nQueries: Int = 10): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, sub, q, cluster
@@ -446,7 +447,7 @@ object SimilarityOps {
     val roundsSql = (1 to PqRounds).map { r =>
       assignCte(s"pa$r", s"p${r - 1}") + ",\n" + centCtes(r, s"pa$r", s"p${r - 1}")
     }.mkString(",\n")
-    s"""WITH vq AS (
+    s"""vq AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -469,13 +470,14 @@ object SimilarityOps {
        |    CAST(list_sum(list_transform(range(1, len(v.q) + 1),
        |      i -> v.q[i] * cc.c[i])) AS BIGINT) AS pdot
        |  FROM v8 v JOIN p$PqRounds cc ON cc.sub = v.sub
-       |  WHERE v.vec_id < $nQueries),
-       |dots AS (
-       |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
-       |  FROM codes a JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
-       |  WHERE a.vec_id <> l.query_id
-       |  GROUP BY l.query_id, a.vec_id)
-       |SELECT query_id, rank, neighbor_id FROM (
+       |  WHERE v.vec_id < $nQueries)""".stripMargin
+  }
+
+  /** Rank tail shared by the PQ and IVF-PQ oracles: cos = dot/√n2, the
+    * same two IEEE ops and vec_id tie-break as [[pqRank]]. Expects
+    * `dots(query_id, vec_id, dot)` and `n2` in scope. */
+  private def pqRankSql(k: Int): String =
+    s"""SELECT query_id, rank, neighbor_id FROM (
        |  SELECT d.query_id, d.vec_id AS neighbor_id,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.query_id
        |      ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE)) DESC,
@@ -483,7 +485,44 @@ object SimilarityOps {
        |  FROM dots d JOIN n2 ON n2.vec_id = d.vec_id
        |  WHERE n2.n2 > 0) t
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Literal replay of [[pqTopk]]: the PQ CTEs + whole-corpus dots. */
+  private[ext] def pqOracleSql(nQueries: Int = 10, k: Int = 5): String =
+    s"""WITH ${pqCtesSql(nQueries)},
+       |dots AS (
+       |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
+       |  FROM codes a JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY l.query_id, a.vec_id)
+       |${pqRankSql(k)}""".stripMargin
+
+  /** Literal replay of [[ivfPqTopk]]: the coarse-Lloyd CTEs
+    * ([[kmeansCtesSql]] — names disjoint from the PQ family), the
+    * probe ranking of the k-means-IVF oracle, the PQ CTEs, and dots
+    * restricted to vectors whose coarse list was probed. */
+  private[ext] def ivfPqOracleSql(nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 3): String =
+    s"""WITH ${kmeansCtesSql()},
+       |probes AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT v.vec_id AS query_id, cc.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(v.q) + 1),
+       |          i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) ASC,
+       |        cc.cluster ASC) AS pr
+       |    FROM v, c$KmeansRounds cc WHERE v.vec_id < $nQueries) t
+       |  WHERE pr <= $nprobe),
+       |${pqCtesSql(nQueries)},
+       |dots AS (
+       |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
+       |  FROM codes a
+       |  JOIN afinal m ON m.vec_id = a.vec_id
+       |  JOIN probes p ON p.cluster = m.cluster
+       |  JOIN lut l ON l.query_id = p.query_id
+       |    AND l.sub = a.sub AND l.cluster = a.cluster
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY l.query_id, a.vec_id)
+       |${pqRankSql(k)}""".stripMargin
 
   /** [[ivfTopk]] with nprobe >= nLists: every list is probed, so the
     * "approximate" path degenerates to exact brute force BY CONSTRUCTION —
@@ -739,8 +778,12 @@ object SimilarityOps {
     * two-phase top-k after. At production scale this composes with IVF
     * (probe lists, then PQ-score within them — IVF-PQ); both halves are
     * now implemented and individually oracle-checked. */
-  def pqTopk(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5): DataFrame = {
+  /** The two query-side PQ scoring frames, shared by [[pqTopk]] and
+    * [[ivfPqTopk]]: `lut(query_id, sub, cluster, pdot)` — exact-integer
+    * partial dot of each query subvector against each codeword — and
+    * `vecN2(vec_id, n2)`, the reconstructed squared norms. */
+  private def pqScoringFrames(spark: SparkSession, sfDir: String,
+      nQueries: Int): (DataFrame, DataFrame) = {
     val (cents, codes) = pqRun(spark, sfDir)
     val cn2 = cents.select(col("sub"), col("cluster"),
       expr("aggregate(c, 0L, (s, x) -> s + x * x)").as("cn2"))
@@ -752,15 +795,72 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("sub"), col("cluster"),
         expr("aggregate(zip_with(q, c, (a, b) -> a * b), 0L, (s, x) -> s + x)")
           .as("pdot"))
+    (lut, vecN2)
+  }
+
+  /** Rank PQ dots: cos = dot/√n2 (two correctly-rounded IEEE ops over
+    * exact integers), zero-reconstruction vectors excluded, then the
+    * salted two-phase top-k. */
+  private def pqRank(dots: DataFrame, vecN2: DataFrame, k: Int): DataFrame =
+    dots.join(vecN2, "vec_id")
+      .filter(col("n2") > 0)
+      .select(col("query_id"), col("vec_id"),
+        (col("dot").cast("double") / sqrt(col("n2").cast("double"))).as("cos"))
+      .transform(topkPerQuery(_, k))
+
+  def pqTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val (lut, vecN2) = pqScoringFrames(spark, sfDir, nQueries)
+    val codes = pqRun(spark, sfDir)._2
     val dots = codes.join(broadcast(lut), Seq("sub", "cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pdot")).as("dot"))
-    val scored = dots.join(vecN2, "vec_id")
-      .filter(col("n2") > 0)
-      .select(col("query_id"), col("vec_id"),
-        (col("dot").cast("double") / sqrt(col("n2").cast("double"))).as("cos"))
-    topkPerQuery(scored, k)
+    pqRank(dots, vecN2, k)
+  }
+
+  /** IVF-PQ (Jégou et al., TPAMI'11 §V — the FAISS `IVFx,PQy` index and
+    * the de-facto architecture for billion-scale vector search): the
+    * coarse k-means quantizer prunes WHICH vectors are scored (probe
+    * nprobe lists ⇒ candidates ≈ nprobe·n/L per query) and PQ bounds
+    * the BYTES each scoring touches (32-bit codes + M LUT lookups) —
+    * compute and memory pruned independently, which is what makes the
+    * combination, not either half alone, the 100 TB design. Composition
+    * of two already-oracle-checked halves: [[ivfKmeansTopk]]'s
+    * exact-integer coarse Lloyd + probe ranking, and [[pqTopk]]'s
+    * subspace codebooks + integer LUT scoring — so the composed row is
+    * deterministic end to end and oracle-replayed by the concatenation
+    * of the two generated CTE families. (This variant scores raw-vector
+    * codes, not coarse-residual codes — the residual refinement changes
+    * recall, not the plan shape.)
+    *
+    * Plan: everything the halves already pinned (broadcast centroids,
+    * codebook and LUT; keyed candidate equi-join on the coarse list id;
+    * map-side-combined per-(query,vec) sums; salted top-k) — the only
+    * new edge is the candidate join feeding the code join, both keyed. */
+  def ivfPqTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val (v, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("cluster").asc)
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("cluster"), kmeansDistSq.as("d"))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val cands = assigned.select(col("vec_id"), col("cluster"))
+      .join(broadcast(probes), "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val (lut, vecN2) = pqScoringFrames(spark, sfDir, nQueries)
+    val codes = pqRun(spark, sfDir)._2
+    val dots = cands.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "cluster"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("dot"))
+    pqRank(dots, vecN2, k)
   }
 
   /** Banded random-hyperplane LSH near-dup — the APPROXIMATE production
@@ -1536,6 +1636,9 @@ object SimilarityOps {
     // PQ: M parallel subspace Lloyds + LUT scoring, replayed literally in
     // the same exact-integer arithmetic (generated from shared constants)
     "ann_pq_topk" -> pqOracleSql(),
+    // IVF-PQ: concatenation of the coarse-Lloyd + probe CTEs and the PQ
+    // CTEs, dots scoped to probed lists — both halves' replays verbatim
+    "ann_ivf_pq_topk" -> ivfPqOracleSql(),
     // exact pairs at 0.8 (the verified emb_lsh_near_dup_hi regime) →
     // recursive transitive closure → min-id representative
     "semdedup" ->

@@ -381,13 +381,20 @@ class PlanAuditSpec extends SparkSpec {
     // scoring: the n·M code rows must meet the LUT via broadcast (the
     // corpus never shuffles to be scored) and fold per (query, vec) in a
     // two-phase hash aggregate; no window sees the unaggregated stream
-    val ps = plan(SimilarityOps.pqTopk(spark, sfDir))
-    assert(ps.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$ps")
-    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"), ps)
-    assert("HashAggregate".r.findAllIn(ps).length >= 2, ps)
-    assert(ps.linesIterator.exists(l =>
-        l.contains("Exchange hashpartitioning") && l.contains("salt")),
-      s"no salted top-k exchange:\n$ps")
+    // ivfPqTopk additionally carries the coarse-probe BNLJ (nQueries ×
+    // broadcast(L centroids) — the rrf small-frame contract, same as the
+    // whole IVF family); pure PQ scoring must not need one
+    for ((df, bnljOk) <- Seq(SimilarityOps.pqTopk(spark, sfDir) -> false,
+                             SimilarityOps.ivfPqTopk(spark, sfDir) -> true)) {
+      val ps = plan(df)
+      assert(ps.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$ps")
+      assert(!ps.contains("CartesianProduct"), ps)
+      if (!bnljOk) assert(!ps.contains("BroadcastNestedLoopJoin"), ps)
+      assert("HashAggregate".r.findAllIn(ps).length >= 2, ps)
+      assert(ps.linesIterator.exists(l =>
+          l.contains("Exchange hashpartitioning") && l.contains("salt")),
+        s"no salted top-k exchange:\n$ps")
+    }
   }
 
   test("ANN top-k parallelism does not collapse to nQueries partitions") {

@@ -212,6 +212,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(r11 == r10 + 1, s"identical codes must rank adjacently by id: $r10/$r11")
   }
 
+  test("IVF-PQ candidates are a subset of PQ's, full-rank queries still served") {
+    val pq = SimilarityOps.pqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = SimilarityOps.ivfPqTopk(spark, sfDir).collect()
+    // every query emits ranks 1..m (m <= k when probed lists run short)
+    val ranksOk = ivfpq.groupBy(_.getLong(0)).values.forall { rs =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size).toSeq
+    }
+    assert(ranksOk)
+    assert(ivfpq.groupBy(_.getLong(0)).size == 10) // all 10 queries served
+    // the coarse quantizer only PRUNES candidates; scoring is identical,
+    // so overlap with unpruned PQ reflects probe recall (~nprobe/nlists
+    // on unclustered harness data), and any shared (query, neighbor)
+    // pair must appear in relative PQ-score order. Floor guards the
+    // candidate path, deterministic on fixed data.
+    val ivfpqSet = ivfpq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = pq.intersect(ivfpqSet).size.toDouble / pq.size
+    assert(overlap >= 0.25, s"overlap=$overlap")
+  }
+
   test("ANN kNN ranks recover a plausible fraction of the exact ranks") {
     val exact = SimilarityOps.knnRanks(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
