@@ -75,7 +75,8 @@ object ScaleProbe {
     "fuzzy_match", "rrf_fusion", "doc_winnow_pairs", "minhash_near_dup",
     "simhash_near_dup", "decontam_bloom", "semdedup", "semdedup_clustered",
     "emb_lsh_near_dup", "emb_lsh_near_dup_hi", "kcore", "triangles",
-    "mutual_knn_graph_ann", "hard_negatives_ann", "ann_ivf_kmeans_topk")
+    "mutual_knn_graph_ann", "hard_negatives_ann", "ann_ivf_kmeans_topk",
+    "ann_pq_topk", "ann_ivf_pq_topk", "lm_likelihood")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail
