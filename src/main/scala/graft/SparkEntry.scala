@@ -196,6 +196,8 @@ object SparkEntry {
     // codes bound the BYTES scoring touches — the billion-scale vector
     // search architecture, composed from two oracle-checked halves
     "ann_ivf_pq_topk"    -> (SimilarityOps.ivfPqTopk(_, _)),
+    // two-stage retrieval: PQ first pass, exact re-rank of R survivors
+    "ann_pq_rerank_topk" -> (SimilarityOps.pqRerankTopk(_, _)),
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     // symmetric neighborhood graph (edge iff IN EACH OTHER'S top-k)
     "mutual_knn_graph" -> (SimilarityOps.mutualKnn(_, _)),

@@ -496,6 +496,36 @@ object SimilarityOps {
        |  GROUP BY l.query_id, a.vec_id)
        |${pqRankSql(k)}""".stripMargin
 
+  /** Literal replay of [[pqRerankTopk]]: PQ CTEs + whole-corpus dots,
+    * rank ≤ R candidates, then the exact-cosine re-rank tail (the
+    * [[bruteTopkSql]] arithmetic) to top-k. */
+  private[ext] def pqRerankOracleSql(nQueries: Int = 10, k: Int = 5,
+      rerank: Int = PqRerankR): String =
+    s"""WITH ${pqCtesSql(nQueries)},
+       |dots AS (
+       |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
+       |  FROM codes a JOIN lut l ON l.sub = a.sub AND l.cluster = a.cluster
+       |  WHERE a.vec_id <> l.query_id
+       |  GROUP BY l.query_id, a.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY d.query_id
+       |        ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(n2.n2 AS DOUBLE)) DESC,
+       |                 d.vec_id) AS pq_rank
+       |    FROM dots d JOIN n2 ON n2.vec_id = d.vec_id
+       |    WHERE n2.n2 > 0) t
+       |  WHERE pq_rank <= $rerank)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(e.embedding, qe.embedding) DESC,
+       |               c.vec_id) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Literal replay of [[ivfPqTopk]]: the coarse-Lloyd CTEs
     * ([[kmeansCtesSql]] — names disjoint from the PQ family), the
     * probe ranking of the k-means-IVF oracle, the PQ CTEs, and dots
@@ -817,6 +847,46 @@ object SimilarityOps {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pdot")).as("dot"))
     pqRank(dots, vecN2, k)
+  }
+
+  /** Candidate-set width for the exact re-rank stage (shared with the
+    * oracle): stage 1 keeps this many PQ-ranked candidates per query,
+    * stage 2 re-scores only them exactly. */
+  val PqRerankR = 20
+
+  /** PQ + exact re-rank — the standard two-stage retrieval shape
+    * (compressed first pass, exact second pass on a bounded candidate
+    * set): PQ ranks [[PqRerankR]] candidates per query from 32-bit
+    * codes, then ONLY those R rows rejoin their raw vectors for an
+    * exact-cosine re-rank to top-k. This is how production systems
+    * recover the recall quantization loses without ever scanning raw
+    * vectors per query — stage 2's cost is R·dim per query regardless
+    * of corpus size, and stage 1 never touches a raw corpus vector.
+    * Recall-vs-exact dominance over plain [[pqTopk]] at the same k is
+    * test-asserted (re-ranking a superset exactly can only help).
+    *
+    * Deterministic: stage 1 is the oracle-checked PQ ranking; stage 2's
+    * exact cosine is the [[bruteTopk]] arithmetic (bit-identical
+    * cross-engine per the VecDot fold-order contract), so the composed
+    * row is oracle-replayed by the PQ CTEs + an exact re-rank tail.
+    *
+    * Plan: stage 1 as [[pqTopk]]; stage 2 is a keyed join of the
+    * nQueries·R candidate ids back to the corpus scan (at scale: a
+    * point-lookup-friendly id join against the vector store) + the
+    * broadcast query frame + one tiny window. */
+  def pqRerankTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = PqRerankR): DataFrame = {
+    val cand = pqTopk(spark, sfDir, nQueries, rerank)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    topkPerQuery(scored, k)
   }
 
   /** IVF-PQ (Jégou et al., TPAMI'11 §V — the FAISS `IVFx,PQy` index and
@@ -1639,6 +1709,9 @@ object SimilarityOps {
     // IVF-PQ: concatenation of the coarse-Lloyd + probe CTEs and the PQ
     // CTEs, dots scoped to probed lists — both halves' replays verbatim
     "ann_ivf_pq_topk" -> ivfPqOracleSql(),
+    // PQ + exact re-rank: the PQ replay to R candidates, then the
+    // brute-force cosine arithmetic on just those rows
+    "ann_pq_rerank_topk" -> pqRerankOracleSql(),
     // exact pairs at 0.8 (the verified emb_lsh_near_dup_hi regime) →
     // recursive transitive closure → min-id representative
     "semdedup" ->

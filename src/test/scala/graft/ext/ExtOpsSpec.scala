@@ -212,6 +212,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(r11 == r10 + 1, s"identical codes must rank adjacently by id: $r10/$r11")
   }
 
+  test("PQ + exact re-rank dominates plain PQ recall at the same k") {
+    val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SimilarityOps.pqTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rr = SimilarityOps.pqRerankTopk(spark, sfDir).collect()
+    assert(rr.length == 50)
+    val rrSet = rr.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pqRecall = brute.intersect(pq).size.toDouble / brute.size
+    val rrRecall = brute.intersect(rrSet).size.toDouble / brute.size
+    // stage 2 exactly re-scores a SUPERSET (R=20 > k=5) of stage 1's
+    // output: any true neighbor PQ ranked in the top R is recovered, so
+    // recall can only improve; deterministic on fixed data
+    assert(rrRecall >= pqRecall, s"rerank=$rrRecall pq=$pqRecall")
+    assert(rrRecall > pqRecall, s"no recall recovered: $rrRecall")
+  }
+
   test("IVF-PQ candidates are a subset of PQ's, full-rank queries still served") {
     val pq = SimilarityOps.pqTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
