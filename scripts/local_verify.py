@@ -58,6 +58,11 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if len(sys.argv) > 3:
         names = [n.strip() for n in sys.argv[3].split(",") if n.strip()]
+        if not names:
+            # an empty filter would "pass" having compared nothing —
+            # the vacuous-gate failure mode Verify's SPARK_GRAFT_ONLY
+            # contract exists to prevent
+            sys.exit("empty query-name filter (would check nothing)")
         unknown = [n for n in names if n not in oracle]
         if unknown:
             sys.exit(f"unknown query names (no oracle): {unknown}")

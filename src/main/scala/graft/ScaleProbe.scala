@@ -76,7 +76,7 @@ object ScaleProbe {
     "simhash_near_dup", "decontam_bloom", "semdedup", "semdedup_clustered",
     "emb_lsh_near_dup", "emb_lsh_near_dup_hi", "kcore", "triangles",
     "mutual_knn_graph_ann", "hard_negatives_ann", "ann_ivf_kmeans_topk",
-    "ann_pq_topk", "ann_ivf_pq_topk", "lm_likelihood")
+    "ann_pq_topk", "ann_ivf_pq_topk", "ann_pq_rerank_topk", "lm_likelihood")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail
@@ -91,12 +91,20 @@ object ScaleProbe {
         names
     }
 
+  /** Bump when the derivation itself changes: the marker must invalidate
+    * stale trees generated by an older construction (v2 = per-copy sign
+    * flips — a v1 shift-only tree would silently re-manifest the tied-
+    * cosine rank swaps the flips exist to kill). */
+  val GeneratorVersion = 2
+
   def ensureGenerated(spark: SparkSession, srcDir: String, outDir: String): Unit = {
-    // marker carries the SOURCE dir: a probe rerun with a different
-    // SPARK_GRAFT_SF_DIR must regenerate, or the recorded "ratio" would
-    // silently compare data derived from a different scale
+    // marker carries the SOURCE dir AND the generator version: a rerun
+    // with a different SPARK_GRAFT_SF_DIR or an upgraded derivation must
+    // regenerate, or the recorded "ratio"/sweep would silently use data
+    // from a different scale or an obsolete construction
     val marker = Paths.get(s"$outDir/_PROBE_READY")
-    if (Files.exists(marker) && Files.readString(marker).trim == srcDir) return
+    val stamp = s"$srcDir v$GeneratorVersion"
+    if (Files.exists(marker) && Files.readString(marker).trim == stamp) return
 
     val copies = spark.range(Copies).select(col("id").cast("int").as("k"))
 
@@ -142,7 +150,7 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
     ev.write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
 
-    Files.writeString(Paths.get(s"$outDir/_PROBE_READY"), srcDir + "\n")
+    Files.writeString(Paths.get(s"$outDir/_PROBE_READY"), stamp + "\n")
   }
 
   def main(args: Array[String]): Unit = {

@@ -253,17 +253,28 @@ object SimilarityOps {
     * round), probe ranking over nQueries × k centroid rows (tiny),
     * then a KEYED equi-join on the cluster id for candidates and the
     * salted two-phase top-k. */
-  def ivfKmeansTopk(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
-    val (v, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+  /** The nQueries × nprobe probed coarse lists (query_id, cluster),
+    * ranked by the exact-integer Lloyd metric with smaller-cluster-id
+    * ties. ONE definition shared by [[ivfKmeansTopk]] and [[ivfPqTopk]]
+    * (and replayed by the shared probes CTE in both oracles) so probe
+    * choice can never drift within the family. */
+  private def kmeansProbes(v: DataFrame, cents: DataFrame,
+      nQueries: Int, nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("d").asc, col("cluster").asc)
-    val probes = v.filter(col("vec_id") < nQueries)
+    v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q"))
       .join(broadcast(cents), lit(true))
       .select(col("query_id"), col("cluster"), kmeansDistSq.as("d"))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+  }
+
+  def ivfKmeansTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val (v, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val probes = kmeansProbes(v, cents, nQueries, nprobe)
       .select(col("query_id"), col("cluster").as("p_cluster"))
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < nQueries)
@@ -415,6 +426,21 @@ object SimilarityOps {
        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
        |FROM afinal ORDER BY vec_id""".stripMargin
 
+  /** Probes CTE (no WITH) — the SQL twin of [[kmeansProbes]], reading
+    * `v` and `c<rounds>` from [[kmeansCtesSql]]. ONE text shared by the
+    * ann_ivf_kmeans_topk and ann_ivf_pq_topk oracles, mirroring the
+    * shared Scala helper. */
+  private def kmeansProbesCte(nQueries: Int, nprobe: Int): String =
+    s"""probes AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT v.vec_id AS query_id, cc.cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, len(v.q) + 1),
+       |          i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) ASC,
+       |        cc.cluster ASC) AS pr
+       |    FROM v, c$KmeansRounds cc WHERE v.vec_id < $nQueries) t
+       |  WHERE pr <= $nprobe)""".stripMargin
+
   /** CTE list (no WITH keyword) replaying PQ literally — the
     * [[kmeansCtesSql]] construction with a `sub` key threaded through
     * every CTE (M parallel Lloyds) — ending in `codes`, `cn2`, `n2` and
@@ -533,15 +559,7 @@ object SimilarityOps {
   private[ext] def ivfPqOracleSql(nQueries: Int = 10, k: Int = 5,
       nprobe: Int = 3): String =
     s"""WITH ${kmeansCtesSql()},
-       |probes AS (
-       |  SELECT query_id, cluster FROM (
-       |    SELECT v.vec_id AS query_id, cc.cluster,
-       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-       |        list_sum(list_transform(range(1, len(v.q) + 1),
-       |          i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) ASC,
-       |        cc.cluster ASC) AS pr
-       |    FROM v, c$KmeansRounds cc WHERE v.vec_id < $nQueries) t
-       |  WHERE pr <= $nprobe),
+       |${kmeansProbesCte(nQueries, nprobe)},
        |${pqCtesSql(nQueries)},
        |dots AS (
        |  SELECT l.query_id, a.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
@@ -709,14 +727,23 @@ object SimilarityOps {
   val PqRounds = 2
 
   /** The (vec_id, sub, q) quantized SUBvector corpus — [[quantizedCorpus]]
-    * cut into [[PqM]] contiguous subspaces. One scan, one explode. */
-  private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame =
+    * cut into [[PqM]] contiguous subspaces. One scan, one explode. The
+    * dim probe is one O(1) driver action (the embLshNearDup pattern): a
+    * layout that does not cover the vector would TRUNCATE coordinates
+    * identically on both engines, so the oracle could never catch it —
+    * this is the one mismatch the hash check is structurally blind to. */
+  private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = Tables.embeddings(spark, sfDir)
+      .select(size(col("embedding"))).first().getInt(0)
+    require(dim == PqM * PqSubDim,
+      s"PQ layout $PqM x $PqSubDim does not cover embedding dim $dim")
     quantizedCorpus(spark, sfDir)
       .select(col("vec_id"), explode(expr(
         s"""transform(sequence(0, ${PqM - 1}),
            |  s -> struct(s AS sub, slice(q, s * $PqSubDim + 1, $PqSubDim) AS qs))"""
           .stripMargin)).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.qs").as("q"))
+  }
 
   /** One PQ assignment pass — [[assignTo]] with the subspace id carried
     * through: nearest codeword per (vector, subspace) by the shared
@@ -737,10 +764,12 @@ object SimilarityOps {
   private val pqCodeCache = new graft.SessionFrameCache[String]
 
   private def pqRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val cc = pqCentCache.getOrElseUpdate(spark, sfDir) {
+    // Raw variant: the builders end in localCheckpoint, whose blocks a
+    // second .persist() would copy a second time (the kmeansRun contract)
+    val cc = pqCentCache.getOrElseUpdateRaw(spark, sfDir) {
       pqRunUncached(spark, sfDir)._1.localCheckpoint()
     }
-    val codes = pqCodeCache.getOrElseUpdate(spark, sfDir) {
+    val codes = pqCodeCache.getOrElseUpdateRaw(spark, sfDir) {
       pqAssignTo(pqSubvectors(spark, sfDir), cc)
         .select(col("vec_id"), col("sub"), col("cluster")).localCheckpoint()
     }
@@ -776,38 +805,6 @@ object SimilarityOps {
     (cents, pqAssignTo(v, cents).select(col("vec_id"), col("sub"), col("cluster")))
   }
 
-  /** Product-quantization ANN (Jégou et al., TPAMI'11) — the MEMORY-bound
-    * ANN design: each vector is stored as M = [[PqM]] codeword ids
-    * (32 bits here vs 2 KB of floats — at 100 TB the difference between
-    * an in-memory index and one that cannot exist), and queries score
-    * candidates by ASYMMETRIC distance: the query stays full-precision,
-    * each (subspace, codeword) partial dot product is computed ONCE into
-    * a lookup table of nQueries·M·K entries, and scoring a corpus vector
-    * is M table lookups — n·M·nQueries adds replace n·dim·nQueries
-    * multiplies, and the corpus never moves (codes join the broadcast
-    * LUT in place).
-    *
-    * Deterministic end to end, so oracle-replayable like the IVF family:
-    * codebooks come from the same exact-integer Lloyd as
-    * [[kmeansAssign]] (quantized grid, integer L2, id seeds, floor-mean,
-    * smaller-id ties) run per subspace; partial dots and reconstructed
-    * norms ‖x̂‖² = Σ_sub ‖c_sub‖² are exact long sums; the only floats
-    * are the final two correctly-rounded IEEE ops dot/√n2 — and
-    * PQ-equal candidates (identical codes ⇒ identical integer scores)
-    * tie-break on vec_id identically in both engines. Approximate in
-    * WHAT it scores (the reconstruction, not the raw vector — recall vs
-    * [[bruteTopk]] is test-asserted); exact in how it computes it.
-    * Zero-reconstruction vectors (n2 = 0) have no direction and are
-    * excluded on both sides (the NaN-guard contract of the kNN family).
-    *
-    * Scale shape: training is M parallel Lloyds in one keyed dataframe
-    * (broadcast codebook, one (sub,cluster,pos) aggregate per round);
-    * encoding is one broadcast join + min-struct aggregate; scoring
-    * joins the n·M code rows to the broadcast LUT and map-side-combines
-    * the per-(query,vec) sums — one shuffle of partial sums, salted
-    * two-phase top-k after. At production scale this composes with IVF
-    * (probe lists, then PQ-score within them — IVF-PQ); both halves are
-    * now implemented and individually oracle-checked. */
   /** The two query-side PQ scoring frames, shared by [[pqTopk]] and
     * [[ivfPqTopk]]: `lut(query_id, sub, cluster, pdot)` — exact-integer
     * partial dot of each query subvector against each codeword — and
@@ -838,6 +835,38 @@ object SimilarityOps {
         (col("dot").cast("double") / sqrt(col("n2").cast("double"))).as("cos"))
       .transform(topkPerQuery(_, k))
 
+  /** Product-quantization ANN (Jégou et al., TPAMI'11) — the MEMORY-bound
+    * ANN design: each vector is stored as M = [[PqM]] codeword ids
+    * (32 bits here vs 2 KB of floats — at 100 TB the difference between
+    * an in-memory index and one that cannot exist), and queries score
+    * candidates by ASYMMETRIC distance: the query stays full-precision,
+    * each (subspace, codeword) partial dot product is computed ONCE into
+    * a lookup table of nQueries·M·K entries, and scoring a corpus vector
+    * is M table lookups — n·M·nQueries adds replace n·dim·nQueries
+    * multiplies, and the corpus never moves (codes join the broadcast
+    * LUT in place).
+    *
+    * Deterministic end to end, so oracle-replayable like the IVF family:
+    * codebooks come from the same exact-integer Lloyd as
+    * [[kmeansAssign]] (quantized grid, integer L2, id seeds, floor-mean,
+    * smaller-id ties) run per subspace; partial dots and reconstructed
+    * norms ‖x̂‖² = Σ_sub ‖c_sub‖² are exact long sums; the only floats
+    * are the final two correctly-rounded IEEE ops dot/√n2 — and
+    * PQ-equal candidates (identical codes ⇒ identical integer scores)
+    * tie-break on vec_id identically in both engines. Approximate in
+    * WHAT it scores (the reconstruction, not the raw vector — recall vs
+    * [[bruteTopk]] is test-asserted); exact in how it computes it.
+    * Zero-reconstruction vectors (n2 = 0) have no direction and are
+    * excluded on both sides (the NaN-guard contract of the kNN family).
+    *
+    * Scale shape: training is M parallel Lloyds in one keyed dataframe
+    * (broadcast codebook, one (sub,cluster,pos) aggregate per round);
+    * encoding is one broadcast join + min-struct aggregate; scoring
+    * joins the n·M code rows to the broadcast LUT and map-side-combines
+    * the per-(query,vec) sums — one shuffle of partial sums, salted
+    * two-phase top-k after. At production scale this composes with IVF
+    * (probe lists, then PQ-score within them — [[ivfPqTopk]]) and with
+    * an exact second pass ([[pqRerankTopk]]). */
   def pqTopk(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val (lut, vecN2) = pqScoringFrames(spark, sfDir, nQueries)
@@ -911,15 +940,7 @@ object SimilarityOps {
   def ivfPqTopk(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
     val (v, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("d").asc, col("cluster").asc)
-    val probes = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("q"))
-      .join(broadcast(cents), lit(true))
-      .select(col("query_id"), col("cluster"), kmeansDistSq.as("d"))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("query_id"), col("cluster"))
+    val probes = kmeansProbes(v, cents, nQueries, nprobe)
     val cands = assigned.select(col("vec_id"), col("cluster"))
       .join(broadcast(probes), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
@@ -1615,16 +1636,8 @@ object SimilarityOps {
     // ranking by the same exact-integer squared-L2, candidate ranks by
     // cosine — deterministic end to end, like ann_ivf_topk
     "ann_ivf_kmeans_topk" ->
-      s"""WITH ${kmeansCtesSql()}, probes AS (
-         |  SELECT query_id, cluster FROM (
-         |    SELECT v.vec_id AS query_id, cc.cluster,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-         |        list_sum(list_transform(range(1, len(v.q) + 1),
-         |          i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) ASC,
-         |        cc.cluster ASC) AS pr
-         |    FROM v, c$KmeansRounds cc WHERE v.vec_id < 10) t
-         |  WHERE pr <= 3
-         |)
+      s"""WITH ${kmeansCtesSql()},
+         |${kmeansProbesCte(nQueries = 10, nprobe = 3)}
          |SELECT query_id, rank, neighbor_id FROM (
          |  SELECT p.query_id, m.vec_id AS neighbor_id,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
