@@ -110,6 +110,9 @@ object SparkEntry {
     // corpus-bigram LM likelihood (CCNet/KenLM-style quality signal,
     // exact-integer smoothed transition probabilities)
     "lm_likelihood"    -> (TextOps.lmLikelihood(_, _)),
+    // trigram stupid-backoff upgrade (Brants et al. '07); the bigram row
+    // above stays registered as the baseline sibling
+    "lm_likelihood_tri" -> (TextOps.lmLikelihoodTri(_, _)),
     // per-doc out-of-vocabulary rate vs the corpus top-k vocabulary
     "doc_oov_rate"     -> (TextOps.docOovRate(_, _)),
     // keyword-in-context windows around the first term hit (pure scan)
@@ -198,6 +201,12 @@ object SparkEntry {
     "ann_ivf_pq_topk"    -> (SimilarityOps.ivfPqTopk(_, _)),
     // two-stage retrieval: PQ first pass, exact re-rank of R survivors
     "ann_pq_rerank_topk" -> (SimilarityOps.pqRerankTopk(_, _)),
+    // IVF-PQ with residual encoding (FAISS's standard recall refinement:
+    // codes quantize x − c_list(x), same plan shape as ann_ivf_pq_topk)
+    "ann_ivf_pq_res_topk" -> (SimilarityOps.ivfPqResTopk(_, _)),
+    // recall@k of every PQ-family entry vs ann_brute_topk, as a
+    // registered oracle-checked telemetry row (integer rank intersection)
+    "ann_recall_report"   -> (SimilarityOps.annRecallReport(_, _)),
     "emb_near_dup"     -> (SimilarityOps.embNearDup(_, _)),
     // symmetric neighborhood graph (edge iff IN EACH OTHER'S top-k)
     "mutual_knn_graph" -> (SimilarityOps.mutualKnn(_, _)),

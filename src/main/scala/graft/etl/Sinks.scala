@@ -99,6 +99,17 @@ object Sinks {
           .orderBy(col("_run"), col("_idx"))
           .drop("_run", "_idx")
       } else fresh.orderBy("LineNumber")
+    overwriteSingleCsv(out, path)
+  }
+
+  /** Replace `path` with a single-part headered CSV of `out` via tmp +
+    * backup rename — the atomic-ish swap shared by the batch append above
+    * and the streaming sink's committed-state rebuild. Deterministic for
+    * a deterministic `out`, so re-running it after a crash converges. */
+  def overwriteSingleCsv(out: DataFrame, path: String): Unit = {
+    val spark = out.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "._tmp")
     out.coalesce(1) // one small side file, like the reference's single duplicates.csv
       .write.mode(SaveMode.Overwrite)

@@ -447,42 +447,58 @@ object SimilarityOps {
     * the `lut` for the first nQueries vectors. Names are disjoint from
     * [[kmeansCtesSql]]'s so the IVF-PQ oracle can concatenate both.
     * Shared by the PQ and IVF-PQ oracles. */
-  private[ext] def pqCtesSql(nQueries: Int = 10): String = {
+  /** Subspace-cut CTE body: (vec_id, sub, q) from a (vec_id, q) source —
+    * the SQL twin of [[pqCut]], shared by the raw and residual oracles. */
+  private def pqCutSql(src: String): String =
+    s"""SELECT vec_id, u.sub, q[(u.sub * $PqSubDim + 1):(u.sub * $PqSubDim + $PqSubDim)] AS q
+       |  FROM $src, LATERAL UNNEST(range(0, $PqM)) AS u(sub)""".stripMargin
+
+  /** The M-parallel-Lloyds CTE list (no WITH): seeds `<p>0`, rounds
+    * `<p>a<r>/<p><r>e/v/l/<p><r>`, final assignment `<codes>`, reading
+    * subvectors from CTE `<src>` — the SQL twin of
+    * [[pqTrainEncodeUncached]], parameterized like the Scala side so the
+    * raw-vector and residual oracles share ONE generator and cannot
+    * drift on Lloyd semantics. */
+  private def pqLloydCtesSql(src: String, p: String, codes: String): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, sub, q, cluster
          |  FROM (SELECT v.vec_id, v.sub, v.q, cc.cluster,
          |          list_sum(list_transform(range(1, len(v.q) + 1),
          |            i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) AS d
-         |        FROM v8 v JOIN $cents cc ON cc.sub = v.sub) t
+         |        FROM $src v JOIN $cents cc ON cc.sub = v.sub) t
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cluster) = 1)""".stripMargin
     def centCtes(r: Int, assigned: String, prev: String): String =
-      s"""p${r}e AS (
+      s"""$p${r}e AS (
          |  SELECT sub, cluster, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS cs, COUNT(*) AS n
          |  FROM $assigned, LATERAL UNNEST(range(1, len(q) + 1)) AS u(i)
          |  GROUP BY sub, cluster, i),
-         |p${r}v AS (
-         |  SELECT sub, cluster, pos, (cs - ((cs % n + n) % n)) // n AS cv FROM p${r}e),
-         |p${r}l AS (
+         |$p${r}v AS (
+         |  SELECT sub, cluster, pos, (cs - ((cs % n + n) % n)) // n AS cv FROM $p${r}e),
+         |$p${r}l AS (
          |  SELECT sub, cluster, list(cv ORDER BY pos) AS c_new
-         |  FROM p${r}v GROUP BY sub, cluster),
-         |p$r AS (
+         |  FROM $p${r}v GROUP BY sub, cluster),
+         |$p$r AS (
          |  SELECT p.sub, p.cluster, COALESCE(l.c_new, p.c) AS c
-         |  FROM $prev p LEFT JOIN p${r}l l
+         |  FROM $prev p LEFT JOIN $p${r}l l
          |    ON l.sub = p.sub AND l.cluster = p.cluster)""".stripMargin
     val roundsSql = (1 to PqRounds).map { r =>
-      assignCte(s"pa$r", s"p${r - 1}") + ",\n" + centCtes(r, s"pa$r", s"p${r - 1}")
+      assignCte(s"${p}a$r", s"$p${r - 1}") + ",\n" +
+        centCtes(r, s"${p}a$r", s"$p${r - 1}")
     }.mkString(",\n")
+    s"""${p}0 AS (SELECT sub, vec_id AS cluster, q AS c FROM $src WHERE vec_id < $PqK),
+       |$roundsSql,
+       |${assignCte(codes, s"$p$PqRounds")}""".stripMargin
+  }
+
+  private[ext] def pqCtesSql(nQueries: Int = 10): String = {
     s"""vq AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
        |  FROM embeddings),
        |v8 AS (
-       |  SELECT vec_id, u.sub, q[(u.sub * $PqSubDim + 1):(u.sub * $PqSubDim + $PqSubDim)] AS q
-       |  FROM vq, LATERAL UNNEST(range(0, $PqM)) AS u(sub)),
-       |p0 AS (SELECT sub, vec_id AS cluster, q AS c FROM v8 WHERE vec_id < $PqK),
-       |$roundsSql,
-       |${assignCte("codes", s"p$PqRounds")},
+       |  ${pqCutSql("vq")}),
+       |${pqLloydCtesSql("v8", "p", "codes")},
        |cn2 AS (
        |  SELECT sub, cluster,
        |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
@@ -571,6 +587,97 @@ object SimilarityOps {
        |  WHERE a.vec_id <> p.query_id
        |  GROUP BY l.query_id, a.vec_id)
        |${pqRankSql(k)}""".stripMargin
+
+  /** Literal replay of [[ivfPqResTopk]]: coarse-Lloyd CTEs + probes, the
+    * residual frame (afinal's quantized vectors minus their c$KmeansRounds
+    * centroid), the SHARED Lloyd generator over residual subspaces
+    * (`rp*`/`rcodes` names, disjoint from both other families), the
+    * reconstructed-norm decomposition ‖c_l‖² + Σ(2·cross + ‖code‖²), and
+    * dots = coarse dot + LUT sums over probed candidates. */
+  private[ext] def ivfPqResOracleSql(nQueries: Int = 10, k: Int = 5,
+      nprobe: Int = 3): String =
+    s"""WITH ${kmeansCtesSql()},
+       |${kmeansProbesCte(nQueries, nprobe)},
+       |rres AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, len(a.q) + 1), i -> a.q[i] - cc.c[i]) AS q
+       |  FROM afinal a JOIN c$KmeansRounds cc ON cc.cluster = a.cluster),
+       |rv8 AS (
+       |  ${pqCutSql("rres")}),
+       |${pqLloydCtesSql("rv8", "rp", "rcodes")},
+       |rrn2 AS (
+       |  SELECT sub, cluster,
+       |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS rn2
+       |  FROM rp$PqRounds),
+       |csub AS (
+       |  SELECT vec_id AS ccl, sub, q AS cs FROM (
+       |    ${pqCutSql(s"(SELECT cluster AS vec_id, c AS q FROM c$KmeansRounds) cq")})),
+       |rcross AS (
+       |  SELECT s.ccl, s.sub, p.cluster,
+       |    CAST(list_sum(list_transform(range(1, len(s.cs) + 1),
+       |      i -> s.cs[i] * p.c[i])) AS BIGINT) AS cx
+       |  FROM csub s JOIN rp$PqRounds p ON p.sub = s.sub),
+       |rcl2 AS (
+       |  SELECT cluster AS ccl,
+       |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cl2
+       |  FROM c$KmeansRounds),
+       |n2 AS (
+       |  SELECT a.vec_id, CAST(MAX(l2.cl2) + SUM(2 * x.cx + w.rn2) AS BIGINT) AS n2
+       |  FROM rcodes a
+       |  JOIN afinal m ON m.vec_id = a.vec_id
+       |  JOIN rcross x ON x.ccl = m.cluster AND x.sub = a.sub AND x.cluster = a.cluster
+       |  JOIN rrn2 w ON w.sub = a.sub AND w.cluster = a.cluster
+       |  JOIN rcl2 l2 ON l2.ccl = m.cluster
+       |  GROUP BY a.vec_id),
+       |rlut AS (
+       |  SELECT vq8.vec_id AS query_id, vq8.sub, cc.cluster,
+       |    CAST(list_sum(list_transform(range(1, len(vq8.q) + 1),
+       |      i -> vq8.q[i] * cc.c[i])) AS BIGINT) AS pdot
+       |  FROM (${pqCutSql(s"(SELECT vec_id, q FROM v WHERE vec_id < $nQueries) vsel")}) vq8
+       |  JOIN rp$PqRounds cc ON cc.sub = vq8.sub),
+       |qc AS (
+       |  SELECT p.query_id, p.cluster AS ccl,
+       |    CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+       |      i -> v.q[i] * cc.c[i])) AS BIGINT) AS qcdot
+       |  FROM probes p
+       |  JOIN v ON v.vec_id = p.query_id
+       |  JOIN c$KmeansRounds cc ON cc.cluster = p.cluster),
+       |dots AS (
+       |  SELECT d.query_id, d.vec_id, CAST(q.qcdot + d.rdot AS BIGINT) AS dot
+       |  FROM (
+       |    SELECT l.query_id, a.vec_id, m.cluster AS ccl,
+       |      CAST(SUM(l.pdot) AS BIGINT) AS rdot
+       |    FROM rcodes a
+       |    JOIN afinal m ON m.vec_id = a.vec_id
+       |    JOIN probes p ON p.cluster = m.cluster
+       |    JOIN rlut l ON l.query_id = p.query_id
+       |      AND l.sub = a.sub AND l.cluster = a.cluster
+       |    WHERE a.vec_id <> p.query_id
+       |    GROUP BY l.query_id, a.vec_id, m.cluster) d
+       |  JOIN qc q ON q.query_id = d.query_id AND q.ccl = d.ccl)
+       |${pqRankSql(k)}""".stripMargin
+
+  /** Oracle for [[annRecallReport]]: each family's full oracle SQL wrapped
+    * as a subquery (the exact texts registered for the family rows — so
+    * the recall oracle can never drift from them), semi-joined to the
+    * brute-force oracle, counted, unioned. */
+  private[ext] def annRecallReportSql(nQueries: Int = 10, k: Int = 5): String = {
+    val total = nQueries.toLong * k
+    def leg(name: String, sql: String): String =
+      s"""SELECT '$name' AS family, CAST(COUNT(*) AS BIGINT) AS hits,
+         |  CAST($total AS BIGINT) AS total,
+         |  CAST((10000 * COUNT(*)) // $total AS BIGINT) AS recall_bp
+         |FROM ($sql) fam
+         |JOIN ($bruteTopkSql) bb
+         |  ON fam.query_id = bb.query_id AND fam.neighbor_id = bb.neighbor_id""".stripMargin
+    Seq(
+      leg("ann_ivf_pq", ivfPqOracleSql(nQueries, k)),
+      leg("ann_ivf_pq_res", ivfPqResOracleSql(nQueries, k)),
+      leg("ann_pq", pqOracleSql(nQueries, k)),
+      leg("ann_pq_rerank", pqRerankOracleSql(nQueries, k)))
+      .mkString("SELECT family, hits, total, recall_bp FROM (\n",
+        "\nUNION ALL\n", "\n) u ORDER BY family")
+  }
 
   /** [[ivfTopk]] with nprobe >= nLists: every list is probed, so the
     * "approximate" path degenerates to exact brute force BY CONSTRUCTION —
@@ -726,17 +833,32 @@ object SimilarityOps {
   val PqK = 16
   val PqRounds = 2
 
+  /** Memo of (session, sfDir) pairs whose embedding dim already passed the
+    * PQ-layout check: the probe is one O(1) driver `.first()`, but
+    * pqSubvectors is invoked 2-3 times per PQ query op (codebook build,
+    * LUT, scoring), so an unmemoized probe launches that Spark job each
+    * time (r7 ADVICE). Keys are (session, dir) tuples — bytes, not frames —
+    * so no eviction hook is needed. */
+  private val pqDimChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
   /** The (vec_id, sub, q) quantized SUBvector corpus — [[quantizedCorpus]]
     * cut into [[PqM]] contiguous subspaces. One scan, one explode. The
-    * dim probe is one O(1) driver action (the embLshNearDup pattern): a
-    * layout that does not cover the vector would TRUNCATE coordinates
-    * identically on both engines, so the oracle could never catch it —
-    * this is the one mismatch the hash check is structurally blind to. */
+    * dim probe is one O(1) driver action (the embLshNearDup pattern),
+    * memoized per (session, sfDir): a layout that does not cover the
+    * vector would TRUNCATE coordinates identically on both engines, so
+    * the oracle could never catch it — this is the one mismatch the hash
+    * check is structurally blind to. */
   private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
-    val dim = Tables.embeddings(spark, sfDir)
-      .select(size(col("embedding"))).first().getInt(0)
-    require(dim == PqM * PqSubDim,
-      s"PQ layout $PqM x $PqSubDim does not cover embedding dim $dim")
+    if (pqDimChecked.add((spark, sfDir))) {
+      val dim = Tables.embeddings(spark, sfDir)
+        .select(size(col("embedding"))).first().getInt(0)
+      if (dim != PqM * PqSubDim) {
+        pqDimChecked.remove((spark, sfDir))
+        throw new IllegalArgumentException(
+          s"PQ layout $PqM x $PqSubDim does not cover embedding dim $dim")
+      }
+    }
     quantizedCorpus(spark, sfDir)
       .select(col("vec_id"), explode(expr(
         s"""transform(sequence(0, ${PqM - 1}),
@@ -778,8 +900,13 @@ object SimilarityOps {
 
   /** private[graft] so PlanAuditSpec can audit the real training plan. */
   private[graft] def pqRunUncached(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
-    val v = pqSubvectors(spark, sfDir)
+      sfDir: String): (DataFrame, DataFrame) =
+    pqTrainEncodeUncached(pqSubvectors(spark, sfDir))
+
+  /** The M-parallel-Lloyds trainer over ANY (vec_id, sub, q) subvector
+    * frame — shared by the raw-vector PQ family and the residual-encoded
+    * [[ivfPqResTopk]], so the two codebook constructions cannot drift. */
+  private def pqTrainEncodeUncached(v: DataFrame): (DataFrame, DataFrame) = {
     // all M subspace Lloyd runs execute as ONE dataframe program keyed by
     // `sub` — same rounds, same seeds rule (first PqK vectors by id),
     // same floor-mean recompute as kmeansRunUncached, one extra grouping
@@ -952,6 +1079,155 @@ object SimilarityOps {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("pdot")).as("dot"))
     pqRank(dots, vecN2, k)
+  }
+
+  /** Subspace cut of an arbitrary (vec_id, q) long-vector frame — the
+    * [[pqSubvectors]] explode, shared with the residual construction. */
+  private def pqCut(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+         |  s -> struct(s AS sub, slice(q, s * $PqSubDim + 1, $PqSubDim) AS qs))"""
+        .stripMargin)).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.qs").as("q"))
+
+  /** The (vec_id, sub, q) RESIDUAL subvector corpus: each quantized
+    * vector minus its assigned coarse centroid (both on the 1e-6 integer
+    * grid, so residuals are exact longs), cut into [[PqM]] subspaces.
+    * One broadcast join + one explode over the cached coarse assignment. */
+  private def pqResSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
+    // same layout check as pqSubvectors (memoized — see pqDimChecked)
+    pqSubvectors(spark, sfDir)
+    val (_, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    pqCut(assigned
+      .join(broadcast(cents.select(col("cluster"), col("c").as("cc"))), "cluster")
+      .select(col("vec_id"), expr("zip_with(q, cc, (a, b) -> a - b)").as("q")))
+  }
+
+  /** Residual codebook + codes cached per (session, sfDir) — the
+    * [[pqRun]] pattern over the residual subvector corpus. */
+  private val pqResCentCache = new graft.SessionFrameCache[String]
+  private val pqResCodeCache = new graft.SessionFrameCache[String]
+
+  private def pqResRun(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val cc = pqResCentCache.getOrElseUpdateRaw(spark, sfDir) {
+      pqTrainEncodeUncached(pqResSubvectors(spark, sfDir))._1.localCheckpoint()
+    }
+    val codes = pqResCodeCache.getOrElseUpdateRaw(spark, sfDir) {
+      pqAssignTo(pqResSubvectors(spark, sfDir), cc)
+        .select(col("vec_id"), col("sub"), col("cluster")).localCheckpoint()
+    }
+    (cc, codes)
+  }
+
+  /** IVF-PQ with RESIDUAL encoding (Jégou et al., TPAMI'11 §V.A — the
+    * refinement [[ivfPqTopk]]'s scaladoc defers): PQ codebooks are
+    * trained on, and codes assigned to, `x − c_list(x)` instead of the
+    * raw vector. Residuals concentrate around the origin, so the same
+    * M·K codebook budget quantizes them with less error than the spread
+    * raw vectors — the standard FAISS recall lever at IDENTICAL plan
+    * shape (the candidate join, code join, LUT broadcast, and salted
+    * top-k are byte-for-byte the [[ivfPqTopk]] edges).
+    *
+    * Scoring decomposes exactly: with reconstruction x̂ = c_l + r̂,
+    * `dot(q, x̂) = dot(q, c_l) + Σ_sub LUT(q, sub, code)` — the LUT is
+    * the FULL query subvector against RESIDUAL codewords, and the
+    * per-(query, probed-list) coarse dot is an nQueries·nprobe frame —
+    * and `‖x̂‖² = ‖c_l‖² + Σ_sub (2·dot(c_l_sub, code) + ‖code‖²)`,
+    * assembled per vector from three broadcast-size integer tables
+    * (L, L·M·K, M·K rows). Everything stays on the exact-integer grid
+    * (coarse centroids and residual codewords are both floor-mean
+    * longs), so the row is oracle-replayable end to end like the rest
+    * of the family; the final cos = dot/√n2 is the same two IEEE ops.
+    *
+    * Scale shape: compute pruned by probed lists AND bytes bounded by
+    * codes, exactly as [[ivfPqTopk]] — plus three broadcast joins of
+    * codebook-sized frames. Recall improvement over raw-vector codes at
+    * equal (nprobe, M, K) is test-asserted in ExtOpsSpec on a clustered
+    * fixture (44/50 vs 30/50) — the regime the refinement exists for; on
+    * the UNCLUSTERED harness noise residuals ≈ raw vectors and recall is
+    * a measured wash (±1 hit, see ann_recall_report), which is itself
+    * the honest statement of when to pay for residual training. */
+  def ivfPqResTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val (v, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val probes = kmeansProbes(v, cents, nQueries, nprobe)
+    val (rcents, rcodes) = pqResRun(spark, sfDir)
+    val member = assigned.select(col("vec_id"), col("cluster").as("ccl"))
+    // ‖x̂‖² pieces: per-codeword norms, coarse×codeword cross dots
+    // (L·M·K = 1024 rows), per-coarse-centroid norms — all broadcast
+    val rn2 = rcents.select(col("sub"), col("cluster"),
+      expr("aggregate(c, 0L, (s, x) -> s + x * x)").as("rn2"))
+    val csub = pqCut(cents.select(col("cluster").as("vec_id"), col("c").as("q")))
+      .select(col("vec_id").as("ccl"), col("sub"), col("q").as("cs"))
+    val cross = csub.join(rcents, "sub")
+      .select(col("ccl"), col("sub"), col("cluster"),
+        expr("aggregate(zip_with(cs, c, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+          .as("cx"))
+    val cl2 = cents.select(col("cluster").as("ccl"),
+      expr("aggregate(c, 0L, (s, x) -> s + x * x)").as("cl2"))
+    val vecN2 = rcodes.join(member, "vec_id")
+      .join(broadcast(cross.join(rn2, Seq("sub", "cluster"))),
+        Seq("ccl", "sub", "cluster"))
+      .groupBy(col("vec_id"), col("ccl"))
+      .agg(sum(lit(2L) * col("cx") + col("rn2")).as("s"))
+      .join(broadcast(cl2), "ccl")
+      .select(col("vec_id"), (col("cl2") + col("s")).as("n2"))
+    // asymmetric LUT: FULL query subvectors × residual codewords
+    val lut = pqSubvectors(spark, sfDir)
+      .filter(col("vec_id") < nQueries)
+      .join(broadcast(rcents), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("cluster"),
+        expr("aggregate(zip_with(q, c, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+          .as("pdot"))
+    // per-(query, probed list) coarse dot — nQueries·nprobe rows
+    val qc = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q"))
+      .join(broadcast(probes), "query_id")
+      .join(broadcast(cents.select(col("cluster"), col("c"))), "cluster")
+      .select(col("query_id"), col("cluster").as("ccl"),
+        expr("aggregate(zip_with(q, c, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+          .as("qcdot"))
+    val cands = member
+      .join(broadcast(probes.select(col("query_id"), col("cluster").as("ccl"))),
+        Seq("ccl"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("ccl"))
+    val dots = cands.join(rcodes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "sub", "cluster"))
+      .groupBy(col("query_id"), col("vec_id"), col("ccl"))
+      .agg(sum(col("pdot")).as("rdot"))
+      .join(broadcast(qc), Seq("query_id", "ccl"))
+      .select(col("query_id"), col("vec_id"),
+        (col("qcdot") + col("rdot")).as("dot"))
+    pqRank(dots, vecN2, k)
+  }
+
+  /** ANN recall telemetry as a REGISTERED row (the fuzzy family's
+    * `fuzzy_dropped_blocks` pattern applied to the vector family): for
+    * each approximate top-k entry, recall@k against [[bruteTopk]] as
+    * exact-integer rank-intersection counts — hits, total = nQueries·k,
+    * and recall in basis points. In tests recall lives in assertions; at
+    * 100 TB it is the number an operator actually watches, so it gets a
+    * first-class oracle-checked row. Plan: each family's own (already
+    * gated) plan + one broadcast-size semi-join + a 4-row union. */
+  def annRecallReport(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val brute = bruteTopk(spark, sfDir, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("family"), col("hits"))
+    Seq(
+      row("ann_ivf_pq", ivfPqTopk(spark, sfDir, nQueries, k)),
+      row("ann_ivf_pq_res", ivfPqResTopk(spark, sfDir, nQueries, k)),
+      row("ann_pq", pqTopk(spark, sfDir, nQueries, k)),
+      row("ann_pq_rerank", pqRerankTopk(spark, sfDir, nQueries, k)))
+      .reduce(_ unionAll _)
+      .withColumn("total", lit(nQueries.toLong * k))
+      .withColumn("recall_bp", expr("(10000 * hits) div total"))
+      .orderBy("family")
   }
 
   /** Banded random-hyperplane LSH near-dup — the APPROXIMATE production
@@ -1725,6 +2001,12 @@ object SimilarityOps {
     // PQ + exact re-rank: the PQ replay to R candidates, then the
     // brute-force cosine arithmetic on just those rows
     "ann_pq_rerank_topk" -> pqRerankOracleSql(),
+    // IVF-PQ over coarse-centroid RESIDUALS: shared Lloyd generator over
+    // the residual subspaces + the decomposed dot/norm arithmetic
+    "ann_ivf_pq_res_topk" -> ivfPqResOracleSql(),
+    // recall@k telemetry: each family's oracle text verbatim, semi-joined
+    // to the brute-force oracle and counted
+    "ann_recall_report" -> annRecallReportSql(),
     // exact pairs at 0.8 (the verified emb_lsh_near_dup_hi regime) →
     // recursive transitive closure → min-id representative
     "semdedup" ->

@@ -28,6 +28,17 @@ object TextOps {
       |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"""
       .stripMargin)
 
+  /** Adjacent-token trigrams of a `toks` array column (empty under 3
+    * tokens) — same encoding discipline as [[bigramsExpr]]: whitespace
+    * tokens cannot contain spaces, so prefix/suffix n-grams are
+    * recoverable from the joined string itself. */
+  private def trigramsExpr: Column = expr(
+    """CASE WHEN size(toks) < 3 THEN array()
+      |ELSE transform(sequence(1, size(toks) - 2),
+      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+      |              ' ', element_at(toks, i + 2))) END"""
+      .stripMargin)
+
   private val Stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
 
@@ -819,11 +830,15 @@ object TextOps {
   /** Corpus-bigram language-model likelihood per document — the
     * CCNet/KenLM-style quality signal the scoring family was missing:
     * documents whose token TRANSITIONS are improbable under an n-gram
-    * model (gibberish, OCR noise, keyword-stuffed boilerplate) score
-    * low even when their token-level stats (length, stopword ratio,
-    * OOV rate) look fine. The model here is an add-one-smoothed bigram
-    * LM trained on the corpus itself; a production pipeline swaps in a
-    * reference-corpus count table (KenLM arpa → (bigram, count) rows)
+    * model (gibberish, OCR noise) score low even when their token-level
+    * stats (length, stopword ratio, OOV rate) look fine. The model here
+    * is an add-one-smoothed bigram LM trained on the scored corpus
+    * ITSELF, which inverts one signal the CCNet paper gets from its
+    * REFERENCE corpus: heavily-duplicated boilerplate dominates the
+    * self-trained counts and so scores HIGH, not low (r7 ADVICE) — with
+    * self-training the reliable signal is gibberish/OCR noise; catching
+    * keyword-stuffed boilerplate needs the production swap-in of an
+    * external reference-count table (KenLM arpa → (bigram, count) rows)
     * with the identical plan. All arithmetic is exact-integer —
     * per-bigram `p_scaled = ((c2+1)·LmScale) div (c1+V)` (c1 = prefix
     * occurrences, V = corpus vocabulary) and per-doc
@@ -840,9 +855,12 @@ object TextOps {
     * skew amplification — a broadcast 1-row vocabulary count, and a
     * final doc_id aggregate. Nothing quadratic; the bigram count table
     * is the only super-linear-in-vocab state (standard n-gram pruning
-    * applies at 100 TB). c2·LmScale approaches 2^63 when a single
-    * bigram exceeds ~9×10⁹ occurrences — shard or go DECIMAL(38,0)
-    * there, the plan is unchanged (the [[sourceDrift]] caveat). */
+    * applies at 100 TB). The (c2+1)·LmScale product is computed in
+    * DECIMAL(38,0) (r7 ADVICE: as a bare int64 it wraps SILENTLY past
+    * ~9.2e9 occurrences of one bigram under non-ANSI Spark while the
+    * DuckDB oracle errors loudly — the two engines failed in different
+    * modes); the decimal grid is exact to 1e38, and the quotient
+    * ≤ LmScale always fits the result's int64. */
   def lmLikelihood(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -860,11 +878,92 @@ object TextOps {
     perDoc.join(c2, "bigram").join(c1, "t1")
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("c_doc"),
-        expr(s"((c2 + 1) * $LmScale) div (c1 + v)").as("p_scaled"))
+        expr(s"(CAST(c2 + 1 AS DECIMAL(38,0)) * $LmScale) div (c1 + v)")
+          .as("p_scaled"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c_doc")).as("n_bigrams"),
         sum(col("c_doc") * col("p_scaled")).as("lm_sum"))
       .withColumn("lm_score", expr("lm_sum div n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stupid-backoff pruning threshold and backoff factor for
+    * [[lmLikelihoodTri]] (shared with the oracle): a corpus trigram seen
+    * fewer than [[TriMinCount]] times is treated as pruned (the standard
+    * n-gram-LM singleton pruning — with a self-trained model every doc
+    * trigram trivially has count ≥ 1, so WITHOUT pruning the backoff
+    * path would be dead code), and its probability backs off to
+    * α · p_bigram with α = [[TriBackoffNum]]/[[TriBackoffDen]] = 0.4,
+    * the constant from Brants et al., EMNLP'07 ("Large Language Models
+    * in Machine Translation" — the stupid-backoff paper). */
+  val TriMinCount = 2
+  val TriBackoffNum = 2L
+  val TriBackoffDen = 5L
+
+  /** Trigram stupid-backoff LM likelihood per document — the one-more-
+    * aggregate upgrade of [[lmLikelihood]] (which stays registered as the
+    * bigram baseline sibling): per doc trigram (t1 t2 t3),
+    * `p = (c3·LmScale) div c12` when the corpus trigram count c3 ≥
+    * [[TriMinCount]] (c12 = corpus occurrences of the `t1 t2` prefix as
+    * a trigram context), else stupid backoff to the add-one bigram
+    * estimate of `t3 | t2`: `p = (α_num · ((c23+1)·LmScale) div
+    * (c2+V)) div α_den` — exactly [[lmLikelihood]]'s per-bigram formula
+    * over the suffix bigram, scaled by 2/5. Per-doc
+    * `lm_score = (Σ occurrences p) div n_trigrams`; docs with fewer
+    * than 3 tokens emit no row (no denominator). All arithmetic is
+    * exact-integer on the DECIMAL(38,0) grid (the [[lmLikelihood]]
+    * overflow contract), so the row hash-replays cross-engine despite
+    * the branchy probability. Same self-training caveat as the bigram
+    * row: corpus-dominant boilerplate scores high; the gibberish signal
+    * is the reliable one.
+    *
+    * Scale shape: [[lmLikelihood]]'s plan plus one trigram aggregate
+    * pair (c3 by trigram, c12 by prefix) — four map-side-combined hash
+    * aggregates total, a per-doc distinct-TRIGRAM pre-aggregate (fanout
+    * on the doc side only), four keyed count joins, one broadcast 1-row
+    * vocabulary, one final doc aggregate. Nothing quadratic; trigram
+    * state is the standard pruning candidate at 100 TB (and pruning is
+    * exactly what the [[TriMinCount]] gate models). */
+  def lmLikelihoodTri(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val tri = docs
+      .select(col("doc_id"), explode(trigramsExpr).as("trigram"))
+      .withColumn("t12", substring_index(col("trigram"), " ", 2))
+      .withColumn("t23", substring_index(col("trigram"), " ", -2))
+      .withColumn("t2", substring_index(col("t23"), " ", 1))
+    val c3 = tri.groupBy(col("trigram")).agg(count(lit(1)).as("c3"))
+    val c12 = tri.groupBy(col("t12")).agg(count(lit(1)).as("c12"))
+    // the backoff leg reuses lmLikelihood's bigram statistics verbatim:
+    // corpus count of the suffix bigram and of its prefix token
+    val bi = docs
+      .select(explode(bigramsExpr).as("bigram"))
+      .withColumn("bt1", substring_index(col("bigram"), " ", 1))
+    val cb2 = bi.groupBy(col("bigram")).agg(count(lit(1)).as("c23"))
+    val cb1 = bi.groupBy(col("bt1")).agg(count(lit(1)).as("c2n"))
+    val v = docTokens(spark, sfDir)
+      .agg(countDistinct(col("token")).as("v"))
+    val perDoc = tri
+      .groupBy(col("doc_id"), col("trigram"), col("t12"), col("t23"), col("t2"))
+      .agg(count(lit(1)).as("c_doc"))
+    // every join is inner and total by construction on a self-trained
+    // corpus: the doc's own trigram/prefix/suffix-bigram occurrences are
+    // part of the corpus counts they join to
+    perDoc.join(c3, "trigram").join(c12, "t12")
+      .join(cb2, col("t23") === col("bigram")).join(cb1, col("t2") === col("bt1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("c_doc"),
+        when(col("c3") >= TriMinCount,
+          expr(s"CAST(c3 AS DECIMAL(38,0)) * $LmScale div c12"))
+          .otherwise(expr(
+            s"""($TriBackoffNum *
+               |  (CAST(c23 + 1 AS DECIMAL(38,0)) * $LmScale div (c2n + v)))
+               |div $TriBackoffDen""".stripMargin))
+          .as("p_scaled"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_doc")).as("n_trigrams"),
+        sum(col("c_doc") * col("p_scaled")).as("lm_sum"))
+      .withColumn("lm_score", expr("lm_sum div n_trigrams"))
       .orderBy(col("doc_id"))
   }
 
@@ -1216,12 +1315,68 @@ object TextOps {
          |)
          |SELECT doc_id,
          |  CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
-         |  CAST(SUM(c_doc * (((c2.c2 + 1) * $LmScale) // (c1.c1 + v.v))) AS BIGINT) AS lm_sum,
-         |  CAST(SUM(c_doc * (((c2.c2 + 1) * $LmScale) // (c1.c1 + v.v)))
+         |  CAST(SUM(c_doc * ((CAST(c2.c2 + 1 AS HUGEINT) * $LmScale) // (c1.c1 + v.v))) AS BIGINT) AS lm_sum,
+         |  CAST(SUM(c_doc * ((CAST(c2.c2 + 1 AS HUGEINT) * $LmScale) // (c1.c1 + v.v)))
          |    // SUM(c_doc) AS BIGINT) AS lm_score
          |FROM db JOIN c2 USING (bigram) JOIN c1 USING (t1) CROSS JOIN v
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // stupid-backoff trigram LM replayed in the same exact-integer
+    // arithmetic: trigram MLE when corpus count >= TriMinCount, else
+    // 2/5 of the add-one bigram estimate of the suffix
+    "lm_likelihood_tri" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(lower(text)), ' '), t -> t <> '') AS toks
+         |  FROM documents
+         |), tri AS (
+         |  SELECT doc_id,
+         |    unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |            FOR i IN range(1, len(toks) - 1)]) AS trigram
+         |  FROM tk WHERE len(toks) >= 3
+         |), t3 AS (
+         |  SELECT doc_id, trigram,
+         |    array_to_string(string_split(trigram, ' ')[1:2], ' ') AS t12,
+         |    array_to_string(string_split(trigram, ' ')[2:3], ' ') AS t23,
+         |    string_split(trigram, ' ')[2] AS t2
+         |  FROM tri
+         |), c3 AS (
+         |  SELECT trigram, CAST(COUNT(*) AS BIGINT) AS c3 FROM t3 GROUP BY trigram
+         |), c12 AS (
+         |  SELECT t12, CAST(COUNT(*) AS BIGINT) AS c12 FROM t3 GROUP BY t12
+         |), bi AS (
+         |  SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS bigram
+         |  FROM tk WHERE len(toks) >= 2
+         |), b2 AS (
+         |  SELECT bigram, string_split(bigram, ' ')[1] AS bt1 FROM bi
+         |), cb2 AS (
+         |  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c23 FROM b2 GROUP BY bigram
+         |), cb1 AS (
+         |  SELECT bt1, CAST(COUNT(*) AS BIGINT) AS c2n FROM b2 GROUP BY bt1
+         |), v AS (
+         |  SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+         |  FROM (SELECT unnest(toks) AS token FROM tk)
+         |), db AS (
+         |  SELECT doc_id, trigram, t12, t23, t2, CAST(COUNT(*) AS BIGINT) AS c_doc
+         |  FROM t3 GROUP BY doc_id, trigram, t12, t23, t2
+         |), p AS (
+         |  SELECT db.doc_id, db.c_doc,
+         |    CASE WHEN c3.c3 >= $TriMinCount
+         |      THEN CAST((CAST(c3.c3 AS HUGEINT) * $LmScale) // c12.c12 AS BIGINT)
+         |      ELSE CAST(($TriBackoffNum *
+         |             ((CAST(cb2.c23 + 1 AS HUGEINT) * $LmScale) // (cb1.c2n + v.v)))
+         |           // $TriBackoffDen AS BIGINT)
+         |    END AS p_scaled
+         |  FROM db JOIN c3 USING (trigram) JOIN c12 USING (t12)
+         |  JOIN cb2 ON cb2.bigram = db.t23
+         |  JOIN cb1 ON cb1.bt1 = db.t2
+         |  CROSS JOIN v
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(c_doc) AS BIGINT) AS n_trigrams,
+         |  CAST(SUM(c_doc * p_scaled) AS BIGINT) AS lm_sum,
+         |  CAST(SUM(c_doc * p_scaled) // SUM(c_doc) AS BIGINT) AS lm_score
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // exact-integer TV distance; the single float division at the end is
     // deterministic (one IEEE op over exact integers)
     "source_drift" ->

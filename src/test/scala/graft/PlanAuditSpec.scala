@@ -385,7 +385,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast(L centroids) — the rrf small-frame contract, same as the
     // whole IVF family); pure PQ scoring must not need one
     for ((df, bnljOk) <- Seq(SimilarityOps.pqTopk(spark, sfDir) -> false,
-                             SimilarityOps.ivfPqTopk(spark, sfDir) -> true)) {
+                             SimilarityOps.ivfPqTopk(spark, sfDir) -> true,
+                             SimilarityOps.ivfPqResTopk(spark, sfDir) -> true)) {
       val ps = plan(df)
       assert(ps.contains("BroadcastHashJoin"), s"LUT join not broadcast:\n$ps")
       assert(!ps.contains("CartesianProduct"), ps)
