@@ -114,6 +114,59 @@ object StreamingOps {
       duplicatesFileRows = duplicates.sum)
   }
 
+  /** Committed-batch bookkeeping for the EXACTLY-ONCE taxi stream sink:
+    * every per-batch write lands in a `batch_id=<b>` subdirectory
+    * (idempotently overwritten on checkpoint replay), and a batch becomes
+    * visible only when its marker file exists under
+    * `<insertedPath>/_commits/` (written LAST, atomically via tmp +
+    * rename; the underscore prefix hides the directory from parquet
+    * readers). The marker carries the batch's five counter deltas, so a
+    * restart reconstructs exact counters from the commit log alone. */
+  private[streaming] final class TaxiCommitLog(
+      spark: org.apache.spark.sql.SparkSession, insertedPath: String) {
+    import org.apache.hadoop.fs.Path
+    private val dir = new Path(s"$insertedPath/_commits")
+    private val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** (batchId → counter deltas) of every committed batch. */
+    def committed(): Map[Long, Array[Long]] =
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+        .map { s =>
+          val in = fs.open(s.getPath)
+          val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          s.getPath.getName.toLong -> line.trim.split(',').map(_.toLong)
+        }.toMap
+
+    /** Atomically publish batch `b` with its counter deltas. */
+    def commit(b: Long, deltas: Array[Long]): Unit = {
+      fs.mkdirs(dir)
+      val tmp = new Path(dir, s".tmp_$b")
+      val out = fs.create(tmp, true)
+      try out.write(deltas.mkString(",").getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, new Path(dir, b.toString)))
+        throw new java.io.IOException(s"cannot publish commit marker for batch $b")
+    }
+  }
+
+  /** The inserted-trips table restricted to COMMITTED batches — the
+    * exactly-once read view over the per-batch directories (an
+    * uncommitted `batch_id=` directory can exist only as debris of a
+    * crashed batch that a restarted stream will overwrite; until then
+    * this view excludes it). */
+  def committedTrips(spark: org.apache.spark.sql.SparkSession,
+      insertedPath: String): DataFrame = {
+    val ids = new TaxiCommitLog(spark, insertedPath).committed().keys.toSeq
+    if (ids.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(insertedPath)
+        .filter(col("batch_id").isin(ids: _*))
+        .drop("batch_id")
+  }
+
   /** The foreachBatch half of full stream/batch parity: every micro-batch
     * feeds the reference pipeline's THREE consumers (inserted table,
     * duplicates side file, six counters — the batch shape is
@@ -126,75 +179,163 @@ object StreamingOps {
     * replayed in file order this reproduces the batch pipeline's winners
     * EXACTLY, ordinal for ordinal.
     *
-    * Scale/semantics notes: the seen-keys table is the keyed state, stored
-    * as parquet appends of (pickup, dropoff, passenger) — at production
-    * scale that state belongs in a transactional keyed store (the
-    * stream-side analog of the reference's acknowledged in-memory-HashSet
-    * limit); plain parquet appends are the container-testable stand-in.
-    * Failure semantics are AT-LEAST-ONCE, not exactly-once: the three
-    * sinks plus the state append are separate non-transactional writes,
-    * so a crash inside the batch followed by a checkpoint-restart replay
-    * either double-appends the batch's inserted rows (crash before the
-    * seen-keys append) or reclassifies the whole replayed batch as
-    * duplicates (crash after it), and the counters re-count either way.
-    * Exactly-once needs all four writes in one transaction — with a
-    * transactional table format, batchId-conditional MERGE on (batchId,
-    * key); nothing in the plan shape changes. */
+    * Failure semantics are EXACTLY-ONCE under crash + checkpoint-restart
+    * replay (the r7 verdict's one open correctness gap), by batchId
+    * versioning instead of a transaction:
+    *  - every data write is an idempotent OVERWRITE of a per-batch
+    *    directory (`batch_id=<b>` under the inserted table, the seen-keys
+    *    state, and the duplicates side-state), so re-running a batch
+    *    replaces its own debris instead of appending twice;
+    *  - readers are COMMIT-FILTERED: the seen-keys state joins only
+    *    batches with a published marker ([[TaxiCommitLog]]), so a crash
+    *    after the state write but before the marker cannot reclassify the
+    *    replayed batch as duplicates — the half-written state is invisible;
+    *  - the duplicates CSV is not appended but REBUILT deterministically
+    *    from committed side-state + the current batch (single-part swap
+    *    via [[graft.etl.Sinks.overwriteSingleCsv]]) — re-running converges
+    *    to the same file;
+    *  - the marker is written LAST and atomically, carrying the batch's
+    *    counter deltas; a replay of a batch whose marker exists is a
+    *    complete no-op, and counters bootstrap from the marker log on
+    *    restart — so a fresh [[TaxiStreamCounters]] passed to a restarted
+    *    stream converges to the batch pipeline's exact golden stats.
+    * Every crash point therefore lands in one of two states: before the
+    * marker (the whole batch re-runs; every write idempotent) or after it
+    * (the whole batch is skipped). StreamingOpsSpec kills the processor at
+    * each write boundary and asserts golden-stats + kept-set parity.
+    *
+    * Scale notes: the seen-keys state is still plain parquet — at
+    * production scale that state belongs in a transactional keyed store,
+    * but the commit protocol above is exactly the one those stores
+    * implement (write-versioned data + an atomic commit publish), so the
+    * plan and the semantics carry over unchanged. The committed-id set
+    * grows one marker per batch; a production deployment compacts the
+    * log to a low-watermark + tail (the usual checkpoint compaction),
+    * which only changes marker storage, not the protocol.
+    *
+    * `faultPoint` is test instrumentation: a hook invoked with a named
+    * crash site (`after-inserted`, `after-seen`, `after-dupstate`,
+    * `after-csv`, `after-marker`) that the crash-replay spec uses to
+    * throw mid-batch; production callers leave the default no-op. */
   def taxiStreamBatchProcessor(
       insertedPath: String,
       duplicatesCsvPath: String,
       seenKeysPath: String,
-      counters: TaxiStreamCounters): (DataFrame, Long) => Unit = {
+      counters: TaxiStreamCounters,
+      faultPoint: String => Unit = _ => ()): (DataFrame, Long) => Unit = {
     import graft.etl.{Dedup, Normalize, ParseValidate, Sinks}
+    import org.apache.spark.sql.SaveMode
     val keyCols = Seq("pickup_utc", "dropoff_utc", "passenger_count")
-    (batchIn: DataFrame, _: Long) => if (!batchIn.isEmpty) {
-      // sources without a real ordinal (directory streams have no global
-      // file order) get a per-batch arrival surrogate — synthesized HERE
-      // because monotonically_increasing_id is rejected on streaming
-      // frames but fine on the materialized micro-batch
-      val batch0 =
-        if (batchIn.columns.contains(graft.etl.CsvSource.LineNumberCol)) batchIn
-        else batchIn.withColumn(graft.etl.CsvSource.LineNumberCol,
-          monotonically_increasing_id())
-      val spark = batch0.sparkSession
-      val annotated = Dedup.withFirstWins(batch0)
-      val seenExists = new org.apache.hadoop.fs.Path(seenKeysPath)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(seenKeysPath))
-      // distinct() on read: the at-least-once replay path (crash after the
-      // seen-keys append, batch replayed) appends the same keys twice, and
-      // a left join against duplicated state keys would row-MULTIPLY every
-      // matching row — inflating all five counters, not just re-counting
-      // the replayed batch. Dedup on read makes duplicate state harmless.
-      val seen =
-        if (seenExists) spark.read.parquet(seenKeysPath).distinct()
-        else annotated.select(keyCols.map(col): _*).limit(0)
-      val withSeen = annotated
-        .join(seen.withColumn("_seen", lit(true)), keyCols, "left")
-        .persist()
-      try {
-        val parseErr = col(ParseValidate.ParseErrorCol).isNotNull
-        val normErr = col(Normalize.NormErrorCol).isNotNull
-        val valid = !parseErr && !normErr
-        val dup = valid &&
-          (coalesce(col("_seen"), lit(false)) || col(Dedup.DupRankCol) > 1)
-        val ins = valid && !coalesce(col("_seen"), lit(false)) &&
-          col(Dedup.DupRankCol) === 1
-        def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
-        val r = withSeen.agg(count(lit(1)), cnt(!parseErr),
-          cnt(parseErr || normErr), cnt(dup), cnt(ins)).head()
-        counters.total.add(r.getLong(0))
-        counters.parsed.add(r.getLong(1))
-        counters.invalid.add(r.getLong(2))
-        counters.duplicates.add(r.getLong(3))
-        counters.inserted.add(r.getLong(4))
-        Sinks.selectTripColumns(withSeen.filter(ins))
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(insertedPath)
-        Sinks.appendDuplicateRows(
-          Sinks.selectDuplicateColumns(withSeen.filter(dup)), duplicatesCsvPath)
-        withSeen.filter(ins).select(keyCols.map(col): _*)
-          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(seenKeysPath)
-      } finally withSeen.unpersist()
+    val dupStatePath = duplicatesCsvPath + "._state"
+    // committed-batch ids, bootstrapped from the marker log on first
+    // invocation (restart recovery) and maintained live afterwards; the
+    // counters object is expected FRESH per stream start — bootstrap adds
+    // the committed deltas exactly once
+    var committedIds: Set[Long] = null
+    (batchIn: DataFrame, batchId: Long) => {
+      val spark = batchIn.sparkSession
+      val log = new TaxiCommitLog(spark, insertedPath)
+      if (committedIds == null) {
+        val cm = log.committed()
+        cm.values.foreach { d =>
+          counters.total.add(d(0)); counters.parsed.add(d(1))
+          counters.invalid.add(d(2)); counters.duplicates.add(d(3))
+          counters.inserted.add(d(4))
+        }
+        committedIds = cm.keySet
+      }
+      if (!committedIds.contains(batchId) && !batchIn.isEmpty) {
+        // sources without a real ordinal (directory streams have no global
+        // file order) get a per-batch arrival surrogate — synthesized HERE
+        // because monotonically_increasing_id is rejected on streaming
+        // frames but fine on the materialized micro-batch
+        val batch0 =
+          if (batchIn.columns.contains(graft.etl.CsvSource.LineNumberCol)) batchIn
+          else batchIn.withColumn(graft.etl.CsvSource.LineNumberCol,
+            monotonically_increasing_id())
+        val annotated = Dedup.withFirstWins(batch0)
+        val seenExists = new org.apache.hadoop.fs.Path(seenKeysPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(seenKeysPath))
+        // COMMIT-FILTERED state read: keys written by a crashed, not-yet-
+        // committed batch attempt are invisible, so the replay classifies
+        // rows exactly as the first attempt did. Keys are unique across
+        // committed batches by construction (only unseen winners append),
+        // so no distinct() is needed. The schema is given explicitly
+        // (key columns + the batch_id partition column) so a state tree
+        // holding only empty batch directories still reads.
+        val seenSchema = org.apache.spark.sql.types.StructType(
+          annotated.select(keyCols.map(col): _*).schema.fields :+
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType))
+        val seen =
+          if (seenExists && committedIds.nonEmpty)
+            spark.read.schema(seenSchema).parquet(seenKeysPath)
+              .filter(col("batch_id").isin(committedIds.toSeq: _*))
+              .select(keyCols.map(col): _*)
+          else annotated.select(keyCols.map(col): _*).limit(0)
+        val withSeen = annotated
+          .join(seen.withColumn("_seen", lit(true)), keyCols, "left")
+          .persist()
+        try {
+          val parseErr = col(ParseValidate.ParseErrorCol).isNotNull
+          val normErr = col(Normalize.NormErrorCol).isNotNull
+          val valid = !parseErr && !normErr
+          val dup = valid &&
+            (coalesce(col("_seen"), lit(false)) || col(Dedup.DupRankCol) > 1)
+          val ins = valid && !coalesce(col("_seen"), lit(false)) &&
+            col(Dedup.DupRankCol) === 1
+          def cnt(c: org.apache.spark.sql.Column) = count(when(c, 1))
+          val r = withSeen.agg(count(lit(1)), cnt(!parseErr),
+            cnt(parseErr || normErr), cnt(dup), cnt(ins)).head()
+          val deltas = Array(r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))
+          // idempotent per-batch overwrites, marker last
+          Sinks.selectTripColumns(withSeen.filter(ins))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$insertedPath/batch_id=$batchId")
+          faultPoint("after-inserted")
+          withSeen.filter(ins).select(keyCols.map(col): _*)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$seenKeysPath/batch_id=$batchId")
+          faultPoint("after-seen")
+          val dupRows = Sinks.selectDuplicateColumns(withSeen.filter(dup))
+          // dup side-state dirs exist only for batches that HAD duplicates
+          // (an empty-frame parquet write leaves no schema to read back);
+          // a batch's dup count is deterministic, so replay writes — or
+          // skips — the same directory
+          if (deltas(3) > 0)
+            dupRows.write.mode(SaveMode.Overwrite)
+              .parquet(s"$dupStatePath/batch_id=$batchId")
+          faultPoint("after-dupstate")
+          // deterministic rebuild from committed side-state + this batch:
+          // append order = (batch_id, LineNumber), the same file a true
+          // per-batch append in commit order would have produced. Skipped
+          // when this batch changes nothing and the file already exists.
+          val hfs = new org.apache.hadoop.fs.Path(duplicatesCsvPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (deltas(3) > 0 ||
+              !hfs.exists(new org.apache.hadoop.fs.Path(duplicatesCsvPath))) {
+            val dupDirs = (committedIds + batchId).toSeq.sorted
+              .map(b => s"$dupStatePath/batch_id=$b")
+              .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
+            val dupAll =
+              if (dupDirs.isEmpty) dupRows.limit(0).withColumn("batch_id", lit(0L))
+              else spark.read.option("basePath", dupStatePath).parquet(dupDirs: _*)
+            Sinks.overwriteSingleCsv(
+              dupAll.orderBy(col("batch_id"), col("LineNumber").cast("long"))
+                .drop("batch_id"),
+              duplicatesCsvPath)
+          }
+          faultPoint("after-csv")
+          log.commit(batchId, deltas)
+          faultPoint("after-marker")
+          committedIds += batchId
+          counters.total.add(deltas(0)); counters.parsed.add(deltas(1))
+          counters.invalid.add(deltas(2)); counters.duplicates.add(deltas(3))
+          counters.inserted.add(deltas(4))
+        } finally withSeen.unpersist()
+      }
     }
   }
 

@@ -134,6 +134,98 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("taxi sink is exactly-once: crash at every write boundary, replay, golden stats") {
+    val referenceCsv = "/root/reference/TaxiEtl/data/sample-cab-data.csv"
+    assume(new java.io.File(referenceCsv).exists())
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(referenceCsv)).asScala.toSeq
+    val header = lines.head.stripPrefix("﻿").split(",", -1)
+      .iterator.zipWithIndex
+      .foldLeft(Map.empty[String, Int]) { case (m, (n, i)) =>
+        val k = n.trim.toLowerCase
+        if (m.contains(k)) m else m + (k -> i)
+      }
+    val colIdx = graft.etl.CsvSource.RequiredColumns
+      .map(c => c -> header(c.toLowerCase)).toMap
+    val config = graft.etl.EtlConfig(inputCsvPath = "",
+      duplicatesCsvPath = "", insertedPath = "")
+    // three deterministic micro-batches straddling the golden duplicates,
+    // annotated EXACTLY as the streaming query would annotate them —
+    // foreachBatch replay after a checkpoint restart redelivers the same
+    // (dataframe, batchId), which is what invoking the processor directly
+    // with fixed frames models
+    val batches = lines.drop(1).filter(_.trim.nonEmpty).zipWithIndex
+      .map { case (l, i) => (i + 1L, l) }
+      .grouped(10000).toSeq.zipWithIndex
+      .map { case (chunk, b) =>
+        (b.toLong, StreamingOps.annotateTaxiLines(
+          chunk.toDF("line_number", "value"), config, colIdx))
+      }
+    val golden = graft.etl.Stats.EtlStats(
+      total = 30000, parsed = 29855, invalid = 145,
+      duplicates = 15, inserted = 29840, duplicatesFileRows = 15)
+    val out = tmpDir("taxieo")
+    val (trips, dups, seen) = (s"$out/trips", s"$out/duplicates", s"$out/seen_keys")
+
+    // crash points that bracket every write: between the inserted append
+    // and the seen-keys append, after the seen-keys append, after the
+    // side-state, after the CSV rebuild, and after the marker itself
+    val crashes = Seq("after-inserted", "after-seen", "after-dupstate",
+      "after-csv", "after-marker")
+    var armed: Option[String] = None
+    def processor(counters: StreamingOps.TaxiStreamCounters) =
+      StreamingOps.taxiStreamBatchProcessor(trips, dups, seen, counters,
+        faultPoint = p => if (armed.contains(p)) {
+          armed = None
+          throw new RuntimeException(s"injected crash $p")
+        })
+    // batch 0 commits cleanly on a fresh processor; every later batch is
+    // first attempted by a "process" that crashes at one boundary, then a
+    // RESTARTED processor (fresh closure + fresh counters = checkpoint
+    // recovery) replays the SAME batch before moving on — batch ids cycle
+    // through all five crash points across the three batches, twice
+    var lastCounters = new StreamingOps.TaxiStreamCounters
+    var p = processor(lastCounters)
+    batches.foreach { case (b, df) =>
+      crashes.zipWithIndex.foreach { case (site, i) =>
+        if ((b + i) % 2 == 0) { // alternate which attempts crash, cover all
+          armed = Some(site)
+          try { p(df, b); armed = None } catch {
+            case e: RuntimeException if e.getMessage.startsWith("injected") =>
+              // "kill" the stream: restart = new processor + new counters
+              lastCounters = new StreamingOps.TaxiStreamCounters
+              p = processor(lastCounters)
+          }
+        }
+      }
+      p(df, b) // the replay/commit attempt that must converge
+    }
+    // final restart: counters must reconstruct from the commit log alone
+    val finalCounters = new StreamingOps.TaxiStreamCounters
+    val pf = processor(finalCounters)
+    pf(batches.last._2, batches.last._1) // replay of a committed batch: no-op
+    assert(finalCounters.snapshot == golden)
+    assert(lastCounters.snapshot == golden)
+    // kept set identical to the batch pipeline's winners, exactly once
+    val streamed = StreamingOps.committedTrips(spark, trips)
+    assert(streamed.count() == 29840)
+    val streamKeys = streamed
+      .select("tpep_pickup_datetime", "tpep_dropoff_datetime", "passenger_count")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString))
+    assert(streamKeys.length == streamKeys.toSet.size, "double-applied batch")
+    val batchRun = graft.etl.Pipeline.annotate(spark, config.copy(
+      inputCsvPath = referenceCsv))
+    val batchKeys = graft.etl.Sinks.insertedRows(batchRun)
+      .select("tpep_pickup_datetime", "tpep_dropoff_datetime", "passenger_count")
+      .collect().map(r => (r.get(0).toString, r.get(1).toString, r.get(2).toString))
+    assert(streamKeys.toSet == batchKeys.toSet)
+    // duplicates CSV: the golden 15, exactly once, despite crash-replays
+    val dupCsv = spark.read.option("header", "true").csv(dups)
+    assert(dupCsv.count() == 15)
+    assert(dupCsv.columns.head == "LineNumber")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap, keeps open state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.SessionEvent]
