@@ -231,6 +231,10 @@ object SparkEntry {
     "json_extract"     -> (JsonMediaOps.jsonExtract(_, _)),
     "media_meta"       -> (JsonMediaOps.mediaMeta(_, _)),
     "media_transform"  -> (JsonMediaOps.mediaTransform(_, _)),
+    // cross-modal retrieval: IVF top-k over media-byte-derived feature
+    // vectors, joined back to the decoded metadata — media columns
+    // feeding the vector path, not just the scan path
+    "media_ann_topk"   -> (JsonMediaOps.mediaAnnTopk(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

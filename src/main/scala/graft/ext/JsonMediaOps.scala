@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -77,6 +78,103 @@ object JsonMediaOps {
           .as("sampled_frames"))
       .orderBy("doc_id")
 
+  /** Coarse list count / probe width for [[mediaAnnTopk]] (shared with
+    * the oracle): 4 seed lists (the first 4 docs' vectors — the
+    * [[SimilarityOps]] id-seed rule with zero Lloyd rounds, i.e. a plain
+    * nearest-seed inverted file), 2 probed per query. */
+  val MediaAnnLists = 4
+  val MediaAnnNprobe = 2
+
+  /** Media-derived integer feature vectors — the embedding half of the
+    * cross-modal path: per document, the DECODED header fields (width,
+    * height, n_frames) plus payload length and a 16-bucket payload-byte
+    * histogram ([[graft.functions.MediaBytes.payloadHist]] — a real
+    * byte-level feature extract over the container's payload region,
+    * located per format from the bytes). 20 exact longs per doc, so the
+    * downstream ANN arithmetic stays on the oracle-replayable integer
+    * grid. The blob lives ONLY inside the scan projection: this frame's
+    * output schema is numeric + format, so no shuffle ever carries a
+    * binary column (PlanAuditSpec gates this).
+    *
+    * The oracle predicts the same vector arithmetically from the
+    * synthesis parameters (payload = the UTF-8 text bytes; harness text
+    * is ASCII, so character codepoints = bytes — the media_meta
+    * prediction contract). */
+  private[ext] def mediaVectors(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("blob",
+        graft.functions.MediaFunctions.synthMedia(col("doc_id"), col("text")))
+      .withColumn("meta",
+        graft.functions.MediaFunctions.mediaHeaderDecode(col("blob")))
+      .withColumn("hist",
+        graft.functions.MediaFunctions.mediaPayloadHist(col("blob")))
+      .select(col("doc_id"), col("meta.format").as("format"),
+        expr("""concat(array(CAST(meta.width AS BIGINT),
+                             CAST(meta.height AS BIGINT),
+                             meta.n_frames,
+                             aggregate(hist, 0L, (s, x) -> s + x)),
+                       hist)""").as("vec"))
+
+  /** Cross-modal retrieval: IVF top-k over the media-derived vectors,
+    * joined back to the decoded media metadata (the neighbor's format)
+    * — the row that links the multimodal scan path to the vector
+    * retrieval path, closing the "media columns feed ANN" loop a
+    * training-data pipeline needs. Lists are nearest-seed inverted
+    * files ([[MediaAnnLists]] id-seeded centroids, the degenerate
+    * 0-round Lloyd — any coarse quantizer works for IVF, FAISS's
+    * `IVFx,Flat` with a given codebook); probe choice and candidate
+    * scoring use the family's exact-integer metrics, so the row is
+    * oracle-replayed end to end. cos = dot/(√n2·√qn2) — exact integer
+    * operands, correctly-rounded IEEE ops, vec_id ties.
+    *
+    * Scale shape: one scan computes vectors (codegen'd byte work, no
+    * Python); assignment/probing broadcast the L-row seed table; the
+    * candidate join is keyed on the list id; the top-k is the shared
+    * salted two-phase exchange. The blob column never reaches any
+    * join or exchange — features are projected in the scan stage
+    * (gated). */
+  def mediaAnnTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nLists: Int = MediaAnnLists,
+      nprobe: Int = MediaAnnNprobe): DataFrame = {
+    val v = mediaVectors(spark, sfDir)
+      .withColumn("n2", expr("aggregate(vec, 0L, (s, x) -> s + x * x)"))
+    val cents = v.filter(col("doc_id") < nLists)
+      .select(col("doc_id").as("cluster"), col("vec").as("c"))
+    val distSq = expr(
+      "aggregate(zip_with(vec, c, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)")
+    val assigned = v.select(col("doc_id"), col("vec"))
+      .join(broadcast(cents), lit(true))
+      .select(col("doc_id"), col("cluster"), distSq.as("d"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("d"), col("cluster"))).as("m"))
+      .select(col("doc_id"), col("m.cluster").as("cluster"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d").asc, col("cluster").asc)
+    val probes = v.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("vec"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("cluster"), distSq.as("d"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("cluster"))
+    val q = v.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("vec").as("qv"), col("n2").as("qn2"))
+    val scored = assigned.join(broadcast(probes), "cluster")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(v.select(col("doc_id"), col("vec"), col("n2")), "doc_id")
+      .join(broadcast(q), "query_id")
+      .filter(col("n2") > 0 && col("qn2") > 0)
+      .select(col("query_id"), col("doc_id").as("vec_id"),
+        (expr("aggregate(zip_with(vec, qv, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+          .cast("double")
+          / (sqrt(col("n2").cast("double")) * sqrt(col("qn2").cast("double"))))
+          .as("cos"))
+    SimilarityOps.topkPerQuery(scored, k)
+      .join(v.select(col("doc_id").as("neighbor_id"), col("format")), "neighbor_id")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("format"))
+      .orderBy("query_id", "rank")
+  }
+
   val oracles: Map[String, String] = Map(
     "json_extract" ->
       """SELECT event_id,
@@ -123,5 +221,82 @@ object JsonMediaOps {
         |                             FOR x IN range(0, nf, (nf + 7) // 8)], ',')
         |  END AS sampled_frames
         |FROM m ORDER BY doc_id""".stripMargin,
+    // Cross-modal retrieval replay: the media-derived vector predicted
+    // from the synthesis parameters (header fields + payload length +
+    // 16-bucket codepoint histogram — ASCII text, so codepoints = payload
+    // bytes), then the nearest-seed IVF with the family's exact-integer
+    // probe/scoring arithmetic and (cos DESC, id) ties.
+    "media_ann_topk" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+         |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+         |      ELSE octet_length(encode(text)) % 640 + 16 END AS BIGINT) AS w,
+         |    CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+         |      ELSE (octet_length(encode(text)) * 31) % 480 + 16 END AS BIGINT) AS h,
+         |    CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) // 2
+         |      ELSE 1 END AS BIGINT) AS nf,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS plen,
+         |    text
+         |  FROM documents
+         |), hist AS (
+         |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) % 16 AS b
+         |        FROM m, LATERAL UNNEST(range(1, len(text) + 1)) AS u(i)) t
+         |  GROUP BY doc_id, b
+         |), hv AS (
+         |  SELECT g.doc_id, g.b, COALESCE(h.c, 0) AS c
+         |  FROM (SELECT m.doc_id, u.b
+         |        FROM m, LATERAL UNNEST(range(0, 16)) AS u(b)) g
+         |  LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.b = g.b
+         |), hvec AS (
+         |  SELECT doc_id, list(c ORDER BY b) AS hl FROM hv GROUP BY doc_id
+         |), vecs AS (
+         |  SELECT m.doc_id, m.format, [m.w, m.h, m.nf, m.plen] || hvec.hl AS vec
+         |  FROM m JOIN hvec USING (doc_id)
+         |), n2 AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(vec, x -> x * x)) AS BIGINT) AS n2
+         |  FROM vecs
+         |), cents AS (
+         |  SELECT doc_id AS cluster, vec AS c FROM vecs WHERE doc_id < $MediaAnnLists
+         |), assigned AS (
+         |  SELECT doc_id, cluster FROM (
+         |    SELECT v.doc_id, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY v.doc_id ORDER BY
+         |        list_sum(list_transform(range(1, len(v.vec) + 1),
+         |          i -> (v.vec[i] - c.c[i]) * (v.vec[i] - c.c[i]))) ASC,
+         |        c.cluster ASC) AS rn
+         |    FROM vecs v, cents c) t
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, cluster FROM (
+         |    SELECT v.doc_id AS query_id, c.cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY v.doc_id ORDER BY
+         |        list_sum(list_transform(range(1, len(v.vec) + 1),
+         |          i -> (v.vec[i] - c.c[i]) * (v.vec[i] - c.c[i]))) ASC,
+         |        c.cluster ASC) AS pr
+         |    FROM vecs v, cents c WHERE v.doc_id < 10) t
+         |  WHERE pr <= $MediaAnnNprobe
+         |), scored AS (
+         |  SELECT p.query_id, a.doc_id AS neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, len(v.vec) + 1),
+         |      i -> v.vec[i] * q.vec[i])) AS DOUBLE)
+         |      / (sqrt(CAST(n2a.n2 AS DOUBLE)) * sqrt(CAST(n2q.n2 AS DOUBLE))) AS cos
+         |  FROM probes p
+         |  JOIN assigned a ON a.cluster = p.cluster
+         |  JOIN vecs v ON v.doc_id = a.doc_id
+         |  JOIN vecs q ON q.doc_id = p.query_id
+         |  JOIN n2 n2a ON n2a.doc_id = a.doc_id
+         |  JOIN n2 n2q ON n2q.doc_id = p.query_id
+         |  WHERE a.doc_id <> p.query_id AND n2a.n2 > 0 AND n2q.n2 > 0
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored
+         |)
+         |SELECT r.query_id, r.rank, r.neighbor_id, v.format
+         |FROM ranked r JOIN vecs v ON v.doc_id = r.neighbor_id
+         |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin,
   )
 }

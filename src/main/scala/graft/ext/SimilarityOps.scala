@@ -44,7 +44,7 @@ object SimilarityOps {
     * has within-cell rank ≤ its global rank ≤ k, so it always survives
     * phase 1: results are identical to the single-window formulation
     * (ties broken by vec_id on both levels). */
-  private def topkPerQuery(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame = {
+  private[ext] def topkPerQuery(scored: DataFrame, k: Int, nSalts: Int = 32): DataFrame = {
     val w1 = Window.partitionBy(col("query_id"), col("salt"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     val w2 = Window.partitionBy(col("query_id"))

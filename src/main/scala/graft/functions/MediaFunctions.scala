@@ -108,6 +108,35 @@ object MediaBytes {
     out.array()
   }
 
+  /** Payload offset per container, from the BYTES (the real locate step:
+    * PNG payload follows the fixed signature+IHDR+IEND prefix, BMP's
+    * pixel-array offset is read from the file header at byte 10, WAV's
+    * data chunk follows the 44-byte RIFF prefix). −1 = unknown format. */
+  def payloadOffset(blob: Array[Byte]): Int =
+    if (blob.length >= 24 && (blob(0) & 0xff) == 0x89 &&
+        blob(1) == 'P' && blob(2) == 'N' && blob(3) == 'G') PngOverhead
+    else if (blob.length >= 26 && blob(0) == 'B' && blob(1) == 'M')
+      ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN).getInt(10)
+    else if (blob.length >= 44 && blob(0) == 'R' && blob(1) == 'I' &&
+        blob(2) == 'F' && blob(3) == 'F') WavOverhead
+    else -1
+
+  /** 16-bucket payload byte histogram (bucket = unsigned byte mod 16),
+    * computed over the container's payload region located by
+    * [[payloadOffset]] — the feature-extract step of the cross-modal
+    * path: a cheap, deterministic content signature derived from the
+    * BYTES (the decode contract), not from row values. Unknown formats
+    * yield the all-zero histogram. */
+  def payloadHist(blob: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hist = new Array[Long](16)
+    val off = payloadOffset(blob)
+    if (off >= 0) {
+      var i = off
+      while (i < blob.length) { hist((blob(i) & 0xff) % 16) += 1; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hist)
+  }
+
   /** Header parse: (format, width, height, n_frames) from the BYTES.
     * Magic-number dispatch, then fixed-offset reads in the container's
     * own endianness. Unknown/corrupt input degrades to ("unknown",0,0,0)
@@ -172,6 +201,23 @@ case class MediaHeaderDecode(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** `media_payload_hist(blob)` → array<bigint> of 16 byte-bucket counts
+  * over the container's payload region. */
+case class MediaPayloadHist(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "media_payload_hist"
+
+  override def nullSafeEval(b: Any): Any =
+    MediaBytes.payloadHist(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.MediaBytes$$.MODULE$$.payloadHist($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaPayloadHist =
+    copy(newChild)
+}
+
 object MediaFunctions {
   def synthMedia(docId: Column, text: Column): Column =
     GraftBridge.column(SynthMedia(
@@ -180,4 +226,7 @@ object MediaFunctions {
 
   def mediaHeaderDecode(blob: Column): Column =
     GraftBridge.column(MediaHeaderDecode(GraftBridge.expression(blob)))
+
+  def mediaPayloadHist(blob: Column): Column =
+    GraftBridge.column(MediaPayloadHist(GraftBridge.expression(blob)))
 }

@@ -398,6 +398,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("media ANN: no exchange carries the blob; candidate join keyed; salted top-k") {
+    val df = graft.ext.JsonMediaOps.mediaAnnTopk(spark, sfDir)
+    // the media feature vectors must be projected in the scan stage — a
+    // binary column crossing ANY exchange means the blob is being
+    // shuffled/broadcast instead of its derived features. AQE wraps the
+    // physical tree in AdaptiveSparkPlanExec (a traversal leaf), so
+    // descend into its current plan explicitly.
+    def collectExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.Exchange] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectExchanges(a.executedPlan)
+        case e: org.apache.spark.sql.execution.exchange.Exchange => Seq(e)
+      }.flatten
+    val exchanges = collectExchanges(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType ==
+        org.apache.spark.sql.types.BinaryType),
+        s"blob column crosses an exchange: ${e.output.map(a => s"${a.name}:${a.dataType}")}")
+    }
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // seed-table probe/assignment joins are the documented small-frame
+    // BNLJ contract (L=4 rows); candidate scoring joins must be hash
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("salt")),
+      s"no salted top-k exchange:\n$p")
+  }
+
   test("ANN top-k parallelism does not collapse to nQueries partitions") {
     // phase-1 window must partition by (query_id, salt) — a window keyed by
     // query_id alone funnels the whole corpus through nQueries reducers

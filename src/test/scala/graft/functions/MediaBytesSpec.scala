@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level contracts of the media container plumbing: the payload
+  * locator must find the payload region from the BYTES of each container
+  * (the decode contract — not a formula on row values), and the histogram
+  * must count exactly the payload, not the headers. Pure JVM, no Spark. */
+class MediaBytesSpec extends AnyFunSuite {
+
+  private val payload = "hello media payload!".getBytes("UTF-8")
+
+  private def histOf(blob: Array[Byte]): Seq[Long] = {
+    val a = MediaBytes.payloadHist(blob)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  private def expected(p: Array[Byte]): Seq[Long] = {
+    val h = new Array[Long](16)
+    p.foreach(b => h((b & 0xff) % 16) += 1)
+    h.toSeq
+  }
+
+  test("payload offset located from bytes for all three containers") {
+    assert(MediaBytes.payloadOffset(MediaBytes.png(33, 44, payload)) ==
+      MediaBytes.PngOverhead)
+    assert(MediaBytes.payloadOffset(MediaBytes.bmp(33, 44, payload)) ==
+      MediaBytes.BmpOverhead) // read from the header at byte 10, not assumed
+    assert(MediaBytes.payloadOffset(MediaBytes.wav(payload)) ==
+      MediaBytes.WavOverhead)
+    assert(MediaBytes.payloadOffset("garbage".getBytes("UTF-8")) == -1)
+  }
+
+  test("histogram counts exactly the payload bytes, headers excluded") {
+    for (blob <- Seq(MediaBytes.png(33, 44, payload),
+        MediaBytes.bmp(33, 44, payload), MediaBytes.wav(payload))) {
+      assert(histOf(blob) == expected(payload))
+      assert(histOf(blob).sum == payload.length.toLong)
+    }
+    // unknown container degrades to all-zero, like the decode step
+    assert(histOf("not a container".getBytes("UTF-8")) == Seq.fill(16)(0L))
+  }
+}
