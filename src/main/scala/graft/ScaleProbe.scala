@@ -50,9 +50,22 @@ import org.apache.spark.sql.functions._
   *    10× users, the co-occurrence bucket cap dropped nearly all of
   *    them, and the sf1 graph came out almost EMPTY (measured
   *    triangles "ratio" 0.0 — the cap guard doing its job on a
-  *    degenerate workload, not a scaling signal). `ts` is written as
-  *    LONG nanos so [[Tables.events]] reads the derived dir exactly
-  *    like the driver-generated ones.
+  *    degenerate workload, not a scaling signal). Since v3 `ts` is
+  *    written as parquet timestamp-micros ([[Tables.events]] sniffs the
+  *    encoding either way) so the DuckDB side of the full-suite sf1
+  *    CORRECTNESS sweep can run the temporal oracles' date arithmetic
+  *    directly — raw long nanos would fail every `date_trunc` oracle.
+  *  - TPC-H tables (v3, for the full-suite sf1 oracle sweep): `region`/
+  *    `nation` are copied UNCHANGED (fixed dimensions — TPC-H holds them
+  *    constant at every scale factor); `customer`/`supplier`/`part`/
+  *    `orders`/`lineitem` get 10 id-shifted copies with every foreign
+  *    key shifted by the SAME per-copy stride, so referential integrity
+  *    holds by construction (dq_checks' anti-join stays at 0
+  *    violations) and join fan-outs scale 10× without cross-copy edges.
+  *    Monetary doubles get `+ k` (an exact integer increment — the
+  *    2-decimal fraction is untouched, so DECIMAL(18,2) casts stay
+  *    bit-identical cross-engine) to break the 10-way exact-tie pileups
+  *    that identical copies would hand every top-k ordering.
   *
   * Output: one line per query `{"query":…,"sf01_cold":…,"sf01_warm":…,
   * "sf1_cold":…,"sf1_warm":…,"ratio":…}` plus a summary file
@@ -94,8 +107,9 @@ object ScaleProbe {
   /** Bump when the derivation itself changes: the marker must invalidate
     * stale trees generated by an older construction (v2 = per-copy sign
     * flips — a v1 shift-only tree would silently re-manifest the tied-
-    * cosine rank swaps the flips exist to kill). */
-  val GeneratorVersion = 2
+    * cosine rank swaps the flips exist to kill; v3 = TPC-H tables +
+    * timestamp-encoded events, enabling the FULL-suite sf1 sweep). */
+  val GeneratorVersion = 3
 
   def ensureGenerated(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     // marker carries the SOURCE dir AND the generator version: a rerun
@@ -139,16 +153,78 @@ object ScaleProbe {
         (col("label") + col("k") * 10).cast("int").as("label"))
     emb.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
-    // events: id-shifted disjoint copies; ts as long nanos (see scaladoc)
+    // events: id-shifted disjoint copies; ts re-encoded as timestamp_ntz
+    // micros — the DRIVER's encoding (timestamp[us], isAdjustedToUTC
+    // false). Writing TimestampType instead would mark the column
+    // adjusted-to-UTC, DuckDB would read TIMESTAMPTZ, and every temporal
+    // oracle's output would grow a "+00" suffix the Spark dump lacks —
+    // a whole-row hash mismatch with identical wall-clock values. Under
+    // the UTC session the NTZ cast is wall-clock-exact.
     val ev = Tables.events(spark, srcDir)
       .join(broadcast(copies), lit(true))
       .select(
         (col("event_id") + col("k") * Stride).as("event_id"),
-        ((unix_micros(col("ts")) + col("k").cast("long") * 366L * 86400L * 1000000L) * 1000L)
-          .as("ts"),
+        timestamp_micros(
+          unix_micros(col("ts")) + col("k").cast("long") * 366L * 86400L * 1000000L)
+          .cast("timestamp_ntz").as("ts"),
         (col("user_id") + col("k") * Stride).as("user_id"),
         col("event_type"), col("value"), col("props"))
     ev.write.mode(SaveMode.Overwrite).parquet(s"$outDir/events.parquet")
+
+    // TPC-H tables (v3): fixed dimensions copied verbatim; fact/entity
+    // tables id-shifted per copy with FK-consistent strides. The `+ k`
+    // on monetary doubles is an exact-integer increment (scaladoc).
+    Tables.region(spark, srcDir).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/region.parquet")
+    Tables.nation(spark, srcDir).write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/nation.parquet")
+
+    Tables.customer(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("c_custkey") + col("k") * Stride).as("c_custkey"),
+        col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + col("k")).as("c_acctbal"),
+        col("c_mktsegment"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/customer.parquet")
+
+    Tables.supplier(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("s_suppkey") + col("k") * Stride).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"),
+        (col("s_acctbal") + col("k")).as("s_acctbal"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/supplier.parquet")
+
+    Tables.part(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("p_partkey") + col("k") * Stride).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        (col("p_retailprice") + col("k")).as("p_retailprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/part.parquet")
+
+    Tables.orders(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("o_orderkey") + col("k") * Stride).as("o_orderkey"),
+        (col("o_custkey") + col("k") * Stride).as("o_custkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + col("k")).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/orders.parquet")
+
+    Tables.lineitem(spark, srcDir)
+      .join(broadcast(copies), lit(true))
+      .select(
+        (col("l_orderkey") + col("k") * Stride).as("l_orderkey"),
+        (col("l_partkey") + col("k") * Stride).as("l_partkey"),
+        (col("l_suppkey") + col("k") * Stride).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") + col("k")).as("l_extendedprice"),
+        col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineitem.parquet")
 
     Files.writeString(Paths.get(s"$outDir/_PROBE_READY"), stamp + "\n")
   }
@@ -156,6 +232,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    // generate-only mode for the full-suite sf1 CORRECTNESS sweep:
+    // build/refresh the derived tree, skip the timing sweep entirely
+    // (Verify + scripts/local_verify.py then run against the tree)
+    val genOnly = args.headOption.contains("gen")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -166,6 +246,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     ensureGenerated(spark, srcDir, sf1Dir)
+    if (genOnly) { spark.stop(); return }
 
     def timed(s: SparkSession, fn: (SparkSession, String) => DataFrame,
         dir: String): Double = {
