@@ -135,6 +135,13 @@ object SparkEntry {
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),
+    // temperature-weighted source mixture sampling (UniMax/Pile α=1/2):
+    // per-doc deterministic inclusion at rate ∝ isqrt(source tokens)
+    "source_mixture_sample"  -> (TextOps.sourceMixtureSample(_, _)),
+    "source_mixture_summary" -> (TextOps.sourceMixtureSummary(_, _)),
+    // DSIR-style importance scores vs the lang-target slice (hashed
+    // unigram features, exact-integer smoothed frequency ratios)
+    "dsir_scores"            -> (TextOps.dsirScores(_, _)),
     "source_len_percentiles" -> (TextOps.sourceLenPercentiles(_, _)),
     // GK quantile sketch (rows-only, like q8's HLL: sketch internals are
     // engine-specific; the rank-error bound is test-asserted)

@@ -1218,7 +1218,228 @@ object TextOps {
       |JOIN (SELECT * FROM g WHERE doc_id % 100 = 0) b ON c.gram = b.gram
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  /** Mixture-sampling temperature denominator: the target budget is
+    * total_tokens div [[MixtureBudgetDen]]. */
+  val MixtureBudgetDen = 2
+
+  /** Per-source token stats + the α = 1/2 temperature weight. isqrt of a
+    * BIGINT token count via floor(sqrt(double)) is cross-engine exact:
+    * IEEE-754 sqrt is correctly rounded and the count round-trips a
+    * double below 2^52 — far above any per-source token count that fits
+    * one BIGINT corpus. */
+  private def mixtureStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n_toks").as("n_tokens"))
+      .withColumn("w_isqrt",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+
+  /** Shared kept-set frame for the mixture rows: per-doc deterministic
+    * inclusion against the per-source temperature rate. */
+  private def mixtureKept(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // totals via an unpartitioned window over the ≤ #sources-row stats
+    // frame (bounded by construction — NOT a corpus-sized single
+    // reducer), which keeps the doc-side join free of the nested-loop
+    // cross join a separate 1-row totals frame would plan as
+    val stats = mixtureStats(spark, sfDir)
+      .withColumn("t_isqrt", sum("w_isqrt").over(W.partitionBy()))
+      .withColumn("total_tokens", sum("n_tokens").over(W.partitionBy()))
+    // per-source dimension row (≤ #sources rows) — broadcast, so the doc
+    // frame is scanned once with zero shuffles before the final sort
+    val dim = broadcast(stats)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        // 32-bit doc hash from md5 (cross-engine; xxhash64 is Spark-only)
+        conv(substring(md5(concat(lit("mix"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long").as("h32"))
+      .join(dim, "source")
+      .filter(expr(
+        s"""CAST(h32 AS DECIMAL(38,0)) * t_isqrt * n_tokens
+           |  < CAST(total_tokens div $MixtureBudgetDen AS DECIMAL(38,0))
+           |    * w_isqrt * 4294967296""".stripMargin))
+  }
+
+  /** Temperature-weighted source mixture sampling (the UniMax / Pile
+    * mixture construction: sample source s at a rate ∝ tokens_s^α with
+    * α = 1/2, flattening the source distribution so over-represented
+    * domains stop dominating the training mix).
+    *
+    * Target token budget B = total_tokens div [[MixtureBudgetDen]]; the
+    * kept-token expectation per source is B·w_s/Σw (w_s = isqrt of the
+    * source's token count), realised by keeping doc d of source s iff
+    *
+    *   h32(d) · Σw · tokens_s  <  B · w_s · 2^32
+    *
+    * — the rate comparison cross-multiplied into pure integer products
+    * (DECIMAL(38,0) on the Spark side, HUGEINT in the oracle; peak
+    * magnitude 2^32·Σw·tokens_s ≈ 1e31 for a 1e13-token corpus, inside
+    * both), so there is no float division anywhere and the kept set is
+    * bit-identical cross-engine. Sources whose temperature rate exceeds
+    * 1 (tiny domains the mixture would UPSAMPLE) are kept whole — the
+    * h32 < 2^32 bound caps the rate at 1 automatically; the epoch
+    * multiplier those sources need at training time is downstream's
+    * business and readable off [[sourceMixtureSummary]].
+    *
+    * Plan shape: one hash aggregate over a token-count scan (per-source
+    * stats, ≤ #sources rows), broadcast back onto a second scan — no
+    * doc-frame shuffle at any size; the per-doc md5 is embarrassingly
+    * parallel. At 100 TB the stats frame is still tiny (one row per
+    * source/domain), so the broadcast never grows. */
+  def sourceMixtureSample(spark: SparkSession, sfDir: String): DataFrame =
+    mixtureKept(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_toks"))
+      .orderBy("doc_id")
+
+  /** Per-source audit for [[sourceMixtureSample]]: documents/tokens in,
+    * temperature weight, documents/tokens kept — the table an operator
+    * reads to see the realised mixture (and which sources hit the
+    * rate-1 upsample cap: kept_tokens = n_tokens). */
+  def sourceMixtureSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = mixtureKept(spark, sfDir).groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_kept"),
+        sum("n_toks").as("kept_tokens"))
+    mixtureStats(spark, sfDir).join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w_isqrt"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val DsirBuckets = 1024
+  val DsirScale = 1000000L
+  val DsirTargetLang = "en"
+
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score each document by
+    * how much its hashed-unigram feature distribution looks like a
+    * TARGET slice (here lang = '[[DsirTargetLang]]') relative to the raw
+    * corpus. Per feature bucket b (md5-hashed tokens mod [[DsirBuckets]],
+    * the paper's hashed n-gram features),
+    *
+    *   λ_b = floor( (tgt_b + 1) · raw_tot · SCALE
+    *              / ((raw_b + 1) · tgt_tot) )
+    *
+    * — the add-one-smoothed target/raw frequency ratio, integer-scaled by
+    * [[DsirScale]] (intermediate products in DECIMAL(38,0) / HUGEINT:
+    * tgt_b·raw_tot·SCALE overflows int64 already at ~3e6-token corpora).
+    * A document's score is the plain BIGINT sum of λ over its token
+    * instances — the paper's log-likelihood-ratio sum swapped for a
+    * ratio sum to stay in exact integers (argument order preserved:
+    * monotone per-bucket, so top-rank selection behaves the same way);
+    * the real pipeline then samples ∝ score, which
+    * [[sourceMixtureSample]]'s hash-threshold trick applies unchanged.
+    *
+    * Plan shape: two hash aggregates over one exploded token scan build
+    * the 1024-row λ table (map-side combined; bucket count is a
+    * constant, so this never grows with the corpus), broadcast onto the
+    * same scan, one map-side-combined sum per doc_id. One doc-keyed
+    * shuffle total at any scale. */
+  def dsirScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val tk = docs
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+          % DsirBuckets).cast("int"))
+    val raw = tk.groupBy("bucket").agg(count(lit(1)).cast("long").as("c_raw"))
+    val tgt = tk.filter(col("lang") === DsirTargetLang)
+      .groupBy("bucket").agg(count(lit(1)).cast("long").as("c_tgt"))
+    // totals = window sums over the 1024-row λ frame itself (every token
+    // instance lands in exactly one bucket) — no third scan of the token
+    // stream, no 1-row cross join (which plans as a nested-loop join)
+    val W = org.apache.spark.sql.expressions.Window
+    val lam = broadcast(raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("raw_tot", sum("c_raw").over(W.partitionBy()))
+      .withColumn("tgt_tot", sum(coalesce(col("c_tgt"), lit(0L))).over(W.partitionBy()))
+      .select(col("bucket"), expr(
+        s"""CAST((CAST(coalesce(c_tgt, 0) + 1 AS DECIMAL(38,0)) * raw_tot * $DsirScale)
+           |     div (CAST(c_raw + 1 AS DECIMAL(38,0)) * tgt_tot) AS BIGINT)"""
+          .stripMargin).as("lambda")))
+    val scores = tk.join(lam, "bucket")
+      .groupBy("doc_id").agg(sum("lambda").as("dsir_score"))
+    docs
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_toks"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE text for the two mixture oracles: per-doc tokens + hash,
+    * per-source stats, totals, kept set — the Spark arithmetic replayed
+    * in HUGEINT. The 8-hex-digit md5 prefix folds to the same unsigned
+    * 32-bit value `conv(…, 16, 10)` produces. */
+  private val MixtureCte: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS BIGINT) AS n_toks,
+       |    md5('mix' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(floor(sqrt(CAST(SUM(n_toks) AS DOUBLE))) AS BIGINT) AS w_isqrt
+       |  FROM d GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(SUM(w_isqrt) AS BIGINT) AS t_isqrt,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s
+       |), k AS (
+       |  SELECT d.doc_id, d.source, d.n_toks
+       |  FROM d JOIN s USING (source), tot
+       |  WHERE list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT
+       |                  * ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]
+       |                  FOR i IN range(1, 9)])::HUGEINT * t_isqrt * s.n_tokens
+       |        < ((total_tokens // $MixtureBudgetDen)::HUGEINT) * w_isqrt * 4294967296
+       |)
+       |""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "source_mixture_sample" -> (MixtureCte +
+      "SELECT doc_id, source, n_toks FROM k ORDER BY doc_id"),
+    "source_mixture_summary" -> (MixtureCte +
+      """SELECT s.source, s.n_docs, s.n_tokens, s.w_isqrt,
+        |  CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(kk.kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM s LEFT JOIN (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    CAST(SUM(n_toks) AS BIGINT) AS kept_tokens
+        |  FROM k GROUP BY source) kk USING (source)
+        |ORDER BY source""".stripMargin),
+    "dsir_scores" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS tok
+         |  FROM documents
+         |), bk AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum([(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)::BIGINT
+         |                   * ([4096, 256, 16, 1])[i] FOR i IN range(1, 5)])
+         |         % $DsirBuckets AS INT) AS bucket
+         |  FROM tk
+         |), raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_raw FROM bk GROUP BY bucket),
+         |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_tgt
+         |        FROM bk WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+         |tots AS (SELECT CAST(COUNT(*) AS BIGINT) AS raw_tot,
+         |  CAST(COUNT(*) FILTER (WHERE lang = '$DsirTargetLang') AS BIGINT) AS tgt_tot FROM bk),
+         |lam AS (
+         |  SELECT r.bucket,
+         |    CAST(((COALESCE(t.c_tgt, 0) + 1)::HUGEINT * raw_tot * $DsirScale)
+         |         // ((r.c_raw + 1)::HUGEINT * tgt_tot) AS BIGINT) AS lambda
+         |  FROM raw r LEFT JOIN tgt t USING (bucket), tots
+         |), sc AS (
+         |  SELECT doc_id, CAST(SUM(lambda) AS BIGINT) AS dsir_score
+         |  FROM bk JOIN lam USING (bucket) GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(len(list_filter(string_split(trim(d.text), ' '), t -> t <> '')) AS BIGINT) AS n_toks,
+         |  CAST(COALESCE(sc.dsir_score, 0) AS BIGINT) AS dsir_score
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // same election as the Spark side: global first occurrence of each
     // 16-token segment wins; the window here is the oracle's luxury (the
     // Spark plan uses an aggregate + join for skew safety)

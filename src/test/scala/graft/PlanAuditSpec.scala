@@ -285,6 +285,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(pv).length >= 2, pv)
   }
 
+  test("mixture sampling broadcasts per-source stats; dsir broadcasts the λ table") {
+    // the doc frame must join the (≤ #sources)-row dimension broadcast —
+    // a sort-merge here would shuffle the whole corpus for 20 rows
+    val pm = plan(graft.ext.TextOps.sourceMixtureSample(spark, sfDir))
+    assert(pm.contains("BroadcastHashJoin"), pm)
+    assert(!pm.contains("SortMergeJoin"), pm)
+    // dsir: the 1024-row λ table broadcasts onto the exploded token scan
+    // (the doc_id-keyed score join may legitimately sort-merge)
+    val pd = plan(graft.ext.TextOps.dsirScores(spark, sfDir))
+    assert(pd.contains("BroadcastHashJoin"), pd)
+    assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"), pd)
+  }
+
   test("global sequence packing never funnels documents into one reducer") {
     val df = graft.ext.TextOps.seqPackGlobal(spark, sfDir)
     val p = plan(df)

@@ -1102,6 +1102,69 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getAs[String]("clean_text") == s"$seg tail words")
   }
 
+  /** documents fixture with explicit per-row source (the shared
+    * [[docsFixture]] pins source='src', useless for mixture tests). */
+  private def docsFixtureSrc(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = tmpDir("docs")
+    rows.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("source mixture: tiny source kept whole (rate cap), giant subsampled, summary consistent") {
+    val big = (1 to 40).map(i =>
+      (i.toLong, (1 to 20).map(j => s"b${i}_$j").mkString(" "), "en", "big"))
+    val small = Seq(
+      (100L, "s1 s2 s3 s4 s5", "en", "small"),
+      (101L, "s6 s7 s8 s9 s10", "en", "small"))
+    val dir = docsFixtureSrc(big ++ small)
+    // tokens: big 800 (w=28), small 10 (w=3); T=31, B=405
+    // rate_small = 405·3/(31·10) > 1 → the cap keeps the whole source;
+    // rate_big = 405·28/(31·800) ≈ 0.457 → a strict subset survives
+    val sample = TextOps.sourceMixtureSample(spark, dir).collect()
+    val bySrc = sample.groupBy(_.getAs[String]("source"))
+    assert(bySrc.getOrElse("small", Array.empty[org.apache.spark.sql.Row]).length == 2)
+    val keptBig = bySrc.getOrElse("big", Array.empty[org.apache.spark.sql.Row]).length
+    assert(keptBig > 0 && keptBig < 40, s"big kept $keptBig of 40")
+    val summary = TextOps.sourceMixtureSummary(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(summary("big").getAs[Long]("w_isqrt") == 28L)
+    assert(summary("small").getAs[Long]("w_isqrt") == 3L)
+    assert(summary("small").getAs[Long]("n_kept") == 2L)
+    assert(summary("small").getAs[Long]("kept_tokens") ==
+      summary("small").getAs[Long]("n_tokens"))
+    assert(summary("big").getAs[Long]("n_kept") == keptBig.toLong)
+    // per-doc hash ⇒ a rerun reproduces the kept set bit-for-bit
+    assert(TextOps.sourceMixtureSample(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == sample.map(_.getLong(0)).toSeq)
+  }
+
+  test("dsir scores: exact λ arithmetic, target-like docs outscore off-target, empty doc = 0") {
+    val dir = docsFixtureSrc(Seq(
+      (1L, "tgt tgt tgt tgt", "en", "s"),
+      (2L, "tgt tgt tgt tgt", "en", "s"),
+      (3L, "off off off off", "de", "s"),
+      (4L, "tgt tgt tgt off", "de", "s"),
+      (5L, "off off off tgt", "de", "s"),
+      (6L, "   ", "de", "s")))
+    val out = TextOps.dsirScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("dsir_score")).toMap
+    // raw: tgt 12, off 8, tot 20; target slice (en): tgt 8, off 0, tot 8
+    // λ_tgt = (8+1)·20·1e6 // ((12+1)·8) = 1730769
+    // λ_off = (0+1)·20·1e6 // ((8+1)·8)  =  277777
+    val lamTgt = 9L * 20L * 1000000L / (13L * 8L)
+    val lamOff = 1L * 20L * 1000000L / (9L * 8L)
+    assert(out(1L) == 4 * lamTgt)
+    assert(out(3L) == 4 * lamOff)
+    assert(out(4L) == 3 * lamTgt + lamOff)
+    assert(out(5L) == 3 * lamOff + lamTgt)
+    assert(out(4L) > out(5L) && out(1L) > out(3L))
+    assert(out(6L) == 0L) // token-less doc still present, score 0
+  }
+
   test("media_meta: real header decode over synthesized blobs") {
     val out = JsonMediaOps.mediaMeta(spark, sfDir).collect()
     assert(out.map(_.getAs[String]("format")).toSet == Set("png", "bmp", "wav"))
