@@ -129,6 +129,9 @@ object SparkEntry {
     // shares the exact op's oracle (registered under its own name)
     "decontam_bloom"   -> (TextOps.decontamBloom(_, _)),
     "seg_dedup"        -> (TextOps.segDedup(_, _)),
+    // exact-substring dedup (Lee et al. '21): sliding any-alignment
+    // repeated runs >= 8 tokens removed, global first occurrence kept
+    "substring_dedup"  -> (TextOps.substringDedup(_, _)),
     // two-pass sketch-then-verify: EXACT result, so oracle-checked even
     // though pass 1 is a Misra-Gries summary
     "heavy_hitters"    -> (TextOps.heavyHitters(_, _)),

@@ -548,6 +548,70 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sliding-shingle window for [[substringDedup]] (tokens; the Lee et
+    * al. threshold is 50 BPE tokens on web corpora — 8 here because the
+    * harness documents are ~13-30 tokens). */
+  val SubstrWindow = 8
+
+  /** EXACT-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): remove every repeated
+    * token run of ≥ [[SubstrWindow]] tokens at ANY alignment, keeping the
+    * globally first occurrence. [[segDedup]] is the fixed-block (C4
+    * three-sentence-span) sibling: it only catches repeats that start on
+    * a block boundary; this op slides the window one token at a time, so
+    * a quote shifted by one word still dedups — the property the paper's
+    * suffix array buys. The suffix array itself is replaced by the
+    * distributed equivalent: every length-L shingle is an anchor, a
+    * repeated run of length m ≥ L is exactly a run of m − L + 1 repeated
+    * anchors, and expanding each losing anchor to its L covered token
+    * positions reconstructs the full repeated span (the union of
+    * overlapping anchor windows) — no suffix sorting, just one
+    * hash-aggregate and one keyed join.
+    *
+    * Election: the globally smallest (doc_id, pos) occurrence of each
+    * shingle survives; every other occurrence marks its L token positions
+    * covered, and covered tokens are dropped from the loser's text. An
+    * md5 anchor key (cross-engine) cannot collide in practice (128-bit).
+    *
+    * Plan: shingle rows ≈ one per corpus token (explode, linear), one
+    * map-side-combinable min/count aggregate keyed by the 128-bit anchor
+    * (uniform — no hot keys beyond true duplicate mass, and a shingle
+    * duplicated m times joins its ONE winner row m times, never m², so
+    * boilerplate cannot go quadratic), one doc-keyed aggregate to gather
+    * loser positions, covered-set expansion as a pure array expression.
+    * Three keyed shuffles, all linear in corpus tokens at any scale. */
+  def substringDedup(spark: SparkSession, sfDir: String,
+      l: Int = SubstrWindow): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val sh = docs.filter(size(col("toks")) >= l)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${l - 1}),
+           |  i -> md5(concat_ws(' ', slice(toks, i, $l))))""".stripMargin))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val winners = sh.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("win"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1) // unique shingles produce no losers
+      .select(col("h"), col("win.doc_id").as("w_doc"), col("win.pos").as("w_pos"))
+    val loserPos = sh.join(winners, "h")
+      .filter(!(col("doc_id") === col("w_doc") && col("pos") === col("w_pos")))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("lpos"))
+    docs.join(loserPos, Seq("doc_id"), "left")
+      .withColumn("cov", expr(
+        s"""array_sort(array_distinct(flatten(
+           |  transform(coalesce(lpos, array()), p -> sequence(p, p + ${l - 1})))))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("cov")).cast("long").as("n_covered"),
+        array_join(expr(
+          "filter(toks, (t, i) -> NOT array_contains(cov, CAST(i + 1 AS BIGINT)))"),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination — the n-gram-overlap check run before
     * training so eval data does not leak into the corpus (the GPT-3
     * appendix-C method, 13-grams there; 4-grams here because the harness
@@ -1399,6 +1463,34 @@ object TextOps {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // anchor replay: rn = 1 within each shingle hash is the global first
+    // occurrence; every rn > 1 anchor covers its L positions in its doc
+    "substring_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id, unnest([{'pos': i,
+         |      'h': md5(array_to_string(toks[i:i+${SubstrWindow - 1}], ' '))}
+         |      FOR i IN range(1, len(toks) - $SubstrWindow + 2)]) AS s
+         |  FROM t WHERE len(toks) >= $SubstrWindow
+         |), f AS (
+         |  SELECT doc_id, CAST(s.pos AS BIGINT) AS pos,
+         |    ROW_NUMBER() OVER (PARTITION BY s.h ORDER BY doc_id, s.pos) AS rn
+         |  FROM sh
+         |), cov AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(flatten(
+         |      list([x FOR x IN range(pos, pos + $SubstrWindow)])))) AS cps
+         |  FROM f WHERE rn > 1 GROUP BY doc_id
+         |)
+         |SELECT t.doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(COALESCE(len(cps), 0) AS BIGINT) AS n_covered,
+         |  COALESCE(array_to_string([toks[j] FOR j IN range(1, len(toks) + 1)
+         |                   IF NOT list_contains(COALESCE(cps, []), j)], ' '), '') AS clean_text
+         |FROM t LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "source_mixture_sample" -> (MixtureCte +
       "SELECT doc_id, source, n_toks FROM k ORDER BY doc_id"),
     "source_mixture_summary" -> (MixtureCte +

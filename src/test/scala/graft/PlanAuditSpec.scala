@@ -285,6 +285,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(pv).length >= 2, pv)
   }
 
+  test("substring dedup: anchor equi-join only, map-side-combined anchor aggregate") {
+    val p = plan(graft.ext.TextOps.substringDedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the anchor (min, count) aggregate must have a partial phase — this
+    // is what keeps m-duplicated boilerplate shingles from shipping all
+    // m rows to one reducer
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
   test("mixture sampling broadcasts per-source stats; dsir broadcasts the λ table") {
     // the doc frame must join the (≤ #sources)-row dimension broadcast —
     // a sort-merge here would shuffle the whole corpus for 20 rows

@@ -1102,6 +1102,33 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getAs[String]("clean_text") == s"$seg tail words")
   }
 
+  test("substring dedup: any-alignment cross-doc run removed from the loser only") {
+    // docB embeds a 12-token run of docA at offset 3 (no block alignment
+    // — segDedup's fixed 16-blocks would MISS this entirely)
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = "x y z " + (5 to 16).map(i => s"a$i").mkString(" ") + " q r"
+    val dir = docsFixture(Seq((1L, a, "en"), (2L, b, "en")))
+    val out = TextOps.substringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_covered") == 0L)
+    assert(out(1L).getAs[String]("clean_text") == a)
+    assert(out(2L).getAs[Long]("n_covered") == 12L)
+    assert(out(2L).getAs[String]("clean_text") == "x y z q r")
+  }
+
+  test("substring dedup: within-doc repeat keeps the first copy; short docs untouched") {
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, s"$run $run", "en"),
+      (2L, "only seven tokens here not eight x", "en")))
+    val out = TextOps.substringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_covered") == 8L)
+    assert(out(1L).getAs[String]("clean_text") == run)
+    assert(out(2L).getAs[Long]("n_covered") == 0L)
+    assert(out(2L).getAs[Long]("n_toks") == 7L)
+  }
+
   /** documents fixture with explicit per-row source (the shared
     * [[docsFixture]] pins source='src', useless for mixture tests). */
   private def docsFixtureSrc(rows: Seq[(Long, String, String, String)]): String = {
