@@ -89,7 +89,10 @@ object ScaleProbe {
     "simhash_near_dup", "decontam_bloom", "semdedup", "semdedup_clustered",
     "emb_lsh_near_dup", "emb_lsh_near_dup_hi", "kcore", "triangles",
     "mutual_knn_graph_ann", "hard_negatives_ann", "ann_ivf_kmeans_topk",
-    "ann_pq_topk", "ann_ivf_pq_topk", "ann_pq_rerank_topk", "lm_likelihood")
+    "ann_pq_topk", "ann_ivf_pq_topk", "ann_pq_rerank_topk", "lm_likelihood",
+    // r8: anchor-election substring dedup (candidate volume rides true
+    // duplicate mass), dsir (token-exploded broadcast-join + doc-keyed agg)
+    "substring_dedup", "dsir_scores")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

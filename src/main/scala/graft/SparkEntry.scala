@@ -135,6 +135,10 @@ object SparkEntry {
     // two-pass sketch-then-verify: EXACT result, so oracle-checked even
     // though pass 1 is a Misra-Gries summary
     "heavy_hitters"    -> (TextOps.heavyHitters(_, _)),
+    // distributed BPE vocabulary trainer (Sennrich '16): 8 rounds of
+    // pair-count argmax-merge over the word-TYPE table; output = the
+    // learned merge table (generated round-by-round oracle replay)
+    "bpe_learn"        -> (TextOps.bpeLearn(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),

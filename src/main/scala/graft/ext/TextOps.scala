@@ -612,6 +612,163 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE merge rounds learned by [[bpeLearn]]. */
+  val BpeRounds = 8
+
+  /** Distributed BPE vocabulary learning (Sennrich et al. 2016): the
+    * classic byte-pair-encoding trainer run as [[BpeRounds]] rounds of
+    * (count adjacent symbol pairs weighted by word frequency → merge the
+    * argmax pair everywhere). Works on word TYPES — the corpus collapses
+    * to a (word, freq) table first, so each round's pair count is an
+    * aggregate over the VOCABULARY (thousands of rows at any corpus
+    * size), not the corpus; the corpus-sized work is exactly one
+    * token-count aggregate, which is why the original algorithm scales:
+    * 100 TB of text still yields a vocab-sized working set.
+    *
+    * Semantics pinned for cross-engine replay:
+    *  - greedy LEFT-TO-RIGHT non-overlapping merge within a word (the
+    *    reference BPE fold): in "a a a" merging (a,a) produces
+    *    "aa a", never "a aa" — the Spark side IS a left fold
+    *    (`aggregate`), the oracle reproduces it with run-parity
+    *    arithmetic (consecutive overlapping matches exist only when
+    *    lhs = rhs, and a fold merges the occurrences at even offsets
+    *    within each maximal run);
+    *  - argmax tie-break (freq DESC, lhs, rhs) — both engines compare
+    *    strings bytewise under binary collation;
+    *  - a round with no remaining pairs contributes nothing, and every
+    *    later round is empty too (the Spark loop stops; the oracle's
+    *    LEFT JOIN ON TRUE carries words through an empty merge stage).
+    *
+    * Output: one row per executed round — (merge_rank, lhs, rhs, merged,
+    * pair_freq) — i.e. the learned merge table, the artifact a tokenizer
+    * ships. Each round is one vocab-sized aggregate + a 1-row argmax
+    * (the only driver action, R times); the per-round fold is a pure
+    * array expression over the persisted vocab frame. */
+  def bpeLearn(spark: SparkSession, sfDir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val words0 = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(col("word"), col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .persist()
+    words0.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var w = words0
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = w.filter(size(col("syms")) >= 2)
+        .select(col("freq"), posexplode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as(Seq("i", "p")))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("freq").as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, f))
+        val m = lit(l + rr)
+        val wNext = w.select(col("word"), col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+              .otherwise(concat(acc, array(x)))).as("syms"))
+          .persist()
+        wNext.count()
+        w.unpersist()
+        w = wNext
+        r += 1
+      }
+    }
+    w.unpersist(); words0.unpersist()
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_freq", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq.map { case (rk, l, rr, f) =>
+        Row(rk.toLong, l, rr, l + rr, f) }, 1), schema)
+      .orderBy("merge_rank")
+  }
+
+  /** Generated round-by-round DuckDB replay of [[bpeLearn]] (the
+    * kcore/kmeans oracle pattern: generated SQL referencing only shared
+    * CONSTANTS and the data tables — nothing learned leaks in). Each
+    * round: positions → matched pairs → gaps-and-islands run parity for
+    * the left-fold merge election → rebuilt symbol lists. */
+  private def bpeOracleSql(rounds: Int = BpeRounds): String = {
+    val stages = (1 to rounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p${r}e AS (
+         |  SELECT freq, unnest([{'l': syms[i], 'r': syms[i + 1]}
+         |                       FOR i IN range(1, len(syms))]) AS pr
+         |  FROM $prev WHERE len(syms) >= 2
+         |), p$r AS (
+         |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq
+         |  FROM p${r}e GROUP BY 1, 2
+         |), m$r AS (
+         |  SELECT lhs, rhs, lhs || rhs AS merged, pair_freq
+         |  FROM p$r ORDER BY pair_freq DESC, lhs, rhs LIMIT 1
+         |), e${r}x AS (
+         |  SELECT word, freq,
+         |    unnest([{'i': i, 'sym': syms[i],
+         |             'nxt': CASE WHEN i < len(syms) THEN syms[i + 1] END}
+         |            FOR i IN range(1, len(syms) + 1)]) AS e
+         |  FROM $prev
+         |), e$r AS (
+         |  SELECT x.word, x.freq, CAST(x.e.i AS BIGINT) AS i, x.e.sym AS sym,
+         |    (m.lhs IS NOT NULL AND x.e.nxt IS NOT NULL
+         |     AND x.e.sym = m.lhs AND x.e.nxt = m.rhs) AS matched
+         |  FROM e${r}x x LEFT JOIN m$r m ON TRUE
+         |), g$r AS (
+         |  SELECT word, freq, i, sym, matched,
+         |    CASE WHEN matched THEN
+         |      (i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0
+         |    ELSE FALSE END AS do_merge
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN matched THEN
+         |        i - ROW_NUMBER() OVER (PARTITION BY word, matched ORDER BY i)
+         |      END AS isl
+         |    FROM e$r) t
+         |), w$r AS (
+         |  SELECT word, freq,
+         |    list(CASE WHEN do_merge THEN sym || lead_sym ELSE sym END
+         |         ORDER BY i) FILTER (WHERE do_merge OR NOT consumed) AS syms
+         |  FROM (
+         |    SELECT word, freq, i, sym, do_merge,
+         |      COALESCE(LAG(do_merge) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed,
+         |      LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS lead_sym
+         |    FROM g$r) t
+         |  GROUP BY word, freq
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, merged, pair_freq FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    [word[i] FOR i IN range(1, len(word) + 1)] AS syms
+       |  FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
+       |                                  t -> t <> '')) AS word
+       |        FROM documents) t
+       |  GROUP BY word
+       |),
+       |$stages
+       |SELECT merge_rank, lhs, rhs, merged, pair_freq FROM (
+       |$union
+       |) u ORDER BY merge_rank""".stripMargin
+  }
+
   /** Benchmark decontamination — the n-gram-overlap check run before
     * training so eval data does not leak into the corpus (the GPT-3
     * appendix-C method, 13-grams there; 4-grams here because the harness
@@ -1463,6 +1620,7 @@ object TextOps {
        |""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "bpe_learn" -> bpeOracleSql(),
     // anchor replay: rn = 1 within each shingle hash is the global first
     // occurrence; every rn > 1 anchor covers its L positions in its doc
     "substring_dedup" ->

@@ -1129,6 +1129,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("n_toks") == 7L)
   }
 
+  test("bpe learn: hand-computed merge sequence, left-fold run semantics, early stop") {
+    // corpus: "abab" ×3, "abc" ×2. r1 pair freqs: (a,b)=8, (b,a)=3,
+    // (b,c)=2 → merge ab. r2: (ab,ab)=3, (ab,c)=2 → merge abab.
+    // r3: only (ab,c)=2 remains → merge abc. r4: no pairs anywhere →
+    // rounds 4..8 must be absent (early stop on both engines)
+    val dir = docsFixture(Seq(
+      (1L, "abab abab abab abc abc", "en")))
+    val out = TextOps.bpeLearn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"), r.getAs[Long]("pair_freq")))
+    assert(out.toSeq == Seq(
+      (1L, "a", "b", "ab", 8L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "ab", "c", "abc", 2L)))
+  }
+
+  test("bpe learn: identical-symbol runs merge at even offsets (left fold)") {
+    // "aaa" ×4: r1 pairs (a,a)=8 → merge aa; the fold turns a a a into
+    // [aa, a] (NOT [a, aa]); r2 pairs (aa,a)=4 → merge aaa; r3: none
+    val dir = docsFixture(Seq((1L, "aaa aaa aaa aaa", "en")))
+    val out = TextOps.bpeLearn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_freq")))
+    assert(out.toSeq == Seq((1L, "aa", 8L), (2L, "aaa", 4L)))
+  }
+
   /** documents fixture with explicit per-row source (the shared
     * [[docsFixture]] pins source='src', useless for mixture tests). */
   private def docsFixtureSrc(rows: Seq[(Long, String, String, String)]): String = {
