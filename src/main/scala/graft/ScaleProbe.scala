@@ -92,7 +92,16 @@ object ScaleProbe {
     "ann_pq_topk", "ann_ivf_pq_topk", "ann_pq_rerank_topk", "lm_likelihood",
     // r8: anchor-election substring dedup (candidate volume rides true
     // duplicate mass), dsir (token-exploded broadcast-join + doc-keyed agg)
-    "substring_dedup", "dsir_scores")
+    "substring_dedup", "dsir_scores",
+    // r8 session 2: residual IVF-PQ (one more broadcast-join stage over
+    // ivf_pq — the ratio should track its parent), trigram backoff LM
+    // (one extra n-gram aggregate over lm_likelihood), BPE training
+    // (R vocab-sized rounds after ONE corpus-sized aggregate — the ratio
+    // measures whether vocab growth stays sub-linear in corpus size),
+    // and the cross-modal media ANN row (media-derived vectors feed the
+    // probed-IVF plan; blob bytes must prune before any shuffle)
+    "ann_ivf_pq_res_topk", "lm_likelihood_tri", "bpe_learn",
+    "media_ann_topk")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

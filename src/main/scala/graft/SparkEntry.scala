@@ -97,6 +97,10 @@ object SparkEntry {
     // (exact / n-gram Jaccard / MinHash-LSH / SimHash), ANN, JSON, media:
     "text_stats"       -> (TextOps.textStats(_, _)),
     "text_quality"     -> (TextOps.textQuality(_, _)),
+    // Gopher rule-set gate (Rae '21 A1.1): per-rule verdicts + keep,
+    // exact-integer milli-ratios; the thresholded sibling of the soft
+    // text_quality score
+    "gopher_filter"    -> (TextOps.gopherFilter(_, _)),
     "lang_id"          -> (TextOps.langId(_, _)),
     "lang_id_ngram"    -> (TextOps.langIdNgram(_, _)),
     "token_count"      -> (TextOps.tokenCount(_, _)),
@@ -139,6 +143,10 @@ object SparkEntry {
     // pair-count argmax-merge over the word-TYPE table; output = the
     // learned merge table (generated round-by-round oracle replay)
     "bpe_learn"        -> (TextOps.bpeLearn(_, _)),
+    // apply the learned merge table: per-doc BPE token counts (the
+    // number a token-budget/seq-pack stage actually needs); shares one
+    // training run per session with bpe_learn
+    "bpe_encode"       -> (TextOps.bpeEncode(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),

@@ -79,6 +79,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher's stop-word rule list (Rae et al. 2021 §A1.1: "contains at
+    * least 2 of the following English words") — distinct from the
+    * engine's scoring [[Stopwords]], which is a frequency list. */
+  private val GopherStopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule document filter (Rae et al. 2021 §A1.1, the
+    * MassiveWeb repetition-free subset; the same rules Dolma and
+    * RefinedWeb re-implement): hard per-document keep/drop verdicts with
+    * each rule's measurement and boolean reported, so an operator can
+    * audit WHY a document fell. [[textQuality]] is the soft-score
+    * sibling; this row is the thresholded production gate. Rules needing
+    * line structure (bullet/ellipsis line ratios) are inapplicable to
+    * the single-line harness corpus and are omitted rather than
+    * vacuously passed; the five applicable rules keep their ORIGINAL
+    * Gopher thresholds — measured at sf0.01: the 50-word floor fails
+    * 223/500 docs and the 2-stopword floor 276/500 (the binding rules),
+    * mean-word-length and alpha-word fraction pass cleanly (the corpus
+    * is all-alphabetic tech tokens), symbol ratio is clean by
+    * construction (no '#'/'…' in the generator's vocabulary) but pins
+    * the semantics for real corpora.
+    *
+    * All measurements are exact integers (milli-ratios via `* 1000 div
+    * n`), so the row hash-replays cross-engine. Plan: one stateless
+    * whole-stage-codegen projection over the documents scan — no
+    * shuffle, no join; at 100 TB this is the cheapest pass in the
+    * pipeline and belongs FIRST, ahead of every dedup/ANN stage, which
+    * is exactly how Gopher orders it. */
+  def gopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val nWords = col("n_words")
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).cast("long").as("n_words"))
+      .select(col("doc_id"), nWords,
+        expr("""CASE WHEN n_words = 0 THEN 0L ELSE
+               |  aggregate(toks, 0L, (a, t) -> a + length(t)) * 1000 div n_words
+               |END""".stripMargin).as("mwl_milli"),
+        expr("""CASE WHEN n_words = 0 THEN 0L ELSE
+               |  size(filter(toks, t -> t rlike '[a-zA-Z]')) * 1000L div n_words
+               |END""".stripMargin).as("alpha_milli"),
+        size(filter(col("toks"), t => t.isInCollection(GopherStopwords)))
+          .cast("long").as("n_stop"),
+        expr("""CASE WHEN n_words = 0 THEN 0L ELSE
+               |  (length(text) - length(replace(text, '#', ''))
+               |   + (length(text) - length(replace(text, '...', ''))) div 3)
+               |  * 1000L div n_words
+               |END""".stripMargin).as("sym_milli"))
+    df.select(col("doc_id"), col("n_words"), col("mwl_milli"),
+        col("alpha_milli"), col("n_stop"), col("sym_milli"),
+        (nWords >= 50 && nWords <= 100000).as("r_len"),
+        (col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000).as("r_wlen"),
+        (col("alpha_milli") >= 800).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"),
+        (col("sym_milli") < 100).as("r_sym"))
+      .withColumn("keep",
+        col("r_len") && col("r_wlen") && col("r_alpha") && col("r_stop") && col("r_sym"))
+      .orderBy("doc_id")
+  }
+
   /** Language identification by marker-token voting (n-gram-free heuristic;
     * a real pipeline would plug a fastText-style model in the same shape).
     * Tie-break follows the declaration order of the CASE chain. */
@@ -648,46 +708,7 @@ object TextOps {
       rounds: Int = BpeRounds): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    val words0 = Tables.documents(spark, sfDir)
-      .select(explode(tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-      .select(col("word"), col("freq"), expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-        .as("syms"))
-      .persist()
-    words0.count()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var w = words0
-    var r = 1
-    var done = false
-    while (r <= rounds && !done) {
-      val top = w.filter(size(col("syms")) >= 2)
-        .select(col("freq"), posexplode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
-          .as(Seq("i", "p")))
-        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-        .agg(sum("freq").as("pair_freq"))
-        .orderBy(col("pair_freq").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (top.isEmpty) done = true
-      else {
-        val (l, rr, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, l, rr, f))
-        val m = lit(l + rr)
-        val wNext = w.select(col("word"), col("freq"),
-          aggregate(col("syms"), array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(rr),
-              concat(slice(acc, lit(1), size(acc) - 1), array(m)))
-              .otherwise(concat(acc, array(x)))).as("syms"))
-          .persist()
-        wNext.count()
-        w.unpersist()
-        w = wNext
-        r += 1
-      }
-    }
-    w.unpersist(); words0.unpersist()
+    val (merges, _) = bpeTrain(spark, sfDir, rounds)
     val schema = StructType(Seq(
       StructField("merge_rank", LongType, nullable = false),
       StructField("lhs", StringType, nullable = false),
@@ -695,9 +716,102 @@ object TextOps {
       StructField("merged", StringType, nullable = false),
       StructField("pair_freq", LongType, nullable = false)))
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.toSeq.map { case (rk, l, rr, f) =>
+      spark.sparkContext.parallelize(merges.map { case (rk, l, rr, f) =>
         Row(rk.toLong, l, rr, l + rr, f) }, 1), schema)
       .orderBy("merge_rank")
+  }
+
+  /** Trained-vocab cache: the final (word, freq, syms) frame after the
+    * merge rounds, shared by [[bpeLearn]] and [[bpeEncode]] so one
+    * session trains at most once per (sfDir, rounds); the driver-side
+    * merge list rides in a companion map filled by the same build. */
+  private val bpeWordsCache = new graft.SessionFrameCache[(String, Int)]
+  private val bpeMergesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(Int, String, String, Long)]]
+
+  /** The BPE training loop behind [[bpeLearn]]/[[bpeEncode]]: returns the
+    * learned merge list and the PERSISTED final vocab frame (word, freq,
+    * syms). Runs once per (session, sfDir, rounds) — the loop's cost
+    * analysis lives on [[bpeLearn]]. */
+  private def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val key = (sfDir, rounds)
+    val words = bpeWordsCache.getOrElseUpdateRaw(spark, key) {
+      val words0 = Tables.documents(spark, sfDir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+        .select(col("word"), col("freq"), expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+        .persist()
+      words0.count()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var w = words0
+      var r = 1
+      var done = false
+      while (r <= rounds && !done) {
+        val top = w.filter(size(col("syms")) >= 2)
+          .select(col("freq"), posexplode(expr(
+            "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+            .as(Seq("i", "p")))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum("freq").as("pair_freq"))
+          .orderBy(col("pair_freq").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (l, rr, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, l, rr, f))
+          val m = lit(l + rr)
+          val wNext = w.select(col("word"), col("freq"),
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(rr),
+                concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+                .otherwise(concat(acc, array(x)))).as("syms"))
+            .persist()
+          wNext.count()
+          w.unpersist()
+          w = wNext
+          r += 1
+        }
+      }
+      if (w ne words0) words0.unpersist()
+      bpeMergesCache.put((spark, sfDir, rounds), merges.toSeq)
+      w
+    }
+    (bpeMergesCache.get((spark, sfDir, rounds)), words)
+  }
+
+  /** Apply the learned BPE merge table: re-tokenize the corpus under the
+    * trained vocabulary and report, per document, the whitespace word
+    * count and the BPE token count — the number a sequence-packing or
+    * token-budget stage actually needs (the whitespace [[tokenCount]] is
+    * its pre-tokenizer approximation). The merge fold happened once per
+    * word TYPE during training, so encoding is a lookup, not a re-fold:
+    * |final syms| per vocab word, summed over the document's words.
+    *
+    * Plan: one corpus-sized explode feeding a BROADCAST join against the
+    * vocab-sized (word → |syms|) frame, then one doc-keyed map-side-
+    * combined aggregate — a single shuffle on doc_id. At 100 TB the
+    * vocab frame is word TYPES (millions, not corpus-sized); if a noisy
+    * corpus pushes types past the broadcast threshold the same plan runs
+    * as a shuffled hash join on `word` — nothing else changes. */
+  def bpeEncode(spark: SparkSession, sfDir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    val (_, words) = bpeTrain(spark, sfDir, rounds)
+    val wlen = words.select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(wlen), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Generated round-by-round DuckDB replay of [[bpeLearn]] (the
@@ -706,6 +820,21 @@ object TextOps {
     * round: positions → matched pairs → gaps-and-islands run parity for
     * the left-fold merge election → rebuilt symbol lists. */
   private def bpeOracleSql(rounds: Int = BpeRounds): String = {
+    val union = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, merged, pair_freq FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeWithSql(rounds)}
+       |SELECT merge_rank, lhs, rhs, merged, pair_freq FROM (
+       |$union
+       |) u ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The shared WITH-clause of the BPE replay: w0 (corpus → word-type
+    * symbol lists) plus one p/m/e/g/w stage block per round, ending at
+    * the final vocab state `w<rounds>` — composed into a merge-table
+    * select by [[bpeOracleSql]] and a corpus re-tokenization by the
+    * `bpe_encode` oracle. */
+  private def bpeWithSql(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       val prev = s"w${r - 1}"
       s"""p${r}e AS (
@@ -752,9 +881,6 @@ object TextOps {
          |  GROUP BY word, freq
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to rounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, merged, pair_freq FROM m$r"
-    }.mkString("\nUNION ALL\n")
     s"""WITH w0 AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
        |    [word[i] FOR i IN range(1, len(word) + 1)] AS syms
@@ -763,11 +889,28 @@ object TextOps {
        |        FROM documents) t
        |  GROUP BY word
        |),
-       |$stages
-       |SELECT merge_rank, lhs, rhs, merged, pair_freq FROM (
-       |$union
-       |) u ORDER BY merge_rank""".stripMargin
+       |$stages""".stripMargin
   }
+
+  /** DuckDB replay of [[bpeEncode]]: the same staged vocab replay, then
+    * the corpus re-joined to the final state's per-word symbol counts. */
+  private def bpeEncodeOracleSql(rounds: Int = BpeRounds): String =
+    s"""${bpeWithSql(rounds)},
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+       |                                    t -> t <> '')) AS word
+       |  FROM documents
+       |), enc AS (
+       |  SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN w$rounds w USING (word)
+       |  GROUP BY dw.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(e.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN enc e USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** Benchmark decontamination — the n-gram-overlap check run before
     * training so eval data does not leak into the corpus (the GPT-3
@@ -1621,6 +1764,44 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "bpe_learn" -> bpeOracleSql(),
+    "bpe_encode" -> bpeEncodeOracleSql(),
+    "gopher_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0 ELSE
+        |      COALESCE(list_sum(list_transform(toks, w -> length(w))), 0)
+        |        * 1000 // len(toks) END AS mwl_milli,
+        |    CASE WHEN len(toks) = 0 THEN 0 ELSE
+        |      len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+        |        * 1000 // len(toks) END AS alpha_milli,
+        |    CAST(len(list_filter(toks,
+        |      w -> w IN ('the','be','to','of','and','that','have','with')))
+        |      AS BIGINT) AS n_stop,
+        |    CASE WHEN len(toks) = 0 THEN 0 ELSE
+        |      (length(text) - length(replace(text, '#', ''))
+        |       + (length(text) - length(replace(text, '...', ''))) // 3)
+        |      * 1000 // len(toks) END AS sym_milli
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words,
+        |  CAST(mwl_milli AS BIGINT) AS mwl_milli,
+        |  CAST(alpha_milli AS BIGINT) AS alpha_milli,
+        |  n_stop,
+        |  CAST(sym_milli AS BIGINT) AS sym_milli,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_len,
+        |  (mwl_milli >= 3000 AND mwl_milli <= 10000) AS r_wlen,
+        |  (alpha_milli >= 800) AS r_alpha,
+        |  (n_stop >= 2) AS r_stop,
+        |  (sym_milli < 100) AS r_sym,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND mwl_milli BETWEEN 3000 AND 10000 AND alpha_milli >= 800
+        |   AND n_stop >= 2 AND sym_milli < 100) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     // anchor replay: rn = 1 within each shingle hash is the global first
     // occurrence; every rn > 1 anchor covers its L positions in its doc
     "substring_dedup" ->

@@ -1155,6 +1155,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "aa", 8L), (2L, "aaa", 4L)))
   }
 
+  test("bpe encode: per-doc token counts under a 1-round vocab, hand-computed") {
+    // r1 pairs: (a,b)=3, (c,d)=1, (e,e)=1 → merge ab only.
+    // doc 1 = [ab, ab, cd] → ab:1 + ab:1 + cd:2 = 4 BPE tokens;
+    // doc 2 = [ab, ee] → 1 + 2 = 3
+    val dir = docsFixture(Seq(
+      (1L, "ab ab cd", "en"),
+      (2L, "ab ee", "en")))
+    val out = TextOps.bpeEncode(spark, dir, rounds = 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens")))
+    assert(out.toSeq == Seq((1L, 3L, 4L), (2L, 2L, 3L)))
+  }
+
+  test("bpe encode: word deeper than the merge budget keeps a symbol tail") {
+    // single 10-char word, all pair freqs 1 → tie-break merges the
+    // bytewise-smallest lhs each round, growing a prefix: after 8
+    // rounds syms = [abcdefghi, j] → 2 BPE tokens from 1 word
+    val dir = docsFixture(Seq((1L, "abcdefghij", "en")))
+    val out = TextOps.bpeEncode(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens")))
+    assert(out.toSeq == Seq((1L, 1L, 2L)))
+  }
+
+  test("gopher filter: each rule binds on its planted violator") {
+    val okText = (("the of " * 1) + ("alpha beta gamma delta " * 13)).trim // 54 words, 2 stopwords
+    val shortText = "the of alpha beta gamma"                  // 5 words → r_len fails
+    val noStopText = ("alpha beta gamma delta " * 13).trim     // 52 words, 0 stopwords
+    val tinyWords = ("a " * 52).trim                           // mwl 1000 → r_wlen fails
+    val dir = docsFixture(Seq(
+      (1L, okText, "en"), (2L, shortText, "en"),
+      (3L, noStopText, "en"), (4L, tinyWords, "en")))
+    val out = TextOps.gopherFilter(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("r_len"), r.getAs[Boolean]("r_wlen"),
+         r.getAs[Boolean]("r_alpha"), r.getAs[Boolean]("r_stop"),
+         r.getAs[Boolean]("r_sym"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)))
+    assert(out(2L) == ((false, true, true, true, true, false)))
+    assert(out(3L) == ((true, true, true, false, true, false)))
+    // 'a' × 52: mean word length 1 fails; 'a' is NOT a Gopher stopword
+    assert(out(4L) == ((true, false, true, false, true, false)))
+  }
+
+  test("gopher filter: symbol ratio counts '#' and '...' occurrences") {
+    // 52 words incl 2 stopwords; 6 '#' words + 1 '...' = 7 symbols
+    // → 7000/52 = 134 milli ≥ 100 → r_sym fails
+    val symText = ("the of " + "alpha beta gamma delta " * 11 +
+      "# # # # # # ...").trim // 2 + 44 + 7 = 53 words
+    val dir = docsFixture(Seq((1L, symText, "en")))
+    val r = TextOps.gopherFilter(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_words") == 53L)
+    assert(r.getAs[Long]("sym_milli") == 7000L / 53L)
+    assert(!r.getAs[Boolean]("r_sym") && !r.getAs[Boolean]("keep"))
+  }
+
   /** documents fixture with explicit per-row source (the shared
     * [[docsFixture]] pins source='src', useless for mixture tests). */
   private def docsFixtureSrc(rows: Seq[(Long, String, String, String)]): String = {
