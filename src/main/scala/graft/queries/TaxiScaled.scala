@@ -28,7 +28,10 @@ import graft.etl.{EtlConfig, Pipeline, Stats}
   *
   * Planting rules, all on E:
   *   E %  97 == 0 → passenger_count empty        (parse-invalid)
-  *   E %  89 == 0 → trip_distance negative       (parse-invalid)
+  *   E %  89 == 0 → trip_distance negative       (parse-invalid; the
+  *                  mantissa is forced nonzero — "-0.000" parses to
+  *                  decimal ZERO and passes the ≥ 0 bound in both the
+  *                  engine and the reference, see dist_milli)
   *   E %  83 == 0 → dropoff 100 s before pickup  (normalize-invalid)
   *   E %  79 == 0 → flag 'X'                     (normalize-invalid)
   *   E % 101 == 0 → key fields derive from g = (E div 101) % 50 instead
@@ -69,14 +72,31 @@ object TaxiScaled {
       // — is INJECTIVE in x for any corpus below 2.33M lines (sf ≤ ~0.4):
       // duplicates are exactly the planted g-groups, never incidental
       // period collisions (a first-draft day/hour/min field synthesis had
-      // period 21600 and drowned the surface in accidental duplicates)
+      // period 21600 and drowned the surface in accidental duplicates).
+      // Past 2.33M lines (the sf1 sweep regime) x and x + 2_332_800k
+      // share the FULL dedup key — travel (2_332_800 ≡ 0 mod 7200) and
+      // pc (≡ 0 mod 5) wrap with it — so duplicates become dominated by
+      // wrap-pairs rather than g-groups. That is still a valid dedup
+      // workload (heavier, ~50% duplicate mass) and both engines derive
+      // the SAME keys, so the oracles replay it exactly; only the
+      // "duplicates are exactly the planted groups" reading stops at
+      // the wrap boundary.
       .withColumn("pickup_ts", expr(
         "timestampadd(SECOND, (x * 1000003) % 2332800, timestamp'2024-01-01 00:00:00')"))
       .withColumn("dropoff_ts", expr("timestampadd(SECOND, travel, pickup_ts)"))
       .withColumn("pc_s",
         when(col("E") % 97 === 0, lit(""))
           .otherwise(expr("cast(1 + x % 5 as string)")))
-      .withColumn("dist_milli", expr("(E * 17) % 30000"))
+      // planted-negative rows force a NONZERO mantissa: "-0.000" parses
+      // to decimal zero, which legitimately passes the >= 0 bound (the
+      // reference's minValueInclusive check and try_cast agree), so a
+      // zero-mantissa planted row would be VALID in both the engine and
+      // the reference while the analytic oracle calls it bad_parse —
+      // the one-row sf1 divergence the full-suite sweep caught (first
+      // hit: E = lcm(89, 30000) = 2,670,000, i.e. corpora > 2.67M lines)
+      .withColumn("dist_milli",
+        when(col("E") % 89 === 0, expr("1 + (E * 17) % 29999"))
+          .otherwise(expr("(E * 17) % 30000")))
       .withColumn("dist_s", concat(
         when(col("E") % 89 === 0, lit("-")).otherwise(lit("")),
         expr("cast(dist_milli div 1000 as string)"), lit("."),
@@ -114,7 +134,7 @@ object TaxiScaled {
   /** Bump when the synthesis formula changes — versions the generated
     * directory so a stale /tmp cache from an older formula can never be
     * read against the current oracles. */
-  private val GenVersion = 2
+  private val GenVersion = 3
 
   def ensureGenerated(spark: SparkSession, sfDir: String): String = synchronized {
     import org.apache.hadoop.fs.Path
