@@ -188,7 +188,18 @@ object DedupOps {
     * n·bands/maxDf of them, by counting), and they join back BROADCAST —
     * the banded frame never shuffles for the guard. AQE's skew split can
     * divide a hot shuffle partition; it cannot shrink quadratic join
-    * OUTPUT — this cap is what does. */
+    * OUTPUT — this cap is what does.
+    *
+    * The shard hash is the md5-derived POSITIVE 60-bit integer of the
+    * id's decimal string (first 15 hex chars of md5, the engine's
+    * standard cross-engine hash trick) rather than xxhash64: DuckDB has
+    * no xxhash64, and the r8 sf1 sweep hit the first corpus where a
+    * guard binds on an ORACLE-CHECKED row (simhash over the sf1 tree —
+    * token-permuted copies are signature-identical twins because simhash
+    * is order-invariant, so band keys carry 10× twin mass). With a
+    * replayable hash the oracle reproduces the exact sharding and the
+    * row stays hash-green THROUGH the guard regime instead of being
+    * documented around it. */
   private[graft] def subSaltHotKeys(
       banded: DataFrame, idCol: String, maxDf: Int,
       bandCols: Seq[String] = Seq("band", "band_key")): DataFrame = {
@@ -199,8 +210,9 @@ object DedupOps {
     banded.join(broadcast(hot), bandCols, "left")
       .withColumn("shard",
         when(col("df").isNull, lit(0L))
-          .otherwise(pmod(xxhash64(col(idCol)),
-            expr(s"(df + ${maxDf - 1}) div $maxDf"))))
+          .otherwise(
+            expr(s"cast(conv(substring(md5(cast($idCol as string)), 1, 15), 16, 10) as bigint)")
+              % expr(s"(df + ${maxDf - 1}) div $maxDf")))
       .drop("df")
   }
 
@@ -215,11 +227,15 @@ object DedupOps {
   /** Band-key df cap for the SimHash self-join — higher than MinHash's
     * because SimHash band keys are structurally DENSE: 7-8 bits each, and
     * real token distributions skew the vote bits, so legitimate buckets
-    * are large (measured max df 1405 over 5000 docs at sf0.1). The cap
-    * sits above that (sub-salting must not engage on the oracle-checked
-    * harness rows — the pigeonhole guarantee is exact there); a corpus
-    * whose buckets outgrow it trades the tail of cross-shard pairs for
-    * bounded join output, and transitive clustering recovers members. */
+    * are large (measured max df 1405 over 5000 docs at sf0.1; the cap
+    * sits above that, so the pigeonhole guarantee is exact on the
+    * harness rows at ≤ sf0.1). A corpus whose buckets outgrow it trades
+    * the tail of cross-shard pairs for bounded join output, and
+    * transitive clustering recovers members — and since r8 the guard's
+    * sharding is REPLAYED by the oracle (md5-based shard hash), so the
+    * row stays hash-checked even where the cap binds: the sf1 tree's
+    * twin-heavy signatures (order-invariant simhash over token-permuted
+    * copies) are the first measured instance. */
   val SimhashBandDfCap = 4096
 
   /** MinHash band frame cached per (session, sfDir): with the hot-key
@@ -795,6 +811,21 @@ object DedupOps {
       |""".stripMargin
   }
 
+  /** DuckDB replay of the engine's FIRST-MATCHING-BAND gate: the lowest
+    * band index whose mask of xor(x.simhash, y.simhash) is zero (9 if
+    * none — then no band join matched anyway). Generated from the same
+    * band bounds as [[simhashNearDup]]; masks are signed 64-bit literals
+    * so band 8 (bit 63) wraps identically in both engines. */
+  private def simhashFirstBandSql: String = {
+    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
+    val whens = (0 until SimhashBands).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = ((1L << width) - 1) << bounds(i)
+      s"WHEN (xor(x.simhash, y.simhash) & (${mask}::BIGINT)) = 0 THEN $i"
+    }.mkString(" ")
+    s"CASE $whens ELSE ${SimhashBands} END"
+  }
+
   /** CTE pair (d0 → d, no WITH keyword) replaying the occupancy-adaptive
     * block key of [[fuzzyKeyedDocs]]: base two-token key, then the
     * refined key for blocks past [[FuzzyRefineAt]]. Shared by the
@@ -821,14 +852,36 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "doc_simhash" -> (simhashCte +
       "SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
+    // the guard replay (dfc/bs) is inert wherever band dfs stay under
+    // the cap (shard ≡ 0 and the first-band gate ≡ DISTINCT over the
+    // plain band join); on twin-heavy corpora (the sf1 tree:
+    // token-permuted copies share signatures, simhash being
+    // order-invariant) it reproduces subSaltHotKeys' exact sharding AND
+    // the engine's gate semantics under it — a pair whose first
+    // bits-agreeing band was sharded apart is dropped, the documented
+    // cap trade — so the row stays hash-green THROUGH the guard regime
     "simhash_near_dup" -> (simhashCte + simhashBandsSql +
-      """SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
-        |FROM bx x JOIN bx y
-        |  ON x.band = y.band AND x.band_bits = y.band_bits
-        |  AND x.doc_id < y.doc_id
-        |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      s""", dfc AS (
+         |  SELECT band, band_bits, COUNT(*)::BIGINT AS df
+         |  FROM bx GROUP BY band, band_bits
+         |), bs AS (
+         |  SELECT bx.doc_id, bx.simhash, bx.band, bx.band_bits,
+         |    CASE WHEN d.df > $SimhashBandDfCap THEN
+         |      list_sum([(strpos('0123456789abcdef',
+         |          substr(md5(CAST(bx.doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+         |          << (4 * (15 - i)) FOR i IN range(1, 16)])
+         |        % ((d.df + ${SimhashBandDfCap - 1}) // $SimhashBandDfCap)
+         |    ELSE 0 END AS shard
+         |  FROM bx JOIN dfc d USING (band, band_bits)
+         |)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+         |FROM bs x JOIN bs y
+         |  ON x.band = y.band AND x.band_bits = y.band_bits
+         |  AND x.shard = y.shard AND x.doc_id < y.doc_id
+         |  AND ($simhashFirstBandSql) = x.band
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin),
     "doc_dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(trim(text)), '${TextOps.WsRunRe}', ' ', 'g')) AS content_hash,
          |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
