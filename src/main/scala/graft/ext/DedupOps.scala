@@ -713,12 +713,14 @@ object DedupOps {
         .stripMargin
     }.mkString(",\n")
     shingleCteFrom("documents") +
-      s""", pairs AS (
+      s""", sx AS (
+         |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
+         |), pairs AS MATERIALIZED (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
-         |), edges AS (
+         |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+         |), edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs
          |), deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
@@ -728,12 +730,16 @@ object DedupOps {
          |SELECT doc_id, r AS pr_rank FROM r$iters ORDER BY doc_id""".stripMargin
   }
 
-  /** The shared shingle CTE for DuckDB oracles. */
+  /** The shared shingle CTE for DuckDB oracles. `s` is MATERIALIZED
+    * (hint-only, no semantic change): DuckDB inlines CTEs by default,
+    * and the multi-consumer oracles (closure, PageRank rounds) would
+    * otherwise recompute the shingle build — and anything stacked on
+    * it — once per reference. */
   private def shingleCteFrom(from: String) =
     s"""WITH t AS (
       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
       |  FROM $from
-      |), s AS (
+      |), s AS MATERIALIZED (
       |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
       |    ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |                        for i in range(1, len(toks) - 1)]) END AS sh
@@ -741,13 +747,28 @@ object DedupOps {
       |)
       |""".stripMargin
 
+  /** Exact Jaccard pairs via an INVERTED-INDEX join (r8): |A∩B| is the
+    * group-count of shared shingles, |A∪B| = |A| + |B| − ∩ (the sh
+    * lists are distinct), so the doubles are built from the same
+    * integers as the original all-pairs `list_intersect` form —
+    * bit-identical values. Exactness is unchanged — a pair at Jaccard
+    * ≥ 0.6 necessarily shares shingles, so no qualifying pair can be
+    * missed — and the replay still uses no LSH machinery, preserving
+    * the independence argument. The rewrite is what makes the family's
+    * sf0.1/sf1 sweeps tractable: DuckDB executes the old inequality
+    * self-join as a single-threaded nested loop (measured ≥ 25 min at
+    * 5k docs, unbounded at 50k), where the equi-join on shingle value
+    * is hash-partitioned and output-bounded by true shared-shingle
+    * mass. */
   private def jaccardSql(from: String) = shingleCteFrom(from) +
-    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
+    """, sx AS (
+      |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) AS jaccard
+      |FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+      |HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB replay of [[simhash]]: per-token 64-bit hash = first 8 md5 hex
@@ -947,12 +968,14 @@ object DedupOps {
     * cluster_id, as a reusable WITH-prefix for DuckDB oracles. */
   private def clustersCte: String = (shingleCteFrom("documents")
     .replaceFirst("WITH ", "WITH RECURSIVE ") +
-    """, pairs AS (
+    """, sx AS (
+      |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
+      |), pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6
-      |), edges AS (
+      |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+      |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+      |), edges AS MATERIALIZED (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs
       |), reach AS (
