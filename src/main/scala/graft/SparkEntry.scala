@@ -147,6 +147,9 @@ object SparkEntry {
     // number a token-budget/seq-pack stage actually needs); shares one
     // training run per session with bpe_learn
     "bpe_encode"       -> (TextOps.bpeEncode(_, _)),
+    // per-language tokenizer fertility (BPE tokens per word) under the
+    // learned vocab — the multilingual tokenizer-quality dashboard row
+    "bpe_fertility"    -> (TextOps.bpeFertility(_, _)),
     "vocab_coverage"   -> (TextOps.vocabCoverage(_, _)),
     "stratified_sample" -> (TextOps.stratifiedSample(_, _)),
     "token_budget_per_source" -> (TextOps.tokenBudgetPerSource(_, _)),

@@ -814,6 +814,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language tokenizer FERTILITY under the learned BPE vocab —
+    * BPE tokens per word, the standard tokenizer-quality metric (a
+    * vocab trained mostly on one language over-segments the others;
+    * multilingual pipelines watch exactly this number per language
+    * before committing to a tokenizer). Fertility is reported as an
+    * exact milli-ratio (total BPE tokens × 1000 div total words) so the
+    * row hash-replays cross-engine; doc/word/token totals ride along
+    * for the audit.
+    *
+    * Plan: the [[bpeEncode]] explode+broadcast-join, then ONE
+    * lang-keyed aggregate instead of the doc-keyed one — same single
+    * shuffle, output one row per language. Shares the session-cached
+    * training run with bpeLearn/bpeEncode. */
+  def bpeFertility(spark: SparkSession, sfDir: String,
+      rounds: Int = BpeRounds): DataFrame = {
+    val (_, words) = bpeTrain(spark, sfDir, rounds)
+    val wlen = words.select(col("word"), size(col("syms")).cast("long").as("n_syms"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(wlen), "word")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+      .withColumn("fertility_milli",
+        expr("n_bpe_tokens * 1000 div n_words"))
+      .orderBy("lang")
+  }
+
   /** Generated round-by-round DuckDB replay of [[bpeLearn]] (the
     * kcore/kmeans oracle pattern: generated SQL referencing only shared
     * CONSTANTS and the data tables — nothing learned leaks in). Each
@@ -891,6 +920,24 @@ object TextOps {
        |),
        |$stages""".stripMargin
   }
+
+  /** DuckDB replay of [[bpeFertility]]: the staged vocab replay, the
+    * corpus word explode with lang, one lang-keyed aggregate. */
+  private def bpeFertilityOracleSql(rounds: Int = BpeRounds): String =
+    s"""${bpeWithSql(rounds)},
+       |dw AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS word
+       |  FROM documents
+       |)
+       |SELECT dw.lang,
+       |  CAST(COUNT(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(len(w.syms)) * 1000 // COUNT(*) AS BIGINT) AS fertility_milli
+       |FROM dw JOIN w$rounds w USING (word)
+       |GROUP BY dw.lang
+       |ORDER BY dw.lang""".stripMargin
 
   /** DuckDB replay of [[bpeEncode]]: the same staged vocab replay, then
     * the corpus re-joined to the final state's per-word symbol counts. */
@@ -1765,6 +1812,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "bpe_learn" -> bpeOracleSql(),
     "bpe_encode" -> bpeEncodeOracleSql(),
+    "bpe_fertility" -> bpeFertilityOracleSql(),
     "gopher_filter" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -1179,6 +1179,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 2L)))
   }
 
+  test("bpe fertility: per-language token-per-word ratio, hand-computed") {
+    // 1-round vocab over "ab ab cd" + "ab ee" (same corpus as the
+    // encode test, merge = ab): en doc [ab, ab, cd] → 3 words, 4 BPE
+    // tokens → fertility 1333; de doc [ab, ee] → 2 words, 3 → 1500
+    val dir = docsFixture(Seq(
+      (1L, "ab ab cd", "en"),
+      (2L, "ab ee", "de")))
+    val out = TextOps.bpeFertility(spark, dir, rounds = 1).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("fertility_milli")))
+    assert(out.toSeq == Seq(
+      ("de", 1L, 2L, 3L, 1500L),
+      ("en", 1L, 3L, 4L, 1333L)))
+  }
+
   test("gopher filter: each rule binds on its planted violator") {
     val okText = (("the of " * 1) + ("alpha beta gamma delta " * 13)).trim // 54 words, 2 stopwords
     val shortText = "the of alpha beta gamma"                  // 5 words → r_len fails
