@@ -129,6 +129,9 @@ object SparkEntry {
     "seq_pack_global"  -> (TextOps.seqPackGlobal(_, _)),
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
+    // per-doc benchmark-overlap FRACTION (exact milli-ratio incl. zero
+    // rows) — the thresholdable signal real decontam policies use
+    "contam_fraction"  -> (TextOps.contamFraction(_, _)),
     // Bloom prefilter + exact verify join: same exact output, so it
     // shares the exact op's oracle (registered under its own name)
     "decontam_bloom"   -> (TextOps.decontamBloom(_, _)),

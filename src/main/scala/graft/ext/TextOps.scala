@@ -1006,6 +1006,40 @@ object TextOps {
     decontamAgg(corpus, bench)
   }
 
+  /** Per-document contamination FRACTION — the share of a doc's distinct
+    * n-grams that appear anywhere in the benchmark slice, for EVERY
+    * non-benchmark document. [[decontamNgram]] reports the contaminated
+    * docs (a hit list); real decontamination policies threshold on the
+    * overlap fraction (e.g. drop above 80%, flag above 20% — the GPT-3
+    * appendix-C cleanup works this way), and that needs the denominator
+    * and the zero rows too. Reported as an exact milli-ratio.
+    *
+    * Plan: the same gram frames as the exact op; the benchmark's
+    * distinct-gram set broadcasts (eval sets are small BY DEFINITION —
+    * that asymmetry is the whole design), the corpus side counts its
+    * gram rows (already per-doc distinct) once for the denominator and
+    * once through a LEFT SEMI probe for the numerator — two map-side-
+    * combined aggregates on doc_id, no corpus-side distinct. At 100 TB
+    * the Bloom prefilter of [[decontamBloom]] composes with the semi
+    * join unchanged. */
+  def contamFraction(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
+    val (bench, corpus) = decontamGrams(spark, sfDir, n)
+    val benchGrams = bench.select("gram").distinct()
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = corpus.join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 100 =!= 0).select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contam_milli", expr(
+        "CASE WHEN n_grams = 0 THEN 0L ELSE n_shared_grams * 1000 div n_grams END"))
+      .orderBy("doc_id")
+  }
+
   /** [[decontamNgram]] with a BLOOM-FILTER PREFILTER on the corpus side —
     * the 100 TB shape of decontamination: the benchmark's gram set folds
     * into one compact bitset (Spark's own runtime-filter Bloom aggregate),
@@ -1613,7 +1647,9 @@ object TextOps {
        |""".stripMargin
   }
 
-  private val DecontamOracle =
+  /** Shared 4-gram CTE of the decontamination oracles (per-doc distinct
+    * grams, mirroring the engine's array_distinct). */
+  private val DecontamGramsCte =
     """WITH g AS (
       |  SELECT doc_id, unnest(CASE WHEN len(toks) < 4 THEN []
       |    ELSE list_distinct([array_to_string(toks[i:i+3], ' ')
@@ -1622,12 +1658,33 @@ object TextOps {
       |          list_filter(string_split(trim(text), ' '), t -> t <> '') AS toks
       |        FROM documents) d
       |)
-      |SELECT c.doc_id,
+      |""".stripMargin
+
+  private val DecontamOracle = DecontamGramsCte +
+    """SELECT c.doc_id,
       |  COUNT(DISTINCT c.gram) AS n_shared_grams,
       |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
       |FROM (SELECT * FROM g WHERE doc_id % 100 <> 0) c
       |JOIN (SELECT * FROM g WHERE doc_id % 100 = 0) b ON c.gram = b.gram
       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
+  private val ContamFractionOracle = DecontamGramsCte +
+    """, c AS (SELECT * FROM g WHERE doc_id % 100 <> 0),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0),
+      |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      |        FROM c GROUP BY doc_id),
+      |sh AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |       FROM c JOIN b USING (gram) GROUP BY c.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(t.n_grams, 0) AS n_grams,
+      |  COALESCE(s.n_shared, 0) AS n_shared_grams,
+      |  CAST(CASE WHEN COALESCE(t.n_grams, 0) = 0 THEN 0
+      |       ELSE COALESCE(s.n_shared, 0) * 1000 // t.n_grams END
+      |    AS BIGINT) AS contam_milli
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d
+      |LEFT JOIN tot t USING (doc_id)
+      |LEFT JOIN sh s USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Mixture-sampling temperature denominator: the target budget is
     * total_tokens div [[MixtureBudgetDen]]. */
@@ -2274,6 +2331,7 @@ object TextOps {
         |WHERE len(toks) > 0
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "decontam_ngram" -> DecontamOracle,
+    "contam_fraction" -> ContamFractionOracle,
     // the Bloom prefilter never removes a true match (no false negatives)
     // and the exact verify join removes the false positives, so the
     // prefiltered op answers to the SAME exact oracle

@@ -1179,6 +1179,22 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 2L)))
   }
 
+  test("contam fraction: per-doc overlap milli-ratio incl. zero and short docs") {
+    // bench doc 100: "a b c d e" → grams {a b c d, b c d e}.
+    // doc 1: 8 tokens → 5 grams, 1 shared (a b c d) → 1000/5 = 200;
+    // doc 2: disjoint, 2 grams, 0 shared → 0;
+    // doc 3: 2 tokens → 0 grams → all zeros
+    val dir = docsFixture(Seq(
+      (100L, "a b c d e", "en"),
+      (1L, "a b c d x y z w", "en"),
+      (2L, "p q r s t", "en"),
+      (3L, "p q", "en")))
+    val out = TextOps.contamFraction(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_shared_grams"), r.getAs[Long]("contam_milli")))
+    assert(out.toSeq == Seq((1L, 5L, 1L, 200L), (2L, 2L, 0L, 0L), (3L, 0L, 0L, 0L)))
+  }
+
   test("bpe fertility: per-language token-per-word ratio, hand-computed") {
     // 1-round vocab over "ab ab cd" + "ab ee" (same corpus as the
     // encode test, merge = ab): en doc [ab, ab, cd] → 3 words, 4 BPE
