@@ -103,6 +103,9 @@ object SparkEntry {
     "gopher_filter"    -> (TextOps.gopherFilter(_, _)),
     "lang_id"          -> (TextOps.langId(_, _)),
     "lang_id_ngram"    -> (TextOps.langIdNgram(_, _)),
+    // confusion matrix of the n-gram classifier vs the metadata label
+    // (diagonal share_milli = per-language recall)
+    "lang_confusion"   -> (TextOps.langConfusion(_, _)),
     "token_count"      -> (TextOps.tokenCount(_, _)),
     "doc_fingerprint"  -> (TextOps.fingerprint(_, _)),
     "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // oracle: mod-2^64 hash replay

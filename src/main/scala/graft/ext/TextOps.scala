@@ -175,7 +175,12 @@ object TextOps {
     * model in the same single-scan shape). Trigram counts per language
     * profile, argmax with declaration-order tie-break; one scan, no
     * shuffle, no UDFs. */
-  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame =
+    langIdNgramScored(spark, sfDir).orderBy("doc_id")
+
+  /** The unordered scoring frame behind [[langIdNgram]], shared with the
+    * confusion-matrix aggregate so it never pays the per-doc sort. */
+  private def langIdNgramScored(spark: SparkSession, sfDir: String): DataFrame = {
     // explicit empty-array guard: sequence(1, 0) is DESCENDING in Spark
     // ([1, 0]), which would emit junk sub-3-char grams for tiny texts —
     // harmless to the 3-char profile scores, but not worth relying on
@@ -196,7 +201,26 @@ object TextOps {
             .when(sDe >= sEs && sDe >= sFr, "de")
             .when(sEs >= sFr, "es")
             .otherwise("fr").as("lang_pred"): _*)
-      .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix — the standard classifier-eval view of
+    * [[langIdNgram]] against the metadata label: one row per observed
+    * (lang_meta, lang_pred) cell with the doc count and the cell's exact
+    * milli-share of its metadata row (the diagonal cell's share IS
+    * per-language recall). A multilingual pipeline reads this before
+    * trusting predicted language for filtering or mixture weights.
+    *
+    * Plan: the single-scan scorer (no per-doc sort), one hash aggregate
+    * to cells, one to per-meta totals (≤ #languages rows, broadcast
+    * back) — output is languages², independent of corpus size. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = langIdNgramScored(spark, sfDir).select("lang_meta", "lang_pred")
+    val cells = p.groupBy("lang_meta", "lang_pred").agg(count(lit(1)).as("n_docs"))
+    val totals = p.groupBy("lang_meta").agg(count(lit(1)).as("meta_total"))
+    cells.join(broadcast(totals), "lang_meta")
+      .select(col("lang_meta"), col("lang_pred"), col("n_docs"),
+        expr("n_docs * 1000 div meta_total").as("share_milli"))
+      .orderBy("lang_meta", "lang_pred")
   }
 
   /** BPE-ish token counting: word / number / other-symbol pieces via one
@@ -1647,6 +1671,23 @@ object TextOps {
        |""".stripMargin
   }
 
+  /** Shared scoring select of the lang_id_ngram / lang_confusion oracles
+    * (no ORDER BY — the per-doc row and the confusion aggregate each add
+    * their own). */
+  private val LangIdNgramSelect: String = {
+    val scoreExprs = TrigramProfiles.map { case (l, tris) =>
+      val inList = tris.map(t => s"'$t'").mkString(", ")
+      s"CAST(len(list_filter(grams, g -> g IN ($inList))) AS BIGINT) AS s_$l"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, lang AS lang_meta,
+       |  $scoreExprs,
+       |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
+       |FROM (SELECT *, [substr(t, i, 3) for i in range(1, greatest(len(t) - 2, 0) + 1)] AS grams
+       |      FROM (SELECT *, lower(text) AS t FROM documents) d0) d""".stripMargin
+  }
+
   /** Shared 4-gram CTE of the decontamination oracles (per-doc distinct
     * grams, mirroring the engine's array_distinct). */
   private val DecontamGramsCte =
@@ -2387,20 +2428,20 @@ object TextOps {
         |  FROM (SELECT list_filter(string_split(trim(lower(text)), ' '), t -> t <> '') AS toks
         |        FROM documents) d) b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
-    "lang_id_ngram" -> {
-      val scoreExprs = TrigramProfiles.map { case (l, tris) =>
-        val inList = tris.map(t => s"'$t'").mkString(", ")
-        s"CAST(len(list_filter(grams, g -> g IN ($inList))) AS BIGINT) AS s_$l"
-      }.mkString(",\n  ")
-      s"""SELECT doc_id, lang AS lang_meta,
-         |  $scoreExprs,
-         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred
-         |FROM (SELECT *, [substr(t, i, 3) for i in range(1, greatest(len(t) - 2, 0) + 1)] AS grams
-         |      FROM (SELECT *, lower(text) AS t FROM documents) d0) d
-         |ORDER BY doc_id""".stripMargin
-    },
+    "lang_id_ngram" -> (LangIdNgramSelect + "\nORDER BY doc_id"),
+    "lang_confusion" ->
+      s"""WITH p AS (
+         |$LangIdNgramSelect
+         |), m AS (
+         |  SELECT lang_meta, CAST(COUNT(*) AS BIGINT) AS meta_total
+         |  FROM p GROUP BY lang_meta
+         |)
+         |SELECT p.lang_meta, p.lang_pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) * 1000 // m.meta_total AS BIGINT) AS share_milli
+         |FROM p JOIN m USING (lang_meta)
+         |GROUP BY p.lang_meta, p.lang_pred, m.meta_total
+         |ORDER BY lang_meta, lang_pred""".stripMargin,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(text)), '$WsRunRe', ' ', 'g')), 1, 2) < '19'

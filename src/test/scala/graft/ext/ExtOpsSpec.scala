@@ -1179,6 +1179,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 2L)))
   }
 
+  test("lang confusion: cells, counts, and meta-row shares are exact") {
+    // 2 'en'-labeled docs both predicted en (the/ing trigrams), 1 'de'
+    // doc with english trigrams → predicted en: de row is 100% confused
+    val dir = docsFixture(Seq(
+      (1L, "the thing is doing fine", "en"),
+      (2L, "another thing was doing rounds", "en"),
+      (3L, "the thing looks english but is labeled de", "de")))
+    val out = TextOps.langConfusion(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang_meta"), r.getAs[String]("lang_pred"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("share_milli")))
+    assert(out.toSeq == Seq(
+      ("de", "en", 1L, 1000L),
+      ("en", "en", 2L, 1000L)))
+  }
+
   test("contam fraction: per-doc overlap milli-ratio incl. zero and short docs") {
     // bench doc 100: "a b c d e" → grams {a b c d, b c d e}.
     // doc 1: 8 tokens → 5 grams, 1 shared (a b c d) → 1000/5 = 200;
