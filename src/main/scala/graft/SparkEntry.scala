@@ -106,6 +106,12 @@ object SparkEntry {
     // confusion matrix of the n-gram classifier vs the metadata label
     // (diagonal share_milli = per-language recall)
     "lang_confusion"   -> (TextOps.langConfusion(_, _)),
+    // corpus-LEARNED per-language discriminative trigram profiles (the
+    // artifact), the classifier under them, and its confusion matrix —
+    // all replayed by a generated learning CTE (nothing learned leaks in)
+    "lang_profiles"          -> (TextOps.langProfilesLearned(_, _)),
+    "lang_id_learned"        -> (TextOps.langIdLearned(_, _)),
+    "lang_confusion_learned" -> (TextOps.langConfusionLearned(_, _)),
     "token_count"      -> (TextOps.tokenCount(_, _)),
     "doc_fingerprint"  -> (TextOps.fingerprint(_, _)),
     "doc_winnow"       -> (TextOps.winnowFingerprints(_, _)), // oracle: mod-2^64 hash replay

@@ -837,10 +837,11 @@ object SimilarityOps {
     * PQ-layout check: the probe is one O(1) driver `.first()`, but
     * pqSubvectors is invoked 2-3 times per PQ query op (codebook build,
     * LUT, scoring), so an unmemoized probe launches that Spark job each
-    * time (r7 ADVICE). Keys are (session, dir) tuples — bytes, not frames —
-    * so no eviction hook is needed. */
-  private val pqDimChecked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    * time (r7 ADVICE). Lives in the session-cache family so dead sessions
+    * evict with the rest of the per-session state (r8 VERDICT #6); a
+    * failed check is not cached (throwing builds are dropped, so a fixed
+    * layout re-probes). */
+  private val pqDimChecked = new graft.SessionValueCache[String, Unit]
 
   /** The (vec_id, sub, q) quantized SUBvector corpus — [[quantizedCorpus]]
     * cut into [[PqM]] contiguous subspaces. One scan, one explode. The
@@ -850,14 +851,12 @@ object SimilarityOps {
     * the oracle could never catch it — this is the one mismatch the hash
     * check is structurally blind to. */
   private def pqSubvectors(spark: SparkSession, sfDir: String): DataFrame = {
-    if (pqDimChecked.add((spark, sfDir))) {
+    pqDimChecked.getOrElseUpdate(spark, sfDir) {
       val dim = Tables.embeddings(spark, sfDir)
         .select(size(col("embedding"))).first().getInt(0)
-      if (dim != PqM * PqSubDim) {
-        pqDimChecked.remove((spark, sfDir))
+      if (dim != PqM * PqSubDim)
         throw new IllegalArgumentException(
           s"PQ layout $PqM x $PqSubDim does not cover embedding dim $dim")
-      }
     }
     quantizedCorpus(spark, sfDir)
       .select(col("vec_id"), explode(expr(

@@ -178,30 +178,42 @@ object TextOps {
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame =
     langIdNgramScored(spark, sfDir).orderBy("doc_id")
 
+  /** Session cache of the scored frames shared by the lang-ID rows
+    * (lang_id_ngram / lang_confusion and the learned-profile siblings) —
+    * the shingle-cache contract: several registered queries consume one
+    * scorer pass, so it materializes once per (session, variant, sfDir). */
+  private val langScoredCache = new graft.SessionFrameCache[(String, String)]
+
   /** The unordered scoring frame behind [[langIdNgram]], shared with the
-    * confusion-matrix aggregate so it never pays the per-doc sort. */
-  private def langIdNgramScored(spark: SparkSession, sfDir: String): DataFrame = {
-    // explicit empty-array guard: sequence(1, 0) is DESCENDING in Spark
-    // ([1, 0]), which would emit junk sub-3-char grams for tiny texts —
-    // harmless to the 3-char profile scores, but not worth relying on
-    val grams = expr(
-      """CASE WHEN length(t) < 3 THEN array()
-        |ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END"""
-        .stripMargin)
-    val scores = TrigramProfiles.map { case (lang, tris) =>
-      lang -> size(filter(grams, g => g.isInCollection(tris))).cast("long")
+    * confusion-matrix aggregate so it never pays the per-doc sort.
+    *
+    * The scorer is ONE native codegen expression
+    * ([[graft.functions.TrigramProfileScores]] — all four profile counts
+    * in a single pass over the text). The HOF predecessor embedded a
+    * text-sized gram array into every score column and every CASE branch
+    * (~14 interpreted evaluations per document; 6.5–9.0 s at sf0.1 for the
+    * confusion consumer vs 0.19 s here — the r8 verdict's one weak row).
+    * The score array lands in its own projection; the outer projection
+    * only reads array elements (cheap — CollapseProject keeps non-cheap
+    * multi-consumer producers un-inlined, and codegen CSE would collapse
+    * duplicates anyway). */
+  private def langIdNgramScored(spark: SparkSession, sfDir: String): DataFrame =
+    langScoredCache.getOrElseUpdate(spark, ("hardcoded", sfDir)) {
+      val sc = graft.functions.TextProfileFunctions.trigramProfileScores(
+        lower(col("text")), TrigramProfiles.map(_._2))
+      val Seq(sEn, sDe, sEs, sFr) =
+        TrigramProfiles.indices.map(i => col("sc").getItem(i))
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang").as("lang_meta"), sc.as("sc"))
+        .select(
+          col("doc_id") +: col("lang_meta") +:
+            TrigramProfiles.zipWithIndex.map { case ((l, _), i) =>
+              col("sc").getItem(i).as(s"s_$l") } :+
+            when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+              .when(sDe >= sEs && sDe >= sFr, "de")
+              .when(sEs >= sFr, "es")
+              .otherwise("fr").as("lang_pred"): _*)
     }
-    val Seq(sEn, sDe, sEs, sFr) = scores.map(_._2)
-    Tables.documents(spark, sfDir)
-      .withColumn("t", lower(col("text")))
-      .select(
-        col("doc_id") +: col("lang").as("lang_meta") +:
-          scores.map { case (l, s) => s.as(s"s_$l") } :+
-          when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
-            .when(sDe >= sEs && sDe >= sFr, "de")
-            .when(sEs >= sFr, "es")
-            .otherwise("fr").as("lang_pred"): _*)
-  }
 
   /** Language-ID confusion matrix — the standard classifier-eval view of
     * [[langIdNgram]] against the metadata label: one row per observed
@@ -210,18 +222,210 @@ object TextOps {
     * per-language recall). A multilingual pipeline reads this before
     * trusting predicted language for filtering or mixture weights.
     *
-    * Plan: the single-scan scorer (no per-doc sort), one hash aggregate
-    * to cells, one to per-meta totals (≤ #languages rows, broadcast
-    * back) — output is languages², independent of corpus size. */
-  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
-    val p = langIdNgramScored(spark, sfDir).select("lang_meta", "lang_pred")
-    val cells = p.groupBy("lang_meta", "lang_pred").agg(count(lit(1)).as("n_docs"))
-    val totals = p.groupBy("lang_meta").agg(count(lit(1)).as("meta_total"))
-    cells.join(broadcast(totals), "lang_meta")
+    * Plan: the session-cached single-scan scorer feeds ONE hash aggregate
+    * to cells; the per-meta totals are derived from the cells frame itself
+    * (a window over ≤ languages² rows), so the corpus is scanned once —
+    * output is languages², independent of corpus size. */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    confusionCells(langIdNgramScored(spark, sfDir))
+
+  /** (lang_meta, lang_pred) cells + exact milli-share of the meta row,
+    * from any scored frame carrying those two columns. */
+  private def confusionCells(scored: DataFrame): DataFrame = {
+    val cells = scored.groupBy("lang_meta", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+    val byMeta = org.apache.spark.sql.expressions.Window.partitionBy("lang_meta")
+    cells
+      .withColumn("meta_total", sum(col("n_docs")).over(byMeta))
       .select(col("lang_meta"), col("lang_pred"), col("n_docs"),
         expr("n_docs * 1000 div meta_total").as("share_milli"))
       .orderBy("lang_meta", "lang_pred")
   }
+
+  /** Learned lang-ID profile size (top-k discriminative trigrams kept per
+    * language) and eligibility gates: a trigram enters a language's
+    * profile only with ≥ [[LangProfileMinCount]] occurrences in that
+    * language's train slice AND a LIFT of ≥ [[LangProfileMinLiftMilli]]
+    * milli — lift = (the language's share of the trigram) / (the
+    * language's share of ALL trigrams), the PMI-style over-representation
+    * ratio. On a real multilingual corpus genuinely language-bound
+    * trigrams have lift ≈ 1/langShare (4000+ for a 25% language), far
+    * above the 1050 gate; an absolute-majority gate would instead hand
+    * every shared trigram to the most frequent language. Shared verbatim
+    * with the generated DuckDB replay. */
+  val LangProfileK = 16
+  val LangProfileMinCount = 3
+  val LangProfileMinLiftMilli = 1050
+
+  /** Corpus-LEARNED per-language trigram profiles — the upgrade from the
+    * 24 hardcoded [[TrigramProfiles]] trigrams (r8 VERDICT #4): on the
+    * deterministic train slice (doc_id % 10 < 8, the [[trainTestSplit]]
+    * convention) count every lowercase code-point trigram per metadata
+    * language, keep the over-represented ones (lift gate above), and take
+    * each language's top-[[LangProfileK]] by (count DESC, gram ASC).
+    * Unlike the hardcoded table this covers every language the corpus
+    * actually labels (the harness corpus includes `zh`, which the
+    * en/de/es/fr hardcoded profiles can never predict).
+    *
+    * HARNESS-CORPUS CAVEAT (measured, PERF.md r9): the synthetic
+    * documents draw one shared English-ish vocabulary for every `lang`
+    * label — the text carries no language signal, so NO classifier can
+    * beat chance on diagonal recall here and every trigram's true lift is
+    * ≈ 1000 ± noise. The mechanism (learning, replay, scoring) is what
+    * these rows verify; the gates are set so the pipeline stays
+    * non-degenerate on this corpus and selective on a real one.
+    *
+    * Output: (lang, rank, gram, gram_freq, lift_milli) — the learned
+    * profile table itself, the artifact [[langIdLearned]] scores with.
+    *
+    * Plan: one corpus scan + gram explode into a (lang, gram)-keyed
+    * partial+final aggregate (vocabulary-sized working set from there
+    * on); cross-language totals via a gram-partitioned window
+    * (high-cardinality key — scales), per-language and global totals via
+    * broadcast joins of ≤ #languages-row / 1-row aggregates (never a
+    * single-reducer window); a lang-partitioned top-k window over the
+    * eligible rows — the vocab_coverage shape; nothing after the first
+    * aggregate is corpus-sized. Lift arithmetic runs in DECIMAL(38,0) /
+    * HUGEINT so the milli-ratio is overflow-safe and cross-engine exact
+    * at any corpus size (the lmLikelihood convention). */
+  def langProfilesLearned(spark: SparkSession, sfDir: String): DataFrame =
+    langProfilesFrame(spark, sfDir).orderBy("lang", "rank")
+
+  private def langProfilesFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = expr(
+      """CASE WHEN length(t) < 3 THEN array()
+        |ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END"""
+        .stripMargin)
+    val cnt = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 < 8)
+      .withColumn("t", lower(col("text")))
+      .select(col("lang"), explode(grams).as("gram"))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("c"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val byLangTopK = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(col("c").desc, col("gram"))
+    val langTotals = cnt.groupBy("lang").agg(sum("c").as("cl"))
+    val allTotal = cnt.agg(sum("c").as("ca"))
+    cnt
+      .withColumn("ct", sum("c").over(byGram))
+      .join(broadcast(langTotals), "lang")
+      .crossJoin(broadcast(allTotal))
+      .withColumn("lift_milli", expr(
+        "cast((cast(c as decimal(38,0)) * ca * 1000) div (cast(ct as decimal(38,0)) * cl) as bigint)"))
+      .filter(col("c") >= LangProfileMinCount &&
+        col("lift_milli") >= LangProfileMinLiftMilli)
+      .withColumn("rank", row_number().over(byLangTopK).cast("long"))
+      .filter(col("rank") <= LangProfileK)
+      .select(col("lang"), col("rank"), col("gram"),
+        col("c").as("gram_freq"), col("lift_milli"))
+  }
+
+  /** Driver-side learned profiles — lang-sorted (lang, rank-ordered grams)
+    * pairs collected once per (session, sfDir): ≤ languages × K rows, the
+    * broadcast-constant shape the single-pass scorer consumes. */
+  private val langProfilesCache =
+    new graft.SessionValueCache[String, Seq[(String, Seq[String])]]
+
+  private def learnedProfiles(spark: SparkSession, sfDir: String)
+      : Seq[(String, Seq[String])] =
+    langProfilesCache.getOrElseUpdate(spark, sfDir) {
+      val rows = langProfilesFrame(spark, sfDir)
+        .select("lang", "rank", "gram").collect()
+      require(rows.nonEmpty, s"no learned lang profiles at $sfDir")
+      rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (lang, rs) =>
+        lang -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq
+      }
+    }
+
+  /** Language identification under the LEARNED profiles — the same
+    * single-pass native scorer as [[langIdNgram]]
+    * ([[graft.functions.TrigramProfileScores]]), but over
+    * [[langProfilesLearned]]'s corpus-derived trigrams instead of the 24
+    * hardcoded ones. Prediction = first language (lang ASC) whose score
+    * ties the maximum. Long-shape output (doc_id, lang_meta, lang_pred,
+    * best_score) so the schema is independent of which languages the
+    * corpus contains. */
+  def langIdLearned(spark: SparkSession, sfDir: String): DataFrame =
+    langLearnedScored(spark, sfDir).orderBy("doc_id")
+
+  private def langLearnedScored(spark: SparkSession, sfDir: String): DataFrame =
+    langScoredCache.getOrElseUpdate(spark, ("learned", sfDir)) {
+      val profiles = learnedProfiles(spark, sfDir)
+      val sc = graft.functions.TextProfileFunctions.trigramProfileScores(
+        lower(col("text")), profiles.map(_._2))
+      val scores = profiles.indices.map(i => col("sc").getItem(i))
+      // first language (lang ASC — profiles are lang-sorted) whose score
+      // ties the maximum: the same declaration-order CASE as langIdNgram
+      val pred =
+        if (profiles.size == 1) lit(profiles.head._1)
+        else {
+          val whens = profiles.indices.init.map { i =>
+            (profiles.indices.drop(i + 1)
+              .map(j => scores(i) >= scores(j)).reduce(_ && _), profiles(i)._1)
+          }
+          whens.tail.foldLeft(when(whens.head._1, whens.head._2)) {
+            case (acc, (c, l)) => acc.when(c, l)
+          }.otherwise(profiles.last._1)
+        }
+      val best =
+        if (scores.size == 1) scores.head else greatest(scores: _*)
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang").as("lang_meta"), sc.as("sc"))
+        .select(col("doc_id"), col("lang_meta"),
+          pred.as("lang_pred"), best.as("best_score"))
+    }
+
+  /** Confusion matrix of [[langIdLearned]] vs the metadata label — same
+    * cells/share shape as [[langConfusion]], sharing the session-cached
+    * learned-scorer frame. The r8 hardcoded-profile diagonal is the
+    * baseline this row should beat. */
+  def langConfusionLearned(spark: SparkSession, sfDir: String): DataFrame =
+    confusionCells(langLearnedScored(spark, sfDir))
+
+  /** Shared learning CTEs of the learned-lang-ID oracles: grams (per-doc
+    * occurrence rows), prof (the learned profile table) — constants only,
+    * nothing learned leaks in. */
+  private val LangLearnedCte: String =
+    s"""WITH t AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    unnest([substr(t, i, 3) FOR i IN range(1, greatest(len(t) - 2, 0) + 1)]) AS gram
+       |  FROM t
+       |), cnt AS (
+       |  SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM g WHERE doc_id % 10 < 8 GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT lang, gram, c,
+       |    CAST(CAST(c AS HUGEINT) * (SELECT SUM(c) FROM cnt) * 1000
+       |         // (CAST(SUM(c) OVER (PARTITION BY gram) AS HUGEINT)
+       |             * SUM(c) OVER (PARTITION BY lang)) AS BIGINT) AS lift_milli
+       |  FROM cnt
+       |), prof AS (
+       |  SELECT lang, gram, c, lift_milli,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS BIGINT) AS rank
+       |  FROM sc
+       |  WHERE c >= $LangProfileMinCount AND lift_milli >= $LangProfileMinLiftMilli
+       |  QUALIFY rank <= $LangProfileK
+       |)""".stripMargin
+
+  /** Scoring CTEs on top of [[LangLearnedCte]]: every (doc, profile-lang)
+    * score including zeros, then the (score DESC, lang ASC) argmax. */
+  private val LangLearnedPredCte: String =
+    s"""$LangLearnedCte, langs AS (SELECT DISTINCT lang FROM prof),
+       |dscore AS (
+       |  SELECT g.doc_id, p.lang AS plang, CAST(COUNT(*) AS BIGINT) AS score
+       |  FROM g JOIN prof p USING (gram) GROUP BY 1, 2
+       |), allsc AS (
+       |  SELECT d.doc_id, d.lang AS lang_meta, l.lang AS plang,
+       |    COALESCE(s.score, 0) AS score
+       |  FROM documents d CROSS JOIN langs l
+       |  LEFT JOIN dscore s ON s.doc_id = d.doc_id AND s.plang = l.lang
+       |), pred AS (
+       |  SELECT doc_id, lang_meta, plang AS lang_pred,
+       |    CAST(score AS BIGINT) AS best_score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+       |  FROM allsc
+       |)""".stripMargin
 
   /** BPE-ish token counting: word / number / other-symbol pieces via one
     * regex — the cheap stand-in for a real tokenizer's piece count. */
@@ -745,22 +949,23 @@ object TextOps {
       .orderBy("merge_rank")
   }
 
-  /** Trained-vocab cache: the final (word, freq, syms) frame after the
-    * merge rounds, shared by [[bpeLearn]] and [[bpeEncode]] so one
-    * session trains at most once per (sfDir, rounds); the driver-side
-    * merge list rides in a companion map filled by the same build. */
-  private val bpeWordsCache = new graft.SessionFrameCache[(String, Int)]
-  private val bpeMergesCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int), Seq[(Int, String, String, Long)]]
+  /** Trained-vocab cache: the learned merge list plus the final (word,
+    * freq, syms) frame after the merge rounds, as ONE cached value —
+    * shared by [[bpeLearn]]/[[bpeEncode]]/[[bpeFertility]] so one session
+    * trains at most once per (sfDir, rounds). [[graft.SessionValueCache]]
+    * evicts on application end and runs the multi-second training build
+    * under a per-key lock, never inside a ConcurrentHashMap bin lock
+    * (r8 ADVICE items 1–2). */
+  private val bpeCache = new graft.SessionValueCache[
+    (String, Int), (Seq[(Int, String, String, Long)], DataFrame)]
 
   /** The BPE training loop behind [[bpeLearn]]/[[bpeEncode]]: returns the
     * learned merge list and the PERSISTED final vocab frame (word, freq,
     * syms). Runs once per (session, sfDir, rounds) — the loop's cost
     * analysis lives on [[bpeLearn]]. */
   private def bpeTrain(spark: SparkSession, sfDir: String, rounds: Int)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val key = (sfDir, rounds)
-    val words = bpeWordsCache.getOrElseUpdateRaw(spark, key) {
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate(spark, (sfDir, rounds)) {
       val words0 = Tables.documents(spark, sfDir)
         .select(explode(tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
@@ -801,11 +1006,8 @@ object TextOps {
         }
       }
       if (w ne words0) words0.unpersist()
-      bpeMergesCache.put((spark, sfDir, rounds), merges.toSeq)
-      w
+      (merges.toSeq, w)
     }
-    (bpeMergesCache.get((spark, sfDir, rounds)), words)
-  }
 
   /** Apply the learned BPE merge table: re-tokenize the corpus under the
     * trained vocabulary and report, per document, the whitespace word
@@ -2442,6 +2644,23 @@ object TextOps {
          |FROM p JOIN m USING (lang_meta)
          |GROUP BY p.lang_meta, p.lang_pred, m.meta_total
          |ORDER BY lang_meta, lang_pred""".stripMargin,
+    "lang_profiles" ->
+      s"""$LangLearnedCte
+         |SELECT lang, rank, gram, c AS gram_freq, lift_milli
+         |FROM prof ORDER BY lang, rank""".stripMargin,
+    "lang_id_learned" ->
+      s"""$LangLearnedPredCte
+         |SELECT doc_id, lang_meta, lang_pred, best_score
+         |FROM pred WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "lang_confusion_learned" ->
+      s"""$LangLearnedPredCte, cells AS (
+         |  SELECT lang_meta, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM pred WHERE rn = 1 GROUP BY 1, 2
+         |)
+         |SELECT lang_meta, lang_pred, n_docs,
+         |  CAST(n_docs * 1000 // SUM(n_docs) OVER (PARTITION BY lang_meta) AS BIGINT)
+         |    AS share_milli
+         |FROM cells ORDER BY lang_meta, lang_pred""".stripMargin,
     "train_test_split" ->
       s"""SELECT doc_id,
          |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(text)), '$WsRunRe', ' ', 'g')), 1, 2) < '19'

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-profile character-trigram occurrence counts over a string, as ONE
+  * native codegen pass — the language-ID scorer.
+  *
+  * Why a native expression: the HOF formulation (`transform(sequence(...))`
+  * building the gram array, then one `size(filter(...))` per language)
+  * embeds the full gram-array computation into every score column AND every
+  * branch of the argmax CASE at construction time — ~14 interpreted
+  * evaluations of a text-sized array per document (measured 8.99 s vs
+  * 0.19 s at sf0.1 for the confusion-matrix consumer; the same
+  * interpreted-HOF re-inlining trap as [[WinnowFingerprint]], see PERF.md).
+  * Here the whole scorer is a single deterministic expression, so
+  * whole-stage codegen's subexpression elimination evaluates it once per
+  * row no matter how many columns consume it.
+  *
+  * Semantics (pinned for cross-engine replay — identical to the HOF form
+  * and to the DuckDB oracle's
+  * `len(list_filter(grams, g -> g IN (...)))`):
+  *  - grams are the code-point trigrams `substring(t, i, 3)` for
+  *    i in 1..len(t)-2 (len in code points); texts shorter than 3 code
+  *    points score 0 everywhere;
+  *  - counts include multiplicity (every matching position counts);
+  *  - a trigram present in several profiles counts toward each.
+  *
+  * Implementation: each trigram packs its 3 code points (≤ 21 bits each)
+  * into one long; matching is a binary search over the sorted packed keys
+  * with a per-key profile bitmask — O(len · log |profiles·k|) per row, no
+  * allocation beyond the output array.
+  */
+case class TrigramProfileScores(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(profiles.nonEmpty && profiles.size <= 64,
+    s"1..64 profiles supported, got ${profiles.size}")
+  profiles.flatten.foreach { t =>
+    require(t.codePointCount(0, t.length) == 3,
+      s"profile trigram must be exactly 3 code points: '$t'")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "trigram_profile_scores"
+
+  @transient private lazy val tables: (Array[Long], Array[Long]) =
+    TrigramProfileScores.buildTables(profiles)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TrigramProfileScores.score(
+      input.asInstanceOf[UTF8String], tables._1, tables._2, profiles.size))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val keysRef = ctx.addReferenceObj("tpsKeys", tables._1, "long[]")
+      val masksRef = ctx.addReferenceObj("tpsMasks", tables._2, "long[]")
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TrigramProfileScores.score(
+         |    $c, $keysRef, $masksRef, ${profiles.size}));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramProfileScores =
+    copy(child = newChild)
+}
+
+object TrigramProfileScores {
+
+  private def pack(c0: Int, c1: Int, c2: Int): Long =
+    (c0.toLong << 42) | (c1.toLong << 21) | c2.toLong
+
+  /** Sorted packed trigram keys + parallel per-key profile bitmasks. */
+  private[functions] def buildTables(profiles: Seq[Seq[String]])
+      : (Array[Long], Array[Long]) = {
+    val byKey = scala.collection.mutable.LongMap.empty[Long]
+    profiles.zipWithIndex.foreach { case (tris, p) =>
+      tris.foreach { t =>
+        val c0 = t.codePointAt(0)
+        val i1 = t.offsetByCodePoints(0, 1)
+        val c1 = t.codePointAt(i1)
+        val c2 = t.codePointAt(t.offsetByCodePoints(i1, 1))
+        val k = pack(c0, c1, c2)
+        byKey.update(k, byKey.getOrElse(k, 0L) | (1L << p))
+      }
+    }
+    val keys = byKey.keys.toArray.sorted
+    (keys, keys.map(byKey))
+  }
+
+  /** One pass over the string's code points with a rolling 3-gram window.
+    * Public because the generated code calls it. */
+  def score(s: UTF8String, keys: Array[Long], masks: Array[Long],
+      nProfiles: Int): Array[Long] = {
+    val counts = new Array[Long](nProfiles)
+    val str = s.toString
+    var i = 0
+    var p2 = -1 // code point two back
+    var p1 = -1 // previous code point
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (p2 >= 0) {
+        val idx = java.util.Arrays.binarySearch(
+          keys, (p2.toLong << 42) | (p1.toLong << 21) | cp.toLong)
+        if (idx >= 0) {
+          var m = masks(idx)
+          while (m != 0L) {
+            counts(java.lang.Long.numberOfTrailingZeros(m)) += 1L
+            m &= m - 1L
+          }
+        }
+      }
+      p2 = p1
+      p1 = cp
+    }
+    counts
+  }
+}
+
+object TextProfileFunctions {
+  /** Per-profile trigram occurrence counts (array<long>, one element per
+    * profile) over a string column — see [[TrigramProfileScores]]. */
+  def trigramProfileScores(text: Column, profiles: Seq[Seq[String]]): Column =
+    GraftBridge.column(TrigramProfileScores(
+      GraftBridge.expression(text.cast("string")), profiles))
+}

@@ -463,4 +463,27 @@ class PlanAuditSpec extends SparkSpec {
         s"no salted exchange — corpus funnels into nQueries reducers:\n$p")
     }
   }
+
+  test("lang-ID scores in ONE native pass — no re-inlined gram HOFs (r8 weak row)") {
+    // the r8 defect: CollapseProject re-inlined the interpreted gram
+    // transform(...) ~14x across the score columns and the argmax CASE
+    // (6.5-9.0 s vs 0.11 s for the sibling sharing the scorer). The fix is
+    // pinned structurally: every lang plan scores via the codegen
+    // trigram_profile_scores expression, and no gram-building HOF survives
+    // anywhere in the lang plans.
+    for (df <- Seq(graft.ext.TextOps.langIdNgram(spark, sfDir),
+                   graft.ext.TextOps.langConfusion(spark, sfDir),
+                   graft.ext.TextOps.langIdLearned(spark, sfDir),
+                   graft.ext.TextOps.langConfusionLearned(spark, sfDir))) {
+      val p = plan(df)
+      assert(p.contains("trigram_profile_scores"),
+        s"native scorer missing from plan:\n$p")
+      assert(!p.contains("transform(sequence"),
+        s"re-inlined gram HOF present:\n$p")
+      // the scorer must appear in exactly one projection of the (cached)
+      // scan plan — re-inlining would multiply it across consumers
+      val n = "trigram_profile_scores".r.findAllIn(p).length
+      assert(n <= 2, s"scorer appears $n times — re-inlined:\n$p")
+    }
+  }
 }

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[TrigramProfileScores]] — the single-pass native lang-ID scorer —
+  * pinned against the HOF formulation it replaced (the semantics the
+  * DuckDB oracle replays) and against hand-computed edge cases. */
+class TextProfileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val profiles = Seq(
+    Seq(" th", "the", "he ", " an", "nd ", "ing"),
+    Seq("der", "ie ", "und", "ch ", "ein", "sch"),
+    Seq("aaa"), // lhs==rhs-style overlap: multiplicity counting
+    Seq("the", "und")) // shared trigrams count toward every profile
+
+  test("matches the HOF reference (size(filter(grams, in set))) exactly") {
+    val texts = Seq(
+      "the quick brown fox and the lazy dog jumping",
+      "der hund und die katze in der schule",
+      "aaaaaa", // 4 overlapping 'aaa' positions
+      "ab", // shorter than a trigram: all zeros
+      "", // empty
+      "the und the und", // cross-profile shared grams
+      "naïve café über schön") // non-ASCII BMP code points
+    val df = texts.toDF("text")
+      .withColumn("sc", TextProfileFunctions.trigramProfileScores(
+        lower(col("text")), profiles))
+    val grams = expr(
+      """CASE WHEN length(t) < 3 THEN array()
+        |ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END"""
+        .stripMargin)
+    val ref = texts.toDF("text").withColumn("t", lower(col("text")))
+      .select(profiles.zipWithIndex.map { case (tris, i) =>
+        size(filter(grams, g => g.isInCollection(tris))).cast("long").as(s"r$i")
+      }: _*)
+    val got = df.select(profiles.indices.map(i => col("sc").getItem(i)): _*)
+      .collect().map(_.toSeq)
+    val want = ref.collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("hand-computed counts: multiplicity, overlap, cross-profile shares") {
+    val Seq(r) = Seq("aaaa the theory und")
+      .toDF("text")
+      .select(TextProfileFunctions.trigramProfileScores(col("text"), profiles))
+      .collect().toSeq
+    val sc = r.getSeq[Long](0)
+    // 'aaaa' -> positions 1,2 of 'aaa'; ' th' x2, 'the' x2, 'he ' x1 + 'heo'(no)
+    assert(sc(0) == 5L, sc) // " th"x2 + "the"x2 + "he "x1
+    assert(sc(1) == 1L, sc) // "und"
+    assert(sc(2) == 2L, sc) // "aaa" twice (overlapping)
+    assert(sc(3) == 3L, sc) // "the"x2 + "und"x1 counted again for profile 4
+  }
+
+  test("supplementary (non-BMP) code points count as single characters") {
+    // U+1F600 takes two UTF-16 units but is ONE code point — gram windows
+    // must advance by code point exactly like substring(t, i, 3)
+    val text = "a😀b😀ab"
+    val p = Seq(Seq("a😀b"))
+    val got = Seq(text).toDF("text")
+      .select(TextProfileFunctions.trigramProfileScores(col("text"), p))
+      .head().getSeq[Long](0)
+    val want = Seq(text).toDF("text").withColumn("t", col("text"))
+      .select(size(filter(
+        expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"),
+        g => g.isInCollection(p.head))).cast("long"))
+      .head().getLong(0)
+    assert(got == Seq(want) && want == 1L)
+  }
+
+  test("rejects profiles with non-trigram entries") {
+    intercept[IllegalArgumentException] {
+      TextProfileFunctions.trigramProfileScores(col("text"), Seq(Seq("ab")))
+    }
+  }
+}
