@@ -95,7 +95,7 @@ object StreamBench {
     val dedupSecs = (System.nanoTime() - t1) / 1e9
     val dedupRate = docs.length / dedupSecs
 
-    val kept = spark.read.parquet(s"$dedupOut/kept").count()
+    val kept = StreamingOps.committedKept(spark, s"$dedupOut/kept").count()
 
     // ---- hyperplane-LSH embedding ingest-dedup stream over embeddings --
     val vecs = Tables.embeddings(spark, sfDir)
@@ -116,7 +116,7 @@ object StreamBench {
     } finally embQ.stop()
     val embSecs = (System.nanoTime() - t2) / 1e9
     val embRate = vecs.length / embSecs
-    val embKept = spark.read.parquet(s"$embOut/kept").count()
+    val embKept = StreamingOps.committedKept(spark, s"$embOut/kept").count()
 
     val line =
       s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept}"""

@@ -114,18 +114,20 @@ object StreamingOps {
       duplicatesFileRows = duplicates.sum)
   }
 
-  /** Committed-batch bookkeeping for the EXACTLY-ONCE taxi stream sink:
-    * every per-batch write lands in a `batch_id=<b>` subdirectory
-    * (idempotently overwritten on checkpoint replay), and a batch becomes
-    * visible only when its marker file exists under
-    * `<insertedPath>/_commits/` (written LAST, atomically via tmp +
-    * rename; the underscore prefix hides the directory from parquet
-    * readers). The marker carries the batch's five counter deltas, so a
-    * restart reconstructs exact counters from the commit log alone. */
-  private[streaming] final class TaxiCommitLog(
-      spark: org.apache.spark.sql.SparkSession, insertedPath: String) {
+  /** Committed-batch bookkeeping for the EXACTLY-ONCE stream sinks (the
+    * taxi ETL sink and both ingest-dedup streams): every per-batch write
+    * lands in a `batch_id=<b>` subdirectory (idempotently overwritten on
+    * checkpoint replay), and a batch becomes visible only when its marker
+    * file exists under `<rootPath>/_commits/` (written LAST, atomically
+    * via tmp + rename; the underscore prefix hides the directory from
+    * parquet readers). The marker carries the batch's counter deltas
+    * (five ETL counters for the taxi sink, the kept count for the ingest
+    * streams), so a restart reconstructs exact counters from the commit
+    * log alone. */
+  private[streaming] final class CommitLog(
+      spark: org.apache.spark.sql.SparkSession, rootPath: String) {
     import org.apache.hadoop.fs.Path
-    private val dir = new Path(s"$insertedPath/_commits")
+    private val dir = new Path(s"$rootPath/_commits")
     private val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     /** (batchId → counter deltas) of every committed batch. */
@@ -158,7 +160,7 @@ object StreamingOps {
     * this view excludes it). */
   def committedTrips(spark: org.apache.spark.sql.SparkSession,
       insertedPath: String): DataFrame = {
-    val ids = new TaxiCommitLog(spark, insertedPath).committed().keys.toSeq
+    val ids = new CommitLog(spark, insertedPath).committed().keys.toSeq
     if (ids.isEmpty)
       spark.emptyDataFrame
     else
@@ -187,7 +189,7 @@ object StreamingOps {
     *    state, and the duplicates side-state), so re-running a batch
     *    replaces its own debris instead of appending twice;
     *  - readers are COMMIT-FILTERED: the seen-keys state joins only
-    *    batches with a published marker ([[TaxiCommitLog]]), so a crash
+    *    batches with a published marker ([[CommitLog]]), so a crash
     *    after the state write but before the marker cannot reclassify the
     *    replayed batch as duplicates — the half-written state is invisible;
     *  - the duplicates CSV is not appended but REBUILT deterministically
@@ -234,7 +236,7 @@ object StreamingOps {
     var committedIds: Set[Long] = null
     (batchIn: DataFrame, batchId: Long) => {
       val spark = batchIn.sparkSession
-      val log = new TaxiCommitLog(spark, insertedPath)
+      val log = new CommitLog(spark, insertedPath)
       if (committedIds == null) {
         val cm = log.committed()
         cm.values.foreach { d =>
@@ -446,69 +448,71 @@ object StreamingOps {
     * streaming operator expresses. */
   private[streaming] final class KeyedStreamState(
       spark: org.apache.spark.sql.SparkSession, statePath: String,
-      tables: Seq[String]) {
+      tables: Seq[String], committedIds: Set[Long]) {
     import org.apache.spark.sql.{GraftBridge, SaveMode}
     private val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private var incs: Map[String, Vector[DataFrame]] =
       tables.map(_ -> Vector.empty[DataFrame]).toMap
     private var sinceCompact = 0
-    // restart bootstrap: one changelog read per table, then memory-only.
-    // append() writes the per-table changelogs sequentially with no
-    // commit marker, so a crash between the first and last table write
-    // of the FIRST-ever batch can leave a subset of directories — a torn
-    // changelog. Bootstrapping from it would pair bands with missing
-    // shingles (or vice versa); instead require ALL tables present, and
-    // on partial presence move the torn directories aside (preserved for
-    // inspection, never silently mixed into a future bootstrap) and
-    // start empty, loudly. For batches after the first, a torn append is
-    // benign-in-kind but not in content: parquet part-files from the
-    // interrupted batch appear in some tables only — the documented
-    // at-least-once caveat (a production deployment swaps this changelog
-    // for a transactional state store; this class mirrors its WAL +
-    // snapshot recovery shape, not its atomicity).
+    // restart bootstrap: one changelog read per table, COMMIT-FILTERED —
+    // only `batch_id=<b>` directories whose batch has a published marker
+    // in the caller's CommitLog enter the state (r8's torn-changelog
+    // quarantine is gone because torn states are now unrepresentable:
+    // a crash between table writes leaves uncommitted debris directories
+    // that the filter never reads and the replayed batch overwrites).
+    // A batch with nothing to add wrote no directory — absence is data.
     locally {
-      def p(t: String) = new org.apache.hadoop.fs.Path(s"$statePath/$t")
-      val present = tables.filter(t => fs.exists(p(t)))
-      if (present.size == tables.size) {
-        incs = tables.map(t =>
-          t -> Vector(spark.read.parquet(s"$statePath/$t").localCheckpoint())).toMap
-      } else if (present.nonEmpty) {
-        val tornDir = s"$statePath/_torn_${System.currentTimeMillis()}"
-        fs.mkdirs(new org.apache.hadoop.fs.Path(tornDir))
-        present.foreach(t =>
-          fs.rename(p(t), new org.apache.hadoop.fs.Path(s"$tornDir/$t")))
-        System.err.println(s"[keyed-stream-state] TORN CHANGELOG at " +
-          s"$statePath: found ${present.mkString(",")} but not " +
-          s"${tables.diff(present).mkString(",")} — moved to $tornDir, " +
-          "starting from empty state (previously kept docs may be " +
-          "re-admitted)")
+      val dirs = tables.map { t =>
+        t -> committedIds.toSeq.sorted
+          .map(b => s"$statePath/$t/batch_id=$b")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
       }
+      incs = dirs.map { case (t, ps) =>
+        t -> (if (ps.isEmpty) Vector.empty[DataFrame]
+              else Vector(spark.read.parquet(ps: _*).localCheckpoint()))
+      }.toMap
     }
 
+    // head-table emptiness stands for the whole state: every table's rows
+    // derive from the same kept, shingled/banded documents, so the tables
+    // are empty or non-empty together (asserted by append)
     def isEmpty: Boolean = incs(tables.head).isEmpty
     /** Union of checkpoint scans — block reads, no recompute. */
     def table(name: String): DataFrame = incs(name).reduce(_ unionAll _)
 
-    /** Checkpoint the increments (one materialization), then append the
-      * SAME materialized blocks to the changelog — the plan is never run
-      * twice. At-least-once caveat as before: changelog + kept sink are
-      * not one transaction. */
-    def append(updates: Map[String, DataFrame]): Unit = {
+    /** Checkpoint the increments (one materialization), then OVERWRITE
+      * this batch's changelog directories with the SAME materialized
+      * blocks — the plan is never run twice, and a checkpoint-replay of
+      * the batch replaces its own debris instead of appending twice.
+      * Empty increments write no directory (an empty parquet write has no
+      * schema to read back) and add no in-memory increment. The caller
+      * publishes the commit marker AFTER this returns — until then the
+      * written directories are invisible to any restart. */
+    def append(batchId: Long, updates: Map[String, DataFrame]): Unit = {
       require(updates.keySet == tables.toSet,
         s"append must cover ${tables.mkString(",")}, got ${updates.keys.mkString(",")}")
       val cps = updates.map { case (t, df) => t -> df.localCheckpoint() }
-      cps.foreach { case (t, df) =>
-        df.write.mode(SaveMode.Append).parquet(s"$statePath/$t")
+      val (nonEmpty, empty) = cps.partition { case (_, df) => !df.isEmpty }
+      require(nonEmpty.isEmpty || nonEmpty.size == tables.size,
+        s"state tables diverged on emptiness: kept ${nonEmpty.keys.mkString(",")}")
+      empty.values.foreach(GraftBridge.unpersistLocalCheckpoint(_))
+      nonEmpty.foreach { case (t, df) =>
+        df.write.mode(SaveMode.Overwrite)
+          .parquet(s"$statePath/$t/batch_id=$batchId")
       }
-      incs = incs.map { case (t, v) => t -> (v :+ cps(t)) }
+      incs = incs.map { case (t, v) =>
+        t -> nonEmpty.get(t).fold(v)(v :+ _)
+      }
       sinceCompact += 1
       if (sinceCompact >= KeyedStreamState.CompactEvery) compact()
     }
 
     private def compact(): Unit = {
       val olds = incs.values.flatten.toSeq
-      incs = incs.map { case (t, _) => t -> Vector(table(t).localCheckpoint()) }
+      incs = incs.map { case (t, v) =>
+        t -> (if (v.isEmpty) v else Vector(table(t).localCheckpoint()))
+      }
       sinceCompact = 0
       olds.foreach(GraftBridge.unpersistLocalCheckpoint(_))
     }
@@ -547,45 +551,99 @@ object StreamingOps {
     * text) to the kept sink and their shingles + bands to the state.
     *
     * @param docs streaming frame with (doc_id, text)
-    * @return the started query; kept docs land in `keptPath` parquet */
+    * @return the started query; kept docs land in per-batch directories
+    *         under `keptPath` — read them through [[committedKept]] */
   def runMinhashDedupStream(
       docs: DataFrame,
       statePath: String,
       keptPath: String,
       checkpointDir: String,
       threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery = {
-    var state: KeyedStreamState = null
+    val proc = new MinhashDedupProcessor(statePath, keptPath, threshold)
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (state == null)
-          state = new KeyedStreamState(batch.sparkSession, statePath,
-            Seq("bands", "shingles"))
-        if (!batch.isEmpty) minhashDedupBatch(batch, state, keptPath, threshold)
-      }
+      .foreachBatch(proc.apply _)
       .start()
-    // release the state blocks when THIS query terminates — a session
-    // that stops/restarts the stream (redeploy loop, the restart test)
-    // would otherwise strand the full band+shingle state per stopped
-    // instance until JVM exit (each restart bootstraps a fresh store)
-    val spark = docs.sparkSession
+    closeOnTermination(docs.sparkSession, query, () => proc.close())
+    query
+  }
+
+  /** Release a processor's state blocks when its query terminates — a
+    * session that stops/restarts the stream (redeploy loop, the restart
+    * tests) would otherwise strand the full keyed state per stopped
+    * instance until JVM exit (each restart bootstraps a fresh store). */
+  private def closeOnTermination(
+      spark: org.apache.spark.sql.SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      close: () => Unit): Unit = {
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
-          if (state != null) state.close()
+          close()
           spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)
-    query
+  }
+
+  /** The kept-documents/vectors table of an ingest-dedup stream restricted
+    * to COMMITTED batches — the exactly-once read view (the sibling of
+    * [[committedTrips]]). Batches that kept nothing wrote no directory, so
+    * the view reads exactly the committed `batch_id=` directories that
+    * exist. */
+  def committedKept(spark: org.apache.spark.sql.SparkSession,
+      keptPath: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(keptPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = new CommitLog(spark, keptPath).committed().keys.toSeq.sorted
+      .map(b => s"$keptPath/batch_id=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** The foreachBatch half of [[runMinhashDedupStream]], with the same
+    * EXACTLY-ONCE commit protocol as the taxi sink
+    * ([[taxiStreamBatchProcessor]], closing the r8 verdict's #2 ask):
+    * kept docs land in an idempotently-overwritten `batch_id=<b>`
+    * directory, the band/shingle state changelog is batch_id-versioned
+    * through [[KeyedStreamState.append]], and the batch becomes visible
+    * only when its [[CommitLog]] marker (carrying the kept count)
+    * publishes LAST. A replayed batch with a marker is a complete no-op;
+    * a crash at any earlier boundary leaves only invisible debris that
+    * the replay overwrites — so the kept set and the state are identical
+    * to an uncrashed run (crash-replay spec, every boundary).
+    *
+    * `faultPoint` is test instrumentation, as on the taxi processor. */
+  private[streaming] final class MinhashDedupProcessor(
+      statePath: String, keptPath: String, threshold: Double,
+      faultPoint: String => Unit = _ => ()) {
+    private var state: KeyedStreamState = null
+    private var committedIds: Set[Long] = null
+    private var log: CommitLog = null
+    def close(): Unit = if (state != null) state.close()
+    def apply(batch: DataFrame, batchId: Long): Unit = {
+      if (log == null) {
+        log = new CommitLog(batch.sparkSession, keptPath)
+        committedIds = log.committed().keySet
+        state = new KeyedStreamState(batch.sparkSession, statePath,
+          Seq("bands", "shingles"), committedIds)
+      }
+      if (!committedIds.contains(batchId) && !batch.isEmpty) {
+        minhashDedupBatch(batch, batchId, state, keptPath, threshold,
+          log, faultPoint)
+        committedIds += batchId
+      }
+    }
   }
 
   private[streaming] def minhashDedupBatch(
-      batch: DataFrame, state: KeyedStreamState, keptPath: String,
-      threshold: Double): Unit = {
+      batch: DataFrame, batchId: Long, state: KeyedStreamState,
+      keptPath: String, threshold: Double, log: CommitLog,
+      faultPoint: String => Unit): Unit = {
     import graft.ext.DedupOps
     val sh = DedupOps.shingleFrame(batch.select(col("doc_id"), col("text"))).persist()
     // bands persist too: the 128-perm signature pass is the dominant cost
@@ -668,12 +726,24 @@ object StreamingOps {
       keptIds = fresh.select(col("doc_id"))
         .join(losers, Seq("doc_id"), "left_anti")
         .localCheckpoint()
-      val kept = batch.select(col("doc_id"), col("text"))
-        .join(keptIds, Seq("doc_id"), "left_semi")
-      kept.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(keptPath)
-      state.append(Map(
+      // exactly-once write order: kept (per-batch dir, overwrite) → state
+      // changelog (per-batch dirs, overwrite) → marker (atomic, LAST).
+      // A batch that keeps nothing writes no kept directory — absence is
+      // deterministic, so replay converges on it too.
+      val nKept = keptIds.count()
+      if (nKept > 0) {
+        batch.select(col("doc_id"), col("text"))
+          .join(keptIds, Seq("doc_id"), "left_semi")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$keptPath/batch_id=$batchId")
+      }
+      faultPoint("after-kept")
+      state.append(batchId, Map(
         "bands" -> bands.join(keptIds, Seq("doc_id"), "left_semi"),
         "shingles" -> sh.join(keptIds, Seq("doc_id"), "left_semi")))
+      faultPoint("after-state")
+      log.commit(batchId, Array(nKept))
+      faultPoint("after-marker")
     } finally {
       sh.unpersist()
       bands.unpersist()
@@ -705,7 +775,8 @@ object StreamingOps {
     * family's subSaltHotKeys.
     *
     * @param vectors streaming frame with (vec_id, embedding)
-    * @return the started query; kept vectors land in `keptPath` */
+    * @return the started query; kept vectors land in per-batch
+    *         directories under `keptPath` — read via [[committedKept]] */
   def runEmbDedupStream(
       vectors: DataFrame,
       statePath: String,
@@ -715,44 +786,54 @@ object StreamingOps {
       bands: Int = 32,
       rowsPerBand: Int = 8,
       seed: Long = 42L): org.apache.spark.sql.streaming.StreamingQuery = {
-    var state: KeyedStreamState = null
-    var hps: Array[Array[Double]] = null
+    val proc = new EmbDedupProcessor(
+      statePath, keptPath, threshold, bands, rowsPerBand, seed)
     val query = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (state == null)
-          state = new KeyedStreamState(batch.sparkSession, statePath,
-            Seq("bands", "units"))
-        if (!batch.isEmpty) {
-          if (hps == null) {
-            // dimension probe — one O(1) driver action on the first batch
-            val dim = batch.select(size(col("embedding"))).head().getInt(0)
-            hps = graft.ext.SimilarityOps.hyperplaneMatrix(
-              dim, bands, rowsPerBand, seed)
-          }
-          embDedupBatch(batch, state, keptPath, threshold, hps, bands, rowsPerBand)
-        }
-      }
+      .foreachBatch(proc.apply _)
       .start()
-    val spark = vectors.sparkSession
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          if (state != null) state.close()
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(listener)
+    closeOnTermination(vectors.sparkSession, query, () => proc.close())
     query
   }
 
+  /** The foreachBatch half of [[runEmbDedupStream]] — the same
+    * exactly-once commit protocol as [[MinhashDedupProcessor]] (per-batch
+    * overwrites, marker last, committed-filtered bootstrap). */
+  private[streaming] final class EmbDedupProcessor(
+      statePath: String, keptPath: String, threshold: Double,
+      bands: Int, rowsPerBand: Int, seed: Long,
+      faultPoint: String => Unit = _ => ()) {
+    private var state: KeyedStreamState = null
+    private var committedIds: Set[Long] = null
+    private var log: CommitLog = null
+    private var hps: Array[Array[Double]] = null
+    def close(): Unit = if (state != null) state.close()
+    def apply(batch: DataFrame, batchId: Long): Unit = {
+      if (log == null) {
+        log = new CommitLog(batch.sparkSession, keptPath)
+        committedIds = log.committed().keySet
+        state = new KeyedStreamState(batch.sparkSession, statePath,
+          Seq("bands", "units"), committedIds)
+      }
+      if (!committedIds.contains(batchId) && !batch.isEmpty) {
+        if (hps == null) {
+          // dimension probe — one O(1) driver action on the first batch
+          val dim = batch.select(size(col("embedding"))).head().getInt(0)
+          hps = graft.ext.SimilarityOps.hyperplaneMatrix(
+            dim, bands, rowsPerBand, seed)
+        }
+        embDedupBatch(batch, batchId, state, keptPath, threshold,
+          hps, bands, rowsPerBand, log, faultPoint)
+        committedIds += batchId
+      }
+    }
+  }
+
   private[streaming] def embDedupBatch(
-      batch: DataFrame, state: KeyedStreamState, keptPath: String,
-      threshold: Double, hps: Array[Array[Double]],
-      bands: Int, rowsPerBand: Int): Unit = {
+      batch: DataFrame, batchId: Long, state: KeyedStreamState,
+      keptPath: String, threshold: Double, hps: Array[Array[Double]],
+      bands: Int, rowsPerBand: Int, log: CommitLog,
+      faultPoint: String => Unit): Unit = {
     import graft.ext.{DedupOps, SimilarityOps}
     // localCheckpoint, NOT persist: the banding projection is a large
     // expression tree (bands × rowsPerBand hyperplane dots over the
@@ -869,11 +950,21 @@ object StreamingOps {
       def keptOnly(df: DataFrame): DataFrame =
         if (keptIds == null) df
         else df.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
-      keptOnly(batch.select(col("vec_id"), col("embedding")))
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(keptPath)
-      state.append(Map(
+      // exactly-once write order: kept → state changelog → marker (LAST);
+      // all per-batch-directory overwrites, as in minhashDedupBatch
+      val nKept = if (keptIds == null) nBatch else keptIds.count()
+      if (nKept > 0) {
+        keptOnly(batch.select(col("vec_id"), col("embedding")))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$keptPath/batch_id=$batchId")
+      }
+      faultPoint("after-kept")
+      state.append(batchId, Map(
         "bands" -> keptOnly(banded),
         "units" -> keptOnly(units.select(col("vec_id"), col("unit")))))
+      faultPoint("after-state")
+      log.commit(batchId, Array(nKept))
+      faultPoint("after-marker")
     } finally {
       org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(units)
       org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(banded)

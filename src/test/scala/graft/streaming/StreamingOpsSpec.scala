@@ -297,7 +297,7 @@ class StreamingOpsSpec extends SparkSpec {
       // batch 2: 3 is a near-dup of KEPT doc 1 (cross-batch state), 4 is novel
       input.addData((3L, near), (4L, other))
       q.processAllAvailable()
-      val kept = spark.read.parquet(s"$out/kept")
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == Set(1L, 4L))
     } finally q.stop()
@@ -324,7 +324,7 @@ class StreamingOpsSpec extends SparkSpec {
       // 3 is orthogonal — novel
       input.addData((3L, v3), (4L, v4))
       q.processAllAvailable()
-      val kept = spark.read.parquet(s"$out/kept")
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
         .select("vec_id").collect().map(_.getLong(0)).toSet
       assert(kept == Set(1L, 3L))
     } finally q.stop()
