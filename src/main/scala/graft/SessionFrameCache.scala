@@ -16,11 +16,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * that launches Spark jobs (seconds) blocks only same-key callers — not
   * every key hashing to the same ConcurrentHashMap bin, and never
   * re-entrantly inside computeIfAbsent (which would throw
-  * IllegalStateException). A build that THROWS is retried on the next
-  * access (lazy val failed-initialization semantics). */
+  * IllegalStateException).
+  *
+  * Each holder evaluates its build EXACTLY ONCE, memoizing the outcome as
+  * a Try: a failed build unpins the holder from the map (so the next
+  * access builds fresh, map-visible to everyone) and rethrows to every
+  * thread blocked on it. A bare `lazy val value: V` would instead RETRY
+  * the build inside the already-removed holder for a thread that was
+  * blocked during the failure — a successful retry there would return a
+  * value (e.g. a persisted DataFrame) no longer in the map, which a later
+  * caller would rebuild and double-persist with no unpersist path. */
 final class SessionValueCache[K, V] {
 
-  private final class Holder(build: () => V) { lazy val value: V = build() }
+  private final class Holder(build: () => V) {
+    lazy val result: scala.util.Try[V] = scala.util.Try(build())
+  }
 
   private val map = new ConcurrentHashMap[(SparkSession, K), Holder]()
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
@@ -34,12 +44,12 @@ final class SessionValueCache[K, V] {
       h = map.putIfAbsent(k, fresh)
       if (h == null) h = fresh
     }
-    try h.value
-    catch {
-      case e: Throwable =>
-        // do not pin a permanently-failing holder: lazy val would retry,
-        // but a throwing build under a STALE key (e.g. a layout check)
-        // must not shadow a later successful one after the cause is fixed
+    h.result match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(e) =>
+        // do not pin a permanently-failing holder: a throwing build under
+        // a STALE key (e.g. a layout check) must not shadow a later
+        // successful one after the cause is fixed
         map.remove(k, h)
         throw e
     }

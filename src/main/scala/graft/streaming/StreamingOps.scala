@@ -153,6 +153,58 @@ object StreamingOps {
     }
   }
 
+  /** Epoch scoping for committed-batch ids — the fix for the r9-judged
+    * batch-id collision: Spark's micro-batch ids are owned by the
+    * CHECKPOINT (they restart at 0 under a fresh or wiped checkpoint
+    * dir), while the commit log lives with the OUTPUT. A bare-batch-id
+    * log therefore treats a restarted stream's batch 0 as already
+    * committed and SILENTLY SKIPS it. Every committed id is instead
+    * `pack(epoch, batchId)`: the epoch is stable per checkpoint dir
+    * (persisted in `<checkpoint>/_graft_epoch`, so a checkpoint RESTART
+    * replays under the same epoch and the idempotent-replay protocol is
+    * untouched) and strictly greater than every epoch already in the
+    * commit log when the checkpoint is new — so a restart that lost or
+    * relocated its checkpoint processes its batches under fresh ids and
+    * can never collide with committed ones. Packed ids keep every
+    * existing shape: `batch_id=<packed>` data directories, Long marker
+    * names, and numeric ordering = (epoch, batch) = global commit order
+    * (which the duplicates-CSV rebuild sorts by). */
+  private[streaming] object CommitLog {
+    /** Low bits carrying the micro-batch id (~10^12 batches per epoch);
+      * the high 23 bits carry the epoch (~8M stream restarts). */
+    val BatchBits = 40
+    def pack(epoch: Long, batchId: Long): Long = {
+      require(batchId >= 0 && batchId < (1L << BatchBits),
+        s"micro-batch id $batchId out of packable range")
+      (epoch << BatchBits) | batchId
+    }
+
+    /** Resolve the epoch for a stream start: read
+      * `<checkpointDir>/_graft_epoch` if the checkpoint has one (restart),
+      * else claim max-committed-epoch + 1 from the output's commit log and
+      * persist it in the checkpoint. A crash between claiming and the
+      * first commit re-resolves to the same epoch (nothing was committed
+      * under it), so the claim itself needs no atomicity. */
+    def resolveEpoch(spark: org.apache.spark.sql.SparkSession,
+        checkpointDir: String, commitRoot: String): Long = {
+      import org.apache.hadoop.fs.Path
+      val p = new Path(s"$checkpointDir/_graft_epoch")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      } else {
+        val committed = new CommitLog(spark, commitRoot).committed().keySet
+        val epoch = (committed.map(_ >>> BatchBits) + 0L).max + 1
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, true)
+        try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+        epoch
+      }
+    }
+  }
+
   /** The inserted-trips table restricted to COMMITTED batches — the
     * exactly-once read view over the per-batch directories (an
     * uncommitted `batch_id=` directory can exist only as debris of a
@@ -161,12 +213,29 @@ object StreamingOps {
   def committedTrips(spark: org.apache.spark.sql.SparkSession,
       insertedPath: String): DataFrame = {
     val ids = new CommitLog(spark, insertedPath).committed().keys.toSeq
-    if (ids.isEmpty)
-      spark.emptyDataFrame
-    else
+    if (ids.isEmpty) {
+      // zero-committed is a legitimate state: give downstream selects the
+      // sink's schema (readable from any batch directory — even
+      // uncommitted debris has the right columns) instead of the
+      // schema-less emptyDataFrame, which would throw on .select
+      val dirs = batchDirs(spark, insertedPath)
+      if (dirs.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(dirs.head).limit(0)
+    } else
       spark.read.parquet(insertedPath)
         .filter(col("batch_id").isin(ids: _*))
         .drop("batch_id")
+  }
+
+  /** `batch_id=` directories under a sink root (committed or not). */
+  private def batchDirs(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.toString).toSeq
   }
 
   /** The foreachBatch half of full stream/batch parity: every micro-batch
@@ -215,6 +284,12 @@ object StreamingOps {
     * log to a low-watermark + tail (the usual checkpoint compaction),
     * which only changes marker storage, not the protocol.
     *
+    * `epoch` scopes this stream start's committed-batch ids
+    * ([[CommitLog.pack]]) so a fresh-checkpoint restart over an existing
+    * commit log can never collide with — and silently skip — previously
+    * committed ids; [[runTaxiEtlStream]] resolves it from the checkpoint
+    * dir via [[CommitLog.resolveEpoch]].
+    *
     * `faultPoint` is test instrumentation: a hook invoked with a named
     * crash site (`after-inserted`, `after-seen`, `after-dupstate`,
     * `after-csv`, `after-marker`) that the crash-replay spec uses to
@@ -224,6 +299,7 @@ object StreamingOps {
       duplicatesCsvPath: String,
       seenKeysPath: String,
       counters: TaxiStreamCounters,
+      epoch: Long = 0L,
       faultPoint: String => Unit = _ => ()): (DataFrame, Long) => Unit = {
     import graft.etl.{Dedup, Normalize, ParseValidate, Sinks}
     import org.apache.spark.sql.SaveMode
@@ -234,7 +310,8 @@ object StreamingOps {
     // counters object is expected FRESH per stream start — bootstrap adds
     // the committed deltas exactly once
     var committedIds: Set[Long] = null
-    (batchIn: DataFrame, batchId: Long) => {
+    (batchIn: DataFrame, rawBatchId: Long) => {
+      val batchId = CommitLog.pack(epoch, rawBatchId)
       val spark = batchIn.sparkSession
       val log = new CommitLog(spark, insertedPath)
       if (committedIds == null) {
@@ -355,7 +432,9 @@ object StreamingOps {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(taxiStreamBatchProcessor(
-        config.insertedPath, config.duplicatesCsvPath, seenKeysPath, counters))
+        config.insertedPath, config.duplicatesCsvPath, seenKeysPath, counters,
+        epoch = CommitLog.resolveEpoch(
+          rawLines.sparkSession, checkpointDir, config.insertedPath)))
       .start()
 
   final case class KeyedCount(key: String, n: Long, total: Double)
@@ -463,6 +542,23 @@ object StreamingOps {
     // that the filter never reads and the replayed batch overwrites).
     // A batch with nothing to add wrote no directory — absence is data.
     locally {
+      // refuse a state tree this bootstrap cannot see: content under a
+      // table dir that is not `batch_id=` versioned (the pre-r9 flat
+      // changelog layout) would silently bootstrap EMPTY — previously-kept
+      // docs re-admitted as novel. Fail loudly with the upgrade path.
+      tables.foreach { t =>
+        val tp = new org.apache.hadoop.fs.Path(s"$statePath/$t")
+        if (fs.exists(tp)) {
+          val stray = fs.listStatus(tp).iterator.map(_.getPath.getName)
+            .filterNot(n => n.startsWith("batch_id=") ||
+              n.startsWith(".") || n.startsWith("_")).toSeq
+          if (stray.nonEmpty) throw new IllegalStateException(
+            s"state table $statePath/$t holds non-batch_id content " +
+              s"(${stray.mkString(", ")}) — a legacy flat changelog this " +
+              "bootstrap would silently ignore. Rebuild the state from " +
+              "the kept output, or wipe the state dir to start empty.")
+        }
+      }
       val dirs = tables.map { t =>
         t -> committedIds.toSeq.sorted
           .map(b => s"$statePath/$t/batch_id=$b")
@@ -559,7 +655,8 @@ object StreamingOps {
       keptPath: String,
       checkpointDir: String,
       threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery = {
-    val proc = new MinhashDedupProcessor(statePath, keptPath, threshold)
+    val proc = new MinhashDedupProcessor(statePath, keptPath, threshold,
+      epoch = CommitLog.resolveEpoch(docs.sparkSession, checkpointDir, keptPath))
     val query = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(proc.apply _)
@@ -601,8 +698,15 @@ object StreamingOps {
     val dirs = new CommitLog(spark, keptPath).committed().keys.toSeq.sorted
       .map(b => s"$keptPath/batch_id=$b")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      // zero committed/kept is legitimate: surface the sink's schema from
+      // any batch directory (uncommitted debris has the right columns)
+      // so downstream selects see zero rows instead of AnalysisException
+      val any = batchDirs(spark, keptPath)
+      if (any.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(any.head).limit(0)
+    }
   }
 
   /** The foreachBatch half of [[runMinhashDedupStream]], with the same
@@ -617,15 +721,18 @@ object StreamingOps {
     * the replay overwrites — so the kept set and the state are identical
     * to an uncrashed run (crash-replay spec, every boundary).
     *
-    * `faultPoint` is test instrumentation, as on the taxi processor. */
+    * `epoch` scopes committed-batch ids per stream start
+    * ([[CommitLog.pack]]); `faultPoint` is test instrumentation, as on
+    * the taxi processor. */
   private[streaming] final class MinhashDedupProcessor(
       statePath: String, keptPath: String, threshold: Double,
-      faultPoint: String => Unit = _ => ()) {
+      epoch: Long = 0L, faultPoint: String => Unit = _ => ()) {
     private var state: KeyedStreamState = null
     private var committedIds: Set[Long] = null
     private var log: CommitLog = null
     def close(): Unit = if (state != null) state.close()
-    def apply(batch: DataFrame, batchId: Long): Unit = {
+    def apply(batch: DataFrame, rawBatchId: Long): Unit = {
+      val batchId = CommitLog.pack(epoch, rawBatchId)
       if (log == null) {
         log = new CommitLog(batch.sparkSession, keptPath)
         committedIds = log.committed().keySet
@@ -787,7 +894,9 @@ object StreamingOps {
       rowsPerBand: Int = 8,
       seed: Long = 42L): org.apache.spark.sql.streaming.StreamingQuery = {
     val proc = new EmbDedupProcessor(
-      statePath, keptPath, threshold, bands, rowsPerBand, seed)
+      statePath, keptPath, threshold, bands, rowsPerBand, seed,
+      epoch = CommitLog.resolveEpoch(
+        vectors.sparkSession, checkpointDir, keptPath))
     val query = vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(proc.apply _)
@@ -802,13 +911,14 @@ object StreamingOps {
   private[streaming] final class EmbDedupProcessor(
       statePath: String, keptPath: String, threshold: Double,
       bands: Int, rowsPerBand: Int, seed: Long,
-      faultPoint: String => Unit = _ => ()) {
+      epoch: Long = 0L, faultPoint: String => Unit = _ => ()) {
     private var state: KeyedStreamState = null
     private var committedIds: Set[Long] = null
     private var log: CommitLog = null
     private var hps: Array[Array[Double]] = null
     def close(): Unit = if (state != null) state.close()
-    def apply(batch: DataFrame, batchId: Long): Unit = {
+    def apply(batch: DataFrame, rawBatchId: Long): Unit = {
+      val batchId = CommitLog.pack(epoch, rawBatchId)
       if (log == null) {
         log = new CommitLog(batch.sparkSession, keptPath)
         committedIds = log.committed().keySet

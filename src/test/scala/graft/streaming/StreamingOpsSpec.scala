@@ -359,11 +359,12 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
-  test("torn changelog (subset of state tables) is quarantined, not bootstrapped") {
+  test("fresh checkpoint over an existing commit log processes new batches (no silent skip)") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
-    val out = tmpDir("mhtorn")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val out = tmpDir("mhfreshckpt")
     val in1 = MemoryStream[(Long, String)]
     val q1 = StreamingOps.runMinhashDedupStream(
       in1.toDS().toDF("doc_id", "text"),
@@ -372,35 +373,201 @@ class StreamingOpsSpec extends SparkSpec {
       in1.addData((1L, base))
       q1.processAllAvailable()
     } finally q1.stop()
-    // simulate a crash between the first and second table append of the
-    // first-ever batch: delete one table's changelog dir entirely
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$out/state/shingles"), true)
-    // restart: the torn changelog must NOT bootstrap half a state (bands
-    // without shingles would make candidate verification crash or lie) —
-    // it is moved aside and the stream starts empty, so doc 2 is
-    // re-admitted (the documented at-least-once trade, made loud)
+    // restart with a FRESH checkpoint dir: micro-batch ids restart at 0,
+    // which already exists in the commit log from the first run. The r9
+    // bare-batch-id protocol treated the new batch 0 as committed and
+    // SILENTLY SKIPPED it (docs 2 and 5 never processed). Epoch scoping
+    // must process it: 2 dropped as a near-dup of KEPT doc 1 (the state
+    // survives the restart), 5 kept as novel.
     val in2 = MemoryStream[(Long, String)]
     val q2 = StreamingOps.runMinhashDedupStream(
       in2.toDS().toDF("doc_id", "text"),
       s"$out/state", s"$out/kept", s"$out/ckpt2")
     try {
-      in2.addData((2L, near))
+      in2.addData((2L, near), (5L, other))
       q2.processAllAvailable()
-      val kept = spark.read.parquet(s"$out/kept")
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
         .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(kept == Set(1L, 2L))
-      // the surviving table was preserved in a _torn_* quarantine dir
-      // (the restarted stream then legitimately recreates bands/shingles
-      // for its own batch, so only the quarantine location is asserted)
-      val st = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/state"))
-        .map(_.getPath.getName)
-      val torn = st.find(_.startsWith("_torn_"))
-      assert(torn.isDefined, st.mkString(","))
-      assert(fs.exists(new org.apache.hadoop.fs.Path(
-        s"$out/state/${torn.get}/bands")), torn.get)
+      assert(kept == Set(1L, 5L))
     } finally q2.stop()
+    // epoch resolution is STABLE per checkpoint dir (a restart replays
+    // under the same epoch, so the idempotent-replay protocol holds) and
+    // FRESH (max committed + 1) for a new checkpoint over the same log
+    val e1 = StreamingOps.CommitLog.resolveEpoch(spark, s"$out/ckpt1", s"$out/kept")
+    val e2 = StreamingOps.CommitLog.resolveEpoch(spark, s"$out/ckpt2", s"$out/kept")
+    assert(e1 != e2)
+    assert(e2 == StreamingOps.CommitLog.resolveEpoch(spark, s"$out/ckpt2", s"$out/kept"))
+    assert(StreamingOps.CommitLog.resolveEpoch(spark, s"$out/ckpt3", s"$out/kept")
+      == math.max(e1, e2) + 1)
+  }
+
+  test("legacy flat state changelog fails loudly at bootstrap instead of starting empty") {
+    import spark.implicits._
+    val out = tmpDir("mhlegacy")
+    // pre-r9 layout: table content directly under state/<table>, not
+    // batch_id=-versioned — the commit-filtered bootstrap cannot see it
+    Seq((1L, "h", 0L)).toDF("doc_id", "band_key", "band")
+      .write.parquet(s"$out/state/bands")
+    val e = intercept[IllegalStateException] {
+      new StreamingOps.KeyedStreamState(
+        spark, s"$out/state", Seq("bands", "shingles"), Set.empty)
+    }
+    assert(e.getMessage.contains("legacy flat changelog"))
+  }
+
+  /** Drive a processor through (batchId, frame) pairs, crashing once at
+    * every armed boundary before the committing attempt — each "crash"
+    * kills the processor and "restarts" it via `fresh()` (a new instance =
+    * checkpoint-recovery bootstrap from the commit log + state changelog),
+    * then REPLAYS the same batch, exactly as a restarted stream would. */
+  private def crashReplayDrive[P](
+      batches: Seq[(Long, org.apache.spark.sql.DataFrame)],
+      sites: Seq[String],
+      fresh: (String => Unit) => P)(apply: (P, Long, org.apache.spark.sql.DataFrame) => Unit)(
+      close: P => Unit): Unit = {
+    var armed: Option[String] = None
+    val fault: String => Unit = p => if (armed.contains(p)) {
+      armed = None
+      throw new RuntimeException(s"injected crash $p")
+    }
+    var proc = fresh(fault)
+    batches.foreach { case (b, df) =>
+      sites.foreach { site =>
+        armed = Some(site)
+        try { apply(proc, b, df); armed = None } catch {
+          case e: RuntimeException if e.getMessage.startsWith("injected") =>
+            close(proc)
+            proc = fresh(fault)
+        }
+      }
+      apply(proc, b, df) // converging replay (no-op if the marker landed)
+    }
+    close(proc)
+  }
+
+  test("minhash ingest is exactly-once: crash at every boundary, replay converges") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val nearOther = (100 to 138).map(i => s"v$i").mkString(" ") + " y1"
+    val third = (200 to 240).map(i => s"u$i").mkString(" ")
+    // in-batch loss (2→1), cross-batch dup-of-kept (3→1, 5→4), novelty (4, 6)
+    val mkBatches = Seq(
+      0L -> Seq((1L, base), (2L, near)),
+      1L -> Seq((3L, near), (4L, other)),
+      2L -> Seq((5L, nearOther), (6L, third)))
+    def frames = mkBatches.map { case (b, rows) => (b, rows.toDF("doc_id", "text")) }
+    val expected = Set(1L, 4L, 6L)
+    val sites = Seq("after-kept", "after-state", "after-marker")
+
+    // uncrashed reference run
+    val ref = tmpDir("mhrefrun")
+    val refProc = new StreamingOps.MinhashDedupProcessor(
+      s"$ref/state", s"$ref/kept", 0.6)
+    try frames.foreach { case (b, df) => refProc.apply(df, b) }
+    finally refProc.close()
+    val refKept = StreamingOps.committedKept(spark, s"$ref/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(refKept.toSet == expected)
+
+    // crashed run: every boundary of every batch, restart + replay
+    val out = tmpDir("mhcrash")
+    crashReplayDrive[StreamingOps.MinhashDedupProcessor](
+      frames, sites,
+      fp => new StreamingOps.MinhashDedupProcessor(
+        s"$out/state", s"$out/kept", 0.6, faultPoint = fp))(
+      (p, b, df) => p.apply(df, b))(_.close())
+    val kept = StreamingOps.committedKept(spark, s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept.toSet == expected, s"crashed run diverged: $kept")
+    assert(kept.length == kept.toSet.size, s"double-applied batch: $kept")
+
+    // state converged too: a fresh processor (bootstrap from changelog)
+    // must still catch a near-dup of each kept doc and admit novelty
+    val p2 = new StreamingOps.MinhashDedupProcessor(
+      s"$out/state", s"$out/kept", 0.6)
+    try p2.apply(Seq((7L, near), (8L, nearOther),
+      (9L, (300 to 340).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"), 3L)
+    finally p2.close()
+    val kept2 = StreamingOps.committedKept(spark, s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == expected + 9L)
+  }
+
+  test("embedding ingest is exactly-once: crash at every boundary, replay converges") {
+    import spark.implicits._
+    val v1 = Array(1f, 2f, 3f, 4f, 0f, 0f, 0f, 0f)
+    val v2 = v1.map(_ * 2.5f) // cosine 1.0 vs v1 — in-batch loser
+    val v3 = Array(0f, 0f, 0f, 0f, 1f, 2f, 3f, 4f) // orthogonal — novel
+    val v4 = Array(1.05f, 2.05f, 2.95f, 4.02f, 0.1f, 0f, 0f, 0f) // ~v1 — cross-batch dup
+    val v5 = Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f) // novel direction
+    val mkBatches = Seq(
+      0L -> Seq((1L, v1), (2L, v2)),
+      1L -> Seq((3L, v3), (4L, v4)),
+      2L -> Seq((5L, v5)))
+    def frames = mkBatches.map { case (b, rows) => (b, rows.toDF("vec_id", "embedding")) }
+    val expected = Set(1L, 3L, 5L)
+    val sites = Seq("after-kept", "after-state", "after-marker")
+
+    val ref = tmpDir("embrefrun")
+    val refProc = new StreamingOps.EmbDedupProcessor(
+      s"$ref/state", s"$ref/kept", 0.8, 32, 8, 42L)
+    try frames.foreach { case (b, df) => refProc.apply(df, b) }
+    finally refProc.close()
+    assert(StreamingOps.committedKept(spark, s"$ref/kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == expected)
+
+    val out = tmpDir("embcrash")
+    crashReplayDrive[StreamingOps.EmbDedupProcessor](
+      frames, sites,
+      fp => new StreamingOps.EmbDedupProcessor(
+        s"$out/state", s"$out/kept", 0.8, 32, 8, 42L, faultPoint = fp))(
+      (p, b, df) => p.apply(df, b))(_.close())
+    val kept = StreamingOps.committedKept(spark, s"$out/kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(kept.toSet == expected, s"crashed run diverged: $kept")
+    assert(kept.length == kept.toSet.size, s"double-applied batch: $kept")
+
+    // bootstrap-convergence probe: near-dup of kept 1 dropped, novelty kept
+    val p2 = new StreamingOps.EmbDedupProcessor(
+      s"$out/state", s"$out/kept", 0.8, 32, 8, 42L)
+    try p2.apply(Seq((6L, v4), (7L, Array(0f, 1f, 0f, -1f, 0f, 1f, 0f, -1f)))
+      .toDF("vec_id", "embedding"), 3L)
+    finally p2.close()
+    assert(StreamingOps.committedKept(spark, s"$out/kept")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == expected + 7L)
+  }
+
+  test("taxi sink under a new epoch processes restarted batch ids, keeps cross-epoch state") {
+    import spark.implicits._
+    val colIdx = graft.etl.CsvSource.RequiredColumns.zipWithIndex.toMap
+    val config = graft.etl.EtlConfig(inputCsvPath = "",
+      duplicatesCsvPath = "", insertedPath = "")
+    val lineA = "01/01/2020 12:28:15 AM,01/01/2020 12:33:03 AM,1,1.2,N,238,239,6,1.47"
+    val lineB = "01/02/2020 01:00:00 AM,01/02/2020 01:10:00 AM,2,3.4,Y,10,20,30,4"
+    def annotate(lines: Seq[String]) = StreamingOps.annotateTaxiLines(
+      lines.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+        .toDF("line_number", "value"), config, colIdx)
+    val out = tmpDir("taxiepoch")
+    val (trips, dups, seen) = (s"$out/trips", s"$out/duplicates", s"$out/seen_keys")
+    // epoch 1 (first stream start): batch 0 inserts lineA's trip
+    val c1 = new StreamingOps.TaxiStreamCounters
+    StreamingOps.taxiStreamBatchProcessor(trips, dups, seen, c1, epoch = 1L)(
+      annotate(Seq(lineA)), 0L)
+    // epoch 2 (checkpoint lost — batch ids restart at 0): the batch MUST
+    // be processed (bare-batch-id logs would silently skip it), lineB
+    // inserted, and lineA recognized as a duplicate of the EPOCH-1 kept
+    // key via the cross-epoch committed seen-keys state
+    val c2 = new StreamingOps.TaxiStreamCounters
+    StreamingOps.taxiStreamBatchProcessor(trips, dups, seen, c2, epoch = 2L)(
+      annotate(Seq(lineB, lineA)), 0L)
+    assert(c2.snapshot == graft.etl.Stats.EtlStats(
+      total = 3, parsed = 3, invalid = 0, duplicates = 1, inserted = 2,
+      duplicatesFileRows = 1))
+    assert(StreamingOps.committedTrips(spark, trips).count() == 2)
+    val dupCsv = spark.read.option("header", "true").csv(dups)
+    assert(dupCsv.count() == 1)
   }
 
   test("stream-static enrichment joins the dimension without shuffling the stream") {
