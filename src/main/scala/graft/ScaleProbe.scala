@@ -101,7 +101,13 @@ object ScaleProbe {
     // and the cross-modal media ANN row (media-derived vectors feed the
     // probed-IVF plan; blob bytes must prune before any shuffle)
     "ann_ivf_pq_res_topk", "lm_likelihood_tri", "bpe_learn",
-    "media_ann_topk")
+    "media_ann_topk",
+    // r10: batched BPE (13 super-rounds for ~65 merges — the ratio
+    // checks the super-round aggregates stay vocab-bound), and the
+    // r9 learned lang-ID family (one corpus scan + gram-keyed aggregate
+    // each — ratios should be ≈ linear)
+    "bpe_learn_batched", "lang_profiles", "lang_id_learned",
+    "lang_confusion_learned")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -155,6 +155,10 @@ object SparkEntry {
     // pair-count argmax-merge over the word-TYPE table; output = the
     // learned merge table (generated round-by-round oracle replay)
     "bpe_learn"        -> (TextOps.bpeLearn(_, _)),
+    // batched BPE trainer — the scale path: up to 16 mutually disjoint
+    // merges elected per super-round from ONE pair aggregate (12 driver
+    // round-trips instead of one per merge; generated batched replay)
+    "bpe_learn_batched" -> (TextOps.bpeLearnBatched(_, _)),
     // apply the learned merge table: per-doc BPE token counts (the
     // number a token-budget/seq-pack stage actually needs); shares one
     // training run per session with bpe_learn

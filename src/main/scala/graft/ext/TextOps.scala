@@ -1009,6 +1009,130 @@ object TextOps {
       (merges.toSeq, w)
     }
 
+  /** Batched-BPE knobs, shared verbatim with the generated DuckDB replay:
+    * super-rounds executed, max merges accepted per super-round, and the
+    * ranked candidate window the acceptance rule scans. */
+  val BpeBatchSuperRounds = 13
+  val BpeBatchK = 16
+  val BpeBatchWindow = 64
+
+  /** BATCHED BPE vocabulary learning — the scale path past [[bpeLearn]]'s
+    * one-merge-per-round driver loop (r8/r9 verdict ask): a real 30k-merge
+    * vocab cannot afford 30k driver round-trips, so each super-round
+    * elects UP TO [[BpeBatchK]] mutually NON-INTERACTING merges from ONE
+    * pair-count aggregate and applies them all in ONE fold pass. Driver
+    * round-trips drop from `merges` to `superRounds` (measured yield on
+    * the harness corpus: ~5-8 merges per super-round under the
+    * conservative rule below).
+    *
+    * Acceptance rule (deterministic, order-independent, hence replayable
+    * as a static SQL anti-join — no greedy recursion): rank the round's
+    * pairs by (pair_freq DESC, lhs, rhs), keep the top [[BpeBatchWindow]]
+    * candidates, accept a candidate iff its symbol set {lhs, rhs, merged}
+    * is disjoint from the symbol set of EVERY higher-ranked candidate in
+    * the window, then take the first [[BpeBatchK]] accepted. Checking
+    * against all higher-ranked CANDIDATES (not just accepted ones) is
+    * deliberately conservative — it trades a little per-round yield for a
+    * rule the oracle can state without sequential dependence. Rank 1 is
+    * always accepted, so every non-empty super-round makes progress.
+    *
+    * Why disjointness makes the batch exact: with pairwise-disjoint
+    * symbol sets (merged strings included), no occurrence of one accepted
+    * pair can overlap, consume, create, or destroy an occurrence of
+    * another — adjacent matched positions can only belong to the same
+    * lhs=rhs pair, which is exactly the run-parity case the single-merge
+    * fold already pins. One simultaneous left-fold over the batch
+    * therefore equals applying the accepted merges sequentially, and the
+    * oracle's gaps-and-islands stage carries over UNCHANGED with
+    * `matched` generalized from "matches the pair" to "matches any
+    * accepted pair". Batched-BPE output can differ from sequential BPE
+    * (counts are not recomputed between a super-round's merges — the
+    * standard batched-trainer trade); the sequential [[bpeLearn]] row
+    * stays registered unchanged as the reference semantics.
+    *
+    * Output: (merge_rank, super_round, lhs, rhs, merged, pair_freq) —
+    * merge_rank is the global acceptance order, pair_freq the electing
+    * super-round's count. Scale: per super-round one vocab-sized
+    * aggregate + a [[BpeBatchWindow]]-row driver top-k — the corpus is
+    * touched once, everything else is vocabulary-sized, as in
+    * [[bpeLearn]]. */
+  def bpeLearnBatched(spark: SparkSession, sfDir: String,
+      superRounds: Int = BpeBatchSuperRounds, k: Int = BpeBatchK,
+      window: Int = BpeBatchWindow): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // localCheckpoint, NOT persist: a persisted frame's consumers still
+    // re-run Catalyst over the FULL accumulated fold chain each round —
+    // measured per-round cost grew 0.35 s → 2.7 s by round 13 at sf0.1.
+    // A checkpointed frame is a LogicalRDD leaf: plan size, codegen, and
+    // per-round cost stay CONSTANT (~0.3 s/round; 11.4 s → 4.1 s total
+    // at sf0.1, 75 merges).
+    val words0 = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .select(col("word"), col("freq"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, String, Long)] // (rank, superRound, l, r, freq)
+    var w = words0
+    var r = 1
+    var done = false
+    while (r <= superRounds && !done) {
+      val cand = w.filter(size(col("syms")) >= 2)
+        .select(col("freq"), posexplode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as(Seq("i", "p")))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum("freq").as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("lhs"), col("rhs"))
+        .limit(window).collect()
+      if (cand.isEmpty) done = true
+      else {
+        // the order-independent acceptance rule (see scaladoc); mirrors
+        // the oracle's NOT EXISTS anti-join verbatim
+        val sets = cand.map(c => Set(c.getString(0), c.getString(1),
+          c.getString(0) + c.getString(1)))
+        val accepted = cand.indices.filter(i =>
+          (0 until i).forall(j => (sets(j) & sets(i)).isEmpty)).take(k)
+          .map(i => (cand(i).getString(0), cand(i).getString(1),
+            cand(i).getLong(2)))
+        accepted.foreach { case (l, rr, f) =>
+          merges += ((merges.size + 1L, r.toLong, l, rr, f))
+        }
+        val wNext = w.select(col("word"), col("freq"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) => {
+              val last = element_at(acc, -1)
+              val hit = accepted.map { case (l, rr, _) =>
+                last === lit(l) && x === lit(rr)
+              }.reduce(_ || _)
+              when(size(acc) > 0 && hit,
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(concat(last, x))))
+                .otherwise(concat(acc, array(x)))
+            }).as("syms"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(w)
+        w = wNext
+        r += 1
+      }
+    }
+    org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(w)
+    val schema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("super_round", LongType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_freq", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq.map {
+        case (rk, sr, l, rr, f) => Row(rk, sr, l, rr, l + rr, f) }, 1), schema)
+      .orderBy("merge_rank")
+  }
+
   /** Apply the learned BPE merge table: re-tokenize the corpus under the
     * trained vocabulary and report, per document, the whitespace word
     * count and the BPE token count — the number a sequence-packing or
@@ -1082,6 +1206,103 @@ object TextOps {
        |SELECT merge_rank, lhs, rhs, merged, pair_freq FROM (
        |$union
        |) u ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Generated round-by-round DuckDB replay of [[bpeLearnBatched]] — the
+    * [[bpeOracleSql]] pattern with two generalizations per super-round:
+    * the merge stage elects up to `k` pairs via the order-independent
+    * disjointness rule (a static NOT EXISTS anti-join over the ranked
+    * candidate window — no higher-ranked candidate shares a symbol with
+    * the accepted pair, merged strings included), and the fold stage's
+    * `matched` means "matches ANY of the round's accepted pairs". The
+    * gaps-and-islands run-parity arithmetic is UNCHANGED: mutually
+    * disjoint pairs can only produce adjacent matches when lhs = rhs —
+    * the same run case the single-merge replay already pins. */
+  private def bpeBatchedOracleSql(superRounds: Int = BpeBatchSuperRounds,
+      k: Int = BpeBatchK, window: Int = BpeBatchWindow): String = {
+    val union = (1 to superRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS super_round, rk, lhs, rhs, merged, pair_freq FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    s"""${bpeBatchedWithSql(superRounds, k, window)}
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY super_round, rk) AS BIGINT)
+       |    AS merge_rank,
+       |  super_round, lhs, rhs, merged, pair_freq
+       |FROM (
+       |$union
+       |) u ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The staged WITH-clause of the batched replay ([[bpeBatchedOracleSql]]);
+    * same p/e/g/w machinery as [[bpeWithSql]], plus a c (ranked candidate
+    * window) and multi-pair m stage per super-round. */
+  private def bpeBatchedWithSql(superRounds: Int, k: Int, window: Int): String = {
+    val stages = (1 to superRounds).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p${r}e AS MATERIALIZED (
+         |  SELECT freq, unnest([{'l': syms[i], 'r': syms[i + 1]}
+         |                       FOR i IN range(1, len(syms))]) AS pr
+         |  FROM $prev WHERE len(syms) >= 2
+         |), p$r AS MATERIALIZED (
+         |  SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_freq
+         |  FROM p${r}e GROUP BY 1, 2
+         |), c$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, lhs || rhs AS merged, pair_freq,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY pair_freq DESC, lhs, rhs) AS BIGINT) AS crk
+         |  FROM p$r ORDER BY pair_freq DESC, lhs, rhs LIMIT $window
+         |), m$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, merged, pair_freq,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY crk) AS BIGINT) AS rk
+         |  FROM (
+         |    SELECT c.* FROM c$r c
+         |    WHERE NOT EXISTS (SELECT 1 FROM c$r e WHERE e.crk < c.crk AND (
+         |      e.lhs IN (c.lhs, c.rhs, c.merged) OR
+         |      e.rhs IN (c.lhs, c.rhs, c.merged) OR
+         |      e.merged IN (c.lhs, c.rhs, c.merged)))
+         |    ORDER BY c.crk LIMIT $k) t
+         |), e${r}x AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    unnest([{'i': i, 'sym': syms[i],
+         |             'nxt': CASE WHEN i < len(syms) THEN syms[i + 1] END}
+         |            FOR i IN range(1, len(syms) + 1)]) AS e
+         |  FROM $prev
+         |), e$r AS MATERIALIZED (
+         |  SELECT x.word, x.freq, CAST(x.e.i AS BIGINT) AS i, x.e.sym AS sym,
+         |    EXISTS (SELECT 1 FROM m$r m
+         |            WHERE x.e.nxt IS NOT NULL
+         |              AND x.e.sym = m.lhs AND x.e.nxt = m.rhs) AS matched
+         |  FROM e${r}x x
+         |), g$r AS MATERIALIZED (
+         |  SELECT word, freq, i, sym, matched,
+         |    CASE WHEN matched THEN
+         |      (i - MIN(i) OVER (PARTITION BY word, isl)) % 2 = 0
+         |    ELSE FALSE END AS do_merge
+         |  FROM (
+         |    SELECT *,
+         |      CASE WHEN matched THEN
+         |        i - ROW_NUMBER() OVER (PARTITION BY word, matched ORDER BY i)
+         |      END AS isl
+         |    FROM e$r) t
+         |), w$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list(CASE WHEN do_merge THEN sym || lead_sym ELSE sym END
+         |         ORDER BY i) FILTER (WHERE do_merge OR NOT consumed) AS syms
+         |  FROM (
+         |    SELECT word, freq, i, sym, do_merge,
+         |      COALESCE(LAG(do_merge) OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed,
+         |      LEAD(sym) OVER (PARTITION BY word ORDER BY i) AS lead_sym
+         |    FROM g$r) t
+         |  GROUP BY word, freq
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    [word[i] FOR i IN range(1, len(word) + 1)] AS syms
+       |  FROM (SELECT unnest(list_filter(string_split(trim(text), ' '),
+       |                                  t -> t <> '')) AS word
+       |        FROM documents) t
+       |  GROUP BY word
+       |),
+       |$stages""".stripMargin
   }
 
   /** The shared WITH-clause of the BPE replay: w0 (corpus → word-type
@@ -2111,6 +2332,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "bpe_learn" -> bpeOracleSql(),
+    "bpe_learn_batched" -> bpeBatchedOracleSql(),
     "bpe_encode" -> bpeEncodeOracleSql(),
     "bpe_fertility" -> bpeFertilityOracleSql(),
     "gopher_filter" ->

@@ -1155,6 +1155,32 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "aa", 8L), (2L, "aaa", 4L)))
   }
 
+  test("batched bpe: disjoint pairs merge in one super-round") {
+    // (a,b)=3 and (c,d)=2 share no symbol: one super-round elects both,
+    // in (freq DESC, lhs, rhs) order — two merges, one driver round-trip
+    val dir = docsFixture(Seq((1L, "ab ab ab cd cd", "en")))
+    val out = TextOps.bpeLearnBatched(spark, dir).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[Long]("super_round"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_freq")))
+    assert(out.toSeq == Seq((1L, 1L, "ab", 3L), (2L, 1L, "cd", 2L)))
+  }
+
+  test("batched bpe: conflicting candidates defer, reproducing the sequential merges") {
+    // same corpus as the sequential hand-computed test: every lower-ranked
+    // candidate shares a symbol with the round's top pair, so each
+    // super-round accepts exactly one merge and the batched output equals
+    // bpeLearn's — with super_round recording the deferral
+    val dir = docsFixture(Seq((1L, "abab abab abab abc abc", "en")))
+    val out = TextOps.bpeLearnBatched(spark, dir).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[Long]("super_round"),
+        r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_freq")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a", "b", "ab", 8L),
+      (2L, 2L, "ab", "ab", "abab", 3L),
+      (3L, 3L, "ab", "c", "abc", 2L)))
+  }
+
   test("bpe encode: per-doc token counts under a 1-round vocab, hand-computed") {
     // r1 pairs: (a,b)=3, (c,d)=1, (e,e)=1 → merge ab only.
     // doc 1 = [ab, ab, cd] → ab:1 + ab:1 + cd:2 = 4 BPE tokens;
@@ -1192,6 +1218,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("de", "en", 1L, 1000L),
       ("en", "en", 2L, 1000L)))
+  }
+
+  test("learned lang profiles are selective and beat the hardcoded table on distinct text") {
+    // the harness corpus carries no language signal (shared vocabulary —
+    // see langProfilesLearned's caveat), so this fixture provides the
+    // discriminative regime: four languages with genuinely distinct
+    // trigram distributions, including zh (outside the hardcoded
+    // en/de/es/fr table's reach). 10 docs per language, doc_id % 10 < 8
+    // giving each language 8 train docs under the trainTestSplit rule.
+    val vocab = Map(
+      "de" -> Seq("schon", "nicht", "durch", "mich", "machen"),
+      "en" -> Seq("the", "think", "with", "that", "they"),
+      "es" -> Seq("que", "nacion", "para", "los", "cuando"),
+      "zh" -> Seq("的一天", "是不好", "了人们", "我在这", "有他说"))
+    val rows = for {
+      (lang, li) <- Seq("de", "en", "es", "zh").zipWithIndex
+      d <- 0 until 10
+    } yield {
+      val words = (0 until 12).map(w => vocab(lang)((d + w * (li + 1)) % 5))
+      ((li * 10 + d).toLong, words.mkString(" "), lang)
+    }
+    val dir = docsFixture(rows)
+    val prof = TextOps.langProfilesLearned(spark, dir).collect()
+    // every labeled language learned a profile — including zh
+    assert(prof.map(_.getAs[String]("lang")).toSet == Set("de", "en", "es", "zh"))
+    // the lift gate operates in its SELECTIVE regime here: each language
+    // is ~1/4 of the corpus, so a language-bound trigram's lift is
+    // ~4000 milli — far above the 1050 gate (on the harness corpus every
+    // lift is ~1000 ± noise, so this is the regime the gate exists for)
+    assert(prof.map(_.getAs[Long]("lift_milli")).min > 2000)
+    def diagonal(cells: Array[org.apache.spark.sql.Row]): Long =
+      cells.filter(r => r.getAs[String]("lang_meta") == r.getAs[String]("lang_pred"))
+        .map(_.getAs[Long]("n_docs")).sum
+    val learned = diagonal(TextOps.langConfusionLearned(spark, dir).collect())
+    val hardcoded = diagonal(TextOps.langConfusion(spark, dir).collect())
+    assert(learned == 40L, s"learned diagonal $learned of 40")
+    assert(learned > hardcoded,
+      s"learned $learned must beat hardcoded $hardcoded")
   }
 
   test("contam fraction: per-doc overlap milli-ratio incl. zero and short docs") {
