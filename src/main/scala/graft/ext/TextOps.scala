@@ -267,7 +267,8 @@ object TextOps {
     * actually labels (the harness corpus includes `zh`, which the
     * en/de/es/fr hardcoded profiles can never predict).
     *
-    * HARNESS-CORPUS CAVEAT (measured, PERF.md r9): the synthetic
+    * HARNESS-CORPUS CAVEAT (measured — PERF.md "Language-ID on the
+    * harness corpus"): the synthetic
     * documents draw one shared English-ish vocabulary for every `lang`
     * label — the text carries no language signal, so NO classifier can
     * beat chance on diagonal recall here and every trigram's true lift is
