@@ -486,4 +486,30 @@ class PlanAuditSpec extends SparkSpec {
       assert(n <= 2, s"scorer appears $n times — re-inlined:\n$p")
     }
   }
+
+  test("learned lang profiles: windows are keyed (gram / lang), totals broadcast") {
+    // the vocab-build shape that survives 100×: cross-language totals ride
+    // a gram-partitioned window (high-cardinality key), top-k a
+    // lang-partitioned one — NO unpartitioned window may funnel the
+    // (lang, gram) aggregate through one reducer; per-language and global
+    // totals join back as broadcasts
+    val p = plan(graft.ext.TextOps.langProfilesLearned(spark, sfDir))
+    val specs = "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(specs.nonEmpty && specs.subsetOf(Set("gram", "lang")),
+      s"window partition keys $specs:\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bpe encode: vocab joins broadcast; doc counts are partial+final aggregates") {
+    // the encode plan at any corpus size: one corpus explode into a
+    // BROADCAST join against the vocab-sized (word → |syms|) frame, then
+    // a doc-keyed map-side-combined aggregate — a single data shuffle
+    val p = plan(graft.ext.TextOps.bpeEncode(spark, sfDir, rounds = 2))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
