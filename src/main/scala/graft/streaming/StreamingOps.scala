@@ -762,6 +762,15 @@ object StreamingOps {
     // per-batch local checkpoints released at batch end (a long-running
     // stream must not strand blocks per micro-batch)
     val scratch = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // r10: the same per-batch fixed-cost surgery the emb processor got in
+    // r7 — micro-batch join sides broadcast (the state side streams
+    // through as block reads, no exchange), empty fast paths for the
+    // no-dup common case, and the hot-key guard gated on batch size. ONE
+    // deliberate difference from the emb path: every candidate-pair frame
+    // keeps its distinct() — jaccardForCandidates COUNTS intersection
+    // rows per (doc_a, doc_b), so duplicate candidate pairs would inflate
+    // `inter` and misreport jaccard (the emb path's per-row dot product
+    // tolerates repeats; a counting verifier does not).
     try {
       // cross-batch: batch docs banded-matching any KEPT doc -> verify.
       // localCheckpointed (it is doc_ids only): every downstream frame —
@@ -770,44 +779,55 @@ object StreamingOps {
       // re-run the state join + verification AND re-optimize the whole
       // union-of-checkpoints tree (measured ~3 s of re-planning +
       // re-execution per action, ~6 references per batch)
-      val dupOfKept =
-        if (state.isEmpty) sh.select(col("doc_id")).limit(0)
+      val dupOfKept: DataFrame =
+        if (state.isEmpty) null
         else {
-          val cand = bands.as("x").join(state.table("bands").as("y"),
+          val cand = broadcast(bands).as("x").join(state.table("bands").as("y"),
               col("x.band") === col("y.band") &&
                 col("x.band_key") === col("y.band_key"))
             .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
             .distinct()
             .localCheckpoint()
           scratch += cand
-          // only the CANDIDATE kept docs' shingles enter verification —
-          // without the semi-join the inverted-index explode is O(state)
-          // per batch even when nothing matches
-          val candSh = state.table("shingles").join(
-            cand.select(col("doc_b").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi")
-          val d = DedupOps.jaccardForCandidates(sh.unionAll(candSh), cand)
-            .filter(col("jaccard") >= threshold)
-            .select(col("doc_a").as("doc_id")).distinct()
-            .localCheckpoint()
-          scratch += d
-          d
+          if (cand.isEmpty) null
+          else {
+            // only the CANDIDATE kept docs' shingles enter verification —
+            // without the semi-join the inverted-index explode is O(state)
+            // per batch even when nothing matches
+            val candSh = state.table("shingles").join(
+              broadcast(cand.select(col("doc_b").as("doc_id")).distinct()),
+              Seq("doc_id"), "left_semi")
+            val d = DedupOps.jaccardForCandidates(sh.unionAll(candSh), cand)
+              .filter(col("jaccard") >= threshold)
+              .select(col("doc_a").as("doc_id")).distinct()
+              .localCheckpoint()
+            scratch += d
+            if (d.isEmpty) null else d
+          }
         }
-      val fresh = sh.join(dupOfKept, Seq("doc_id"), "left_anti")
+      def dropDups(df: DataFrame): DataFrame =
+        if (dupOfKept == null) df
+        else df.join(broadcast(dupOfKept), Seq("doc_id"), "left_anti")
+      val fresh = dropDups(sh)
       // within-batch: cluster the surviving docs' near-dup pairs, min wins.
       // Survivors' bands come from an anti-join on the ALREADY-computed
       // band frame — re-running bandFrame(fresh) would recompute every
       // signature. The self-join carries the same hot-key guard as the
       // batch path (DedupOps.subSaltHotKeys): a batch of boilerplate docs
-      // sharing one signature must not emit m² in-batch candidates. (The
+      // sharing one signature must not emit m² in-batch candidates — but
+      // the guard's count-aggregate + broadcast-back only engage when the
+      // batch itself could exceed the band-df cap (the emb gate). (The
       // cross-batch join above is m_batch × m_state per degenerate key —
       // linear in the batch, and kept-state holds at most ~ceil(m/cap)
       // members of a degenerate group ever: the group's FIRST batch
       // collapses it to its per-shard keepers, and every later arrival
       // is dropped as a dup-of-kept before reaching the state appends.)
-      val freshBands = DedupOps.subSaltHotKeys(
-        bands.join(dupOfKept, Seq("doc_id"), "left_anti"),
-        "doc_id", DedupOps.MinHashBandDfCap)
+      val nBatch = sh.count()
+      val freshBands =
+        if (nBatch <= DedupOps.MinHashBandDfCap)
+          dropDups(bands).withColumn("shard", lit(0L))
+        else DedupOps.subSaltHotKeys(
+          dropDups(bands), "doc_id", DedupOps.MinHashBandDfCap)
       val inBatchCand = freshBands.as("x").join(freshBands.as("y"),
           col("x.band") === col("y.band") &&
             col("x.band_key") === col("y.band_key") &&
@@ -823,39 +843,54 @@ object StreamingOps {
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
       scratch += inBatchPairs
-      labels = DedupOps.connectedComponents(inBatchPairs)
-      val losers = labels
-        .filter(col("doc_id") =!= col("label"))
-        .select(col("doc_id"))
-      // checkpointed: all three writes below fan out from it, and a
-      // checkpoint leaf keeps their plans small (persist would still
-      // re-optimize the full lazy tree per write)
-      keptIds = fresh.select(col("doc_id"))
-        .join(losers, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      val losers =
+        if (inBatchPairs.isEmpty) null
+        else {
+          labels = DedupOps.connectedComponents(inBatchPairs)
+          labels.filter(col("doc_id") =!= col("label"))
+            .select(col("doc_id"))
+        }
+      keptIds =
+        if (dupOfKept == null && losers == null) null // whole batch kept
+        else {
+          val k0 = fresh.select(col("doc_id"))
+          val k = (if (losers == null) k0
+                   else k0.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+            .localCheckpoint()
+          scratch += k
+          k
+        }
+      def keptOnly(df: DataFrame): DataFrame =
+        if (keptIds == null) df
+        else df.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
       // exactly-once write order: kept (per-batch dir, overwrite) → state
       // changelog (per-batch dirs, overwrite) → marker (atomic, LAST).
       // A batch that keeps nothing writes no kept directory — absence is
       // deterministic, so replay converges on it too.
-      val nKept = keptIds.count()
+      val nKept = if (keptIds == null) nBatch else keptIds.count()
       if (nKept > 0) {
-        batch.select(col("doc_id"), col("text"))
-          .join(keptIds, Seq("doc_id"), "left_semi")
+        keptOnly(batch.select(col("doc_id"), col("text")))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$keptPath/batch_id=$batchId")
       }
       faultPoint("after-kept")
+      // state holds only BANDED docs: a doc too short to shingle (< 3
+      // tokens) emits no band rows, can never surface as a candidate
+      // (candidates come from band joins; verification shingles are
+      // candidate-scoped), and must not enter the shingles table — a
+      // kept-but-unbandable doc would otherwise append a non-empty
+      // shingles increment beside an empty bands one and trip append's
+      // emptiness invariant (tables cover the same docs ⟺ the invariant
+      // holds)
       state.append(batchId, Map(
-        "bands" -> bands.join(keptIds, Seq("doc_id"), "left_semi"),
-        "shingles" -> sh.join(keptIds, Seq("doc_id"), "left_semi")))
+        "bands" -> keptOnly(bands),
+        "shingles" -> keptOnly(sh.filter(size(col("sh")) > 0))))
       faultPoint("after-state")
       log.commit(batchId, Array(nKept))
       faultPoint("after-marker")
     } finally {
       sh.unpersist()
       bands.unpersist()
-      if (keptIds != null)
-        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(keptIds)
       // the per-batch component labels are a local checkpoint — release
       // its blocks or a long-running stream strands one per micro-batch
       if (labels != null)

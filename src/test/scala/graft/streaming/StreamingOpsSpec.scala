@@ -401,6 +401,34 @@ class StreamingOpsSpec extends SparkSpec {
       == math.max(e1, e2) + 1)
   }
 
+  test("minhash ingest keeps docs too short to shingle without tripping state invariants") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val out = tmpDir("mhtiny")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.runMinhashDedupStream(
+      input.toDS().toDF("doc_id", "text"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    try {
+      // batch 1: a normal doc plus a 2-token doc (no shingles, no bands —
+      // it must be KEPT, and must not append a shingles state row beside
+      // an empty bands increment)
+      input.addData((1L, base), (2L, "hi there"))
+      q.processAllAvailable()
+      // batch 2: ONLY a tiny doc — the whole-batch-kept fast path with
+      // zero banded docs (state append must be a clean no-op)
+      input.addData((3L, "ok"))
+      q.processAllAvailable()
+      // batch 3: state still works — a near-dup of kept doc 1 is caught
+      input.addData((4L, near), (5L, "yo hey"))
+      q.processAllAvailable()
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("legacy flat state changelog fails loudly at bootstrap instead of starting empty") {
     import spark.implicits._
     val out = tmpDir("mhlegacy")
