@@ -105,6 +105,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Cast(args(0), StringType), Cast(args(1), StringType),
         Cast(args(2), org.apache.spark.sql.types.IntegerType))))
     ext.injectFunction((
+      FunctionIdentifier("trigram_profile_scores"),
+      info(classOf[graft.functions.TrigramProfileScores], "trigram_profile_scores",
+        "trigram_profile_scores(text, profiles) - per-profile trigram occurrence counts " +
+          "(array<long>, one element per profile); profiles is a literal " +
+          "array<array<string>> of 3-codepoint grams"),
+      (args: Seq[Expression]) => {
+        if (args.length != 2)
+          throw new IllegalArgumentException(
+            s"trigram_profile_scores(text, profiles) takes 2 arguments, got ${args.length}")
+        val p = args(1)
+        if (!p.foldable)
+          throw new IllegalArgumentException(
+            s"trigram_profile_scores: profiles must be a literal array of string arrays, got ${p.sql}")
+        // profiles size the per-key tables at construction — evaluate the
+        // foldable literal here, the same constant-argument contract as
+        // winnow_fingerprint's k/w
+        val data = Option(Cast(p, ArrayType(ArrayType(StringType))).eval())
+          .getOrElse(throw new IllegalArgumentException(
+            "trigram_profile_scores: profiles must not be null"))
+        val profiles = data.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(StringType)).toSeq.map { inner =>
+            inner.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toObjectArray(StringType).toSeq.map(_.toString)
+          }
+        graft.functions.TrigramProfileScores(Cast(args(0), StringType), profiles)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("zorder_value"),
       info(graft.plans.Layouts.getClass, "zorder_value",
         "zorder_value(x, y) - 32-bit Morton interleave of two dimensions (16 bits each)"),

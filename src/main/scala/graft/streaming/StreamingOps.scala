@@ -275,14 +275,20 @@ object StreamingOps {
     * (the whole batch is skipped). StreamingOpsSpec kills the processor at
     * each write boundary and asserts golden-stats + kept-set parity.
     *
-    * Scale notes: the seen-keys state is still plain parquet — at
-    * production scale that state belongs in a transactional keyed store,
-    * but the commit protocol above is exactly the one those stores
-    * implement (write-versioned data + an atomic commit publish), so the
-    * plan and the semantics carry over unchanged. The committed-id set
-    * grows one marker per batch; a production deployment compacts the
-    * log to a low-watermark + tail (the usual checkpoint compaction),
-    * which only changes marker storage, not the protocol.
+    * Scale notes: the seen-keys state is a [[KeyedStreamState]] since
+    * r10 — in-memory localCheckpointed increments with the parquet
+    * directories demoted to a commit-filtered changelog read once at
+    * restart. Before, every micro-batch re-read the WHOLE accumulated
+    * seen-keys parquet, so per-batch state cost grew linearly with
+    * stream age (the r5 MinHash problem, finally fixed on the flagship
+    * stream too). At production scale the same role is a transactional
+    * keyed store; the commit protocol above is exactly the one those
+    * stores implement (write-versioned data + an atomic commit publish),
+    * so the plan and the semantics carry over unchanged. The
+    * committed-id set grows one marker per batch; a production
+    * deployment compacts the log to a low-watermark + tail (the usual
+    * checkpoint compaction), which only changes marker storage, not the
+    * protocol.
     *
     * `epoch` scopes this stream start's committed-batch ids
     * ([[CommitLog.pack]]) so a fresh-checkpoint restart over an existing
@@ -301,20 +307,40 @@ object StreamingOps {
       counters: TaxiStreamCounters,
       epoch: Long = 0L,
       faultPoint: String => Unit = _ => ()): (DataFrame, Long) => Unit = {
+    val p = new TaxiStreamProcessor(insertedPath, duplicatesCsvPath,
+      seenKeysPath, counters, epoch, faultPoint)
+    p.apply _
+  }
+
+  /** The class form of [[taxiStreamBatchProcessor]] (same protocol and
+    * scaladoc contract) — exposes `close()` to release the seen-keys
+    * state blocks, which [[runTaxiEtlStream]] wires to query
+    * termination. */
+  private[streaming] final class TaxiStreamProcessor(
+      insertedPath: String,
+      duplicatesCsvPath: String,
+      seenKeysPath: String,
+      counters: TaxiStreamCounters,
+      epoch: Long = 0L,
+      faultPoint: String => Unit = _ => ()) {
     import graft.etl.{Dedup, Normalize, ParseValidate, Sinks}
     import org.apache.spark.sql.SaveMode
-    val keyCols = Seq("pickup_utc", "dropoff_utc", "passenger_count")
-    val dupStatePath = duplicatesCsvPath + "._state"
+    private val keyCols = Seq("pickup_utc", "dropoff_utc", "passenger_count")
+    private val dupStatePath = duplicatesCsvPath + "._state"
     // committed-batch ids, bootstrapped from the marker log on first
     // invocation (restart recovery) and maintained live afterwards; the
     // counters object is expected FRESH per stream start — bootstrap adds
     // the committed deltas exactly once
-    var committedIds: Set[Long] = null
-    (batchIn: DataFrame, rawBatchId: Long) => {
+    private var committedIds: Set[Long] = null
+    private var log: CommitLog = null
+    private var state: KeyedStreamState = null
+    def close(): Unit = if (state != null) state.close()
+
+    def apply(batchIn: DataFrame, rawBatchId: Long): Unit = {
       val batchId = CommitLog.pack(epoch, rawBatchId)
       val spark = batchIn.sparkSession
-      val log = new CommitLog(spark, insertedPath)
-      if (committedIds == null) {
+      if (log == null) {
+        log = new CommitLog(spark, insertedPath)
         val cm = log.committed()
         cm.values.foreach { d =>
           counters.total.add(d(0)); counters.parsed.add(d(1))
@@ -322,6 +348,27 @@ object StreamingOps {
           counters.inserted.add(d(4))
         }
         committedIds = cm.keySet
+        // the seen-keys state is a [[KeyedStreamState]] changelog since
+        // r10 (table dir `<seenKeysPath>/seen/batch_id=N`): before, every
+        // micro-batch RE-READ the whole accumulated seen-keys parquet —
+        // per-batch state cost grew with stream age, the exact r5 MinHash
+        // problem. Pre-r10 trees stored batches directly under
+        // `<seenKeysPath>/batch_id=N`; that layout would silently
+        // bootstrap EMPTY (previously seen keys re-admitted), so it is
+        // detected and refused, as in KeyedStreamState itself.
+        val sp = new org.apache.hadoop.fs.Path(seenKeysPath)
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(sp)) {
+          val stray = fs.listStatus(sp).iterator.map(_.getPath.getName)
+            .filter(_.startsWith("batch_id=")).toSeq
+          if (stray.nonEmpty) throw new IllegalStateException(
+            s"seen-keys state at $seenKeysPath uses the legacy flat " +
+              s"batch_id= layout (${stray.take(3).mkString(", ")}…) — " +
+              s"this bootstrap reads $seenKeysPath/seen/. Move the batch " +
+              "directories under seen/, or wipe the state and rebuild " +
+              "from the inserted table.")
+        }
+        state = new KeyedStreamState(spark, seenKeysPath, Seq("seen"), committedIds)
       }
       if (!committedIds.contains(batchId) && !batchIn.isEmpty) {
         // sources without a real ordinal (directory streams have no global
@@ -333,26 +380,15 @@ object StreamingOps {
           else batchIn.withColumn(graft.etl.CsvSource.LineNumberCol,
             monotonically_increasing_id())
         val annotated = Dedup.withFirstWins(batch0)
-        val seenExists = new org.apache.hadoop.fs.Path(seenKeysPath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(seenKeysPath))
-        // COMMIT-FILTERED state read: keys written by a crashed, not-yet-
-        // committed batch attempt are invisible, so the replay classifies
-        // rows exactly as the first attempt did. Keys are unique across
-        // committed batches by construction (only unseen winners append),
-        // so no distinct() is needed. The schema is given explicitly
-        // (key columns + the batch_id partition column) so a state tree
-        // holding only empty batch directories still reads.
-        val seenSchema = org.apache.spark.sql.types.StructType(
-          annotated.select(keyCols.map(col): _*).schema.fields :+
-            org.apache.spark.sql.types.StructField("batch_id",
-              org.apache.spark.sql.types.LongType))
+        // COMMIT-FILTERED state: keys appended by a crashed, not-yet-
+        // committed batch attempt are invisible (the bootstrap reads only
+        // committed batch_id dirs), so the replay classifies rows exactly
+        // as the first attempt did. Keys are unique across committed
+        // batches by construction (only unseen winners append), so no
+        // distinct() is needed.
         val seen =
-          if (seenExists && committedIds.nonEmpty)
-            spark.read.schema(seenSchema).parquet(seenKeysPath)
-              .filter(col("batch_id").isin(committedIds.toSeq: _*))
-              .select(keyCols.map(col): _*)
-          else annotated.select(keyCols.map(col): _*).limit(0)
+          if (state.isEmpty) annotated.select(keyCols.map(col): _*).limit(0)
+          else state.table("seen")
         val withSeen = annotated
           .join(seen.withColumn("_seen", lit(true)), keyCols, "left")
           .persist()
@@ -374,9 +410,8 @@ object StreamingOps {
             .write.mode(SaveMode.Overwrite)
             .parquet(s"$insertedPath/batch_id=$batchId")
           faultPoint("after-inserted")
-          withSeen.filter(ins).select(keyCols.map(col): _*)
-            .write.mode(SaveMode.Overwrite)
-            .parquet(s"$seenKeysPath/batch_id=$batchId")
+          state.append(batchId, Map(
+            "seen" -> withSeen.filter(ins).select(keyCols.map(col): _*)))
           faultPoint("after-seen")
           val dupRows = Sinks.selectDuplicateColumns(withSeen.filter(dup))
           // dup side-state dirs exist only for batches that HAD duplicates
@@ -427,15 +462,19 @@ object StreamingOps {
       columnIndex: Map[String, Int],
       seenKeysPath: String,
       counters: TaxiStreamCounters,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    annotateTaxiLines(rawLines, config, columnIndex)
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val proc = new TaxiStreamProcessor(
+      config.insertedPath, config.duplicatesCsvPath, seenKeysPath, counters,
+      epoch = CommitLog.resolveEpoch(
+        rawLines.sparkSession, checkpointDir, config.insertedPath))
+    val query = annotateTaxiLines(rawLines, config, columnIndex)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(taxiStreamBatchProcessor(
-        config.insertedPath, config.duplicatesCsvPath, seenKeysPath, counters,
-        epoch = CommitLog.resolveEpoch(
-          rawLines.sparkSession, checkpointDir, config.insertedPath)))
+      .foreachBatch(proc.apply _)
       .start()
+    closeOnTermination(rawLines.sparkSession, query, () => proc.close())
+    query
+  }
 
   final case class KeyedCount(key: String, n: Long, total: Double)
 

@@ -66,6 +66,18 @@ class GraftExtensionsSpec extends SparkSpec {
           |  ('kitten', 'sitting', 3), ('kitten', 'sitting', 2) v(a, b, bnd)""".stripMargin)
         .collect().map(_.getInt(0)).toSeq
       assert(lv == Seq(3, -1))
+      // trigram_profile_scores: the lang-ID scorer with literal profiles.
+      // "the theme" grams: the, "he ", "e t", " th", the, hem, eme ->
+      // profile 0 ('the') counts 2; profile 1 ('eme','he ') counts 1+1
+      val tps = s2.sql(
+        "SELECT trigram_profile_scores('the theme', array(array('the'), array('eme', 'he '))) AS s")
+        .head().getSeq[Long](0)
+      assert(tps == Seq(2L, 2L))
+      // non-literal profiles must be rejected loudly, not miscompiled
+      val err = intercept[Exception] {
+        s2.sql("SELECT trigram_profile_scores(t, array(array(t))) FROM (SELECT 'the' AS t)").collect()
+      }
+      assert(err.getMessage.contains("literal"), err.getMessage)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -175,14 +175,14 @@ class StreamingOpsSpec extends SparkSpec {
       "after-csv", "after-marker")
     var armed: Option[String] = None
     def processor(counters: StreamingOps.TaxiStreamCounters) =
-      StreamingOps.taxiStreamBatchProcessor(trips, dups, seen, counters,
+      new StreamingOps.TaxiStreamProcessor(trips, dups, seen, counters,
         faultPoint = p => if (armed.contains(p)) {
           armed = None
           throw new RuntimeException(s"injected crash $p")
         })
     // batch 0 commits cleanly on a fresh processor; every later batch is
     // first attempted by a "process" that crashes at one boundary, then a
-    // RESTARTED processor (fresh closure + fresh counters = checkpoint
+    // RESTARTED processor (fresh instance + fresh counters = checkpoint
     // recovery) replays the SAME batch before moving on — batch ids cycle
     // through all five crash points across the three batches, twice
     var lastCounters = new StreamingOps.TaxiStreamCounters
@@ -191,20 +191,23 @@ class StreamingOpsSpec extends SparkSpec {
       crashes.zipWithIndex.foreach { case (site, i) =>
         if ((b + i) % 2 == 0) { // alternate which attempts crash, cover all
           armed = Some(site)
-          try { p(df, b); armed = None } catch {
+          try { p.apply(df, b); armed = None } catch {
             case e: RuntimeException if e.getMessage.startsWith("injected") =>
               // "kill" the stream: restart = new processor + new counters
+              p.close()
               lastCounters = new StreamingOps.TaxiStreamCounters
               p = processor(lastCounters)
           }
         }
       }
-      p(df, b) // the replay/commit attempt that must converge
+      p.apply(df, b) // the replay/commit attempt that must converge
     }
+    p.close()
     // final restart: counters must reconstruct from the commit log alone
     val finalCounters = new StreamingOps.TaxiStreamCounters
     val pf = processor(finalCounters)
-    pf(batches.last._2, batches.last._1) // replay of a committed batch: no-op
+    pf.apply(batches.last._2, batches.last._1) // replay of a committed batch: no-op
+    pf.close()
     assert(finalCounters.snapshot == golden)
     assert(lastCounters.snapshot == golden)
     // kept set identical to the batch pipeline's winners, exactly once
@@ -224,6 +227,27 @@ class StreamingOpsSpec extends SparkSpec {
     val dupCsv = spark.read.option("header", "true").csv(dups)
     assert(dupCsv.count() == 15)
     assert(dupCsv.columns.head == "LineNumber")
+  }
+
+  test("taxi seen-keys legacy flat layout fails loudly at bootstrap") {
+    import spark.implicits._
+    val out = tmpDir("taxilegacy")
+    // pre-r10 layout: seen-key batches directly under seenKeysPath — the
+    // changelog bootstrap reads seenKeysPath/seen/ and would otherwise
+    // silently start empty, re-admitting every previously seen key
+    Seq(("2020-01-01 05:28:15", "2020-01-01 05:33:03", 1))
+      .toDF("pickup_utc", "dropoff_utc", "passenger_count")
+      .write.parquet(s"$out/seen_keys/batch_id=0")
+    val colIdx = graft.etl.CsvSource.RequiredColumns.zipWithIndex.toMap
+    val config = graft.etl.EtlConfig(inputCsvPath = "",
+      duplicatesCsvPath = "", insertedPath = "")
+    val df = StreamingOps.annotateTaxiLines(
+      Seq((1L, "01/01/2020 12:28:15 AM,01/01/2020 12:33:03 AM,1,1.2,N,238,239,6,1.47"))
+        .toDF("line_number", "value"), config, colIdx)
+    val p = new StreamingOps.TaxiStreamProcessor(s"$out/trips", s"$out/dups",
+      s"$out/seen_keys", new StreamingOps.TaxiStreamCounters)
+    val e = intercept[IllegalStateException] { p.apply(df, 0L) }
+    assert(e.getMessage.contains("legacy flat"))
   }
 
   test("flatMapGroupsWithState sessionization closes sessions on gap, keeps open state") {
@@ -427,6 +451,20 @@ class StreamingOpsSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(kept == Set(1L, 2L, 3L, 5L))
     } finally q.stop()
+  }
+
+  test("committed read views surface the sink schema when nothing is committed") {
+    import spark.implicits._
+    val out = tmpDir("ckzero")
+    // uncommitted debris only (a crashed batch's directory, no marker):
+    // the view must expose the schema with ZERO rows — downstream
+    // .select("doc_id") used to throw on the schema-less emptyDataFrame
+    Seq((1L, "x")).toDF("doc_id", "text")
+      .write.parquet(s"$out/kept/batch_id=1")
+    val kept = StreamingOps.committedKept(spark, s"$out/kept")
+    assert(kept.select("doc_id").count() == 0)
+    // nothing on disk at all: no schema to surface, but still zero rows
+    assert(StreamingOps.committedKept(spark, s"$out/kept_nothing").count() == 0)
   }
 
   test("legacy flat state changelog fails loudly at bootstrap instead of starting empty") {
