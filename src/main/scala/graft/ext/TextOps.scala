@@ -292,7 +292,20 @@ object TextOps {
   def langProfilesLearned(spark: SparkSession, sfDir: String): DataFrame =
     langProfilesFrame(spark, sfDir).orderBy("lang", "rank")
 
-  private def langProfilesFrame(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Session cache of the learned-profile frame (languages × K rows —
+    * tiny): the corpus-scan learning pass runs once per (session, sfDir)
+    * and is shared by the lang_profiles query itself AND the driver-side
+    * [[learnedProfiles]] collect that feeds the scorer — previously each
+    * caller re-ran the full gram aggregate (probe: sf1 warm ≈ cold at
+    * ~14.4 s; cached, warm replays the 80-row frame). */
+  private val langProfilesFrameCache = new graft.SessionFrameCache[String]
+
+  private def langProfilesFrame(spark: SparkSession, sfDir: String): DataFrame =
+    langProfilesFrameCache.getOrElseUpdate(spark, sfDir) {
+      langProfilesFrameUncached(spark, sfDir)
+    }
+
+  private def langProfilesFrameUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = expr(
       """CASE WHEN length(t) < 3 THEN array()
         |ELSE transform(sequence(1, length(t) - 2), i -> substring(t, i, 3)) END"""

@@ -284,11 +284,13 @@ object StreamingOps {
     * stream too). At production scale the same role is a transactional
     * keyed store; the commit protocol above is exactly the one those
     * stores implement (write-versioned data + an atomic commit publish),
-    * so the plan and the semantics carry over unchanged. The
-    * committed-id set grows one marker per batch; a production
-    * deployment compacts the log to a low-watermark + tail (the usual
-    * checkpoint compaction), which only changes marker storage, not the
-    * protocol.
+    * so the plan and the semantics carry over unchanged. The state
+    * changelog dirs compact to a snapshot + tail on disk
+    * ([[KeyedStreamState]] since r10); the committed-id set still grows
+    * one marker per batch — markers gate the INSERTED table's read view
+    * too, so compacting them needs a low-watermark + tail scheme (the
+    * usual checkpoint compaction), which only changes marker storage,
+    * not the protocol.
     *
     * `epoch` scopes this stream start's committed-batch ids
     * ([[CommitLog.pack]]) so a fresh-checkpoint restart over an existing
@@ -368,7 +370,8 @@ object StreamingOps {
               "directories under seen/, or wipe the state and rebuild " +
               "from the inserted table.")
         }
-        state = new KeyedStreamState(spark, seenKeysPath, Seq("seen"), committedIds)
+        state = new KeyedStreamState(spark, seenKeysPath, Seq("seen"),
+          committedIds, faultPoint)
       }
       if (!committedIds.contains(batchId) && !batchIn.isEmpty) {
         // sources without a real ordinal (directory streams have no global
@@ -550,9 +553,12 @@ object StreamingOps {
     * (an LSM shape: one increment per batch, compacted every
     * [[KeyedStreamState.CompactEvery]] batches so the scan count stays
     * bounded and superseded blocks are released); the parquet state
-    * directories are demoted to an append-only CHANGELOG — written per
-    * batch for durability, re-read only once at restart (bootstrap),
-    * never on the hot path. Before this, every micro-batch re-read the
+    * directories are demoted to a CHANGELOG — written per batch for
+    * durability, re-read only once at restart (bootstrap), never on the
+    * hot path — and compaction folds through to disk as a
+    * `_snapshot=<upTo>` dir + batch tail (see [[compact]]), so the
+    * directory count and restart probes stay bounded instead of growing
+    * with stream age. Before this, every micro-batch re-read the
     * ENTIRE accumulated state from parquet (~40 jobs/batch, 21 docs/s at
     * sf0.1 — PERF.md r5).
     *
@@ -566,13 +572,18 @@ object StreamingOps {
     * streaming operator expresses. */
   private[streaming] final class KeyedStreamState(
       spark: org.apache.spark.sql.SparkSession, statePath: String,
-      tables: Seq[String], committedIds: Set[Long]) {
+      tables: Seq[String], committedIds: Set[Long],
+      faultPoint: String => Unit = _ => ()) {
     import org.apache.spark.sql.{GraftBridge, SaveMode}
+    import KeyedStreamState.SnapPrefix
     private val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     private var incs: Map[String, Vector[DataFrame]] =
       tables.map(_ -> Vector.empty[DataFrame]).toMap
     private var sinceCompact = 0
+    // highest batch id whose committed changelog content is folded into
+    // `incs` — the cover point a disk snapshot is stamped with
+    private var maxIncludedId: Long = -1L
     // restart bootstrap: one changelog read per table, COMMIT-FILTERED —
     // only `batch_id=<b>` directories whose batch has a published marker
     // in the caller's CommitLog enter the state (r8's torn-changelog
@@ -598,11 +609,29 @@ object StreamingOps {
               "the kept output, or wipe the state dir to start empty.")
         }
       }
+      // per table: newest `_snapshot=<upTo>` dir (if any) + committed
+      // batch dirs ABOVE its cover point. Tables are handled
+      // independently because a crash mid-compaction can leave one table
+      // snapshotted and another not — each table's (snapshot, tail) pair
+      // is self-consistent, and the ids<=upTo filter makes superseded
+      // batch dirs (cleanup not yet run) invisible rather than
+      // double-counted. Probe count is bounded by the tail length, not
+      // stream age.
       val dirs = tables.map { t =>
-        t -> committedIds.toSeq.sorted
+        val tp = new org.apache.hadoop.fs.Path(s"$statePath/$t")
+        val snapUpTo =
+          if (!fs.exists(tp)) -1L
+          else fs.listStatus(tp).iterator.map(_.getPath.getName)
+            .filter(_.startsWith(SnapPrefix))
+            .map(_.stripPrefix(SnapPrefix).toLong).foldLeft(-1L)(math.max)
+        val snapDirs =
+          if (snapUpTo < 0) Seq.empty
+          else Seq(s"$statePath/$t/$SnapPrefix$snapUpTo")
+        t -> (snapDirs ++ committedIds.toSeq.filter(_ > snapUpTo).sorted
           .map(b => s"$statePath/$t/batch_id=$b")
-          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p))))
       }
+      maxIncludedId = committedIds.foldLeft(-1L)(math.max)
       incs = dirs.map { case (t, ps) =>
         t -> (if (ps.isEmpty) Vector.empty[DataFrame]
               else Vector(spark.read.parquet(ps: _*).localCheckpoint()))
@@ -627,6 +656,12 @@ object StreamingOps {
     def append(batchId: Long, updates: Map[String, DataFrame]): Unit = {
       require(updates.keySet == tables.toSet,
         s"append must cover ${tables.mkString(",")}, got ${updates.keys.mkString(",")}")
+      // compaction runs BEFORE this batch is merged: at that point every
+      // id <= maxIncludedId is COMMITTED (the caller published batch
+      // b-1's marker before this call — a failed commit kills the query,
+      // and a restart re-bootstraps commit-filtered), so a disk snapshot
+      // can never capture uncommitted rows
+      if (sinceCompact >= KeyedStreamState.CompactEvery) compact()
       val cps = updates.map { case (t, df) => t -> df.localCheckpoint() }
       val (nonEmpty, empty) = cps.partition { case (_, df) => !df.isEmpty }
       require(nonEmpty.isEmpty || nonEmpty.size == tables.size,
@@ -639,14 +674,56 @@ object StreamingOps {
       incs = incs.map { case (t, v) =>
         t -> nonEmpty.get(t).fold(v)(v :+ _)
       }
+      maxIncludedId = math.max(maxIncludedId, batchId)
       sinceCompact += 1
-      if (sinceCompact >= KeyedStreamState.CompactEvery) compact()
     }
 
+    /** Collapse the in-memory increments to one block per table AND fold
+      * the same collapse through to DISK: the collapsed table is written
+      * to `_snap_tmp`, atomically renamed to `_snapshot=<upTo>` (both
+      * `_`-prefixed — invisible to the legacy-stray check and to
+      * whole-tree parquet readers), and only then are the superseded
+      * `batch_id=<b<=upTo>` dirs and older snapshots deleted. On-disk
+      * dir count and restart fs probes are therefore bounded by
+      * [[KeyedStreamState.CompactEvery]]+1 per table instead of growing
+      * with stream age (the r9 ADVICE growth item, previously only
+      * documented). Crash-safe at every point: before a rename the old
+      * dirs are intact; after it the bootstrap reads the snapshot and
+      * ignores ids <= upTo, so surviving superseded dirs are debris that
+      * the NEXT compaction deletes (the cleanup scan matches on-disk
+      * names, not in-memory bookkeeping). Cost: one O(state) parquet
+      * write per table every CompactEvery batches, amortizing to
+      * O(state/CompactEvery) per batch — the same LSM trade the
+      * in-memory collapse already pays. */
     private def compact(): Unit = {
       val olds = incs.values.flatten.toSeq
+      val upTo = maxIncludedId
       incs = incs.map { case (t, v) =>
         t -> (if (v.isEmpty) v else Vector(table(t).localCheckpoint()))
+      }
+      for (t <- tables; v = incs(t); if v.nonEmpty) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$statePath/$t/_snap_tmp")
+        v.head.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val dst = new org.apache.hadoop.fs.Path(
+          s"$statePath/$t/$SnapPrefix$upTo")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+          s"cannot publish state snapshot $dst")
+        faultPoint(s"compact-after-snap:$t")
+      }
+      faultPoint("compact-after-snapshots")
+      for (t <- tables) {
+        val tp = new org.apache.hadoop.fs.Path(s"$statePath/$t")
+        if (fs.exists(tp)) fs.listStatus(tp).foreach { s =>
+          val n = s.getPath.getName
+          val stale =
+            (n.startsWith("batch_id=") &&
+              n.stripPrefix("batch_id=").toLong <= upTo) ||
+            (n.startsWith(SnapPrefix) &&
+              n.stripPrefix(SnapPrefix).toLong < upTo) ||
+            n == "_snap_tmp"
+          if (stale) fs.delete(s.getPath, true)
+        }
       }
       sinceCompact = 0
       olds.foreach(GraftBridge.unpersistLocalCheckpoint(_))
@@ -661,9 +738,13 @@ object StreamingOps {
 
   private[streaming] object KeyedStreamState {
     /** Compaction period: scan count is bounded by this, and compaction
-      * cost (one O(state) re-materialization) amortizes to O(state/8)
-      * per batch — the LSM trade. */
+      * cost (one O(state) re-materialization + parquet snapshot write)
+      * amortizes to O(state/8) per batch — the LSM trade. */
     val CompactEvery = 8
+    /** On-disk snapshot dir name prefix, `_snapshot=<upTo>`: covers every
+      * committed batch id <= upTo; bootstrap reads it plus only the
+      * batch_id= tail above it. */
+    val SnapPrefix = "_snapshot="
   }
 
   /** Streaming MinHash near-dup INGEST dedup — the stream-shape of the
@@ -776,7 +857,7 @@ object StreamingOps {
         log = new CommitLog(batch.sparkSession, keptPath)
         committedIds = log.committed().keySet
         state = new KeyedStreamState(batch.sparkSession, statePath,
-          Seq("bands", "shingles"), committedIds)
+          Seq("bands", "shingles"), committedIds, faultPoint)
       }
       if (!committedIds.contains(batchId) && !batch.isEmpty) {
         minhashDedupBatch(batch, batchId, state, keptPath, threshold,
@@ -997,7 +1078,7 @@ object StreamingOps {
         log = new CommitLog(batch.sparkSession, keptPath)
         committedIds = log.committed().keySet
         state = new KeyedStreamState(batch.sparkSession, statePath,
-          Seq("bands", "units"), committedIds)
+          Seq("bands", "units"), committedIds, faultPoint)
       }
       if (!committedIds.contains(batchId) && !batch.isEmpty) {
         if (hps == null) {

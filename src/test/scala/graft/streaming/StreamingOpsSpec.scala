@@ -605,6 +605,123 @@ class StreamingOpsSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet == expected + 7L)
   }
 
+  /** One novel doc per batch — every batch kept, every append non-empty,
+    * so CompactEvery appends deterministically trigger disk compaction. */
+  private def novelDocBatches(n: Int): Seq[(Long, org.apache.spark.sql.DataFrame)] =
+    (0 until n).map { i =>
+      val text = (i * 100 to i * 100 + 12).map(w => s"w$w").mkString(" ")
+      (i.toLong, Seq((i + 1L, text)).toDF("doc_id", "text"))
+    }
+
+  private def stateDirNames(root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName).toSeq.sorted
+  }
+
+  test("state changelog compacts on disk to snapshot + bounded tail; snapshot carries early state") {
+    import StreamingOps.KeyedStreamState.{CompactEvery, SnapPrefix}
+    val out = tmpDir("mhcompact")
+    val n = CompactEvery + 2 // one compaction, then a short tail
+    val p = new StreamingOps.MinhashDedupProcessor(s"$out/state", s"$out/kept", 0.6)
+    try novelDocBatches(n).foreach { case (b, df) => p.apply(df, b) }
+    finally p.close()
+    for (t <- Seq("bands", "shingles")) {
+      val names = stateDirNames(s"$out/state/$t")
+      val snaps = names.filter(_.startsWith(SnapPrefix))
+      assert(snaps.size == 1, s"$t: expected one snapshot, got $names")
+      val upTo = snaps.head.stripPrefix(SnapPrefix).toLong
+      val tail = names.filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong)
+      assert(tail.forall(_ > upTo), s"$t: superseded dirs not cleaned: $names")
+      assert(tail.size <= CompactEvery, s"$t: unbounded tail: $names")
+    }
+    // the snapshot (not the deleted batch_id= dirs) must carry batch 0's
+    // state: a fresh processor bootstraps from it and still drops a
+    // near-dup of the FIRST kept doc while admitting novelty
+    val nearFirst = (0 to 10).map(w => s"w$w").mkString(" ") + " zz"
+    val novel = (900 to 912).map(w => s"q$w").mkString(" ")
+    val p2 = new StreamingOps.MinhashDedupProcessor(s"$out/state", s"$out/kept", 0.6)
+    try p2.apply(Seq((50L, nearFirst), (51L, novel)).toDF("doc_id", "text"), n.toLong)
+    finally p2.close()
+    val kept = StreamingOps.committedKept(spark, s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1 to n).map(_.toLong).toSet + 51L, s"got $kept")
+  }
+
+  test("crash mid-compaction: partial snapshot bootstraps without double-count, next compact self-heals") {
+    import StreamingOps.KeyedStreamState.{CompactEvery, SnapPrefix}
+    // uncrashed reference state size for the no-double-count assertion
+    val ref = tmpDir("mhcompref")
+    val refP = new StreamingOps.MinhashDedupProcessor(s"$ref/state", s"$ref/kept", 0.6)
+    try novelDocBatches(CompactEvery + 1).foreach { case (b, df) => refP.apply(df, b) }
+    finally refP.close()
+    val refBands = {
+      val ids = new StreamingOps.CommitLog(spark, s"$ref/kept").committed().keySet
+      val st = new StreamingOps.KeyedStreamState(spark, s"$ref/state",
+        Seq("bands", "shingles"), ids)
+      try st.table("bands").count() finally st.close()
+    }
+
+    for (site <- Seq("compact-after-snap:bands", "compact-after-snapshots")) {
+      val out = tmpDir("mhcompcrash")
+      var armed: Option[String] = Some(site)
+      val fault: String => Unit = s => if (armed.contains(s)) {
+        armed = None; throw new RuntimeException(s"injected crash $s")
+      }
+      val batches = novelDocBatches(CompactEvery + 1)
+      val p = new StreamingOps.MinhashDedupProcessor(
+        s"$out/state", s"$out/kept", 0.6, faultPoint = fault)
+      // the final batch's append triggers compaction, which crashes at
+      // `site`, leaving a renamed snapshot AND its superseded batch dirs
+      try {
+        intercept[RuntimeException] {
+          batches.foreach { case (b, df) => p.apply(df, b) }
+        }
+      } finally p.close()
+      // restart + replay of the crashed batch converges
+      val p2 = new StreamingOps.MinhashDedupProcessor(s"$out/state", s"$out/kept", 0.6)
+      try p2.apply(batches.last._2, batches.last._1) finally p2.close()
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == (1 to CompactEvery + 1).map(_.toLong).toSet,
+        s"$site: kept diverged: $kept")
+      // bootstrap must read snapshot + tail only — surviving superseded
+      // batch_id= dirs (cleanup never ran) are invisible, not doubled
+      val ids = new StreamingOps.CommitLog(spark, s"$out/kept").committed().keySet
+      val st = new StreamingOps.KeyedStreamState(spark, s"$out/state",
+        Seq("bands", "shingles"), ids)
+      val (bandCount, bandDistinct) =
+        try (st.table("bands").count(),
+          st.table("bands").distinct().count())
+        finally st.close()
+      assert(bandCount == refBands,
+        s"$site: state rows $bandCount != uncrashed $refBands (double-count?)")
+      assert(bandCount == bandDistinct, s"$site: duplicate state rows")
+      if (site == "compact-after-snapshots") {
+        // stale dirs left by the crash die on the NEXT compaction
+        val more = (0 to CompactEvery).map { i =>
+          val text = (5000 + i * 100 to 5000 + i * 100 + 12)
+            .map(w => s"m$w").mkString(" ")
+          (CompactEvery + 1L + i, Seq((100L + i, text)).toDF("doc_id", "text"))
+        }
+        val p3 = new StreamingOps.MinhashDedupProcessor(s"$out/state", s"$out/kept", 0.6)
+        try more.foreach { case (b, df) => p3.apply(df, b) }
+        finally p3.close()
+        for (t <- Seq("bands", "shingles")) {
+          val names = stateDirNames(s"$out/state/$t")
+          val snaps = names.filter(_.startsWith(SnapPrefix))
+          assert(snaps.size == 1, s"$t after heal: $names")
+          val upTo = snaps.head.stripPrefix(SnapPrefix).toLong
+          assert(names.filter(_.startsWith("batch_id="))
+            .map(_.stripPrefix("batch_id=").toLong).forall(_ > upTo),
+            s"$t: stale dirs survived the healing compact: $names")
+        }
+      }
+    }
+  }
+
   test("taxi sink under a new epoch processes restarted batch ids, keeps cross-epoch state") {
     import spark.implicits._
     val colIdx = graft.etl.CsvSource.RequiredColumns.zipWithIndex.toMap
