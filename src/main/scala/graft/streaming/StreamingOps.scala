@@ -127,20 +127,45 @@ object StreamingOps {
   private[streaming] final class CommitLog(
       spark: org.apache.spark.sql.SparkSession, rootPath: String) {
     import org.apache.hadoop.fs.Path
+    import CommitLog.RollupPrefix
     private val dir = new Path(s"$rootPath/_commits")
     private val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    /** (batchId → counter deltas) of every committed batch. */
+    private def readFile(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+
+    /** Newest `_rollup=<maxId>` name among `names`, if any. */
+    private def newestRollup(names: Seq[String]): Option[String] =
+      names.filter(_.startsWith(RollupPrefix))
+        .sortBy(_.stripPrefix(RollupPrefix).toLong).lastOption
+
+    /** (batchId → counter deltas) of every committed batch: the newest
+      * roll-up file's entries plus the individual marker-file tail. The
+      * union dedups by id, so a marker that was absorbed into a roll-up
+      * but whose file was not yet deleted (crash between the roll-up
+      * rename and the cleanup) is read twice with identical content —
+      * harmless. */
     def committed(): Map[Long, Array[Long]] =
       if (!fs.exists(dir)) Map.empty
-      else fs.listStatus(dir).iterator
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-        .map { s =>
-          val in = fs.open(s.getPath)
-          val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          s.getPath.getName.toLong -> line.trim.split(',').map(_.toLong)
-        }.toMap
+      else {
+        val names = fs.listStatus(dir).iterator.filter(_.isFile)
+          .map(_.getPath.getName).toSeq
+        val roll: Map[Long, Array[Long]] = newestRollup(names) match {
+          case None => Map.empty
+          case Some(n) => readFile(new Path(dir, n)).split('\n').iterator
+            .filter(_.nonEmpty).map { line =>
+              val Array(id, ds) = line.split(':')
+              id.toLong -> ds.split(',').map(_.toLong)
+            }.toMap
+        }
+        roll ++ names.iterator
+          .filter(n => !n.startsWith(".") && !n.startsWith("_"))
+          .map(n => n.toLong ->
+            readFile(new Path(dir, n)).trim.split(',').map(_.toLong))
+      }
 
     /** Atomically publish batch `b` with its counter deltas. */
     def commit(b: Long, deltas: Array[Long]): Unit = {
@@ -151,7 +176,53 @@ object StreamingOps {
       if (!fs.rename(tmp, new Path(dir, b.toString)))
         throw new java.io.IOException(s"cannot publish commit marker for batch $b")
     }
+
+    /** Roll all but the newest `keepTail` marker files into ONE
+      * consolidated `_rollup=<maxId>` file (new roll-up = old roll-up ∪
+      * absorbed markers, written to a dot-tmp and renamed atomically),
+      * then delete the absorbed marker files and superseded roll-ups.
+      * Bounds the `_commits` file count — and the restart bootstrap's
+      * file reads — at keepTail+1 instead of one marker per batch for
+      * the stream's lifetime. Exact, not lossy: the roll-up carries
+      * every (id, deltas) pair verbatim, so counter bootstrap and
+      * membership tests are unchanged — the roll-up's BYTES still grow
+      * ~30/batch (the price of exactness; a production log would
+      * range-encode or low-watermark them), but the rewrite amortizes:
+      * compaction only fires once the tail doubles past keepTail, so it
+      * runs every keepTail batches, not every batch. Crash-safe at every
+      * point by the same argument as the state snapshot: before the
+      * rename the old files are intact; after it, [[committed]] reads
+      * the newest roll-up and any surviving absorbed markers resolve to
+      * identical entries, and the next compaction deletes them. */
+    def compact(keepTail: Int): Unit = {
+      if (!fs.exists(dir)) return
+      val names = fs.listStatus(dir).iterator.filter(_.isFile)
+        .map(_.getPath.getName).toSeq
+      val markerIds = names.filter(n => !n.startsWith(".") && !n.startsWith("_"))
+        .map(_.toLong)
+      if (markerIds.size < 2 * keepTail) return
+      val absorb = markerIds.sorted.dropRight(keepTail).toSet
+      val markerSet = markerIds.toSet
+      val all = committed()
+      val entries = all.view.filterKeys(id =>
+        absorb.contains(id) || !markerSet.contains(id)).toMap
+      val maxId = entries.keys.max
+      val tmp = new Path(dir, ".tmp_rollup")
+      val out = fs.create(tmp, true)
+      try out.write(entries.toSeq.sortBy(_._1)
+        .map { case (id, ds) => s"$id:${ds.mkString(",")}" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val dst = new Path(dir, s"$RollupPrefix$maxId")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"cannot publish commit roll-up $dst")
+      (absorb.map(_.toString) ++
+        names.filter(n => n.startsWith(RollupPrefix) && n != dst.getName))
+        .foreach(n => fs.delete(new Path(dir, n), false))
+    }
   }
+
 
   /** Epoch scoping for committed-batch ids — the fix for the r9-judged
     * batch-id collision: Spark's micro-batch ids are owned by the
@@ -170,6 +241,11 @@ object StreamingOps {
     * names, and numeric ordering = (epoch, batch) = global commit order
     * (which the duplicates-CSV rebuild sorts by). */
   private[streaming] object CommitLog {
+    /** Consolidated-marker file prefix, `_rollup=<maxId>`: one line per
+      * absorbed batch, `id:delta,delta,...`. `_`-prefixed so the marker
+      * parse and parquet readers skip it. */
+    val RollupPrefix = "_rollup="
+
     /** Low bits carrying the micro-batch id (~10^12 batches per epoch);
       * the high 23 bits carry the epoch (~8M stream restarts). */
     val BatchBits = 40
@@ -237,6 +313,18 @@ object StreamingOps {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .map(_.getPath.toString).toSeq
   }
+
+  /** Batch ids with a `batch_id=` directory present under `root` — ONE
+    * listStatus instead of one fs.exists probe per committed id (the
+    * probe loop is O(stream age) and on the taxi duplicates-rebuild it
+    * ran per BATCH; a single listing is one RPC however old the stream
+    * is). */
+  private def presentBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[Long] =
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
 
   /** The foreachBatch half of full stream/batch parity: every micro-batch
     * feeds the reference pipeline's THREE consumers (inserted table,
@@ -433,9 +521,11 @@ object StreamingOps {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (deltas(3) > 0 ||
               !hfs.exists(new org.apache.hadoop.fs.Path(duplicatesCsvPath))) {
-            val dupDirs = (committedIds + batchId).toSeq.sorted
+            val want = committedIds + batchId
+            val dupDirs = presentBatchIds(hfs,
+                new org.apache.hadoop.fs.Path(dupStatePath))
+              .filter(want).toSeq.sorted
               .map(b => s"$dupStatePath/batch_id=$b")
-              .filter(p => hfs.exists(new org.apache.hadoop.fs.Path(p)))
             val dupAll =
               if (dupDirs.isEmpty) dupRows.limit(0).withColumn("batch_id", lit(0L))
               else spark.read.option("basePath", dupStatePath).parquet(dupDirs: _*)
@@ -451,6 +541,8 @@ object StreamingOps {
           counters.total.add(deltas(0)); counters.parsed.add(deltas(1))
           counters.invalid.add(deltas(2)); counters.duplicates.add(deltas(3))
           counters.inserted.add(deltas(4))
+          // post-commit, so a crash mid-compaction replays as a no-op
+          log.compact(KeyedStreamState.CompactEvery)
         } finally withSeen.unpersist()
       }
     }
@@ -592,44 +684,43 @@ object StreamingOps {
     // that the filter never reads and the replayed batch overwrites).
     // A batch with nothing to add wrote no directory — absence is data.
     locally {
-      // refuse a state tree this bootstrap cannot see: content under a
-      // table dir that is not `batch_id=` versioned (the pre-r9 flat
-      // changelog layout) would silently bootstrap EMPTY — previously-kept
-      // docs re-admitted as novel. Fail loudly with the upgrade path.
-      tables.foreach { t =>
-        val tp = new org.apache.hadoop.fs.Path(s"$statePath/$t")
-        if (fs.exists(tp)) {
-          val stray = fs.listStatus(tp).iterator.map(_.getPath.getName)
-            .filterNot(n => n.startsWith("batch_id=") ||
-              n.startsWith(".") || n.startsWith("_")).toSeq
-          if (stray.nonEmpty) throw new IllegalStateException(
-            s"state table $statePath/$t holds non-batch_id content " +
-              s"(${stray.mkString(", ")}) — a legacy flat changelog this " +
-              "bootstrap would silently ignore. Rebuild the state from " +
-              "the kept output, or wipe the state dir to start empty.")
-        }
-      }
-      // per table: newest `_snapshot=<upTo>` dir (if any) + committed
-      // batch dirs ABOVE its cover point. Tables are handled
+      // ONE listStatus per table serves three reads: the legacy-layout
+      // check, snapshot discovery, and batch-tail presence (no per-id
+      // fs.exists loop — probe cost is one RPC per table however old the
+      // stream is). Per table: newest `_snapshot=<upTo>` dir (if any) +
+      // committed batch dirs ABOVE its cover point. Tables are handled
       // independently because a crash mid-compaction can leave one table
       // snapshotted and another not — each table's (snapshot, tail) pair
       // is self-consistent, and the ids<=upTo filter makes superseded
       // batch dirs (cleanup not yet run) invisible rather than
-      // double-counted. Probe count is bounded by the tail length, not
-      // stream age.
+      // double-counted.
       val dirs = tables.map { t =>
         val tp = new org.apache.hadoop.fs.Path(s"$statePath/$t")
-        val snapUpTo =
-          if (!fs.exists(tp)) -1L
-          else fs.listStatus(tp).iterator.map(_.getPath.getName)
-            .filter(_.startsWith(SnapPrefix))
-            .map(_.stripPrefix(SnapPrefix).toLong).foldLeft(-1L)(math.max)
+        val names =
+          if (!fs.exists(tp)) Seq.empty[String]
+          else fs.listStatus(tp).iterator.map(_.getPath.getName).toSeq
+        // refuse a state tree this bootstrap cannot see: content under a
+        // table dir that is not `batch_id=` versioned (the pre-r9 flat
+        // changelog layout) would silently bootstrap EMPTY —
+        // previously-kept docs re-admitted as novel. Fail loudly with
+        // the upgrade path.
+        val stray = names.filterNot(n => n.startsWith("batch_id=") ||
+          n.startsWith(".") || n.startsWith("_"))
+        if (stray.nonEmpty) throw new IllegalStateException(
+          s"state table $statePath/$t holds non-batch_id content " +
+            s"(${stray.mkString(", ")}) — a legacy flat changelog this " +
+            "bootstrap would silently ignore. Rebuild the state from " +
+            "the kept output, or wipe the state dir to start empty.")
+        val snapUpTo = names.filter(_.startsWith(SnapPrefix))
+          .map(_.stripPrefix(SnapPrefix).toLong).foldLeft(-1L)(math.max)
         val snapDirs =
           if (snapUpTo < 0) Seq.empty
           else Seq(s"$statePath/$t/$SnapPrefix$snapUpTo")
-        t -> (snapDirs ++ committedIds.toSeq.filter(_ > snapUpTo).sorted
-          .map(b => s"$statePath/$t/batch_id=$b")
-          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p))))
+        val present = names.filter(_.startsWith("batch_id="))
+          .map(_.stripPrefix("batch_id=").toLong).toSet
+        t -> (snapDirs ++
+          committedIds.toSeq.filter(b => b > snapUpTo && present(b)).sorted
+            .map(b => s"$statePath/$t/batch_id=$b"))
       }
       maxIncludedId = committedIds.foldLeft(-1L)(math.max)
       incs = dirs.map { case (t, ps) =>
@@ -815,9 +906,10 @@ object StreamingOps {
       keptPath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(keptPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = new CommitLog(spark, keptPath).committed().keys.toSeq.sorted
+    val ids = new CommitLog(spark, keptPath).committed().keySet
+    val dirs = presentBatchIds(fs, new org.apache.hadoop.fs.Path(keptPath))
+      .filter(ids).toSeq.sorted
       .map(b => s"$keptPath/batch_id=$b")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else {
       // zero committed/kept is legitimate: surface the sink's schema from
@@ -1008,6 +1100,8 @@ object StreamingOps {
       faultPoint("after-state")
       log.commit(batchId, Array(nKept))
       faultPoint("after-marker")
+      // post-commit, so a crash mid-compaction replays as a no-op
+      log.compact(KeyedStreamState.CompactEvery)
     } finally {
       sh.unpersist()
       bands.unpersist()
@@ -1230,6 +1324,8 @@ object StreamingOps {
       faultPoint("after-state")
       log.commit(batchId, Array(nKept))
       faultPoint("after-marker")
+      // post-commit, so a crash mid-compaction replays as a no-op
+      log.compact(KeyedStreamState.CompactEvery)
     } finally {
       org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(units)
       org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(banded)

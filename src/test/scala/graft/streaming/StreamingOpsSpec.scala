@@ -722,6 +722,47 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("commit markers roll up into one file: bounded count, exact entries, debris tolerated") {
+    import StreamingOps.CommitLog.RollupPrefix
+    val keep = StreamingOps.KeyedStreamState.CompactEvery
+    val root = tmpDir("commitroll")
+    val log = new StreamingOps.CommitLog(spark, root)
+    def files: Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/_commits")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
+    }
+    def deltasOf(id: Long) = Array(id * 10, id + 1)
+    def assertExact(upTo: Long): Unit = {
+      val got = log.committed()
+      assert(got.keySet == (0L to upTo).toSet)
+      (0L to upTo).foreach(id => assert(got(id).sameElements(deltasOf(id)),
+        s"id $id: ${got(id).mkString(",")}"))
+    }
+
+    (0L until 2L * keep).foreach(id => log.commit(id, deltasOf(id)))
+    log.compact(keep) // 16 markers >= 2*keepTail: absorb all but the tail
+    assert(files.count(_.startsWith(RollupPrefix)) == 1)
+    assert(files.size == keep + 1, s"unbounded _commits: $files")
+    assertExact(2L * keep - 1)
+
+    // crash debris: an absorbed marker whose file survived the cleanup —
+    // identical entry via the union, then deleted by the next compaction
+    log.commit(0L, deltasOf(0L))
+    assertExact(2L * keep - 1)
+    ((2L * keep) until (3L * keep - 1)).foreach(id => log.commit(id, deltasOf(id)))
+    log.compact(keep) // tail back at 2*keepTail: debris absorbed + deleted
+    assert(!files.contains("0"), s"debris marker survived: $files")
+    assert(files.size == keep + 1, s"unbounded _commits: $files")
+    assertExact(3L * keep - 2)
+
+    // epoch resolution reads THROUGH the roll-up: a fresh checkpoint over
+    // this log must claim an epoch above every rolled-up id's epoch
+    val epoch = StreamingOps.CommitLog.resolveEpoch(
+      spark, tmpDir("commitrollckpt"), root)
+    assert(epoch == 1L, s"expected epoch 1 over epoch-0 roll-up, got $epoch")
+  }
+
   test("taxi sink under a new epoch processes restarted batch ids, keeps cross-epoch state") {
     import spark.implicits._
     val colIdx = graft.etl.CsvSource.RequiredColumns.zipWithIndex.toMap
