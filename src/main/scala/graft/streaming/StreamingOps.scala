@@ -137,34 +137,52 @@ object StreamingOps {
       finally in.close()
     }
 
-    /** Newest `_rollup=<maxId>` name among `names`, if any. */
+    /** Newest roll-up file name among `names`, if any (numeric suffix is
+      * a strictly increasing generation, so max = newest). */
     private def newestRollup(names: Seq[String]): Option[String] =
       names.filter(_.startsWith(RollupPrefix))
         .sortBy(_.stripPrefix(RollupPrefix).toLong).lastOption
 
-    /** (batchId → counter deltas) of every committed batch: the newest
-      * roll-up file's entries plus the individual marker-file tail. The
-      * union dedups by id, so a marker that was absorbed into a roll-up
-      * but whose file was not yet deleted (crash between the roll-up
-      * rename and the cleanup) is read twice with identical content —
-      * harmless. */
-    def committed(): Map[Long, Array[Long]] =
-      if (!fs.exists(dir)) Map.empty
+    /** Parse a roll-up file: `w:<epoch>:<maxBatch>:<sums>` watermark
+      * lines plus (legacy, pre-watermark roll-ups) exact `id:deltas`
+      * lines — the latter ride along as tail entries until the next
+      * [[compact]] folds them into watermarks. */
+    private def parseRollup(text: String)
+        : (Map[Long, (Long, Array[Long])], Map[Long, Array[Long]]) = {
+      val lines = text.split('\n').iterator.filter(_.nonEmpty).toSeq
+      val wm = lines.filter(_.startsWith("w:")).map { line =>
+        val Array(_, e, b, ds) = line.split(':')
+        e.toLong -> (b.toLong, ds.split(',').map(_.toLong))
+      }.toMap
+      val exact = lines.filterNot(_.startsWith("w:")).map { line =>
+        val Array(id, ds) = line.split(':')
+        id.toLong -> ds.split(',').map(_.toLong)
+      }.toMap
+      (wm, exact)
+    }
+
+    /** The committed-batch view: per-epoch low watermarks from the newest
+      * roll-up file plus the exact marker-file tail. A marker whose id a
+      * watermark already covers is absorbed debris (crash between the
+      * roll-up rename and the marker cleanup) — its deltas are already in
+      * the watermark sum, so it is EXCLUDED here, never double-counted. */
+    def committed(): CommitLog.Committed =
+      if (!fs.exists(dir)) new CommitLog.Committed(Map.empty, Map.empty)
       else {
         val names = fs.listStatus(dir).iterator.filter(_.isFile)
           .map(_.getPath.getName).toSeq
-        val roll: Map[Long, Array[Long]] = newestRollup(names) match {
-          case None => Map.empty
-          case Some(n) => readFile(new Path(dir, n)).split('\n').iterator
-            .filter(_.nonEmpty).map { line =>
-              val Array(id, ds) = line.split(':')
-              id.toLong -> ds.split(',').map(_.toLong)
-            }.toMap
+        val (wm, legacy) = newestRollup(names) match {
+          case None => (Map.empty[Long, (Long, Array[Long])],
+            Map.empty[Long, Array[Long]])
+          case Some(n) => parseRollup(readFile(new Path(dir, n)))
         }
-        roll ++ names.iterator
+        val markers = names.iterator
           .filter(n => !n.startsWith(".") && !n.startsWith("_"))
           .map(n => n.toLong ->
             readFile(new Path(dir, n)).trim.split(',').map(_.toLong))
+          .filterNot { case (id, _) => CommitLog.coveredBy(wm, id) }
+        new CommitLog.Committed(wm, legacy.filterNot { case (id, _) =>
+          CommitLog.coveredBy(wm, id) } ++ markers)
       }
 
     /** Atomically publish batch `b` with its counter deltas. */
@@ -178,22 +196,29 @@ object StreamingOps {
     }
 
     /** Roll all but the newest `keepTail` marker files into ONE
-      * consolidated `_rollup=<maxId>` file (new roll-up = old roll-up ∪
-      * absorbed markers, written to a dot-tmp and renamed atomically),
-      * then delete the absorbed marker files and superseded roll-ups.
-      * Bounds the `_commits` file count — and the restart bootstrap's
-      * file reads — at keepTail+1 instead of one marker per batch for
-      * the stream's lifetime. Exact, not lossy: the roll-up carries
-      * every (id, deltas) pair verbatim, so counter bootstrap and
-      * membership tests are unchanged — the roll-up's BYTES still grow
-      * ~30/batch (the price of exactness; a production log would
-      * range-encode or low-watermark them), but the rewrite amortizes:
-      * compaction only fires once the tail doubles past keepTail, so it
-      * runs every keepTail batches, not every batch. Crash-safe at every
-      * point by the same argument as the state snapshot: before the
-      * rename the old files are intact; after it, [[committed]] reads
-      * the newest roll-up and any surviving absorbed markers resolve to
-      * identical entries, and the next compaction deletes them. */
+      * consolidated `_rollup=<gen>` file of per-epoch LOW WATERMARKS
+      * (`w:<epoch>:<maxBatch>:<summed deltas>`), written to a dot-tmp and
+      * renamed atomically, then delete the absorbed marker files and
+      * superseded roll-ups. Bounds the `_commits` directory in BOTH file
+      * count (keepTail+1) and bytes (one ~40-byte line per epoch, i.e.
+      * per stream restart — not per batch): a watermark is sound because
+      * batches commit strictly in id order within an epoch, so the
+      * committed set below the top marker is a contiguous prefix — the
+      * only gaps are batches that ran EMPTY (the sinks skip work and
+      * markers for them), and claiming those committed is a no-op: a
+      * replay skip of an empty batch produces the same nothing, and its
+      * delta contribution is zero. Counter bootstrap needs only the SUM
+      * of deltas, which the watermark carries exactly.
+      *
+      * Crash-safe at every point: the generation suffix strictly
+      * increases (never rename-over or delete-before-rename), so before
+      * the rename the old files are intact and authoritative; after it
+      * the new roll-up wins newest-by-generation, surviving absorbed
+      * markers are watermark-covered (invisible to [[committed]], deltas
+      * not double-counted) and superseded roll-ups are ignored — the
+      * next compaction deletes both. Amortized: fires only once the
+      * marker tail doubles past keepTail, so every keepTail batches, not
+      * every batch. */
     def compact(keepTail: Int): Unit = {
       if (!fs.exists(dir)) return
       val names = fs.listStatus(dir).iterator.filter(_.isFile)
@@ -201,20 +226,37 @@ object StreamingOps {
       val markerIds = names.filter(n => !n.startsWith(".") && !n.startsWith("_"))
         .map(_.toLong)
       if (markerIds.size < 2 * keepTail) return
-      val absorb = markerIds.sorted.dropRight(keepTail).toSet
-      val markerSet = markerIds.toSet
-      val all = committed()
-      val entries = all.view.filterKeys(id =>
-        absorb.contains(id) || !markerSet.contains(id)).toMap
-      val maxId = entries.keys.max
+      val (wm0, legacy) = newestRollup(names) match {
+        case None => (Map.empty[Long, (Long, Array[Long])],
+          Map.empty[Long, Array[Long]])
+        case Some(n) => parseRollup(readFile(new Path(dir, n)))
+      }
+      val absorb = markerIds.sorted.dropRight(keepTail)
+      // fold legacy exact entries + uncovered absorbed markers into the
+      // watermarks; covered absorbed markers are debris whose deltas the
+      // watermark already holds — delete-only, never re-added
+      var wm = wm0
+      // Map ++ dedups by id, so a debris marker that duplicates a legacy
+      // exact entry folds ONCE (identical content by the commit protocol)
+      (legacy ++ absorb.filterNot(CommitLog.coveredBy(wm0, _))
+        .map(id => id -> readFile(new Path(dir, id.toString)).trim
+          .split(',').map(_.toLong)))
+        .filterNot { case (id, _) => CommitLog.coveredBy(wm0, id) }
+        .foreach { case (id, ds) =>
+          val e = id >>> CommitLog.BatchBits
+          val b = id & CommitLog.BatchMask
+          val (mb, sums) = wm.getOrElse(e, (-1L, Array.empty[Long]))
+          wm += e -> (math.max(mb, b), CommitLog.addDeltas(sums, ds))
+        }
+      val gen = names.filter(_.startsWith(RollupPrefix))
+        .map(_.stripPrefix(RollupPrefix).toLong).foldLeft(0L)(math.max) + 1
       val tmp = new Path(dir, ".tmp_rollup")
       val out = fs.create(tmp, true)
-      try out.write(entries.toSeq.sortBy(_._1)
-        .map { case (id, ds) => s"$id:${ds.mkString(",")}" }
+      try out.write(wm.toSeq.sortBy(_._1)
+        .map { case (e, (b, ds)) => s"w:$e:$b:${ds.mkString(",")}" }
         .mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      val dst = new Path(dir, s"$RollupPrefix$maxId")
-      if (fs.exists(dst)) fs.delete(dst, true)
+      val dst = new Path(dir, s"$RollupPrefix$gen")
       if (!fs.rename(tmp, dst))
         throw new java.io.IOException(s"cannot publish commit roll-up $dst")
       (absorb.map(_.toString) ++
@@ -241,14 +283,58 @@ object StreamingOps {
     * names, and numeric ordering = (epoch, batch) = global commit order
     * (which the duplicates-CSV rebuild sorts by). */
   private[streaming] object CommitLog {
-    /** Consolidated-marker file prefix, `_rollup=<maxId>`: one line per
-      * absorbed batch, `id:delta,delta,...`. `_`-prefixed so the marker
-      * parse and parquet readers skip it. */
+    /** Consolidated-marker file prefix, `_rollup=<generation>`: one
+      * `w:<epoch>:<maxBatch>:<summed deltas>` watermark line per epoch.
+      * `_`-prefixed so the marker parse and parquet readers skip it; the
+      * generation suffix strictly increases so newest = max and a new
+      * roll-up never renames over an old one. */
     val RollupPrefix = "_rollup="
 
     /** Low bits carrying the micro-batch id (~10^12 batches per epoch);
       * the high 23 bits carry the epoch (~8M stream restarts). */
     val BatchBits = 40
+    val BatchMask: Long = (1L << BatchBits) - 1
+
+    /** Is `id` at-or-below its epoch's watermark? */
+    def coveredBy(wm: Map[Long, (Long, Array[Long])], id: Long): Boolean =
+      wm.get(id >>> BatchBits).exists(_._1 >= (id & BatchMask))
+
+    /** Elementwise delta sum, padded to the longer array (the taxi sink
+      * carries five counters, the ingest sinks one). */
+    def addDeltas(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val r = new Array[Long](math.max(a.length, b.length))
+      var i = 0
+      while (i < a.length) { r(i) += a(i); i += 1 }
+      i = 0
+      while (i < b.length) { r(i) += b(i); i += 1 }
+      r
+    }
+
+    /** The parsed commit-log view: per-epoch low watermarks (epoch →
+      * highest committed batch in that epoch + elementwise-summed
+      * deltas) plus the exact marker tail. Individual ids below a
+      * watermark are not enumerable — by design, that is what bounds the
+      * log's bytes at O(#epochs + tail) — so read paths intersect the
+      * batch_id= directories PRESENT on disk with [[contains]] instead
+      * of iterating committed ids. */
+    final class Committed private[streaming] (
+        private[streaming] val wm: Map[Long, (Long, Array[Long])],
+        private[streaming] val tail: Map[Long, Array[Long]]) {
+      def isEmpty: Boolean = wm.isEmpty && tail.isEmpty
+      def contains(id: Long): Boolean =
+        tail.contains(id) || coveredBy(wm, id)
+      /** Highest committed id, -1 when none. */
+      def maxId: Long =
+        (wm.iterator.map { case (e, (b, _)) => (e << BatchBits) | b } ++
+          tail.keysIterator).foldLeft(-1L)(math.max)
+      def epochs: Set[Long] =
+        wm.keySet ++ tail.keysIterator.map(_ >>> BatchBits)
+      /** Elementwise sum of every committed batch's deltas (empty array
+        * when nothing is committed). */
+      def deltaSums: Array[Long] =
+        (wm.valuesIterator.map(_._2) ++ tail.valuesIterator)
+          .foldLeft(Array.empty[Long])(addDeltas)
+    }
     def pack(epoch: Long, batchId: Long): Long = {
       require(batchId >= 0 && batchId < (1L << BatchBits),
         s"micro-batch id $batchId out of packable range")
@@ -271,8 +357,8 @@ object StreamingOps {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
         finally in.close()
       } else {
-        val committed = new CommitLog(spark, commitRoot).committed().keySet
-        val epoch = (committed.map(_ >>> BatchBits) + 0L).max + 1
+        val committed = new CommitLog(spark, commitRoot).committed()
+        val epoch = (committed.epochs + 0L).max + 1
         fs.mkdirs(p.getParent)
         val out = fs.create(p, true)
         try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
@@ -288,19 +374,25 @@ object StreamingOps {
     * this view excludes it). */
   def committedTrips(spark: org.apache.spark.sql.SparkSession,
       insertedPath: String): DataFrame = {
-    val ids = new CommitLog(spark, insertedPath).committed().keys.toSeq
-    if (ids.isEmpty) {
+    val c = new CommitLog(spark, insertedPath).committed()
+    val fs = new org.apache.hadoop.fs.Path(insertedPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // present ∩ committed, read as explicit leaf dirs: debris is never
+    // read (vs the earlier read-everything + isin filter, whose In-list
+    // grew with stream age and dragged debris through the scan)
+    val dirs = presentBatchIds(fs, new org.apache.hadoop.fs.Path(insertedPath))
+      .filter(c.contains).toSeq.sorted
+      .map(b => s"$insertedPath/batch_id=$b")
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
       // zero-committed is a legitimate state: give downstream selects the
       // sink's schema (readable from any batch directory — even
       // uncommitted debris has the right columns) instead of the
       // schema-less emptyDataFrame, which would throw on .select
-      val dirs = batchDirs(spark, insertedPath)
-      if (dirs.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(dirs.head).limit(0)
-    } else
-      spark.read.parquet(insertedPath)
-        .filter(col("batch_id").isin(ids: _*))
-        .drop("batch_id")
+      val any = batchDirs(spark, insertedPath)
+      if (any.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(any.head).limit(0)
+    }
   }
 
   /** `batch_id=` directories under a sink root (committed or not). */
@@ -421,7 +513,10 @@ object StreamingOps {
     // invocation (restart recovery) and maintained live afterwards; the
     // counters object is expected FRESH per stream start — bootstrap adds
     // the committed deltas exactly once
-    private var committedIds: Set[Long] = null
+    private var committedBase: CommitLog.Committed = null
+    private var newIds = Set.empty[Long]
+    private def isCommitted(id: Long): Boolean =
+      newIds(id) || committedBase.contains(id)
     private var log: CommitLog = null
     private var state: KeyedStreamState = null
     def close(): Unit = if (state != null) state.close()
@@ -432,12 +527,11 @@ object StreamingOps {
       if (log == null) {
         log = new CommitLog(spark, insertedPath)
         val cm = log.committed()
-        cm.values.foreach { d =>
-          counters.total.add(d(0)); counters.parsed.add(d(1))
-          counters.invalid.add(d(2)); counters.duplicates.add(d(3))
-          counters.inserted.add(d(4))
-        }
-        committedIds = cm.keySet
+        val d = cm.deltaSums.padTo(5, 0L)
+        counters.total.add(d(0)); counters.parsed.add(d(1))
+        counters.invalid.add(d(2)); counters.duplicates.add(d(3))
+        counters.inserted.add(d(4))
+        committedBase = cm
         // the seen-keys state is a [[KeyedStreamState]] changelog since
         // r10 (table dir `<seenKeysPath>/seen/batch_id=N`): before, every
         // micro-batch RE-READ the whole accumulated seen-keys parquet —
@@ -459,9 +553,9 @@ object StreamingOps {
               "from the inserted table.")
         }
         state = new KeyedStreamState(spark, seenKeysPath, Seq("seen"),
-          committedIds, faultPoint)
+          cm, faultPoint)
       }
-      if (!committedIds.contains(batchId) && !batchIn.isEmpty) {
+      if (!isCommitted(batchId) && !batchIn.isEmpty) {
         // sources without a real ordinal (directory streams have no global
         // file order) get a per-batch arrival surrogate — synthesized HERE
         // because monotonically_increasing_id is rejected on streaming
@@ -521,10 +615,9 @@ object StreamingOps {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (deltas(3) > 0 ||
               !hfs.exists(new org.apache.hadoop.fs.Path(duplicatesCsvPath))) {
-            val want = committedIds + batchId
             val dupDirs = presentBatchIds(hfs,
                 new org.apache.hadoop.fs.Path(dupStatePath))
-              .filter(want).toSeq.sorted
+              .filter(b => isCommitted(b) || b == batchId).toSeq.sorted
               .map(b => s"$dupStatePath/batch_id=$b")
             val dupAll =
               if (dupDirs.isEmpty) dupRows.limit(0).withColumn("batch_id", lit(0L))
@@ -537,7 +630,7 @@ object StreamingOps {
           faultPoint("after-csv")
           log.commit(batchId, deltas)
           faultPoint("after-marker")
-          committedIds += batchId
+          newIds += batchId
           counters.total.add(deltas(0)); counters.parsed.add(deltas(1))
           counters.invalid.add(deltas(2)); counters.duplicates.add(deltas(3))
           counters.inserted.add(deltas(4))
@@ -664,7 +757,7 @@ object StreamingOps {
     * streaming operator expresses. */
   private[streaming] final class KeyedStreamState(
       spark: org.apache.spark.sql.SparkSession, statePath: String,
-      tables: Seq[String], committedIds: Set[Long],
+      tables: Seq[String], committed: CommitLog.Committed,
       faultPoint: String => Unit = _ => ()) {
     import org.apache.spark.sql.{GraftBridge, SaveMode}
     import KeyedStreamState.SnapPrefix
@@ -719,10 +812,10 @@ object StreamingOps {
         val present = names.filter(_.startsWith("batch_id="))
           .map(_.stripPrefix("batch_id=").toLong).toSet
         t -> (snapDirs ++
-          committedIds.toSeq.filter(b => b > snapUpTo && present(b)).sorted
+          present.toSeq.filter(b => b > snapUpTo && committed.contains(b)).sorted
             .map(b => s"$statePath/$t/batch_id=$b"))
       }
-      maxIncludedId = committedIds.foldLeft(-1L)(math.max)
+      maxIncludedId = committed.maxId
       incs = dirs.map { case (t, ps) =>
         t -> (if (ps.isEmpty) Vector.empty[DataFrame]
               else Vector(spark.read.parquet(ps: _*).localCheckpoint()))
@@ -906,9 +999,9 @@ object StreamingOps {
       keptPath: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(keptPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = new CommitLog(spark, keptPath).committed().keySet
+    val c = new CommitLog(spark, keptPath).committed()
     val dirs = presentBatchIds(fs, new org.apache.hadoop.fs.Path(keptPath))
-      .filter(ids).toSeq.sorted
+      .filter(c.contains).toSeq.sorted
       .map(b => s"$keptPath/batch_id=$b")
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else {
@@ -940,21 +1033,23 @@ object StreamingOps {
       statePath: String, keptPath: String, threshold: Double,
       epoch: Long = 0L, faultPoint: String => Unit = _ => ()) {
     private var state: KeyedStreamState = null
-    private var committedIds: Set[Long] = null
+    private var committedBase: CommitLog.Committed = null
+    private var newIds = Set.empty[Long]
     private var log: CommitLog = null
     def close(): Unit = if (state != null) state.close()
     def apply(batch: DataFrame, rawBatchId: Long): Unit = {
       val batchId = CommitLog.pack(epoch, rawBatchId)
       if (log == null) {
         log = new CommitLog(batch.sparkSession, keptPath)
-        committedIds = log.committed().keySet
+        committedBase = log.committed()
         state = new KeyedStreamState(batch.sparkSession, statePath,
-          Seq("bands", "shingles"), committedIds, faultPoint)
+          Seq("bands", "shingles"), committedBase, faultPoint)
       }
-      if (!committedIds.contains(batchId) && !batch.isEmpty) {
+      if (!newIds(batchId) && !committedBase.contains(batchId) &&
+          !batch.isEmpty) {
         minhashDedupBatch(batch, batchId, state, keptPath, threshold,
           log, faultPoint)
-        committedIds += batchId
+        newIds += batchId
       }
     }
   }
@@ -1162,7 +1257,8 @@ object StreamingOps {
       bands: Int, rowsPerBand: Int, seed: Long,
       epoch: Long = 0L, faultPoint: String => Unit = _ => ()) {
     private var state: KeyedStreamState = null
-    private var committedIds: Set[Long] = null
+    private var committedBase: CommitLog.Committed = null
+    private var newIds = Set.empty[Long]
     private var log: CommitLog = null
     private var hps: Array[Array[Double]] = null
     def close(): Unit = if (state != null) state.close()
@@ -1170,11 +1266,12 @@ object StreamingOps {
       val batchId = CommitLog.pack(epoch, rawBatchId)
       if (log == null) {
         log = new CommitLog(batch.sparkSession, keptPath)
-        committedIds = log.committed().keySet
+        committedBase = log.committed()
         state = new KeyedStreamState(batch.sparkSession, statePath,
-          Seq("bands", "units"), committedIds, faultPoint)
+          Seq("bands", "units"), committedBase, faultPoint)
       }
-      if (!committedIds.contains(batchId) && !batch.isEmpty) {
+      if (!newIds(batchId) && !committedBase.contains(batchId) &&
+          !batch.isEmpty) {
         if (hps == null) {
           // dimension probe — one O(1) driver action on the first batch
           val dim = batch.select(size(col("embedding"))).head().getInt(0)
@@ -1183,7 +1280,7 @@ object StreamingOps {
         }
         embDedupBatch(batch, batchId, state, keptPath, threshold,
           hps, bands, rowsPerBand, log, faultPoint)
-        committedIds += batchId
+        newIds += batchId
       }
     }
   }

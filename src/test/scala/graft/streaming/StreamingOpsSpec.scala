@@ -476,7 +476,8 @@ class StreamingOpsSpec extends SparkSpec {
       .write.parquet(s"$out/state/bands")
     val e = intercept[IllegalStateException] {
       new StreamingOps.KeyedStreamState(
-        spark, s"$out/state", Seq("bands", "shingles"), Set.empty)
+        spark, s"$out/state", Seq("bands", "shingles"),
+        new StreamingOps.CommitLog(spark, s"$out/kept").committed())
     }
     assert(e.getMessage.contains("legacy flat changelog"))
   }
@@ -658,7 +659,7 @@ class StreamingOpsSpec extends SparkSpec {
     try novelDocBatches(CompactEvery + 1).foreach { case (b, df) => refP.apply(df, b) }
     finally refP.close()
     val refBands = {
-      val ids = new StreamingOps.CommitLog(spark, s"$ref/kept").committed().keySet
+      val ids = new StreamingOps.CommitLog(spark, s"$ref/kept").committed()
       val st = new StreamingOps.KeyedStreamState(spark, s"$ref/state",
         Seq("bands", "shingles"), ids)
       try st.table("bands").count() finally st.close()
@@ -689,7 +690,7 @@ class StreamingOpsSpec extends SparkSpec {
         s"$site: kept diverged: $kept")
       // bootstrap must read snapshot + tail only — surviving superseded
       // batch_id= dirs (cleanup never ran) are invisible, not doubled
-      val ids = new StreamingOps.CommitLog(spark, s"$out/kept").committed().keySet
+      val ids = new StreamingOps.CommitLog(spark, s"$out/kept").committed()
       val st = new StreamingOps.KeyedStreamState(spark, s"$out/state",
         Seq("bands", "shingles"), ids)
       val (bandCount, bandDistinct) =
@@ -722,22 +723,30 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
-  test("commit markers roll up into one file: bounded count, exact entries, debris tolerated") {
+  test("commit markers roll up into per-epoch watermarks: bounded count AND bytes, exact sums, debris tolerated") {
     import StreamingOps.CommitLog.RollupPrefix
     val keep = StreamingOps.KeyedStreamState.CompactEvery
     val root = tmpDir("commitroll")
     val log = new StreamingOps.CommitLog(spark, root)
-    def files: Seq[String] = {
-      val p = new org.apache.hadoop.fs.Path(s"$root/_commits")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSeq
-    }
+    val fs = new org.apache.hadoop.fs.Path(s"$root/_commits")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_commits"))
+        .filter(_.isFile).map(_.getPath.getName).toSeq
+    def rollupBytes: Long = files.filter(_.startsWith(RollupPrefix))
+      .map(n => fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        s"$root/_commits/$n")).getLen).sum
     def deltasOf(id: Long) = Array(id * 10, id + 1)
+    // sums over 0..upTo must be exact whatever the watermark/tail split
     def assertExact(upTo: Long): Unit = {
       val got = log.committed()
-      assert(got.keySet == (0L to upTo).toSet)
-      (0L to upTo).foreach(id => assert(got(id).sameElements(deltasOf(id)),
-        s"id $id: ${got(id).mkString(",")}"))
+      (0L to upTo).foreach(id => assert(got.contains(id), s"id $id lost"))
+      assert(!got.contains(upTo + 1))
+      assert(got.maxId == upTo)
+      val want = (0L to upTo).map(deltasOf)
+        .foldLeft(Array.empty[Long])(StreamingOps.CommitLog.addDeltas)
+      assert(got.deltaSums.sameElements(want),
+        s"sums ${got.deltaSums.mkString(",")} != ${want.mkString(",")}")
     }
 
     (0L until 2L * keep).foreach(id => log.commit(id, deltasOf(id)))
@@ -745,9 +754,11 @@ class StreamingOpsSpec extends SparkSpec {
     assert(files.count(_.startsWith(RollupPrefix)) == 1)
     assert(files.size == keep + 1, s"unbounded _commits: $files")
     assertExact(2L * keep - 1)
+    val bytesAfterFirst = rollupBytes
 
     // crash debris: an absorbed marker whose file survived the cleanup —
-    // identical entry via the union, then deleted by the next compaction
+    // watermark-covered, so invisible (sums NOT double-counted), then
+    // deleted by the next compaction
     log.commit(0L, deltasOf(0L))
     assertExact(2L * keep - 1)
     ((2L * keep) until (3L * keep - 1)).foreach(id => log.commit(id, deltasOf(id)))
@@ -755,12 +766,49 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!files.contains("0"), s"debris marker survived: $files")
     assert(files.size == keep + 1, s"unbounded _commits: $files")
     assertExact(3L * keep - 2)
+    // one epoch = one watermark line: bytes must NOT grow with batches
+    // (modulo the sums' digit count), unlike the absorbed batch count
+    assert(rollupBytes <= bytesAfterFirst + 8,
+      s"roll-up bytes grew with batch count: $bytesAfterFirst -> $rollupBytes")
 
     // epoch resolution reads THROUGH the roll-up: a fresh checkpoint over
     // this log must claim an epoch above every rolled-up id's epoch
     val epoch = StreamingOps.CommitLog.resolveEpoch(
       spark, tmpDir("commitrollckpt"), root)
     assert(epoch == 1L, s"expected epoch 1 over epoch-0 roll-up, got $epoch")
+  }
+
+  test("legacy exact-entry roll-up is read as tail and folded to watermarks by the next compact") {
+    import StreamingOps.CommitLog.RollupPrefix
+    val keep = StreamingOps.KeyedStreamState.CompactEvery
+    val root = tmpDir("commitrolllegacy")
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_commits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    // the pre-watermark roll-up format: exact `id:deltas` lines, named by
+    // max absorbed id
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"${RollupPrefix}3"), true)
+    try out.write((0L to 3L).map(id => s"$id:${id * 10},${id + 1}")
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val log = new StreamingOps.CommitLog(spark, root)
+    val before = log.committed()
+    assert((0L to 3L).forall(before.contains) && before.maxId == 3L)
+    assert(before.deltaSums.sameElements(Array(60L, 10L)))
+    // grow a marker tail past the hysteresis and compact: the legacy
+    // entries must fold into the epoch-0 watermark, sums unchanged
+    (4L until 4L + 2L * keep).foreach(id => log.commit(id, Array(id * 10, id + 1)))
+    log.compact(keep)
+    val after = log.committed()
+    assert(after.wm.contains(0L), s"legacy entries not folded: ${after.wm}")
+    assert((0L until 4L + 2L * keep).forall(after.contains))
+    val want = (0L until 4L + 2L * keep).map(id => Array(id * 10, id + 1))
+      .foldLeft(Array.empty[Long])(StreamingOps.CommitLog.addDeltas)
+    assert(after.deltaSums.sameElements(want))
+    // the legacy roll-up is superseded by a higher generation and deleted
+    val rolls = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith(RollupPrefix)).toSeq
+    assert(rolls == Seq(s"${RollupPrefix}4"), s"roll-ups: $rolls")
   }
 
   test("taxi sink under a new epoch processes restarted batch ids, keeps cross-epoch state") {
