@@ -377,12 +377,11 @@ object StreamingOps {
     val c = new CommitLog(spark, insertedPath).committed()
     val fs = new org.apache.hadoop.fs.Path(insertedPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // present ∩ committed, read as explicit leaf dirs: debris is never
-    // read (vs the earlier read-everything + isin filter, whose In-list
-    // grew with stream age and dragged debris through the scan)
-    val dirs = presentBatchIds(fs, new org.apache.hadoop.fs.Path(insertedPath))
-      .filter(c.contains).toSeq.sorted
-      .map(b => s"$insertedPath/batch_id=$b")
+    // ranges + (present ∩ committed ∩ uncovered), read as explicit leaf
+    // dirs: debris is never read (vs the earlier read-everything + isin
+    // filter, whose In-list grew with stream age and dragged debris
+    // through the scan), and covered dirs yield to their range
+    val dirs = committedDirs(spark, fs, insertedPath, c)
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else {
       // zero-committed is a legitimate state: give downstream selects the
@@ -417,6 +416,114 @@ object StreamingOps {
     else fs.listStatus(root).iterator
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong).toSet
+
+  /** Consolidated-output directory prefix, `range=<lo>-<hi>`: committed
+    * `batch_id=` directories bin-packed into one directory by
+    * [[compactOutput]]. A range never spans epochs. */
+  private[streaming] val RangePrefix = "range="
+
+  /** (lo, hi) id bounds of the `range=` directories under `root`. */
+  private def presentRanges(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(Long, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(RangePrefix))
+      .map { s =>
+        val Array(lo, hi) =
+          s.getPath.getName.stripPrefix(RangePrefix).split('-')
+        (lo.toLong, hi.toLong)
+      }.toSeq
+
+  private def rangeCovered(ranges: Seq[(Long, Long)], id: Long): Boolean =
+    ranges.exists { case (lo, hi) => lo <= id && id <= hi }
+
+  /** Directories of the committed read view under an output root: every
+    * `range=` dir (ranges hold only committed data by construction) plus
+    * the committed, not-range-covered `batch_id=` tail. */
+  private def committedDirs(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String,
+      c: CommitLog.Committed): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val ranges = presentRanges(fs, rootPath)
+    ranges.sorted.map { case (lo, hi) => s"$root/$RangePrefix$lo-$hi" } ++
+      presentBatchIds(fs, rootPath)
+        .filter(b => c.contains(b) && !rangeCovered(ranges, b)).toSeq.sorted
+        .map(b => s"$root/batch_id=$b")
+  }
+
+  /** Bin-pack committed `batch_id=` OUTPUT directories into consolidated
+    * `range=<lo>-<hi>` directories — the small-files fix for the sinks
+    * themselves: without it a long-lived stream accrues one small parquet
+    * directory per micro-batch forever (a year at one batch/minute is
+    * ~500k directories), and every read of the committed view lists and
+    * opens all of them. Called post-commit with the same 2×keepTail
+    * hysteresis as the log compactions, it absorbs all but the newest
+    * keepTail committed dirs into one directory per epoch, coalesced to
+    * ~128 MB files — directory count becomes O(total/keepTail) and each
+    * row is rewritten at most ONCE (ranges are never re-merged, so there
+    * is no quadratic write amplification).
+    *
+    * Safety invariants:
+    *   - only COMMITTED dirs are absorbed, and a range never spans
+    *     epochs: within an epoch every future commit id exceeds the
+    *     epoch's current max, so a sealed range can never cover an id
+    *     that commits later (a resumed old-epoch checkpoint commits
+    *     between its own epoch's ids, which a cross-epoch range would
+    *     straddle — hence the split);
+    *   - crash-safe by the snapshot argument: the range publishes by
+    *     atomic rename, absorbed dirs are deleted only after, and a
+    *     crash in between leaves covered dirs that the read view ignores
+    *     (range wins) and the next call deletes (self-heal, first step);
+    *   - uncommitted debris inside a range's bounds is impossible for
+    *     ids that replay (a later same-epoch commit proves the earlier
+    *     batch completed); a dead epoch's trailing debris sits above
+    *     every range of its epoch and stays inert.
+    *
+    * The taxi duplicates side-state is deliberately NOT compacted: its
+    * rebuild needs per-batch `batch_id=` partitioning for global
+    * ordering, and its volume is bounded by the duplicate count, not the
+    * stream's throughput. */
+  private[streaming] def compactOutput(spark: org.apache.spark.sql.SparkSession,
+      root: String, isCommitted: Long => Boolean, keepTail: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    val ranges = presentRanges(fs, rootPath)
+    val present = presentBatchIds(fs, rootPath)
+    // self-heal first: a covered batch dir is debris of a crash between
+    // a range rename and its deletes — the view already ignores it
+    val (covered, uncovered) = present.partition(rangeCovered(ranges, _))
+    covered.foreach(b => fs.delete(new Path(s"$root/batch_id=$b"), true))
+    // membership-free hysteresis check: uncovered ⊇ live, so a short dir
+    // tail exits before isCommitted is ever called (callers may back it
+    // by a lazy commit-log read — it then costs one read per keepTail
+    // batches, not per batch)
+    if (uncovered.size < 2 * keepTail) return
+    val live = uncovered.filter(isCommitted).toSeq.sorted
+    if (live.size < 2 * keepTail) return
+    live.dropRight(keepTail).groupBy(_ >>> CommitLog.BatchBits)
+      .toSeq.sortBy(_._1).foreach { case (_, ids) =>
+        if (ids.size >= 2) {
+          val dirs = ids.map(b => s"$root/batch_id=$b")
+          val bytes = dirs.map(d =>
+            fs.getContentSummary(new Path(d)).getLength).sum
+          val parts = math.max(1,
+            math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+          val tmp = new Path(root, s".tmp_range_${ids.head}_${ids.last}")
+          fs.delete(tmp, true)
+          spark.read.parquet(dirs: _*).coalesce(parts)
+            .write.parquet(tmp.toString)
+          val dst = new Path(root, s"$RangePrefix${ids.head}-${ids.last}")
+          // dst can pre-exist only if its absorbed dirs still do (deletes
+          // run last), so dropping it before the rename loses nothing
+          if (fs.exists(dst)) fs.delete(dst, true)
+          if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+            s"cannot publish output range $dst")
+          dirs.foreach(d => fs.delete(new Path(d), true))
+        }
+      }
+  }
 
   /** The foreachBatch half of full stream/batch parity: every micro-batch
     * feeds the reference pipeline's THREE consumers (inserted table,
@@ -636,6 +743,8 @@ object StreamingOps {
           counters.inserted.add(deltas(4))
           // post-commit, so a crash mid-compaction replays as a no-op
           log.compact(KeyedStreamState.CompactEvery)
+          compactOutput(spark, insertedPath, isCommitted,
+            KeyedStreamState.CompactEvery)
         } finally withSeen.unpersist()
       }
     }
@@ -1000,9 +1109,7 @@ object StreamingOps {
     val fs = new org.apache.hadoop.fs.Path(keptPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val c = new CommitLog(spark, keptPath).committed()
-    val dirs = presentBatchIds(fs, new org.apache.hadoop.fs.Path(keptPath))
-      .filter(c.contains).toSeq.sorted
-      .map(b => s"$keptPath/batch_id=$b")
+    val dirs = committedDirs(spark, fs, keptPath, c)
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else {
       // zero committed/kept is legitimate: surface the sink's schema from
@@ -1197,6 +1304,9 @@ object StreamingOps {
       faultPoint("after-marker")
       // post-commit, so a crash mid-compaction replays as a no-op
       log.compact(KeyedStreamState.CompactEvery)
+      compactOutput(batch.sparkSession, keptPath,
+        { lazy val c = log.committed(); id => c.contains(id) },
+        KeyedStreamState.CompactEvery)
     } finally {
       sh.unpersist()
       bands.unpersist()
@@ -1423,6 +1533,9 @@ object StreamingOps {
       faultPoint("after-marker")
       // post-commit, so a crash mid-compaction replays as a no-op
       log.compact(KeyedStreamState.CompactEvery)
+      compactOutput(batch.sparkSession, keptPath,
+        { lazy val c = log.committed(); id => c.contains(id) },
+        KeyedStreamState.CompactEvery)
     } finally {
       org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(units)
       org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(banded)

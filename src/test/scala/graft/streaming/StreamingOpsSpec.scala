@@ -811,6 +811,81 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rolls == Seq(s"${RollupPrefix}4"), s"roll-ups: $rolls")
   }
 
+  test("output compaction bin-packs committed batch dirs into per-epoch ranges; view identical; debris self-heals") {
+    import spark.implicits._
+    import StreamingOps.CommitLog
+    val keep = StreamingOps.KeyedStreamState.CompactEvery
+    val root = tmpDir("outcompact")
+    val log = new StreamingOps.CommitLog(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirNames: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .filter(_.isDirectory).map(_.getPath.getName).toSeq
+    def view: Set[(Long, String)] = StreamingOps.committedKept(spark, root)
+      .as[(Long, String)].collect().toSet
+    // two epochs, each with keep+2 committed batches: the absorb set
+    // spans both, so compaction must seal one range PER EPOCH, never
+    // across (a resumed old-epoch checkpoint commits between its own
+    // epoch's ids — a cross-epoch range would straddle them)
+    val ids = (0L until (keep + 2L)).map(CommitLog.pack(0, _)) ++
+      (0L until (keep + 2L)).map(CommitLog.pack(1, _))
+    ids.foreach { id =>
+      Seq((id, s"doc$id")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$root/batch_id=$id")
+      log.commit(id, Array(1L))
+    }
+    // plus uncommitted debris above epoch 1's committed max: never
+    // absorbed, never visible
+    val debrisId = CommitLog.pack(1, keep + 2L)
+    Seq((999L, "debris")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/batch_id=$debrisId")
+    val before = view
+    assert(before.size == ids.size)
+    def isCommitted: Long => Boolean = { val c = log.committed(); c.contains }
+
+    StreamingOps.compactOutput(spark, root, isCommitted, keep)
+    val ranges = dirNames.filter(_.startsWith("range="))
+    assert(ranges.size == 2, s"expected one range per epoch: $dirNames")
+    ranges.foreach { r =>
+      val Array(lo, hi) = r.stripPrefix("range=").split('-').map(_.toLong)
+      assert((lo >>> CommitLog.BatchBits) == (hi >>> CommitLog.BatchBits),
+        s"range spans epochs: $r")
+    }
+    // absorbed dirs deleted; keep-tail + the inert debris dir remain
+    val tailDirs = dirNames.filter(_.startsWith("batch_id="))
+    assert(tailDirs.size == keep + 1, s"tail not bounded: $tailDirs")
+    assert(tailDirs.contains(s"batch_id=$debrisId"))
+    assert(view == before, "committed view changed under compaction")
+
+    // crash debris: an absorbed dir recreated with garbage is covered by
+    // a range — invisible to the view — and the next pass deletes it
+    val victim = ids.head
+    Seq((victim, "GARBAGE")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/batch_id=$victim")
+    assert(view == before, "covered debris leaked into the view")
+    StreamingOps.compactOutput(spark, root, isCommitted, keep)
+    assert(!dirNames.contains(s"batch_id=$victim"), "covered debris survived")
+    assert(view == before)
+  }
+
+  test("ingest stream long enough to trigger output compaction: ranges appear, kept set unchanged") {
+    import StreamingOps.KeyedStreamState.CompactEvery
+    val out = tmpDir("mhoutcompact")
+    val n = 2 * CompactEvery + 1 // crosses the 2×-tail hysteresis once
+    val p = new StreamingOps.MinhashDedupProcessor(s"$out/state", s"$out/kept", 0.6)
+    try novelDocBatches(n).foreach { case (b, df) => p.apply(df, b) }
+    finally p.close()
+    val kept = StreamingOps.committedKept(spark, s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1 to n).map(_.toLong).toSet, s"kept diverged: $kept")
+    val names = stateDirNames(s"$out/kept")
+    assert(names.exists(_.startsWith("range=")),
+      s"no range dir after $n batches: $names")
+    assert(names.count(_.startsWith("batch_id=")) <= CompactEvery + 1,
+      s"batch-dir tail not bounded: $names")
+  }
+
   test("taxi sink under a new epoch processes restarted batch ids, keeps cross-epoch state") {
     import spark.implicits._
     val colIdx = graft.etl.CsvSource.RequiredColumns.zipWithIndex.toMap
