@@ -126,8 +126,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "trigram_profile_scores: profiles must not be null"))
         val profiles = data.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toObjectArray(ArrayType(StringType)).toSeq.map { inner =>
+            if (inner == null) throw new IllegalArgumentException(
+              "trigram_profile_scores: profiles must not contain a null profile")
             inner.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-              .toObjectArray(StringType).toSeq.map(_.toString)
+              .toObjectArray(StringType).toSeq.map { g =>
+                if (g == null) throw new IllegalArgumentException(
+                  "trigram_profile_scores: profile grams must not be null")
+                g.toString
+              }
           }
         graft.functions.TrigramProfileScores(Cast(args(0), StringType), profiles)
       }))

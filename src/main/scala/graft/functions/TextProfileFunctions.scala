@@ -100,7 +100,12 @@ object TrigramProfileScores {
     * ~1460 ns/doc, ~1.5×; counts bit-identical on every doc, oracle
     * hashes unchanged). For valid UTF-8 the decoded sequence is
     * identical to `String.codePointAt` iteration; Spark strings are
-    * UTF-8 by construction. */
+    * UTF-8 by construction — but not GUARANTEED valid (casts from
+    * binary, corrupt sources), and `UTF8String.getByte` is unchecked
+    * over a possibly shared row buffer, so malformed input is handled
+    * in-bounds: a truncated multi-byte tail or a stray lead byte decodes
+    * as U+FFFD and advances one byte, deterministic and never reading
+    * past `numBytes`. */
   def score(s: UTF8String, keys: Array[Long], masks: Array[Long],
       nProfiles: Int): Array[Long] = {
     val counts = new Array[Long](nProfiles)
@@ -112,14 +117,17 @@ object TrigramProfileScores {
       val b0 = s.getByte(i) & 0xFF
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xE0) == 0xC0) {
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
         cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
-      } else if ((b0 & 0xF0) == 0xE0) {
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
         cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
           (s.getByte(i + 2) & 0x3F); i += 3
-      } else {
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
         cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
           ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      } else {
+        // malformed: stray continuation / invalid lead / truncated tail
+        cp = 0xFFFD; i += 1
       }
       if (p2 >= 0) {
         val idx = java.util.Arrays.binarySearch(

@@ -346,7 +346,15 @@ object StreamingOps {
       * else claim max-committed-epoch + 1 from the output's commit log and
       * persist it in the checkpoint. A crash between claiming and the
       * first commit re-resolves to the same epoch (nothing was committed
-      * under it), so the claim itself needs no atomicity. */
+      * under it), so the claim itself needs no atomicity.
+      *
+      * A checkpoint that already has Spark stream state (`offsets/`) but
+      * no `_graft_epoch` predates epoch scoping: its committed ids in the
+      * log are bare epoch-0 ids, and it may replay an in-flight batch.
+      * Claiming a FRESH epoch for it would un-match the replayed batch
+      * from its committed marker and reprocess it — so such a checkpoint
+      * CONTINUES under epoch 0 (exactly what it was writing before),
+      * which is then persisted like any other claim. */
     def resolveEpoch(spark: org.apache.spark.sql.SparkSession,
         checkpointDir: String, commitRoot: String): Long = {
       import org.apache.hadoop.fs.Path
@@ -357,8 +365,11 @@ object StreamingOps {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
         finally in.close()
       } else {
-        val committed = new CommitLog(spark, commitRoot).committed()
-        val epoch = (committed.epochs + 0L).max + 1
+        val epoch = if (fs.exists(new Path(s"$checkpointDir/offsets"))) 0L
+        else {
+          val committed = new CommitLog(spark, commitRoot).committed()
+          (committed.epochs + 0L).max + 1
+        }
         fs.mkdirs(p.getParent)
         val out = fs.create(p, true)
         try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
@@ -383,26 +394,23 @@ object StreamingOps {
     // through the scan), and covered dirs yield to their range
     val dirs = committedDirs(spark, fs, insertedPath, c)
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
-    else {
-      // zero-committed is a legitimate state: give downstream selects the
-      // sink's schema (readable from any batch directory — even
-      // uncommitted debris has the right columns) instead of the
-      // schema-less emptyDataFrame, which would throw on .select
-      val any = batchDirs(spark, insertedPath)
-      if (any.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(any.head).limit(0)
-    }
+    else schemaFallback(spark, insertedPath)
   }
 
-  /** `batch_id=` directories under a sink root (committed or not). */
-  private def batchDirs(spark: org.apache.spark.sql.SparkSession,
-      root: String): Seq[String] = {
+  /** A zero-committed view still needs the sink's SCHEMA: any
+    * data-bearing batch directory serves (even uncommitted debris has
+    * the right columns), read as `limit(0)`. Footerless dirs (zero-row
+    * writes) are skipped — they cannot be schema-inferred. */
+  private def schemaFallback(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).iterator
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .map(_.getPath.toString).toSeq
+    presentBatchIds(fs, p).toSeq.sorted
+      .map(b => new org.apache.hadoop.fs.Path(s"$root/batch_id=$b"))
+      .find(hasDataFile(fs, _)) match {
+      case Some(d) => spark.read.parquet(d.toString).limit(0)
+      case None => spark.emptyDataFrame
+    }
   }
 
   /** Batch ids with a `batch_id=` directory present under `root` — ONE
@@ -422,6 +430,15 @@ object StreamingOps {
     * [[compactOutput]]. A range never spans epochs. */
   private[streaming] val RangePrefix = "range="
 
+  /** Micro-batches at or below this row count get their batch-sized join
+    * sides broadcast (the per-batch fixed-cost optimization: no exchange
+    * stages, state streams through as block reads). ABOVE it — a
+    * backlogged source's catch-up batch can be arbitrarily large — the
+    * planner's shuffle join is the safe path: broadcasting a
+    * multi-million-row batch hits driver memory and the broadcast size
+    * cap, failing a batch the shuffle plan would complete. */
+  private[streaming] val StreamBroadcastCap = 200000L
+
   /** (lo, hi) id bounds of the `range=` directories under `root`. */
   private def presentRanges(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[(Long, Long)] =
@@ -437,6 +454,18 @@ object StreamingOps {
   private def rangeCovered(ranges: Seq[(Long, Long)], id: Long): Boolean =
     ranges.exists { case (lo, hi) => lo <= id && id <= hi }
 
+  /** Does `dir` hold at least one data file? A zero-row batch write can
+    * leave `_SUCCESS` only — no parquet footer — and a footerless
+    * directory poisons schema inference for every sibling passed to the
+    * same `spark.read.parquet` call, so the read paths and the output
+    * compactor skip such directories (they carry no rows by
+    * construction). */
+  private def hasDataFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".") && f.getLen > 0)
+
   /** Directories of the committed read view under an output root: every
     * `range=` dir (ranges hold only committed data by construction) plus
     * the committed, not-range-covered `batch_id=` tail. */
@@ -447,7 +476,9 @@ object StreamingOps {
     val ranges = presentRanges(fs, rootPath)
     ranges.sorted.map { case (lo, hi) => s"$root/$RangePrefix$lo-$hi" } ++
       presentBatchIds(fs, rootPath)
-        .filter(b => c.contains(b) && !rangeCovered(ranges, b)).toSeq.sorted
+        .filter(b => c.contains(b) && !rangeCovered(ranges, b) &&
+          hasDataFile(fs, new org.apache.hadoop.fs.Path(s"$root/batch_id=$b")))
+        .toSeq.sorted
         .map(b => s"$root/batch_id=$b")
   }
 
@@ -503,7 +534,13 @@ object StreamingOps {
     val live = uncovered.filter(isCommitted).toSeq.sorted
     if (live.size < 2 * keepTail) return
     live.dropRight(keepTail).groupBy(_ >>> CommitLog.BatchBits)
-      .toSeq.sortBy(_._1).foreach { case (_, ids) =>
+      .toSeq.sortBy(_._1).foreach { case (_, group) =>
+        // a committed dir without data files carries no rows (zero-row
+        // batch write): deleting it cannot change the view, and it would
+        // poison the consolidation read's schema inference
+        val (ids, empty) = group.partition(b =>
+          hasDataFile(fs, new Path(s"$root/batch_id=$b")))
+        empty.foreach(b => fs.delete(new Path(s"$root/batch_id=$b"), true))
         if (ids.size >= 2) {
           val dirs = ids.map(b => s"$root/batch_id=$b")
           val bytes = dirs.map(d =>
@@ -595,10 +632,23 @@ object StreamingOps {
       seenKeysPath: String,
       counters: TaxiStreamCounters,
       epoch: Long = 0L,
-      faultPoint: String => Unit = _ => ()): (DataFrame, Long) => Unit = {
+      faultPoint: String => Unit = _ => ()): TaxiBatchSink = {
     val p = new TaxiStreamProcessor(insertedPath, duplicatesCsvPath,
       seenKeysPath, counters, epoch, faultPoint)
-    p.apply _
+    new TaxiBatchSink(p)
+  }
+
+  /** The foreachBatch function form of the taxi sink WITH an explicit
+    * lifecycle: the processor's seen-keys state holds localCheckpoint
+    * blocks, so a caller that stops the stream must [[close]] (as
+    * [[runTaxiEtlStream]] does via query termination) or the blocks
+    * outlive the stream until JVM exit. Extends Function2 so existing
+    * `sink(df, id)` call sites are unchanged. */
+  final class TaxiBatchSink private[streaming] (
+      p: TaxiStreamProcessor) extends ((DataFrame, Long) => Unit)
+      with AutoCloseable {
+    def apply(df: DataFrame, id: Long): Unit = p.apply(df, id)
+    def close(): Unit = p.close()
   }
 
   /** The class form of [[taxiStreamBatchProcessor]] (same protocol and
@@ -1111,14 +1161,7 @@ object StreamingOps {
     val c = new CommitLog(spark, keptPath).committed()
     val dirs = committedDirs(spark, fs, keptPath, c)
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
-    else {
-      // zero committed/kept is legitimate: surface the sink's schema from
-      // any batch directory (uncommitted debris has the right columns)
-      // so downstream selects see zero rows instead of AnalysisException
-      val any = batchDirs(spark, keptPath)
-      if (any.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(any.head).limit(0)
-    }
+    else schemaFallback(spark, keptPath)
   }
 
   /** The foreachBatch half of [[runMinhashDedupStream]], with the same
@@ -1171,6 +1214,13 @@ object StreamingOps {
     // of the MinHash path, and bands feed the state join, the in-batch
     // self-join (both sides), and the state append
     val bands = DedupOps.bandFrame(sh).persist()
+    // one count up front serves the broadcast gate, the hot-key gate,
+    // and the kept-count fallback (it also materializes the persists)
+    val nBatch = sh.count()
+    // batch-sized join sides broadcast only in the normal micro-batch
+    // regime — a jumbo catch-up batch takes the shuffle plan instead
+    def bc(df: DataFrame): DataFrame =
+      if (nBatch <= StreamBroadcastCap) broadcast(df) else df
     var keptIds: DataFrame = null
     var labels: DataFrame = null
     // per-batch local checkpoints released at batch end (a long-running
@@ -1196,7 +1246,7 @@ object StreamingOps {
       val dupOfKept: DataFrame =
         if (state.isEmpty) null
         else {
-          val cand = broadcast(bands).as("x").join(state.table("bands").as("y"),
+          val cand = bc(bands).as("x").join(state.table("bands").as("y"),
               col("x.band") === col("y.band") &&
                 col("x.band_key") === col("y.band_key"))
             .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -1209,7 +1259,7 @@ object StreamingOps {
             // without the semi-join the inverted-index explode is O(state)
             // per batch even when nothing matches
             val candSh = state.table("shingles").join(
-              broadcast(cand.select(col("doc_b").as("doc_id")).distinct()),
+              bc(cand.select(col("doc_b").as("doc_id")).distinct()),
               Seq("doc_id"), "left_semi")
             val d = DedupOps.jaccardForCandidates(sh.unionAll(candSh), cand)
               .filter(col("jaccard") >= threshold)
@@ -1221,7 +1271,7 @@ object StreamingOps {
         }
       def dropDups(df: DataFrame): DataFrame =
         if (dupOfKept == null) df
-        else df.join(broadcast(dupOfKept), Seq("doc_id"), "left_anti")
+        else df.join(bc(dupOfKept), Seq("doc_id"), "left_anti")
       val fresh = dropDups(sh)
       // within-batch: cluster the surviving docs' near-dup pairs, min wins.
       // Survivors' bands come from an anti-join on the ALREADY-computed
@@ -1236,7 +1286,6 @@ object StreamingOps {
       // members of a degenerate group ever: the group's FIRST batch
       // collapses it to its per-shard keepers, and every later arrival
       // is dropped as a dup-of-kept before reaching the state appends.)
-      val nBatch = sh.count()
       val freshBands =
         if (nBatch <= DedupOps.MinHashBandDfCap)
           dropDups(bands).withColumn("shard", lit(0L))
@@ -1269,14 +1318,14 @@ object StreamingOps {
         else {
           val k0 = fresh.select(col("doc_id"))
           val k = (if (losers == null) k0
-                   else k0.join(broadcast(losers), Seq("doc_id"), "left_anti"))
+                   else k0.join(bc(losers), Seq("doc_id"), "left_anti"))
             .localCheckpoint()
           scratch += k
           k
         }
       def keptOnly(df: DataFrame): DataFrame =
         if (keptIds == null) df
-        else df.join(broadcast(keptIds), Seq("doc_id"), "left_semi")
+        else df.join(bc(keptIds), Seq("doc_id"), "left_semi")
       // exactly-once write order: kept (per-batch dir, overwrite) → state
       // changelog (per-batch dirs, overwrite) → marker (atomic, LAST).
       // A batch that keeps nothing writes no kept directory — absence is
@@ -1413,6 +1462,13 @@ object StreamingOps {
       batch.select(col("vec_id"), col("embedding"))).localCheckpoint()
     val banded = SimilarityOps.hyperplaneBandFrame(
       units, hps, bands, rowsPerBand).localCheckpoint()
+    // one count up front serves the broadcast gate, the hot-key gate,
+    // and the kept-count fallback
+    val nBatch = units.count()
+    // batch-sized join sides broadcast only in the normal micro-batch
+    // regime -- a jumbo catch-up batch takes the shuffle plan instead
+    def bc(df: DataFrame): DataFrame =
+      if (nBatch <= StreamBroadcastCap) broadcast(df) else df
     def dot(a: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       graft.functions.VectorFunctions.vecDot(a, b)
@@ -1455,8 +1511,8 @@ object StreamingOps {
           // tracks candidate volume, not state size
           val d = state.table("units").select(
               col("vec_id").as("vec_b"), col("unit").as("u_b"))
-            .join(broadcast(cand), "vec_b")
-            .join(broadcast(units.select(
+            .join(bc(cand), "vec_b")
+            .join(bc(units.select(
               col("vec_id").as("vec_a"), col("unit").as("u_a"))), "vec_a")
             .filter(dot(col("u_a"), col("u_b")) >= threshold)
             .select(col("vec_a").as("vec_id"))
@@ -1466,14 +1522,13 @@ object StreamingOps {
         }
       def dropDups(df: DataFrame): DataFrame =
         if (dupOfKept == null) df
-        else df.join(broadcast(dupOfKept), Seq("vec_id"), "left_anti")
+        else df.join(bc(dupOfKept), Seq("vec_id"), "left_anti")
       val freshUnits = dropDups(units)
       // the in-batch hot-key guard can only bind when the batch itself
       // exceeds the band-df cap — for smaller batches (the normal
       // micro-batch regime) its count-aggregate + broadcast-back are a
       // per-batch no-op tax; one cheap count on the checkpointed units
       // decides. Degenerate jumbo batches still get the full guard.
-      val nBatch = units.count()
       val freshBands =
         if (nBatch <= SimilarityOps.EmbLshBandDfCap)
           dropDups(banded).withColumn("shard", lit(0L))
@@ -1488,9 +1543,9 @@ object StreamingOps {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       val inBatchPairs = inBatchCand
-        .join(broadcast(freshUnits.select(
+        .join(bc(freshUnits.select(
           col("vec_id").as("vec_a"), col("unit").as("u_a"))), "vec_a")
-        .join(broadcast(freshUnits.select(
+        .join(bc(freshUnits.select(
           col("vec_id").as("vec_b"), col("unit").as("u_b"))), "vec_b")
         .filter(dot(col("u_a"), col("u_b")) >= threshold)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
@@ -1505,7 +1560,7 @@ object StreamingOps {
         }
       def dropLosers(df: DataFrame): DataFrame =
         if (losers == null) df
-        else df.join(broadcast(losers), Seq("vec_id"), "left_anti")
+        else df.join(bc(losers), Seq("vec_id"), "left_anti")
       keptIds =
         if (dupOfKept == null && losers == null) null // whole batch kept
         else {
@@ -1515,7 +1570,7 @@ object StreamingOps {
         }
       def keptOnly(df: DataFrame): DataFrame =
         if (keptIds == null) df
-        else df.join(broadcast(keptIds), Seq("vec_id"), "left_semi")
+        else df.join(bc(keptIds), Seq("vec_id"), "left_semi")
       // exactly-once write order: kept → state changelog → marker (LAST);
       // all per-batch-directory overwrites, as in minhashDedupBatch
       val nKept = if (keptIds == null) nBatch else keptIds.count()

@@ -78,6 +78,16 @@ class GraftExtensionsSpec extends SparkSpec {
         s2.sql("SELECT trigram_profile_scores(t, array(array(t))) FROM (SELECT 'the' AS t)").collect()
       }
       assert(err.getMessage.contains("literal"), err.getMessage)
+      // null elements inside the literal get the clean validation error,
+      // not an analyzer NPE
+      val errNullGram = intercept[Exception] {
+        s2.sql("SELECT trigram_profile_scores('the', array(array('the', NULL)))").collect()
+      }
+      assert(errNullGram.getMessage.contains("null"), errNullGram.getMessage)
+      val errNullProfile = intercept[Exception] {
+        s2.sql("SELECT trigram_profile_scores('the', array(array('the'), NULL))").collect()
+      }
+      assert(errNullProfile.getMessage.contains("null"), errNullProfile.getMessage)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

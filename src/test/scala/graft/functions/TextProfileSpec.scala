@@ -43,6 +43,26 @@ class TextProfileSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("malformed UTF-8 decodes in-bounds as U+FFFD: truncated tails, stray bytes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val (keys, masks) = TrigramProfileScores.buildTables(profiles)
+    def sc(bytes: Array[Byte]): Seq[Long] = TrigramProfileScores
+      .score(UTF8String.fromBytes(bytes), keys, masks, profiles.size).toSeq
+    // a truncated multi-byte tail decodes exactly like an explicit
+    // U+FFFD — the valid prefix's counts are preserved
+    assert(sc("and the ".getBytes("UTF-8") :+ 0xE4.toByte) ==
+      sc("and the �".getBytes("UTF-8")))
+    // stray continuation byte mid-string
+    assert(sc("th".getBytes("UTF-8") ++ Array(0x80.toByte) ++
+        "e and ".getBytes("UTF-8")) ==
+      sc("th�e and ".getBytes("UTF-8")))
+    // pure garbage: stray continuation, truncated 3- and 4-byte leads,
+    // invalid lead — decodes to replacement chars, never out of bounds
+    assert(sc(Array(0x80, 0xE4, 0xF0, 0xFF).map(_.toByte)) ==
+      Seq.fill(profiles.size)(0L))
+    assert(sc(Array(0xE4.toByte)) == Seq.fill(profiles.size)(0L))
+  }
+
   test("hand-computed counts: multiplicity, overlap, cross-profile shares") {
     val Seq(r) = Seq("aaaa the theory und")
       .toDF("text")

@@ -869,6 +869,61 @@ class StreamingOpsSpec extends SparkSpec {
     assert(view == before)
   }
 
+  test("pre-epoch checkpoint (offsets, no _graft_epoch) continues under epoch 0") {
+    val out = tmpDir("legacyepoch")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a commit log written by the pre-epoch protocol: bare epoch-0 ids
+    val log = new StreamingOps.CommitLog(spark, s"$out/kept")
+    (0L to 3L).foreach(id => log.commit(id, Array(1L)))
+    // a checkpoint with Spark stream state but no _graft_epoch marker
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/ckpt/offsets"))
+    val e = StreamingOps.CommitLog.resolveEpoch(spark, s"$out/ckpt", s"$out/kept")
+    assert(e == 0L, s"legacy checkpoint re-epoched to $e — its replayed " +
+      "batches would miss their committed markers and reprocess")
+    // persisted: stable on re-resolution
+    assert(StreamingOps.CommitLog.resolveEpoch(
+      spark, s"$out/ckpt", s"$out/kept") == 0L)
+    // a genuinely fresh checkpoint still claims a new epoch
+    assert(StreamingOps.CommitLog.resolveEpoch(
+      spark, s"$out/ckpt2", s"$out/kept") == 1L)
+  }
+
+  test("zero-row (footerless) committed batch dirs: views stay readable, compaction skips them") {
+    import spark.implicits._
+    val root = tmpDir("footerless")
+    val log = new StreamingOps.CommitLog(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // batch 0 committed but wrote only _SUCCESS (a zero-row batch)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/batch_id=0"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/batch_id=0/_SUCCESS"), true).close()
+    log.commit(0L, Array(0L))
+    // only the footerless dir: the view must return zero rows, not throw
+    assert(StreamingOps.committedKept(spark, root).count() == 0)
+    Seq((1L, "a")).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/batch_id=1")
+    log.commit(1L, Array(1L))
+    assert(StreamingOps.committedKept(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // compaction over a group containing the footerless dir must not
+    // poison schema inference — and deletes it (zero rows by construction)
+    val keep = StreamingOps.KeyedStreamState.CompactEvery
+    (2L until 2L + 2L * keep).foreach { id =>
+      Seq((id, s"d$id")).toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/batch_id=$id")
+      log.commit(id, Array(1L))
+    }
+    val c = log.committed()
+    StreamingOps.compactOutput(spark, root, c.contains _, keep)
+    val names = stateDirNames(root)
+    assert(names.exists(_.startsWith("range=")), s"no range: $names")
+    assert(!names.contains("batch_id=0"), s"footerless dir survived: $names")
+    assert(StreamingOps.committedKept(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == (1L until 2L + 2L * keep).toSet)
+  }
+
   test("ingest stream long enough to trigger output compaction: ranges appear, kept set unchanged") {
     import StreamingOps.KeyedStreamState.CompactEvery
     val out = tmpDir("mhoutcompact")
