@@ -47,6 +47,27 @@ object StreamBench {
     def tmp(p: String): String =
       Files.createTempDirectory(p).toString
 
+    // micro-batch count per stream (default 5 — the recorded contract).
+    // Raise past 16 (2x the compaction tail) to exercise the commit-log
+    // roll-up, state snapshot, and output range compaction end to end.
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "5").toInt
+
+    // post-run dir telemetry: the bounded-lifecycle claim, observable
+    def dirStats(label: String, root: String): Unit = {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rp)) {
+        val names = fs.listStatus(rp).map(_.getPath.getName)
+        val commits = new org.apache.hadoop.fs.Path(s"$root/_commits")
+        val nMarkers = if (fs.exists(commits))
+          fs.listStatus(commits).count(_.isFile) else 0
+        System.err.println(s"[stream-bench] $label: batch_dirs=" +
+          names.count(_.startsWith("batch_id=")) +
+          s" ranges=${names.count(_.startsWith("range="))}" +
+          s" commit_files=$nMarkers")
+      }
+    }
+
     // ---- taxi ETL stream over the scaled corpus -----------------------
     val glob = queries.TaxiScaled.ensureGenerated(spark, sfDir)
     val header = spark.read.textFile(glob).head()
@@ -64,7 +85,7 @@ object StreamBench {
       graft.etl.EtlConfig(inputCsvPath = "",
         duplicatesCsvPath = s"$taxiOut/duplicates", insertedPath = s"$taxiOut/trips"),
       taxiIdx, s"$taxiOut/seen_keys", counters, s"$taxiOut/ckpt")
-    val taxiBatch = math.max(1, lines.length / 5) // 5 micro-batches
+    val taxiBatch = math.max(1, lines.length / nBatches)
     val t0 = System.nanoTime()
     try {
       lines.grouped(taxiBatch).foreach { chunk =>
@@ -73,6 +94,7 @@ object StreamBench {
       }
     } finally taxiQ.stop()
     val taxiSecs = (System.nanoTime() - t0) / 1e9
+    dirStats("taxi_trips", s"$taxiOut/trips")
     val taxiRate = lines.length / taxiSecs
 
     // ---- MinHash LSH ingest-dedup stream over documents ---------------
@@ -84,7 +106,7 @@ object StreamBench {
     val dedupQ = StreamingOps.runMinhashDedupStream(
       docIn.toDS().toDF("doc_id", "text"),
       s"$dedupOut/state", s"$dedupOut/kept", s"$dedupOut/ckpt")
-    val docBatch = math.max(1, docs.length / 5)
+    val docBatch = math.max(1, docs.length / nBatches)
     val t1 = System.nanoTime()
     try {
       docs.grouped(docBatch).foreach { chunk =>
@@ -96,6 +118,7 @@ object StreamBench {
     val dedupRate = docs.length / dedupSecs
 
     val kept = StreamingOps.committedKept(spark, s"$dedupOut/kept").count()
+    dirStats("minhash_kept", s"$dedupOut/kept")
 
     // ---- hyperplane-LSH embedding ingest-dedup stream over embeddings --
     val vecs = Tables.embeddings(spark, sfDir)
@@ -106,7 +129,7 @@ object StreamBench {
     val embQ = StreamingOps.runEmbDedupStream(
       vecIn.toDS().toDF("vec_id", "embedding"),
       s"$embOut/state", s"$embOut/kept", s"$embOut/ckpt")
-    val vecBatch = math.max(1, vecs.length / 5)
+    val vecBatch = math.max(1, vecs.length / nBatches)
     val t2 = System.nanoTime()
     try {
       vecs.grouped(vecBatch).foreach { chunk =>
@@ -117,6 +140,7 @@ object StreamBench {
     val embSecs = (System.nanoTime() - t2) / 1e9
     val embRate = vecs.length / embSecs
     val embKept = StreamingOps.committedKept(spark, s"$embOut/kept").count()
+    dirStats("emb_kept", s"$embOut/kept")
 
     val line =
       s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept}"""
