@@ -185,6 +185,9 @@ object SparkEntry {
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
     "dedup_clusters"   -> (DedupOps.dedupClusters(_, _)),
+    // cluster-granular split: near-dups can never straddle train/test
+    // (the leakage mode content-hash splitting misses)
+    "train_test_split_neardup" -> (DedupOps.trainTestSplitNearDup(_, _)),
     // integer-deterministic PageRank over the near-dup graph (generated
     // iteration-by-iteration oracle replay)
     "pagerank_near_dup" -> (DedupOps.pagerankNearDup(_, _)),

@@ -479,6 +479,42 @@ object DedupOps {
           coalesce(col("label"), col("doc_id")).as("label"))
     }.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
 
+  /** Near-dup-aware train/test split — closes the leakage mode
+    * [[TextOps.trainTestSplit]] cannot: content-hash splitting co-assigns
+    * byte-identical copies, but a NEAR-duplicate pair (one sentence
+    * changed) can straddle the boundary, leaking test content into train
+    * (Lee et al. '21 measure this inflating eval scores). Here the split
+    * is decided once per near-dup CLUSTER ([[dedupClusters]] — the
+    * transitive MinHash closure) by hashing the cluster representative's
+    * normalized text with the exact split's salt+cut scheme, and every
+    * member inherits it: near-dups land on the same side by construction,
+    * and a singleton doc (its own representative) gets byte-for-byte the
+    * split [[TextOps.trainTestSplit]] gives it — the op only REFINES the
+    * exact split within clusters, so split fractions are preserved up to
+    * cluster granularity.
+    *
+    * Plan: the (session-cached) cluster table joins the documents scan's
+    * (doc_id, split) projection on cluster_id = representative doc_id —
+    * one equi-join of two doc-sized frames; text is hashed inside the
+    * scan, so only (id, 5-char split) rows ever shuffle. At 100 TB this
+    * adds one hash-partitioned join on top of the cluster build itself —
+    * no window, no skew (a cluster key repeats once per MEMBER, and
+    * near-dup clusters are small by construction). */
+  def trainTestSplitNearDup(spark: SparkSession, sfDir: String,
+      testPct: Int = 10, salt: String = "graft"): DataFrame = {
+    require(testPct >= 0 && testPct < 100,
+      s"testPct must be in [0, 99], got $testPct")
+    val cut = f"${(256 * testPct) / 100}%02x"
+    val h = md5(concat(lit(salt), TextOps.normText(col("text"))))
+    val repSplit = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("cluster_id"),
+        when(substring(h, 1, 2) < cut, "test").otherwise("train").as("split"))
+    dedupClusters(spark, sfDir)
+      .join(repSplit, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Quality-aware cluster representatives — production dedup keeps the
     * BEST document per near-dup cluster, not the first: one row per
     * cluster with the argmax-quality member (ties broken by min doc_id —
@@ -916,6 +952,18 @@ object DedupOps {
     // exact-Jaccard pair graph the banded path reproduces:
     "dedup_clusters" -> (clustersCte +
       "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    // cluster-granular split: every member inherits its representative's
+    // content-hash split (same salt+cut as the train_test_split oracle)
+    "train_test_split_neardup" -> (clustersCte +
+      s""", rep AS (
+         |  SELECT doc_id AS cluster_id,
+         |    CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(text)), '${TextOps.WsRunRe}', ' ', 'g')), 1, 2) < '19'
+         |         THEN 'test' ELSE 'train' END AS split
+         |  FROM documents
+         |)
+         |SELECT c.doc_id, c.cluster_id, r.split
+         |FROM clusters c JOIN rep r ON r.cluster_id = c.cluster_id
+         |ORDER BY c.doc_id""".stripMargin),
     "pagerank_near_dup" -> pagerankOracleSql(),
     // DuckDB levenshtein is the same unit-cost DP; the block key and the
     // integer threshold are replayed from the shared constants

@@ -483,6 +483,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(testFrac > 0.04 && testFrac < 0.17, s"testFrac=$testFrac")
   }
 
+  test("near-dup-aware split: clusters are split-pure, singletons match the exact split") {
+    // doc 2 is a NEAR (not exact) duplicate of doc 1: same normalized
+    // content hash is impossible, so the exact split could strand them on
+    // opposite sides — the cluster split must not
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, base, "en"),
+      (2L, (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2", "en"),
+      (3L, (100 to 140).map(i => s"v$i").mkString(" "), "en")))
+    val nd = DedupOps.trainTestSplitNearDup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(nd(1L)._1 == 1L && nd(2L)._1 == 1L) // one cluster
+    assert(nd(1L)._2 == nd(2L)._2) // near-dups co-assigned
+    val exact = TextOps.trainTestSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the representative (and every singleton) keeps its exact split —
+    // the op only refines WITHIN clusters
+    assert(nd(1L)._2 == exact(1L))
+    assert(nd(3L)._2 == exact(3L))
+    // harness corpus: every cluster is split-pure and fractions stay sane
+    val big = DedupOps.trainTestSplitNearDup(spark, sfDir).collect()
+    val perCluster = big.groupBy(_.getLong(1))
+      .map { case (_, rs) => rs.map(_.getString(2)).distinct.size }
+    assert(perCluster.forall(_ == 1))
+    val testFrac = big.count(_.getString(2) == "test").toDouble / big.length
+    assert(testFrac > 0.04 && testFrac < 0.17, s"testFrac=$testFrac")
+  }
+
   test("winnow candidate pairs find shifted near-dups, ignore unrelated docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val dir = docsFixture(Seq(
