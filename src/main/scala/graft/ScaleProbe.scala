@@ -107,7 +107,14 @@ object ScaleProbe {
     // r9 learned lang-ID family (one corpus scan + gram-keyed aggregate
     // each — ratios should be ≈ linear)
     "bpe_learn_batched", "lang_profiles", "lang_id_learned",
-    "lang_confusion_learned")
+    "lang_confusion_learned",
+    // r10: cluster-granular split — the cluster build plus ONE doc-sized
+    // equi-join; the ratio should track dedup_clusters' ≈ linear shape
+    "train_test_split_neardup",
+    // r10: fuzzy decontam — corpus bands BROADCAST-join the bench slice's
+    // (no shuffle); the ratio should be ≈ linear in the corpus scan +
+    // true cross-slice candidate mass
+    "decontam_neardup")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -188,6 +188,9 @@ object SparkEntry {
     // cluster-granular split: near-dups can never straddle train/test
     // (the leakage mode content-hash splitting misses)
     "train_test_split_neardup" -> (DedupOps.trainTestSplitNearDup(_, _)),
+    // fuzzy decontamination: near-dup (not just verbatim) overlap between
+    // corpus and the eval slice — banded candidates, exact-verified
+    "decontam_neardup" -> (DedupOps.decontamNearDup(_, _)),
     // integer-deterministic PageRank over the near-dup graph (generated
     // iteration-by-iteration oracle replay)
     "pagerank_near_dup" -> (DedupOps.pagerankNearDup(_, _)),

@@ -261,6 +261,55 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Fuzzy benchmark decontamination — the NEAR-duplicate analog of
+    * [[TextOps.decontamNgram]]: exact n-gram overlap catches verbatim
+    * contamination, but a lightly paraphrased eval example (one sentence
+    * reworded, whitespace shuffled) sails through it and still leaks the
+    * answer into training. Here contamination is a MinHash near-dup
+    * relation between a corpus document and a benchmark document (the
+    * same doc_id % 100 == 0 eval-slice convention as decontam_ngram):
+    * both sides reuse the corpus-wide shingle + 32×4 band frames
+    * (session-cached, shared with [[minhashNearDup]]), candidates come
+    * from an equi-join on (band, band_key), and every candidate is
+    * verified by exact Jaccard — so the output is exactly the ≥ 0.6 pair
+    * set whenever banding recall holds, same contract as the self-join
+    * path. One row per (contaminated corpus doc, bench doc) pair; policy
+    * (drop / flag) thresholds downstream.
+    *
+    * The harness slice is doc_id % [[DecontamBenchMod]] == 0, NOT
+    * decontam_ngram's % 100: near-dup-level contamination is far rarer
+    * than a shared verbatim 4-gram, and at the driver's sf0.01 gate the
+    * % 100 slice crosses zero near-dup pairs — a vacuously-green oracle
+    * row. Widening the slice to ~3.4% keeps the row exercised at every
+    * checked scale (5 pairs at sf0.01, 20 at sf0.1 — measured via the
+    * exact cross-slice join).
+    *
+    * Scale shape: eval benchmarks are broadcast-sized BY DEFINITION (the
+    * same asymmetry decontam_ngram exploits), so the band join is a
+    * broadcast hash join — the corpus band frame never shuffles, and no
+    * hot-key shard guard is needed: a degenerate corpus band key meeting
+    * the bench side yields at most (bench rows on that key) candidates
+    * per corpus row — bounded by the broadcast side, not by corpus df,
+    * so quadratic blowup is structurally impossible. The verify join is
+    * candidate-driven (only candidate pairs expand shingles), identical
+    * to the batch dedup path. */
+  val DecontamBenchMod = 29
+
+  def decontamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
+    val bands = bandCache.getOrElseUpdate(spark, sfDir)(bandFrame(s))
+    val cand = bands.filter(col("doc_id") % DecontamBenchMod =!= 0).as("x")
+      .join(broadcast(bands.filter(col("doc_id") % DecontamBenchMod === 0).as("y")),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    exactJaccard(s, candidates = Some(cand))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_doc_id"),
+        col("jaccard"))
+      .orderBy("doc_id", "bench_doc_id")
+  }
+
   /** Per-token 64-bit hash = the first 8 bytes of md5, big-endian (the
     * two 32-bit hex halves reassembled with shift-or — a single conv of
     * 16 hex chars would pass through a >2^63 unsigned decimal string that
@@ -948,6 +997,20 @@ object DedupOps {
     // LSH + exact verification must reproduce the exact all-pairs result
     // over the FULL corpus (the whole point of the banded path):
     "minhash_near_dup" -> jaccardSql("documents"),
+    // fuzzy decontamination: the oracle is the EXACT cross-slice Jaccard
+    // join (no LSH machinery) — banding + verify must reproduce it, the
+    // same independence argument as minhash_near_dup's oracle
+    "decontam_neardup" -> (shingleCteFrom("documents") +
+      s""", sx AS (
+        |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
+        |)
+        |SELECT a.doc_id AS doc_id, b.doc_id AS bench_doc_id,
+        |  CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) AS jaccard
+        |FROM sx a JOIN sx b ON a.g = b.g
+        |  AND a.doc_id % $DecontamBenchMod <> 0 AND b.doc_id % $DecontamBenchMod = 0
+        |GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+        |HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+        |ORDER BY doc_id, bench_doc_id""".stripMargin),
     // components via transitive closure (recursive CTE) over the same
     // exact-Jaccard pair graph the banded path reproduces:
     "dedup_clusters" -> (clustersCte +

@@ -84,6 +84,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("near-dup decontam broadcasts the bench bands; no cross product") {
+    // the bench slice is broadcast-sized by definition — the corpus band
+    // frame must never shuffle for candidate generation, and without a
+    // shuffle there is no hot-key skew to guard (output per key is
+    // bounded by the broadcast side)
+    val p = plan(DedupOps.decontamNearDup(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("exact embedding near-dup is a blocked EQUI-join, never a cross product") {
     val p = plan(SimilarityOps.embNearDup(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

@@ -511,6 +511,29 @@ class ExtOpsSpec extends SparkSpec {
     assert(testFrac > 0.04 && testFrac < 0.17, s"testFrac=$testFrac")
   }
 
+  test("near-dup decontam: paraphrased bench doc is caught, corpus-only near-dups are not") {
+    val m = DedupOps.DecontamBenchMod
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = docsFixture(Seq(
+      (2L * m, base, "en"), // bench slice (doc_id % mod == 0)
+      // the next corpus doc is a NEAR (not exact) dup of the bench doc —
+      // the case exact n-gram decontam can miss once any gram is perturbed
+      (2L * m + 1, (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2", "en"),
+      // these two near-dup EACH OTHER only — dedup's business, not decontam's
+      (2L * m + 2, (200 to 240).map(i => s"u$i").mkString(" "), "en"),
+      (2L * m + 3, (200 to 238).map(i => s"u$i").mkString(" ") + " y1 y2", "en"),
+      (2L * m + 4, (300 to 340).map(i => s"v$i").mkString(" "), "en")))
+    val hits = DedupOps.decontamNearDup(spark, dir).collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L * m + 1, 2L * m)))
+    assert(hits.head.getDouble(2) >= 0.6)
+    // harness corpus: non-vacuous at the spec scale, sides respect the
+    // slice convention, scores clear the gate
+    val big = DedupOps.decontamNearDup(spark, sfDir).collect()
+    assert(big.nonEmpty)
+    assert(big.forall(r => r.getLong(0) % m != 0 && r.getLong(1) % m == 0))
+    assert(big.forall(_.getDouble(2) >= 0.6))
+  }
+
   test("winnow candidate pairs find shifted near-dups, ignore unrelated docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val dir = docsFixture(Seq(
