@@ -181,6 +181,9 @@ object SparkEntry {
     // engine-specific; the rank-error bound is test-asserted)
     "source_len_approx_percentiles" -> (TextOps.sourceLenApproxPercentiles(_, _)),
     "doc_repetition"   -> (TextOps.docRepetition(_, _)),
+    // the ensemble keep/drop policy over every quality signal, with a
+    // first-failing-rule audit column (fixed precedence)
+    "quality_mixer"    -> (TextOps.qualityMixer(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

@@ -601,6 +601,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-mixer thresholds (shared with the oracle). Chosen to BIND on
+    * the harness corpus (measured at sf0.01: dup-bigram > 0.1 drops 6 docs
+    * past the gopher gate, oov > 4500 bp drops 3; the gopher gate itself
+    * drops 321/500) — a mixer whose rules never fire verifies nothing. */
+  val MixerMaxDupBigram = 0.1
+  val MixerMaxTopToken = 0.15
+  val MixerMaxOovBp = 4500L
+  val MixerMinLmScore = 32000000L
+
+  /** Quality MIXER — the ensemble keep/drop decision table (the Dolma
+    * "mixer" / RefinedWeb pipeline stage): every per-document quality
+    * signal the engine computes — the Gopher rule gate ([[gopherFilter]]),
+    * within-doc repetition ([[docRepetition]]), OOV rate ([[docOovRate]]),
+    * and bigram-LM likelihood ([[lmLikelihood]]) — joined into ONE row per
+    * document with each rule's verdict, the final `keep`, and a
+    * first-failing-rule `drop_reason` in a FIXED precedence (gopher →
+    * rep_bigram → rep_top → oov → lm — cheapest-signal-first, the same
+    * first-error-wins convention as the taxi parser) so an operator can
+    * audit why any document fell without re-running the signals. Per-rule
+    * booleans are all reported (not just the first failure), so a rule
+    * swallowed by precedence still has its semantics hash-checked.
+    *
+    * Signals missing by construction pass their rule: a doc with < 2
+    * tokens has no bigram/LM row, but the gopher 50-word floor already
+    * fails it, so the null-passes coalesce can never decide a keep.
+    *
+    * Plan: four doc_id-keyed equi-joins of per-doc aggregate outputs —
+    * each signal is one scan + map-side-combined aggregate of its own (no
+    * new pass over text here), and the join key is the unique doc id, so
+    * no skew. At 100 TB this is the standard signals-then-policy shape:
+    * signals computed once, policy a cheap join — re-thresholding is a
+    * policy-only rerun, which is the operational reason mixers separate
+    * the two. */
+  def qualityMixer(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = gopherFilter(spark, sfDir).select(col("doc_id"), col("keep").as("r_gopher"))
+    val rep = docRepetition(spark, sfDir)
+      .select(col("doc_id"), col("dup_bigram_ratio"), col("top_token_share"))
+    val oov = docOovRate(spark, sfDir).select(col("doc_id"), col("oov_bp"))
+    val lm = lmLikelihood(spark, sfDir).select(col("doc_id"), col("lm_score"))
+    g.join(rep, Seq("doc_id"), "left")
+      .join(oov, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r_gopher"),
+        coalesce(col("dup_bigram_ratio") <= MixerMaxDupBigram, lit(true))
+          .as("r_rep_bigram"),
+        coalesce(col("top_token_share") <= MixerMaxTopToken, lit(true))
+          .as("r_rep_top"),
+        coalesce(col("oov_bp") <= MixerMaxOovBp, lit(true)).as("r_oov"),
+        coalesce(col("lm_score") >= MixerMinLmScore, lit(true)).as("r_lm"))
+      .withColumn("drop_reason",
+        when(!col("r_gopher"), "gopher")
+          .when(!col("r_rep_bigram"), "rep_bigram")
+          .when(!col("r_rep_top"), "rep_top")
+          .when(!col("r_oov"), "oov")
+          .when(!col("r_lm"), "lm"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .orderBy("doc_id")
+  }
+
   /** Per-source curation stats: the slice-and-dice pass before deciding
     * what to keep per provenance bucket. One hash aggregate; every
     * measure is an exact integer so the hash compare is drift-free. */
@@ -2362,7 +2421,7 @@ object TextOps {
        |)
        |""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "bpe_learn" -> bpeOracleSql(),
     "bpe_learn_batched" -> bpeBatchedOracleSql(),
     "bpe_encode" -> bpeEncodeOracleSql(),
@@ -2927,4 +2986,32 @@ object TextOps {
         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
+
+  /** The mixer oracle COMPOSES the four component oracles verbatim as
+    * CTEs (DuckDB allows nested WITH and ignores inner ORDER BYs) — the
+    * mixer and its signals can never diverge on signal semantics, the
+    * same no-fork discipline as [[decontamGrams]] sharing one gram
+    * definition across the decontam family. */
+  val oracles: Map[String, String] = baseOracles + ("quality_mixer" ->
+    s"""WITH g AS (${baseOracles("gopher_filter")}),
+       |rep AS (${baseOracles("doc_repetition")}),
+       |oov AS (${baseOracles("doc_oov_rate")}),
+       |lm AS (${baseOracles("lm_likelihood")})
+       |SELECT doc_id, r_gopher, r_rep_bigram, r_rep_top, r_oov, r_lm,
+       |  CASE WHEN NOT r_gopher THEN 'gopher'
+       |       WHEN NOT r_rep_bigram THEN 'rep_bigram'
+       |       WHEN NOT r_rep_top THEN 'rep_top'
+       |       WHEN NOT r_oov THEN 'oov'
+       |       WHEN NOT r_lm THEN 'lm' END AS drop_reason,
+       |  (r_gopher AND r_rep_bigram AND r_rep_top AND r_oov AND r_lm) AS keep
+       |FROM (
+       |  SELECT g.doc_id, g.keep AS r_gopher,
+       |    COALESCE(rep.dup_bigram_ratio <= $MixerMaxDupBigram, TRUE) AS r_rep_bigram,
+       |    COALESCE(rep.top_token_share <= $MixerMaxTopToken, TRUE) AS r_rep_top,
+       |    COALESCE(oov.oov_bp <= $MixerMaxOovBp, TRUE) AS r_oov,
+       |    COALESCE(lm.lm_score >= $MixerMinLmScore, TRUE) AS r_lm
+       |  FROM g LEFT JOIN rep ON g.doc_id = rep.doc_id
+       |    LEFT JOIN oov ON g.doc_id = oov.doc_id
+       |    LEFT JOIN lm ON g.doc_id = lm.doc_id) t
+       |ORDER BY doc_id""".stripMargin)
 }

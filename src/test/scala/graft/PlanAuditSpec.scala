@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 import graft.etl.{EtlConfig, Pipeline}
-import graft.ext.{DedupOps, SimilarityOps}
+import graft.ext.{DedupOps, SimilarityOps, TextOps}
 import graft.queries.CoreQueries
 
 /** Physical-plan audits: the plan properties that make these queries hold
@@ -82,6 +82,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(DedupOps.minhashNearDup(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("quality mixer joins signals on doc_id only; no cross product") {
+    // BroadcastNestedLoopJoin IS expected once: lmLikelihood's 1-row
+    // broadcast vocabulary total (the documented justified pattern) —
+    // what must never appear is an unpartitioned cartesian
+    val p = plan(TextOps.qualityMixer(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("near-dup decontam broadcasts the bench bands; no cross product") {

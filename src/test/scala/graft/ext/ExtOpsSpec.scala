@@ -511,6 +511,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(testFrac > 0.04 && testFrac < 0.17, s"testFrac=$testFrac")
   }
 
+  test("quality mixer: per-rule verdicts, first-fail precedence, planted failures") {
+    // doc A: 20-token vocabulary walked in three different stride orders —
+    // 60 tokens, every bigram distinct (dup ratio 0), each token 3/60
+    // (top share 0.05), >= 2 gopher stopwords, all-alpha: passes all rules
+    val vocab = Vector("the", "and") ++ (1 to 18).map(i => f"word$i%02d")
+    def stride(k: Int) = (0 until 20).map(i => vocab((i * k) % 20))
+    val docA = (stride(1) ++ stride(3) ++ stride(7)).mkString(" ")
+    // doc B: passes every gopher rule but repeats one bigram 29 times
+    val docB = "the and " + Seq.fill(29)("someword otherword").mkString(" ")
+    // doc C: 3 words — fails the gopher 50-word floor; its missing LM row
+    // must surface as reason 'gopher', never decide via a null
+    val docC = "tiny doc here"
+    val dir = docsFixture(Seq((1L, docA, "en"), (2L, docB, "en"), (3L, docC, "en")))
+    val rows = TextOps.qualityMixer(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(rows(1L).fieldIndex("keep")),
+      rows(1L).toString)
+    assert(rows(2L).getString(rows(2L).fieldIndex("drop_reason")) == "rep_bigram")
+    assert(!rows(2L).getBoolean(rows(2L).fieldIndex("r_rep_top"))) // swallowed but reported
+    assert(rows(3L).getString(rows(3L).fieldIndex("drop_reason")) == "gopher")
+    // harness corpus: keep == conjunction of the rule booleans, reason ==
+    // first false in the fixed precedence, and the gate is non-degenerate
+    val big = TextOps.qualityMixer(spark, sfDir).collect()
+    val order = Seq("r_gopher" -> "gopher", "r_rep_bigram" -> "rep_bigram",
+      "r_rep_top" -> "rep_top", "r_oov" -> "oov", "r_lm" -> "lm")
+    big.foreach { r =>
+      val bools = order.map { case (c, reason) =>
+        reason -> r.getBoolean(r.fieldIndex(c)) }
+      assert(r.getBoolean(r.fieldIndex("keep")) == bools.forall(_._2))
+      val expected = bools.find(!_._2).map(_._1).orNull
+      assert(r.getString(r.fieldIndex("drop_reason")) == expected)
+    }
+    assert(big.exists(_.getBoolean(big.head.fieldIndex("keep"))))
+    assert(big.exists(!_.getBoolean(big.head.fieldIndex("keep"))))
+  }
+
   test("near-dup decontam: paraphrased bench doc is caught, corpus-only near-dups are not") {
     val m = DedupOps.DecontamBenchMod
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
