@@ -114,7 +114,11 @@ object ScaleProbe {
     // r10: fuzzy decontam — corpus bands BROADCAST-join the bench slice's
     // (no shuffle); the ratio should be ≈ linear in the corpus scan +
     // true cross-slice candidate mass
-    "decontam_neardup")
+    "decontam_neardup",
+    // r10: the quality policy pair — mixer is four doc-keyed signal
+    // aggregates + equi-joins, prune is the LM aggregate + a histogram
+    // window + broadcast cuts; both should scale ≈ linearly
+    "quality_mixer", "quality_prune_per_source")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -184,6 +184,10 @@ object SparkEntry {
     // the ensemble keep/drop policy over every quality signal, with a
     // first-failing-rule audit column (fixed precedence)
     "quality_mixer"    -> (TextOps.qualityMixer(_, _)),
+    // keep each source's top 20% by LM score — per-source cuts preserve
+    // mixture diversity; the cut comes from a histogram window, no
+    // per-source doc sort
+    "quality_prune_per_source" -> (TextOps.qualityPrunePerSource(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),

@@ -660,6 +660,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Keep-percentage for [[qualityPrunePerSource]] (shared with the
+    * oracle): top 20% per source, the RefinedWeb/FineWeb-style pruning
+    * regime. */
+  val PruneKeepPct = 20
+
+  /** PER-SOURCE quality pruning — keep each source's top
+    * [[PruneKeepPct]]% of documents by LM likelihood ([[lmLikelihood]];
+    * docs too short for an LM row count as score 0, i.e. prunable junk).
+    * Pruning per source instead of globally is deliberate: a global cut
+    * would empty whole low-scoring domains and collapse the mixture —
+    * per-source cuts preserve provenance diversity while discarding each
+    * domain's own worst tail (the RefinedWeb/FineWeb recipe). Keeps every
+    * doc whose score ≥ the source's cut value, so ties at the cut keep
+    * AT LEAST the requested share — deterministic with no tie-break
+    * arbitrariness, and both engines agree exactly because the scores
+    * are exact integers.
+    *
+    * The 100 TB shape is the point: the naive formulation ranks every
+    * document with a per-source sort window — one reducer per source,
+    * stragglers on hot domains. Here the window runs over the per-
+    * (source, score) HISTOGRAM instead: cum(score) = Σ docs at ≥ that
+    * score, the cut = max score with cum ≥ ceil(pct·n) — rank arithmetic
+    * over a frame bounded by DISTINCT scores per source, not documents
+    * (the same keep-windows-off-corpus-sized-frames discipline as
+    * seq_pack_global and lang_profiles). The ≤ #sources cut table then
+    * broadcast-joins back to the score frame; documents never shuffle
+    * for the decision. */
+  def qualityPrunePerSource(spark: SparkSession, sfDir: String,
+      keepPct: Int = PruneKeepPct): DataFrame = {
+    require(keepPct > 0 && keepPct <= 100, s"keepPct in (0, 100], got $keepPct")
+    val W = org.apache.spark.sql.expressions.Window
+    val sc = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(lmLikelihood(spark, sfDir).select(col("doc_id"), col("lm_score")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+    val hist = sc.groupBy(col("source"), col("lm_score"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c"))
+        .over(W.partitionBy(col("source")).orderBy(col("lm_score").desc)))
+      .withColumn("n", sum(col("c")).over(W.partitionBy(col("source"))))
+    val cuts = cum
+      .filter(col("cum") >= expr(s"(n * $keepPct + 99) div 100"))
+      .groupBy(col("source")).agg(max(col("lm_score")).as("cut"))
+    sc.join(broadcast(cuts), "source")
+      .select(col("doc_id"), col("source"), col("lm_score"),
+        (col("lm_score") >= col("cut")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source curation stats: the slice-and-dice pass before deciding
     * what to keep per provenance bucket. One hash aggregate; every
     * measure is an exact integer so the hash compare is drift-free. */
@@ -2992,7 +3043,32 @@ object TextOps {
     * mixer and its signals can never diverge on signal semantics, the
     * same no-fork discipline as [[decontamGrams]] sharing one gram
     * definition across the decontam family. */
-  val oracles: Map[String, String] = baseOracles + ("quality_mixer" ->
+  /** [[qualityPrunePerSource]]'s oracle — the LM scores come from the
+    * component oracle verbatim (same no-fork rule as the mixer); the cut
+    * is replayed with the same histogram-cumulative rank arithmetic. */
+  private def pruneOracleSql: String =
+    s"""WITH lm AS (${baseOracles("lm_likelihood")}),
+       |sc AS (
+       |  SELECT d.doc_id, d.source, COALESCE(lm.lm_score, 0)::BIGINT AS lm_score
+       |  FROM documents d LEFT JOIN lm ON d.doc_id = lm.doc_id
+       |), hist AS (
+       |  SELECT source, lm_score, COUNT(*) AS c FROM sc GROUP BY source, lm_score
+       |), cum AS (
+       |  SELECT source, lm_score,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY lm_score DESC) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM hist
+       |), cuts AS (
+       |  SELECT source, MAX(lm_score) AS cut FROM cum
+       |  WHERE cum >= (n * $PruneKeepPct + 99) // 100
+       |  GROUP BY source
+       |)
+       |SELECT sc.doc_id, sc.source, sc.lm_score, sc.lm_score >= cuts.cut AS keep
+       |FROM sc JOIN cuts ON sc.source = cuts.source
+       |ORDER BY sc.doc_id""".stripMargin
+
+  val oracles: Map[String, String] = baseOracles +
+    ("quality_prune_per_source" -> pruneOracleSql) + ("quality_mixer" ->
     s"""WITH g AS (${baseOracles("gopher_filter")}),
        |rep AS (${baseOracles("doc_repetition")}),
        |oov AS (${baseOracles("doc_oov_rate")}),

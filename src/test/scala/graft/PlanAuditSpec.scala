@@ -92,6 +92,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("per-source prune: cuts broadcast back; decision window rides the histogram") {
+    val p = plan(TextOps.qualityPrunePerSource(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the ≤ #sources cut table must come back as a broadcast join — the
+    // doc-sized score frame never shuffles for the keep decision
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the rank window's input is the (source, lm_score) histogram
+    // aggregate, never the doc frame: the aggregate keyed on lm_score
+    // must sit below the Window
+    val w = p.indexOf("Window")
+    assert(w >= 0 && p.indexOf("HashAggregate(keys=[source", w) >= 0, p)
+  }
+
   test("near-dup decontam broadcasts the bench bands; no cross product") {
     // the bench slice is broadcast-sized by definition — the corpus band
     // frame must never shuffle for candidate generation, and without a

@@ -511,6 +511,41 @@ class ExtOpsSpec extends SparkSpec {
     assert(testFrac > 0.04 && testFrac < 0.17, s"testFrac=$testFrac")
   }
 
+  test("per-source quality prune: top-share kept, ties keep at least the share, short docs prunable") {
+    // src_a: 4 docs built from one shared bigram vocabulary (high corpus
+    // bigram counts → high LM scores) + 1 gibberish doc (unique bigrams →
+    // low) + 1 single-token doc (no LM row → score 0). src_tie: 3
+    // byte-identical docs — equal scores tie AT the cut, so all stay.
+    val common = Seq.fill(10)("alpha beta gamma delta").mkString(" ")
+    val fix = (1 to 4).map(i => (i.toLong, common, "en", "src_a")) ++ Seq(
+      (5L, (1 to 30).map(j => s"zz$j yy$j").mkString(" "), "en", "src_a"),
+      (6L, "solo", "en", "src_a")) ++
+      (7 to 9).map(i => (i.toLong, "same text here every time", "en", "src_tie"))
+    val dir = docsFixtureSrc(fix)
+    val rows = TextOps.qualityPrunePerSource(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val bySrc = rows.groupBy(_._2)
+    // src_a: 6 docs, keep >= ceil(0.2*6)=2; zero-score doc 6 dropped;
+    // every kept score >= every dropped score
+    val a = bySrc("src_a")
+    assert(a.count(_._4) >= 2)
+    assert(!a.find(_._1 == 6L).get._4)
+    assert(a.find(_._1 == 6L).get._3 == 0L)
+    assert(a.filter(_._4).map(_._3).min >= a.filterNot(_._4).map(_._3).max)
+    // src_tie: identical scores tie at the cut — ALL kept (>= share)
+    assert(bySrc("src_tie").forall(_._4))
+    // harness corpus: per source, keep count >= the exact ceil share and
+    // the cut is a clean score threshold
+    val big = TextOps.qualityPrunePerSource(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getBoolean(3)))
+    big.groupBy(_._1).foreach { case (_, rs) =>
+      val kept = rs.filter(_._3)
+      assert(kept.size >= (rs.size * 20 + 99) / 100)
+      if (kept.size < rs.size)
+        assert(kept.map(_._2).min >= rs.filterNot(_._3).map(_._2).max)
+    }
+  }
+
   test("quality mixer: per-rule verdicts, first-fail precedence, planted failures") {
     // doc A: 20-token vocabulary walked in three different stride orders —
     // 60 tokens, every bigram distinct (dup ratio 0), each token 3/60
