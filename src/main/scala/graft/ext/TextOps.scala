@@ -1895,7 +1895,20 @@ object TextOps {
     * DuckDB oracle errors loudly — the two engines failed in different
     * modes); the decimal grid is exact to 1e38, and the quotient
     * ≤ LmScale always fits the result's int64. */
-  def lmLikelihood(spark: SparkSession, sfDir: String): DataFrame = {
+  /** LM score frame cached per (session, sfDir): THREE consumers — the
+    * lm_likelihood row itself, [[qualityMixer]]'s r_lm rule, and
+    * [[qualityPrunePerSource]]'s per-source cut — each otherwise repays
+    * the two corpus bigram aggregates (~1.5 s at sf0.1, the measured
+    * driver of the prune row's 3 s cold time). One row per doc of four
+    * longs; evicts on session end. */
+  private val lmCache = new graft.SessionFrameCache[String]
+
+  def lmLikelihood(spark: SparkSession, sfDir: String): DataFrame =
+    lmCache.getOrElseUpdate(spark, sfDir) {
+      lmLikelihoodUncached(spark, sfDir)
+    }.orderBy(col("doc_id"))
+
+  private def lmLikelihoodUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val bi = Tables.documents(spark, sfDir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode(bigramsExpr).as("bigram"))
@@ -1918,7 +1931,6 @@ object TextOps {
       .agg(sum(col("c_doc")).as("n_bigrams"),
         sum(col("c_doc") * col("p_scaled")).as("lm_sum"))
       .withColumn("lm_score", expr("lm_sum div n_bigrams"))
-      .orderBy(col("doc_id"))
   }
 
   /** Stupid-backoff pruning threshold and backoff factor for
