@@ -108,6 +108,9 @@ object ScaleProbe {
     // each — ratios should be ≈ linear)
     "bpe_learn_batched", "lang_profiles", "lang_id_learned",
     "lang_confusion_learned",
+    // r10: previously probed ad hoc (PROBE_ONLY merges) — in the list so
+    // a full sweep keeps their rows
+    "bpe_encode", "gopher_filter", "bpe_fertility",
     // r10: cluster-granular split — the cluster build plus ONE doc-sized
     // equi-join; the ratio should track dedup_clusters' ≈ linear shape
     "train_test_split_neardup",
@@ -308,9 +311,23 @@ object ScaleProbe {
       // IS the cache-hit measurement. Codegen compilation is JVM-wide
       // (CodeGenerator's static cache), so the smoke warm-up above
       // still covers every child session.
+      //
+      // Protocol v2 (r10): the fresh session alone was NOT enough —
+      // persisted frames register in the SparkContext-SHARED
+      // sharedState.cacheManager, and a later row's IDENTICAL canonical
+      // plan gets a cache hit across sessions (measured: the per-source
+      // prune's sf1 cold read 1.6 s while its lm_likelihood input alone
+      // costs ~5 s — the mixer row before it had built and persisted the
+      // frame). catalog.clearCache() before each COLD timing evicts the
+      // shared cache; the warm reading that follows still measures this
+      // row's own cache hits. Cold readings for every session-cached
+      // family row are higher and HONEST under v2 — each row now pays
+      // its own shared-frame build.
       val s = spark.newSession()
+      s.catalog.clearCache()
       val c01 = timed(s, fn, srcDir)
       val w01 = timed(s, fn, srcDir)
+      s.catalog.clearCache()
       val c1 = timed(s, fn, sf1Dir)
       val w1 = timed(s, fn, sf1Dir)
       val line = f"""{"query":"$name","sf01_cold":$c01%.2f,"sf01_warm":$w01%.2f,"sf1_cold":$c1%.2f,"sf1_warm":$w1%.2f,"ratio":${c1 / c01}%.1f}"""
