@@ -188,6 +188,10 @@ object SparkEntry {
     // mixture diversity; the cut comes from a histogram window, no
     // per-source doc sort
     "quality_prune_per_source" -> (TextOps.qualityPrunePerSource(_, _)),
+    // the capstone composition: mixer ∩ per-source prune ∩ exact-dedup
+    // keeper ∩ near-dup cluster representative, with the leakage-safe
+    // split — one DAG, four joins over session-cached component frames
+    "curation_pipeline" -> (TextOps.curationPipeline(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
@@ -491,5 +495,20 @@ object SparkEntry {
   ) ++ TaxiQueries.oracles ++ TaxiScaled.oracles ++ TextOps.oracles ++
     DedupOps.oracles ++ SimilarityOps.oracles ++ JsonMediaOps.oracles ++
     graft.ext.TemporalOps.oracles ++ GraphOps.oracles ++
-    graft.plans.Layouts.oracles
+    graft.plans.Layouts.oracles ++ Map(
+    // the capstone composition reuses the four component oracles
+    // VERBATIM as CTEs (the no-fork discipline): the pipeline's replay
+    // can never drift from its parts' replays
+    "curation_pipeline" ->
+      s"""WITH mix AS (${TextOps.oracles("quality_mixer")}),
+         |pr AS (${TextOps.oracles("quality_prune_per_source")}),
+         |ex AS (${DedupOps.oracles("doc_dedup_exact")}),
+         |nd AS (${DedupOps.oracles("train_test_split_neardup")})
+         |SELECT d.doc_id, d.source, nd.split
+         |FROM documents d
+         |JOIN mix ON d.doc_id = mix.doc_id AND mix.keep
+         |JOIN pr ON d.doc_id = pr.doc_id AND pr.keep
+         |JOIN ex ON d.doc_id = ex.keeper_doc_id
+         |JOIN nd ON d.doc_id = nd.doc_id AND nd.doc_id = nd.cluster_id
+         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -711,6 +711,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END curation pipeline — the capstone composition row: one
+    * DAG that runs the whole curation story the individual operators
+    * tell piecewise. A document survives iff it
+    *
+    *  1. passes the quality MIXER ([[qualityMixer]] — Gopher gate,
+    *     repetition, OOV, LM, fixed precedence);
+    *  2. is in its source's LM top share ([[qualityPrunePerSource]]);
+    *  3. is its exact-duplicate group's keeper
+    *     ([[DedupOps.exactDedup]] — min doc_id per content hash; NOT
+    *     implied by rule 4: docs under 3 tokens have no shingles, so
+    *     exact copies of a short doc are each their own singleton
+    *     near-dup cluster and only this rule separates them);
+    *  4. is its near-dup CLUSTER's representative
+    *     ([[DedupOps.trainTestSplitNearDup]]'s cluster_id = the
+    *     transitive-closure min id) — and the survivor carries that
+    *     op's leakage-safe train/test split.
+    *
+    * All four gates are computed on the FULL corpus and intersected
+    * (idempotent filters — order-free semantics, unlike a staged
+    * pipeline whose dedup clusters would depend on which quality
+    * survivors remain; the staged variant is a composition of the same
+    * operators with a re-scoped input). Every component frame is
+    * session-cached, so this row costs four doc_id equi-joins over
+    * already-built inputs — which is the operational claim: policy
+    * composition is join-cheap once signals are built once.
+    *
+    * The oracle composes the component oracles verbatim (the no-fork
+    * discipline) — the pipeline can never drift from its parts. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.{DedupOps => D}
+    val mix = qualityMixer(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
+    val pr = qualityPrunePerSource(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
+    val ex = D.exactDedup(spark, sfDir)
+      .select(col("keeper_doc_id").as("doc_id"))
+    val nd = D.trainTestSplitNearDup(spark, sfDir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("split"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(mix, "doc_id").join(pr, "doc_id").join(ex, "doc_id")
+      .join(nd, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Per-source curation stats: the slice-and-dice pass before deciding
     * what to keep per provenance bucket. One hash aggregate; every
     * measure is an exact integer so the hash compare is drift-free. */

@@ -546,6 +546,25 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("curation pipeline: survivors are exactly the intersection of its four gates") {
+    val out = TextOps.curationPipeline(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.nonEmpty) // the composition must not be vacuous at spec scale
+    val ids = out.map(_._1).toSet
+    val mixKeep = TextOps.qualityMixer(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    val prKeep = TextOps.qualityPrunePerSource(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    val exKeep = DedupOps.exactDedup(spark, sfDir).collect()
+      .map(_.getAs[Long]("keeper_doc_id")).toSet
+    val ndRows = DedupOps.trainTestSplitNearDup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val repKeep = ndRows.collect { case (id, (cid, _)) if id == cid => id }.toSet
+    assert(ids == (mixKeep & prKeep & exKeep & repKeep))
+    // each survivor carries the near-dup-aware split, verbatim
+    out.foreach { case (id, _, split) => assert(split == ndRows(id)._2) }
+  }
+
   test("quality mixer: per-rule verdicts, first-fail precedence, planted failures") {
     // doc A: 20-token vocabulary walked in three different stride orders —
     // 60 tokens, every bigram distinct (dup ratio 0), each token 3/60
