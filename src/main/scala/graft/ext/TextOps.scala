@@ -107,36 +107,62 @@ object TextOps {
     * shuffle, no join; at 100 TB this is the cheapest pass in the
     * pipeline and belongs FIRST, ahead of every dedup/ANN stage, which
     * is exactly how Gopher orders it. */
-  def gopherFilter(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The Gopher rule measurements + verdicts annotated onto ANY frame
+    * with a `text` column — the single code path behind [[gopherFilter]]
+    * (the batch audit row) and [[gopherPrefilter]] (the streaming ingest
+    * gate), so the two can never fork on rule semantics. A stateless
+    * projection: legal on streaming frames. Reserves the rule column
+    * names (`toks`, `n_words`, `keep`, …) — inputs must not carry them. */
+  private def gopherAnnotated(docs: DataFrame): DataFrame = {
     val nWords = col("n_words")
-    val df = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("text"), col("toks"),
-        size(col("toks")).cast("long").as("n_words"))
-      .select(col("doc_id"), nWords,
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mwl_milli",
         expr("""CASE WHEN n_words = 0 THEN 0L ELSE
                |  aggregate(toks, 0L, (a, t) -> a + length(t)) * 1000 div n_words
-               |END""".stripMargin).as("mwl_milli"),
+               |END""".stripMargin))
+      .withColumn("alpha_milli",
         expr("""CASE WHEN n_words = 0 THEN 0L ELSE
                |  size(filter(toks, t -> t rlike '[a-zA-Z]')) * 1000L div n_words
-               |END""".stripMargin).as("alpha_milli"),
+               |END""".stripMargin))
+      .withColumn("n_stop",
         size(filter(col("toks"), t => t.isInCollection(GopherStopwords)))
-          .cast("long").as("n_stop"),
+          .cast("long"))
+      .withColumn("sym_milli",
         expr("""CASE WHEN n_words = 0 THEN 0L ELSE
                |  (length(text) - length(replace(text, '#', ''))
                |   + (length(text) - length(replace(text, '...', ''))) div 3)
                |  * 1000L div n_words
-               |END""".stripMargin).as("sym_milli"))
-    df.select(col("doc_id"), col("n_words"), col("mwl_milli"),
-        col("alpha_milli"), col("n_stop"), col("sym_milli"),
-        (nWords >= 50 && nWords <= 100000).as("r_len"),
-        (col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000).as("r_wlen"),
-        (col("alpha_milli") >= 800).as("r_alpha"),
-        (col("n_stop") >= 2).as("r_stop"),
-        (col("sym_milli") < 100).as("r_sym"))
+               |END""".stripMargin))
+      .withColumn("r_len", nWords >= 50 && nWords <= 100000)
+      .withColumn("r_wlen", col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000)
+      .withColumn("r_alpha", col("alpha_milli") >= 800)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_sym", col("sym_milli") < 100)
       .withColumn("keep",
         col("r_len") && col("r_wlen") && col("r_alpha") && col("r_stop") && col("r_sym"))
+  }
+
+  def gopherFilter(spark: SparkSession, sfDir: String): DataFrame =
+    gopherAnnotated(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("n_words"), col("mwl_milli"),
+        col("alpha_milli"), col("n_stop"), col("sym_milli"),
+        col("r_len"), col("r_wlen"), col("r_alpha"), col("r_stop"),
+        col("r_sym"), col("keep"))
       .orderBy("doc_id")
+
+  /** Gopher-gate PREFILTER for ingest streams: drop failing docs from any
+    * (…, text, …) frame and return the survivors with the input's exact
+    * columns. Production pipelines run the cheapest gate FIRST — exactly
+    * Gopher's ordering — so junk documents never pay shingling, banding,
+    * or state I/O downstream. Stateless, so a streaming plan stays
+    * stateless ahead of its sink, and crash replays refilter the same
+    * batch content deterministically (the exactly-once argument is
+    * untouched). */
+  def gopherPrefilter(docs: DataFrame): DataFrame = {
+    val orig = docs.columns.toSeq
+    gopherAnnotated(docs).filter(col("keep")).select(orig.map(col): _*)
   }
 
   /** Language identification by marker-token voting (n-gram-free heuristic;

@@ -1128,6 +1128,25 @@ object StreamingOps {
     query
   }
 
+  /** [[runMinhashDedupStream]] with the Gopher quality gate ahead of the
+    * dedup sink — the full production ingest shape: FILTER (cheapest
+    * signal, stateless) then DEDUP (stateful). Junk documents never pay
+    * shingling, banding, or state I/O, and never enter the kept set or
+    * the band state. The gate is [[graft.ext.TextOps.gopherPrefilter]] —
+    * the SAME annotated-frame code path as the oracle-checked batch
+    * `gopher_filter` row, so stream and batch cannot fork on rule
+    * semantics. Exactly-once is untouched: the filter is a deterministic
+    * stateless projection of the micro-batch, so a crash replay
+    * refilters identical content to the identical survivor set. */
+  def runFilteredMinhashDedupStream(
+      docs: DataFrame,
+      statePath: String,
+      keptPath: String,
+      checkpointDir: String,
+      threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+    runMinhashDedupStream(graft.ext.TextOps.gopherPrefilter(docs),
+      statePath, keptPath, checkpointDir, threshold)
+
   /** Release a processor's state blocks when its query terminates — a
     * session that stops/restarts the stream (redeploy loop, the restart
     * tests) would otherwise strand the full keyed state per stopped

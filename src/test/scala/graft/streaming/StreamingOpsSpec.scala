@@ -327,6 +327,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("filtered ingest: Gopher gate drops junk before dedup; near-dups still deduped") {
+    implicit val sqlCtx = spark.sqlContext
+    // quality docs: a 20-token vocabulary (incl. >= 2 Gopher stopwords)
+    // walked in three stride orders — 60 words, passes every rule; the
+    // near-dup appends two tokens (shingle Jaccard ~ 0.95, still passes)
+    val vocab = (Vector("the", "and") ++ (1 to 18).map(i => f"word$i%02d"))
+    def walk(v: Vector[String]) =
+      Seq(1, 3, 7).flatMap(k => (0 until 20).map(i => v((i * k) % 20))).mkString(" ")
+    val good = walk(vocab)
+    val goodNear = good + " x1 x2"
+    val otherGood = walk(Vector("the", "and") ++ (1 to 18).map(i => f"item$i%02d"))
+    val junk = "tiny doc here" // fails the 50-word floor
+    val out = tmpDir("fmhstream")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.runFilteredMinhashDedupStream(
+      input.toDS().toDF("doc_id", "text"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    try {
+      // batch 1: junk is gated out BEFORE the sink (never kept, never state)
+      input.addData((1L, good), (2L, junk))
+      q.processAllAvailable()
+      // batch 2: 3 near-dups KEPT doc 1 (cross-batch state), 4 is novel
+      input.addData((3L, goodNear), (4L, otherGood))
+      q.processAllAvailable()
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 4L))
+      // the junk doc left no trace in the band state either: a later
+      // byte-identical resend must be gated again, not matched to state
+      input.addData((5L, junk))
+      q.processAllAvailable()
+      val kept2 = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming embedding ingest dedup drops vector near-dups across batches") {
     implicit val sqlCtx = spark.sqlContext
     // unit-direction fixtures in 8 dims: v2 = scaled v1 (cosine 1.0),
