@@ -120,6 +120,26 @@ object StreamBench {
     val kept = StreamingOps.committedKept(spark, s"$dedupOut/kept").count()
     dirStats("minhash_kept", s"$dedupOut/kept")
 
+    // ---- Gopher-gated MinHash ingest (filter-then-dedup) ---------------
+    // same corpus, same batch split — the delta vs the unfiltered loop is
+    // the gate's cost minus the dedup work the gated-out docs never do
+    val filtOut = tmp("streambench_filtdedup")
+    val filtIn = MemoryStream[(Long, String)]
+    val filtQ = StreamingOps.runFilteredMinhashDedupStream(
+      filtIn.toDS().toDF("doc_id", "text"),
+      s"$filtOut/state", s"$filtOut/kept", s"$filtOut/ckpt")
+    val t1b = System.nanoTime()
+    try {
+      docs.grouped(docBatch).foreach { chunk =>
+        filtIn.addData(chunk.toIndexedSeq)
+        filtQ.processAllAvailable()
+      }
+    } finally filtQ.stop()
+    val filtSecs = (System.nanoTime() - t1b) / 1e9
+    val filtRate = docs.length / filtSecs
+    val filtKept = StreamingOps.committedKept(spark, s"$filtOut/kept").count()
+    dirStats("filtered_kept", s"$filtOut/kept")
+
     // ---- hyperplane-LSH embedding ingest-dedup stream over embeddings --
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -143,7 +163,7 @@ object StreamBench {
     dirStats("emb_kept", s"$embOut/kept")
 
     val line =
-      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept}"""
+      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"filtered_secs":$filtSecs,"filtered_docs_per_s":$filtRate,"filtered_kept":$filtKept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT", "stream_bench.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[stream-bench] write failed: $e") }
