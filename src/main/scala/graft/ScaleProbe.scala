@@ -121,7 +121,11 @@ object ScaleProbe {
     // r10: the quality policy pair — mixer is four doc-keyed signal
     // aggregates + equi-joins, prune is the LM aggregate + a histogram
     // window + broadcast cuts; both should scale ≈ linearly
-    "quality_mixer", "quality_prune_per_source")
+    "quality_mixer", "quality_prune_per_source",
+    // r10: the capstone composition — under protocol v2 its cold IS the
+    // full build of every component family (mixer signals + LM + cluster
+    // table); the ratio should stay in the linear-with-fixed-cost band
+    "curation_pipeline")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail
