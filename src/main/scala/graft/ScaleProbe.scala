@@ -125,7 +125,13 @@ object ScaleProbe {
     // r10: the capstone composition — under protocol v2 its cold IS the
     // full build of every component family (mixer signals + LM + cluster
     // table); the ratio should stay in the linear-with-fixed-cost band
-    "curation_pipeline")
+    "curation_pipeline",
+    // r11: the staged ordering (dedup induced on quality survivors) —
+    // cold pays the same component builds plus the scoped pair join;
+    // the media Hamming family (banded self-join, simhash's shape); and
+    // the per-source ntile window (one reducer per source, ≈ linear)
+    "curation_pipeline_staged", "media_phash", "media_near_dup",
+    "len_quartiles_by_source")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -130,8 +130,11 @@ object SparkEntry {
     "doc_oov_rate"     -> (TextOps.docOovRate(_, _)),
     // keyword-in-context windows around the first term hit (pure scan)
     "snippets"         -> (TextOps.snippets(_, _)),
-    // equi-depth length quartiles (exact ntile, deterministic ties)
+    // equi-depth length quartiles (exact ntile, deterministic ties) —
+    // global row is the documented exact baseline (single-reducer sort);
+    // the by_source row is the scale path (one reducer per source)
     "len_quartiles"    -> (TextOps.lenQuartiles(_, _)),
+    "len_quartiles_by_source" -> (TextOps.lenQuartilesBySource(_, _)),
     "train_test_split" -> (TextOps.trainTestSplit(_, _)),
     "pii_redact"       -> (TextOps.piiRedact(_, _)),
     "seq_pack"         -> (TextOps.seqPack(_, _)),
@@ -192,6 +195,10 @@ object SparkEntry {
     // keeper ∩ near-dup cluster representative, with the leakage-safe
     // split — one DAG, four joins over session-cached component frames
     "curation_pipeline" -> (TextOps.curationPipeline(_, _)),
+    // the STAGED ordering production pipelines actually run: dedup over
+    // quality survivors — exact keepers re-elected among survivors,
+    // near-dup clusters induced on them (bridge removal can split them)
+    "curation_pipeline_staged" -> (TextOps.curationPipelineStaged(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
@@ -293,6 +300,11 @@ object SparkEntry {
     // vectors, joined back to the decoded metadata — media columns
     // feeding the vector path, not just the scan path
     "media_ann_topk"   -> (JsonMediaOps.mediaAnnTopk(_, _)),
+    // the multimodal DEDUP stage: 64-bit payload dHash (exact-integer
+    // replay, the doc_simhash pattern) + Hamming-banded near-dup pairs
+    // sharing DedupOps' banding machinery verbatim
+    "media_phash"      -> (JsonMediaOps.mediaPhash(_, _)),
+    "media_near_dup"   -> (JsonMediaOps.mediaNearDup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -510,5 +522,33 @@ object SparkEntry {
          |JOIN pr ON d.doc_id = pr.doc_id AND pr.keep
          |JOIN ex ON d.doc_id = ex.keeper_doc_id
          |JOIN nd ON d.doc_id = nd.doc_id AND nd.doc_id = nd.cluster_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    // the STAGED replay re-scopes the SAME component CTEs: mixer and
+    // prune verbatim, then exact dedup grouped over the survivor frame
+    // `q`, then the dedup_clusters recursive-closure chain re-rooted at
+    // the keeper frame `k` (DedupOps.clustersOracleFrom — one CTE
+    // definition, re-scoped, never re-derived); the split is the
+    // representative's own content hash, same salt+cut as
+    // train_test_split
+    "curation_pipeline_staged" ->
+      s"""WITH mix AS (${TextOps.oracles("quality_mixer")}),
+         |pr AS (${TextOps.oracles("quality_prune_per_source")}),
+         |q AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN mix ON d.doc_id = mix.doc_id AND mix.keep
+         |  JOIN pr ON d.doc_id = pr.doc_id AND pr.keep
+         |), ex AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM q
+         |  GROUP BY md5(regexp_replace(lower(trim(text)), '${TextOps.WsRunRe}', ' ', 'g'))
+         |), k AS (
+         |  SELECT q.doc_id, q.source, q.text FROM q JOIN ex USING (doc_id)
+         |), cl AS (
+         |  ${DedupOps.clustersOracleFrom("k")}
+         |)
+         |SELECT k.doc_id, k.source,
+         |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(k.text)), '${TextOps.WsRunRe}', ' ', 'g')), 1, 2) < '19'
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM cl JOIN k ON cl.doc_id = k.doc_id
+         |WHERE cl.doc_id = cl.cluster_id
+         |ORDER BY k.doc_id""".stripMargin)
 }

@@ -128,7 +128,9 @@ object DedupOps {
   }
 
   private val NumPerms = graft.functions.MinHashSignature.NumPerms // 128
-  private val Bands = 32
+  /** Rows per doc in [[bandFrame]] — broadcast gates sized in DOCS must
+    * multiply by this before comparing a band frame against a row cap. */
+  private[graft] val Bands = 32
   private val RowsPerBand = NumPerms / Bands // 4
 
   /** 128-perm MinHash signature as an array<long> column (input: distinct
@@ -246,10 +248,32 @@ object DedupOps {
   private val bandCache = new graft.SessionFrameCache[String]
 
   def minhashNearDup(spark: SparkSession, sfDir: String,
-      maxBandDf: Int = MinHashBandDfCap): DataFrame = {
-    val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
+      maxBandDf: Int = MinHashBandDfCap): DataFrame =
+    minhashNearDupCore(spark, sfDir, scope = None, maxBandDf)
+
+  /** [[minhashNearDup]] restricted to a survivor id set (`scope`: a
+    * one-column doc_id frame) — the staged-curation path, where dedup
+    * runs over quality SURVIVORS. Shingles and bands SEMI-JOIN the
+    * session-cached corpus frames down to the scope, so the 128-perm
+    * signature pass is built once per session and shared with the
+    * full-corpus row; the scoped run pays only survivor-sized joins.
+    * The hot-key guard resharding and the verify join both see the
+    * scoped frames, so the result is exactly the corpus pair graph
+    * INDUCED on the scope (both endpoints surviving). */
+  def minhashNearDupScoped(spark: SparkSession, sfDir: String,
+      scope: DataFrame, maxBandDf: Int = MinHashBandDfCap): DataFrame =
+    minhashNearDupCore(spark, sfDir, Some(scope.select(col("doc_id"))),
+      maxBandDf)
+
+  private def minhashNearDupCore(spark: SparkSession, sfDir: String,
+      scope: Option[DataFrame], maxBandDf: Int): DataFrame = {
+    def scoped(df: DataFrame): DataFrame =
+      scope.fold(df)(ids => df.join(ids, Seq("doc_id"), "left_semi"))
+    val s = scoped(withShingles(spark, sfDir).filter(size(col("sh")) > 0))
     val bands = subSaltHotKeys(
-      bandCache.getOrElseUpdate(spark, sfDir)(bandFrame(s)), "doc_id", maxBandDf)
+      scoped(bandCache.getOrElseUpdate(spark, sfDir)(
+        bandFrame(withShingles(spark, sfDir).filter(size(col("sh")) > 0)))),
+      "doc_id", maxBandDf)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.shard") === col("y.shard") &&
@@ -356,21 +380,39 @@ object DedupOps {
     * shape as the MinHash band cache once the hot-key guard landed. */
   private val simBandCache = new graft.SessionFrameCache[String]
 
+  /** 9-band split of a 64-bit signature frame (doc_id, `sigName`) —
+    * band i covers bits [i·64/9, (i+1)·64/9), 7 or 8 bits each. Shared
+    * by [[simhashNearDup]] and the media perceptual-hash path
+    * ([[JsonMediaOps.mediaNearDup]]), so the two Hamming families can
+    * never diverge on banding. */
+  private[ext] def hammingBands(sig: DataFrame, sigName: String): DataFrame = {
+    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
+    sig.select(col("doc_id"), col(sigName),
+      posexplode(array((0 until SimhashBands).map { i =>
+        val width = bounds(i + 1) - bounds(i)
+        shiftrightunsigned(col(sigName), bounds(i))
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
+      .select(col("doc_id"), col(sigName),
+        col("pos").as("band"), col("col").as("band_bits"))
+  }
+
   def simhashNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 8,
       maxBandDf: Int = SimhashBandDfCap): DataFrame = {
-    require(maxHamming < SimhashBands, "bands must outnumber allowed bit errors")
-    // band i covers bits [i*64/9, (i+1)*64/9) — 7 or 8 bits each
-    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
     val banded = simBandCache.getOrElseUpdate(spark, sfDir) {
-      simhash(spark, sfDir).select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until SimhashBands).map { i =>
-          val width = bounds(i + 1) - bounds(i)
-          shiftrightunsigned(col("simhash"), bounds(i))
-            .bitwiseAND(lit((1L << width) - 1))
-        }: _*)))
-        .select(col("doc_id"), col("simhash"),
-          col("pos").as("band"), col("col").as("band_bits"))
+      hammingBands(simhash(spark, sfDir), "simhash")
     }
+    hammingBandNearDup(banded, "simhash", maxHamming, maxBandDf)
+  }
+
+  /** The Hamming near-dup pair join over a pre-banded signature frame
+    * (doc_id, `sigName`, band, band_bits) — hot-key sub-salting, the
+    * first-matching-band gate, and the bit_count verify, shared across
+    * signature kinds (SimHash text signatures, media dHashes). */
+  private[ext] def hammingBandNearDup(banded: DataFrame, sigName: String,
+      maxHamming: Int, maxBandDf: Int): DataFrame = {
+    require(maxHamming < SimhashBands, "bands must outnumber allowed bit errors")
+    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
     val bands = subSaltHotKeys(banded,
       "doc_id", maxBandDf, bandCols = Seq("band", "band_bits"))
     // FIRST-MATCHING-BAND gate: emit a pair only at the lowest band
@@ -391,7 +433,7 @@ object DedupOps {
     // already dropped); transitive clustering recovers members, and the
     // adversarial fixture (identical docs ⇒ identical shard layout in
     // every band) keeps the same bounds.
-    val xorSig = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val xorSig = col(s"x.$sigName").bitwiseXOR(col(s"y.$sigName"))
     val firstBand = (0 until SimhashBands).reverse
       .foldLeft(lit(SimhashBands)) { (acc, i) =>
         val width = bounds(i + 1) - bounds(i)
@@ -404,8 +446,7 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id") &&
           firstBand === col("x.band"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-          .cast("long").as("hamming"))
+        bit_count(xorSig).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
@@ -527,6 +568,26 @@ object DedupOps {
         .select(col("doc_id"),
           coalesce(col("label"), col("doc_id")).as("label"))
     }.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+
+  /** [[dedupClusters]] over a survivor id set: components of the corpus
+    * near-dup graph INDUCED on the scope ([[minhashNearDupScoped]]), so
+    * clusters can legitimately SPLIT relative to the full-corpus table
+    * when a bridge document is outside the scope — the staged-curation
+    * semantics. Scoped singletons label themselves. UNCACHED (the scope
+    * is caller state a (session, sfDir) key cannot see) — callers that
+    * re-invoke per benchmark iteration should cache the result frame
+    * themselves, as [[graft.ext.TextOps.curationPipelineStaged]] does. */
+  def dedupClustersScoped(spark: SparkSession, sfDir: String,
+      scope: DataFrame): DataFrame = {
+    val pairs = minhashNearDupScoped(spark, sfDir, scope)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs)
+    scope.select(col("doc_id"))
+      .join(comp.withColumnRenamed("doc_id", "cc_id"),
+        col("doc_id") === col("cc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+  }
 
   /** Near-dup-aware train/test split — closes the leakage mode
     * [[TextOps.trainTestSplit]] cannot: content-hash splitting co-assigns
@@ -955,6 +1016,36 @@ object DedupOps {
        |  FROM d0
        |)""".stripMargin
 
+  /** The whole Hamming-pair replay downstream of a signature CTE — the
+    * 9-band split, the df-cap sub-salt guard, the first-matching-band
+    * gate, and the bit_count verify. Expects the preceding CTE chain to
+    * end with `sh(doc_id, simhash)`; shared VERBATIM by the
+    * simhash_near_dup and media_near_dup oracles (the no-fork
+    * discipline: one banding replay, two signature kinds). */
+  private[graft] def hammingPairsSql(maxHamming: Int = 8,
+      cap: Int = SimhashBandDfCap): String = simhashBandsSql +
+    s""", dfc AS (
+       |  SELECT band, band_bits, COUNT(*)::BIGINT AS df
+       |  FROM bx GROUP BY band, band_bits
+       |), bs AS (
+       |  SELECT bx.doc_id, bx.simhash, bx.band, bx.band_bits,
+       |    CASE WHEN d.df > $cap THEN
+       |      list_sum([(strpos('0123456789abcdef',
+       |          substr(md5(CAST(bx.doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+       |          << (4 * (15 - i)) FOR i IN range(1, 16)])
+       |        % ((d.df + ${cap - 1}) // $cap)
+       |    ELSE 0 END AS shard
+       |  FROM bx JOIN dfc d USING (band, band_bits)
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+       |FROM bs x JOIN bs y
+       |  ON x.band = y.band AND x.band_bits = y.band_bits
+       |  AND x.shard = y.shard AND x.doc_id < y.doc_id
+       |  AND ($simhashFirstBandSql) = x.band
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "doc_simhash" -> (simhashCte +
       "SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
@@ -966,28 +1057,7 @@ object DedupOps {
     // the engine's gate semantics under it — a pair whose first
     // bits-agreeing band was sharded apart is dropped, the documented
     // cap trade — so the row stays hash-green THROUGH the guard regime
-    "simhash_near_dup" -> (simhashCte + simhashBandsSql +
-      s""", dfc AS (
-         |  SELECT band, band_bits, COUNT(*)::BIGINT AS df
-         |  FROM bx GROUP BY band, band_bits
-         |), bs AS (
-         |  SELECT bx.doc_id, bx.simhash, bx.band, bx.band_bits,
-         |    CASE WHEN d.df > $SimhashBandDfCap THEN
-         |      list_sum([(strpos('0123456789abcdef',
-         |          substr(md5(CAST(bx.doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
-         |          << (4 * (15 - i)) FOR i IN range(1, 16)])
-         |        % ((d.df + ${SimhashBandDfCap - 1}) // $SimhashBandDfCap)
-         |    ELSE 0 END AS shard
-         |  FROM bx JOIN dfc d USING (band, band_bits)
-         |)
-         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
-         |FROM bs x JOIN bs y
-         |  ON x.band = y.band AND x.band_bits = y.band_bits
-         |  AND x.shard = y.shard AND x.doc_id < y.doc_id
-         |  AND ($simhashFirstBandSql) = x.band
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
-         |ORDER BY doc_a, doc_b""".stripMargin),
+    "simhash_near_dup" -> (simhashCte + hammingPairsSql()),
     "doc_dedup_exact" ->
       s"""SELECT md5(regexp_replace(lower(trim(text)), '${TextOps.WsRunRe}', ' ', 'g')) AS content_hash,
          |  COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
@@ -1077,9 +1147,9 @@ object DedupOps {
 
   /** Shingles → exact-Jaccard pairs → transitive closure → per-doc
     * cluster_id, as a reusable WITH-prefix for DuckDB oracles. */
-  private def clustersCte: String = (shingleCteFrom("documents")
+  private def clustersCteFrom(from: String): String = (shingleCteFrom(from)
     .replaceFirst("WITH ", "WITH RECURSIVE ") +
-    """, sx AS (
+    s""", sx AS (
       |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
       |), pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1096,8 +1166,18 @@ object DedupOps {
       |), clusters AS (
       |  SELECT d.doc_id,
       |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
-      |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+      |  FROM $from d LEFT JOIN reach r ON r.src = d.doc_id
       |  GROUP BY d.doc_id
       |)
       |""".stripMargin)
+
+  private def clustersCte: String = clustersCteFrom("documents")
+
+  /** Complete cluster-table replay over an arbitrary FROM source — the
+    * staged-curation oracle re-scopes the SAME recursive-closure CTE
+    * chain as `dedup_clusters` to the quality-survivor set (the no-fork
+    * discipline: one definition, re-scoped, never re-derived). */
+  private[graft] def clustersOracleFrom(from: String): String =
+    clustersCteFrom(from) +
+      "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"
 }

@@ -137,6 +137,58 @@ object MediaBytes {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hist)
   }
 
+  /** Number of gradient segments in [[dhash64]] — 64 bits need 65
+    * segment means. Shared with the DuckDB oracle's replay. */
+  val DhashSegments = 65
+
+  /** 64-bit difference-hash (dHash) over the container's payload region
+    * — the perceptual-hash shape image dedup runs (downsample, then
+    * gradient sign bits), applied to the payload signal: bytes are
+    * bucketed into [[DhashSegments]] fixed-width segments (segment of
+    * byte i = i div w — the integer-exact "resize"), and bit b is set
+    * iff segment b's MEAN byte value exceeds segment b+1's. Means are
+    * compared by cross-multiplication (sum_b·cnt_{b+1} > sum_{b+1}·cnt_b)
+    * so the whole hash stays on the integer grid — exactly replayable
+    * from the synthesis parameters (payload = the text bytes) by the
+    * oracle.
+    *
+    * The segment width w is the smallest power of two with 65·w ≥ n — a
+    * QUANTIZED canonical grid, not the proportional i·65 div n split: a
+    * proportional grid moves every boundary when the length changes by
+    * one byte, so a trailing 4-byte append flipped ~18 bits on the
+    * harness near-dups (measured); on the quantized grid near-equal
+    * lengths share w, boundaries are aligned from byte 0, and a small
+    * edit perturbs only the segments it touches (same pairs: ≤ 2 bits).
+    * The residual trade: a pair whose lengths straddle a w doubling
+    * gets different grids and is missed — the banding-recall analog of
+    * the winnow df-cap trade. Unknown formats and empty payloads hash
+    * to 0 (all gradients flat), mirroring [[decode]]'s
+    * degrade-don't-throw stance. */
+  def dhash64(blob: Array[Byte]): Long = {
+    val off = payloadOffset(blob)
+    if (off < 0) return 0L
+    val n = blob.length - off
+    if (n <= 0) return 0L
+    val x = (n + DhashSegments - 1) / DhashSegments
+    val w = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
+    val sums = new Array[Long](DhashSegments)
+    val cnts = new Array[Long](DhashSegments)
+    var i = 0
+    while (i < n) {
+      val s = i / w
+      sums(s) += blob(off + i) & 0xff
+      cnts(s) += 1
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
+
   /** Header parse: (format, width, height, n_frames) from the BYTES.
     * Magic-number dispatch, then fixed-offset reads in the container's
     * own endianness. Unknown/corrupt input degrades to ("unknown",0,0,0)
@@ -218,6 +270,23 @@ case class MediaPayloadHist(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** `media_dhash(blob)` → bigint: the 64-bit payload difference-hash
+  * ([[MediaBytes.dhash64]]). */
+case class MediaDhash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "media_dhash"
+
+  override def nullSafeEval(b: Any): Any =
+    MediaBytes.dhash64(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.MediaBytes$$.MODULE$$.dhash64($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDhash =
+    copy(newChild)
+}
+
 object MediaFunctions {
   def synthMedia(docId: Column, text: Column): Column =
     GraftBridge.column(SynthMedia(
@@ -229,4 +298,7 @@ object MediaFunctions {
 
   def mediaPayloadHist(blob: Column): Column =
     GraftBridge.column(MediaPayloadHist(GraftBridge.expression(blob)))
+
+  def mediaDhash(blob: Column): Column =
+    GraftBridge.column(MediaDhash(GraftBridge.expression(blob)))
 }

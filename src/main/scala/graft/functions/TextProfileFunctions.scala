@@ -103,9 +103,12 @@ object TrigramProfileScores {
     * UTF-8 by construction — but not GUARANTEED valid (casts from
     * binary, corrupt sources), and `UTF8String.getByte` is unchecked
     * over a possibly shared row buffer, so malformed input is handled
-    * in-bounds: a truncated multi-byte tail or a stray lead byte decodes
-    * as U+FFFD and advances one byte, deterministic and never reading
-    * past `numBytes`. */
+    * in-bounds: a truncated multi-byte tail, a stray lead byte, or a
+    * lead whose trailing bytes aren't continuations (each checked for
+    * the 10xxxxxx pattern before acceptance) decodes as U+FFFD and
+    * advances one byte, deterministic and never reading past
+    * `numBytes` — matching `String.codePointAt` iteration's per-byte
+    * replacement behavior on the same malformed input. */
   def score(s: UTF8String, keys: Array[Long], masks: Array[Long],
       nProfiles: Int): Array[Long] = {
     val counts = new Array[Long](nProfiles)
@@ -113,20 +116,28 @@ object TrigramProfileScores {
     var i = 0
     var p2 = -1 // code point two back
     var p1 = -1 // previous code point
+    // a trailing byte of a multi-byte sequence must be 10xxxxxx; masking
+    // with & 0x3F UNchecked would let e.g. C3 41 decode to U+00C1 and
+    // swallow the 'A' — the documented contract (malformed → U+FFFD,
+    // advance ONE byte) requires validating each continuation byte
+    @inline def cont(j: Int): Boolean = (s.getByte(j) & 0xC0) == 0x80
     while (i < n) {
       val b0 = s.getByte(i) & 0xFF
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n && cont(i + 1)) {
         cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
-      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n && cont(i + 1) &&
+          cont(i + 2)) {
         cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
           (s.getByte(i + 2) & 0x3F); i += 3
-      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n && cont(i + 1) &&
+          cont(i + 2) && cont(i + 3)) {
         cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
           ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
       } else {
-        // malformed: stray continuation / invalid lead / truncated tail
+        // malformed: stray continuation, invalid lead, truncated tail,
+        // or a lead whose trailing bytes aren't continuations
         cp = 0xFFFD; i += 1
       }
       if (p2 >= 0) {

@@ -346,7 +346,14 @@ object StreamingOps {
       * else claim max-committed-epoch + 1 from the output's commit log and
       * persist it in the checkpoint. A crash between claiming and the
       * first commit re-resolves to the same epoch (nothing was committed
-      * under it), so the claim itself needs no atomicity.
+      * under it), so the claim needs no LOCK — but the persist itself is
+      * tmp-then-rename (like every CommitLog publish): a bare create+write
+      * could crash mid-write and leave a torn file whose truncated decimal
+      * prefix parses as a SMALLER epoch, colliding with already-committed
+      * ids and silently skipping batches. With the rename, the file is
+      * either absent (re-resolve, same answer) or complete. A file that
+      * exists but doesn't parse is corruption the rename can't produce —
+      * fail loudly rather than guess an epoch.
       *
       * A checkpoint that already has Spark stream state (`offsets/`) but
       * no `_graft_epoch` predates epoch scoping: its committed ids in the
@@ -362,8 +369,15 @@ object StreamingOps {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
         val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        raw.trim.toLongOption.getOrElse(throw new IllegalStateException(
+          s"$p exists but holds ${if (raw.isEmpty) "an empty file"
+            else s"unparseable content '${raw.take(32)}'"} — the epoch " +
+            "file is published by atomic rename, so this is external " +
+            "corruption; delete the file to re-resolve from the commit " +
+            "log (safe only if no batch committed under the torn epoch) " +
+            "or restore it from a checkpoint backup"))
       } else {
         val epoch = if (fs.exists(new Path(s"$checkpointDir/offsets"))) 0L
         else {
@@ -371,8 +385,18 @@ object StreamingOps {
           (committed.epochs + 0L).max + 1
         }
         fs.mkdirs(p.getParent)
-        val out = fs.create(p, true)
+        val tmp = new Path(p.getParent, ".tmp_graft_epoch")
+        val out = fs.create(tmp, true)
         try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, p)) {
+          // lost a race with a concurrent resolve of the same checkpoint:
+          // the published file wins (both raced claims computed from the
+          // same commit log, but read, don't assume)
+          fs.delete(tmp, false)
+          if (!fs.exists(p)) throw new java.io.IOException(
+            s"could not publish epoch file $p")
+          return resolveEpoch(spark, checkpointDir, commitRoot)
+        }
         epoch
       }
     }
@@ -1237,9 +1261,15 @@ object StreamingOps {
     // and the kept-count fallback (it also materializes the persists)
     val nBatch = sh.count()
     // batch-sized join sides broadcast only in the normal micro-batch
-    // regime — a jumbo catch-up batch takes the shuffle plan instead
+    // regime — a jumbo catch-up batch takes the shuffle plan instead.
+    // The cap is calibrated for ONE-row-per-doc frames; the band frame
+    // carries Bands (32) rows per doc, so it gets its own gate on the
+    // banded row count — a cap-sized catch-up batch must not push ~6.4M
+    // band rows through the driver to every executor
     def bc(df: DataFrame): DataFrame =
       if (nBatch <= StreamBroadcastCap) broadcast(df) else df
+    def bcBands(df: DataFrame): DataFrame =
+      if (nBatch * DedupOps.Bands <= StreamBroadcastCap) broadcast(df) else df
     var keptIds: DataFrame = null
     var labels: DataFrame = null
     // per-batch local checkpoints released at batch end (a long-running
@@ -1265,7 +1295,7 @@ object StreamingOps {
       val dupOfKept: DataFrame =
         if (state.isEmpty) null
         else {
-          val cand = bc(bands).as("x").join(state.table("bands").as("y"),
+          val cand = bcBands(bands).as("x").join(state.table("bands").as("y"),
               col("x.band") === col("y.band") &&
                 col("x.band_key") === col("y.band_key"))
             .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

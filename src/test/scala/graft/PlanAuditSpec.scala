@@ -452,6 +452,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("media near-dup: signatures projected in the scan, no blob in any exchange") {
+    val df = graft.ext.JsonMediaOps.mediaNearDup(spark, sfDir)
+    def collectExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.Exchange] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          collectExchanges(a.executedPlan)
+        case e: org.apache.spark.sql.execution.exchange.Exchange => Seq(e)
+      }.flatten
+    val exchanges = collectExchanges(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType ==
+        org.apache.spark.sql.types.BinaryType),
+        s"blob column crosses an exchange: ${e.output.map(a => s"${a.name}:${a.dataType}")}")
+    }
+    val p = plan(df)
+    // the banded self-join must be an equi hash join on (band, bits),
+    // never a cartesian, and the signature must come from the codegen'd
+    // expression in the scan projection
+    assert(p.contains("media_dhash"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("media ANN: no exchange carries the blob; candidate join keyed; salted top-k") {
     val df = graft.ext.JsonMediaOps.mediaAnnTopk(spark, sfDir)
     // the media feature vectors must be projected in the scan stage — a
@@ -532,6 +557,18 @@ class PlanAuditSpec extends SparkSpec {
       s"window partition keys $specs:\n$p")
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("per-source quartiles: the ntile window is partitioned by source") {
+    // the scale-safe sibling of len_quartiles: the ONLY window in the
+    // plan must be source-partitioned — an unpartitioned ntile funnels
+    // the corpus through one reducer (the global row's documented flaw)
+    val p = plan(graft.ext.TextOps.lenQuartilesBySource(spark, sfDir))
+    val specs = "windowspecdefinition\\((\\w+)#".r.findAllMatchIn(p)
+      .map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_ == "source"),
+      s"window partition keys $specs — expected every window keyed by " +
+        s"source:\n$p")
   }
 
   test("bpe encode: vocab joins broadcast; doc counts are partial+final aggregates") {

@@ -565,6 +565,67 @@ class ExtOpsSpec extends SparkSpec {
     out.foreach { case (id, _, split) => assert(split == ndRows(id)._2) }
   }
 
+  test("media near-dup: planted near-identical media pair up across formats") {
+    val rnd = new scala.util.Random(11)
+    def word() = (1 to (3 + rnd.nextInt(6)))
+      .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = (1 to 70).map(_ => word()).mkString(" ") // ~400 ASCII bytes
+    val dir = docsFixture(Seq(
+      (300L, base, "en"),              // png (300 % 3 == 0)
+      (301L, base, "en"),              // bmp — same payload, other container
+      (302L, base + " dup", "en"),     // wav — trailing append, same grid
+      (303L, (1 to 70).map(_ => word()).mkString(" "), "en"))) // unrelated
+    val pairs = JsonMediaOps.mediaNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical payloads in different containers: Hamming 0 — the hash
+    // is over the per-format-located payload region, so media dedup
+    // sees through container changes
+    assert(pairs.get((300L, 301L)).contains(0L), pairs.toString)
+    // the lightly-edited copy pairs with both originals under the
+    // banding threshold
+    assert(pairs.contains((300L, 302L)) && pairs.contains((301L, 302L)),
+      pairs.toString)
+    // the unrelated doc pairs with nothing
+    assert(!pairs.keysIterator.exists(p => p._1 == 303L || p._2 == 303L),
+      pairs.toString)
+    // harness corpus: the row is non-vacuous and every emitted pair is
+    // within the threshold (first-band gate emits each pair exactly once)
+    val corpus = JsonMediaOps.mediaNearDup(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(_.getLong(2) <= 8))
+    val keys = corpus.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("staged curation: strict superset of order-free, splits agree, " +
+      "extras are re-elections or splits") {
+    // containment law: an order-free survivor passes quality, is its
+    // exact group's GLOBAL min (so still min among quality survivors),
+    // and is its full near-dup cluster's min (so min of any induced
+    // sub-component containing it) — staged can only ADD docs
+    val free = TextOps.curationPipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val staged = TextOps.curationPipelineStaged(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(free.keySet.subsetOf(staged.keySet))
+    // non-vacuous: staging must actually change the output on the
+    // harness corpus (a re-elected keeper or a split cluster)
+    assert(staged.size > free.size,
+      s"staged == order-free (${free.size} rows) — the row proves nothing")
+    // the split is the survivor's own content hash on both paths
+    free.foreach { case (id, split) => assert(staged(id) == split) }
+    // every extra is explained: it failed an order-free DEDUP gate (it
+    // was not the global exact keeper, or not its full cluster's rep)
+    // while passing both quality gates — never a quality disagreement
+    val mixKeep = TextOps.qualityMixer(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    val prKeep = TextOps.qualityPrunePerSource(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    (staged.keySet -- free.keySet).foreach { id =>
+      assert(mixKeep(id) && prKeep(id), s"staged extra $id fails quality")
+    }
+  }
+
   test("quality mixer: per-rule verdicts, first-fail precedence, planted failures") {
     // doc A: 20-token vocabulary walked in three different stride orders —
     // 60 tokens, every bigram distinct (dup ratio 0), each token 3/60
@@ -751,6 +812,25 @@ class ExtOpsSpec extends SparkSpec {
     val out = TextOps.tokenBudgetPerSource(spark, dir, budget = 7).collect()
       .map(r => (r.getLong(0), r.getLong(3)))
     assert(out.toSeq == Seq((1L, 3L), (2L, 6L)), out.mkString(", "))
+  }
+
+  test("per-source quartiles: equi-depth within source, order-consistent") {
+    val rows = TextOps.lenQuartilesBySource(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (src, g) =>
+      // ntile(4) depth law: bucket sizes differ by at most 1, larger first
+      val sizes = g.groupBy(_._4).view.mapValues(_.length).toMap
+      val n = g.length
+      (1 to math.min(4, n)).foreach { q =>
+        val want = n / 4 + (if (q <= n % 4) 1 else 0)
+        assert(sizes.getOrElse(q.toLong, 0) == want,
+          s"$src quartile $q: ${sizes.getOrElse(q.toLong, 0)} != $want")
+      }
+      // quartile is monotone in the (n_chars, doc_id) order within source
+      val inOrder = g.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a <= b })
+    }
   }
 
   test("approx percentiles sit within the GK rank-error bound of exact") {
@@ -1461,6 +1541,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_words") == 53L)
     assert(r.getAs[Long]("sym_milli") == 7000L / 53L)
     assert(!r.getAs[Boolean]("r_sym") && !r.getAs[Boolean]("keep"))
+  }
+
+  test("gopher prefilter: keeps input columns, rejects reserved-name collisions") {
+    val dir = docsFixture(Seq(
+      (1L, "the of " + (1 to 60).map(i => s"word$i").mkString(" "), "en")))
+    val docs = graft.Tables.documents(spark, dir)
+    // survivors come back with the input's exact columns
+    assert(TextOps.gopherPrefilter(docs).columns.toSeq == docs.columns.toSeq)
+    // an input already carrying a rule column would be clobbered and
+    // restored WRONG by the final select — fail fast, naming the column
+    val ex = intercept[IllegalArgumentException] {
+      TextOps.gopherPrefilter(docs.withColumn("keep",
+        org.apache.spark.sql.functions.lit(false)))
+    }
+    assert(ex.getMessage.contains("keep"), ex.getMessage)
   }
 
   /** documents fixture with explicit per-row source (the shared

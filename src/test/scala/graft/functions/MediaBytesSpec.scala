@@ -40,4 +40,30 @@ class MediaBytesSpec extends AnyFunSuite {
     // unknown container degrades to all-zero, like the decode step
     assert(histOf("not a container".getBytes("UTF-8")) == Seq.fill(16)(0L))
   }
+
+  test("dhash: format-invariant, edit-local on the quantized grid, degrades to 0") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(400)((32 + rnd.nextInt(95)).toByte) // printable ASCII
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // the hash is over the payload region: identical payloads in
+    // DIFFERENT containers hash identically (cross-format dedup)
+    val hPng = MediaBytes.dhash64(MediaBytes.png(33, 44, base))
+    val hBmp = MediaBytes.dhash64(MediaBytes.bmp(33, 44, base))
+    val hWav = MediaBytes.dhash64(MediaBytes.wav(base))
+    assert(hPng == hBmp && hBmp == hWav)
+    // a small trailing append lands within the banding threshold (the
+    // quantized grid: 400 and 404 bytes share segment width 8, so only
+    // the touched segments' gradients can flip)
+    val appended = base ++ " dup".getBytes("UTF-8")
+    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.wav(appended))) <= 8)
+    // ... and a mid-stream byte substitution too
+    val sub = base.clone(); sub(200) = 'Z'.toByte
+    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.png(33, 44, sub))) <= 8)
+    // an unrelated payload of the same length is far away
+    val other = Array.fill(400)((32 + rnd.nextInt(95)).toByte)
+    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.wav(other))) > 8)
+    // unknown container and empty payload degrade to 0, never throw
+    assert(MediaBytes.dhash64("not a container".getBytes("UTF-8")) == 0L)
+    assert(MediaBytes.dhash64(MediaBytes.wav(Array.empty[Byte])) == 0L)
+  }
 }

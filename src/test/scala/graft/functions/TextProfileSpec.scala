@@ -61,6 +61,17 @@ class TextProfileSpec extends SparkSpec {
     assert(sc(Array(0x80, 0xE4, 0xF0, 0xFF).map(_.toByte)) ==
       Seq.fill(profiles.size)(0L))
     assert(sc(Array(0xE4.toByte)) == Seq.fill(profiles.size)(0L))
+    // a lead whose trailing byte is NOT a continuation must not swallow
+    // it: C3 41 ('A') decodes as U+FFFD then 'A' — the 'A' stays visible
+    // to the trigram window (unchecked & 0x3F masking would fuse them
+    // into U+00C1 and desynchronize every following gram)
+    assert(sc(Array(0xC3.toByte) ++ "and the ".getBytes("UTF-8")) ==
+      sc("�and the ".getBytes("UTF-8")))
+    // same for 3- and 4-byte leads with valid length but bad trails
+    assert(sc(Array(0xE4.toByte) ++ "the and ".getBytes("UTF-8")) ==
+      sc("�the and ".getBytes("UTF-8")))
+    assert(sc(Array(0xF0.toByte) ++ "the and ".getBytes("UTF-8")) ==
+      sc("�the and ".getBytes("UTF-8")))
   }
 
   test("hand-computed counts: multiplicity, overlap, cross-profile shares") {

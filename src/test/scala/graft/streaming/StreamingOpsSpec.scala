@@ -926,6 +926,31 @@ class StreamingOpsSpec extends SparkSpec {
       spark, s"$out/ckpt2", s"$out/kept") == 1L)
   }
 
+  test("epoch file publishes by rename; a torn/corrupt file fails loudly") {
+    val out = tmpDir("tornepoch")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a claim leaves no tmp debris and the published file round-trips
+    val e = StreamingOps.CommitLog.resolveEpoch(spark, s"$out/ckpt", s"$out/kept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$out/ckpt/.tmp_graft_epoch")), "tmp file left behind after publish")
+    assert(StreamingOps.CommitLog.resolveEpoch(
+      spark, s"$out/ckpt", s"$out/kept") == e)
+    // a corrupt epoch file (empty, or a truncated decimal that would
+    // silently parse SMALLER and collide with committed ids) must fail
+    // with an actionable message, never be guessed around
+    for (content <- Seq("", "12x")) {
+      val p = new org.apache.hadoop.fs.Path(s"$out/ckpt2/_graft_epoch")
+      fs.mkdirs(p.getParent)
+      val o = fs.create(p, true)
+      try o.write(content.getBytes("UTF-8")) finally o.close()
+      val ex = intercept[IllegalStateException] {
+        StreamingOps.CommitLog.resolveEpoch(spark, s"$out/ckpt2", s"$out/kept")
+      }
+      assert(ex.getMessage.contains("delete the file"), ex.getMessage)
+    }
+  }
+
   test("zero-row (footerless) committed batch dirs: views stay readable, compaction skips them") {
     import spark.implicits._
     val root = tmpDir("footerless")
