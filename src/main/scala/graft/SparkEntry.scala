@@ -305,6 +305,8 @@ object SparkEntry {
     // sharing DedupOps' banding machinery verbatim
     "media_phash"      -> (JsonMediaOps.mediaPhash(_, _)),
     "media_near_dup"   -> (JsonMediaOps.mediaNearDup(_, _)),
+    // production operating point: tighter threshold, 16-bit band keys
+    "media_near_dup_hi" -> (JsonMediaOps.mediaNearDupHi(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

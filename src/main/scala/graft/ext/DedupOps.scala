@@ -380,15 +380,27 @@ object DedupOps {
     * shape as the MinHash band cache once the hot-key guard landed. */
   private val simBandCache = new graft.SessionFrameCache[String]
 
-  /** 9-band split of a 64-bit signature frame (doc_id, `sigName`) —
-    * band i covers bits [i·64/9, (i+1)·64/9), 7 or 8 bits each. Shared
-    * by [[simhashNearDup]] and the media perceptual-hash path
-    * ([[JsonMediaOps.mediaNearDup]]), so the two Hamming families can
-    * never diverge on banding. */
-  private[ext] def hammingBands(sig: DataFrame, sigName: String): DataFrame = {
-    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
+  /** Band split of a 64-bit signature frame (doc_id, `sigName`): nBands
+    * bands over the LOW `cover` bits — band i covers bits
+    * [i·cover/nBands, (i+1)·cover/nBands). Shared by [[simhashNearDup]]
+    * (9 bands over all 64 bits) and the media perceptual-hash path
+    * ([[JsonMediaOps.mediaNearDup]] — 4 bands over the low 32), so the
+    * Hamming families can never diverge on banding.
+    *
+    * Recall contract: pigeonhole needs only nBands > maxHamming,
+    * REGARDLESS of cover — a pair with ≤ maxHamming errors over all 64
+    * bits has ≤ maxHamming errors inside ANY bit subset, so one of the
+    * > maxHamming disjoint bands inside that subset agrees. Banding a
+    * SUBSET is the lever when part of the signature is low-entropy: the
+    * media dHash's tail bits are constant-zero for same-length docs
+    * (PERF.md r11), and a band over them is one degenerate key holding
+    * the whole corpus — measured 191 s at sf1 vs 2.4 s with the tail
+    * excluded from banding (verification still reads all 64 bits). */
+  private[ext] def hammingBands(sig: DataFrame, sigName: String,
+      nBands: Int = SimhashBands, cover: Int = 64): DataFrame = {
+    val bounds = (0 to nBands).map(i => i * cover / nBands)
     sig.select(col("doc_id"), col(sigName),
-      posexplode(array((0 until SimhashBands).map { i =>
+      posexplode(array((0 until nBands).map { i =>
         val width = bounds(i + 1) - bounds(i)
         shiftrightunsigned(col(sigName), bounds(i))
           .bitwiseAND(lit((1L << width) - 1))
@@ -410,9 +422,10 @@ object DedupOps {
     * first-matching-band gate, and the bit_count verify, shared across
     * signature kinds (SimHash text signatures, media dHashes). */
   private[ext] def hammingBandNearDup(banded: DataFrame, sigName: String,
-      maxHamming: Int, maxBandDf: Int): DataFrame = {
-    require(maxHamming < SimhashBands, "bands must outnumber allowed bit errors")
-    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
+      maxHamming: Int, maxBandDf: Int,
+      nBands: Int = SimhashBands, cover: Int = 64): DataFrame = {
+    require(maxHamming < nBands, "bands must outnumber allowed bit errors")
+    val bounds = (0 to nBands).map(i => i * cover / nBands)
     val bands = subSaltHotKeys(banded,
       "doc_id", maxBandDf, bandCols = Seq("band", "band_bits"))
     // FIRST-MATCHING-BAND gate: emit a pair only at the lowest band
@@ -434,8 +447,8 @@ object DedupOps {
     // adversarial fixture (identical docs ⇒ identical shard layout in
     // every band) keeps the same bounds.
     val xorSig = col(s"x.$sigName").bitwiseXOR(col(s"y.$sigName"))
-    val firstBand = (0 until SimhashBands).reverse
-      .foldLeft(lit(SimhashBands)) { (acc, i) =>
+    val firstBand = (0 until nBands).reverse
+      .foldLeft(lit(nBands)) { (acc, i) =>
         val width = bounds(i + 1) - bounds(i)
         val mask = ((1L << width) - 1) << bounds(i)
         when(xorSig.bitwiseAND(lit(mask)) === 0, lit(i)).otherwise(acc)
@@ -957,9 +970,9 @@ object DedupOps {
 
   /** The 9-band split of [[simhashCte]] signatures as (band, divisor, mod)
     * rows — unsigned semantics via a HUGEINT lift of the signed value. */
-  private val simhashBandsSql: String = {
-    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
-    val rows = (0 until SimhashBands).map { i =>
+  private def bandsSql(nBands: Int, cover: Int): String = {
+    val bounds = (0 to nBands).map(i => i * cover / nBands)
+    val rows = (0 until nBands).map { i =>
       val divisor = BigInt(1) << bounds(i)
       val modv = BigInt(1) << (bounds(i + 1) - bounds(i))
       s"($i, ${divisor}::HUGEINT, ${modv}::HUGEINT)"
@@ -983,14 +996,14 @@ object DedupOps {
     * none — then no band join matched anyway). Generated from the same
     * band bounds as [[simhashNearDup]]; masks are signed 64-bit literals
     * so band 8 (bit 63) wraps identically in both engines. */
-  private def simhashFirstBandSql: String = {
-    val bounds = (0 to SimhashBands).map(i => i * 64 / SimhashBands)
-    val whens = (0 until SimhashBands).map { i =>
+  private def firstBandSql(nBands: Int, cover: Int): String = {
+    val bounds = (0 to nBands).map(i => i * cover / nBands)
+    val whens = (0 until nBands).map { i =>
       val width = bounds(i + 1) - bounds(i)
       val mask = ((1L << width) - 1) << bounds(i)
       s"WHEN (xor(x.simhash, y.simhash) & (${mask}::BIGINT)) = 0 THEN $i"
     }.mkString(" ")
-    s"CASE $whens ELSE ${SimhashBands} END"
+    s"CASE $whens ELSE $nBands END"
   }
 
   /** CTE pair (d0 → d, no WITH keyword) replaying the occupancy-adaptive
@@ -1023,7 +1036,9 @@ object DedupOps {
     * simhash_near_dup and media_near_dup oracles (the no-fork
     * discipline: one banding replay, two signature kinds). */
   private[graft] def hammingPairsSql(maxHamming: Int = 8,
-      cap: Int = SimhashBandDfCap): String = simhashBandsSql +
+      cap: Int = SimhashBandDfCap,
+      nBands: Int = SimhashBands, cover: Int = 64): String =
+    bandsSql(nBands, cover) +
     s""", dfc AS (
        |  SELECT band, band_bits, COUNT(*)::BIGINT AS df
        |  FROM bx GROUP BY band, band_bits
@@ -1042,7 +1057,7 @@ object DedupOps {
        |FROM bs x JOIN bs y
        |  ON x.band = y.band AND x.band_bits = y.band_bits
        |  AND x.shard = y.shard AND x.doc_id < y.doc_id
-       |  AND ($simhashFirstBandSql) = x.band
+       |  AND (${firstBandSql(nBands, cover)}) = x.band
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 

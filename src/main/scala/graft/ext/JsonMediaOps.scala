@@ -137,6 +137,34 @@ object JsonMediaOps {
     * dhash scan feeds both self-join sides. */
   private val phashBandCache = new graft.SessionFrameCache[String]
 
+  /** Default Hamming threshold for [[mediaNearDup]], shared with the
+    * oracle. PRECISION-TUNED, deliberately tighter than SimHash's 8:
+    * the payload dHash has fewer effective bits than its 64 — segments
+    * past a short payload's end are constant-zero gradients, so docs of
+    * similar length share a zero tail and the CHANCE pair mass explodes
+    * above ~4 (measured corpus histograms are bimodal: true planted
+    * near-dups at Hamming 0–2 at every scale, a chance tail rising from
+    * 4 — sf0.1: {0:132, 1:106, 2:9, 3:3 | 4:28, 5:99, 6:304, 7:881,
+    * 8:2221}; sf1 at ≤8 emitted 298k pairs, 99.6% of them ≥4 chance
+    * mass). Threshold 3 keeps every measured true pair with margin and
+    * cuts the output to the near-dup signal (sf1: 1,214 pairs). */
+  val MediaHammingMax = 3
+
+  /** Media banding operating point: [[MediaHammingMax]]+1 disjoint bands
+    * (the minimal pigeonhole count) over the LOW 32 bits only. Banding a
+    * subset is sound — a pair with ≤ 3 errors over all 64 bits has ≤ 3
+    * errors inside bits 0..31, so one of the 4 disjoint 8-bit bands
+    * there agrees — and it is the SCALE fix for the dHash's length-leak:
+    * the tail bits are constant-zero across same-length docs, so a band
+    * over them is one degenerate key holding the whole corpus (measured:
+    * the 9-band-over-64 layout took 191 s at sf1 — ~200M candidate rows
+    * through the sharded degenerate bands — vs 2–3 s banding the
+    * uniform low bits, set-rates ≈ 0.49 each). Verification still reads
+    * all 64 bits, so the pair SET is unchanged wherever the df cap
+    * doesn't bind. */
+  val MediaBands = MediaHammingMax + 1
+  val MediaBandCover = 32
+
   /** MEDIA near-duplicate detection — the image-dedup stage every
     * multimodal curation pipeline runs: pairs of documents whose media
     * payloads hash within `maxHamming` bits of each other under the
@@ -144,22 +172,55 @@ object JsonMediaOps {
     * across CONTAINER FORMATS — the hash is over the payload region the
     * per-format locate step finds) land at Hamming 0; lightly-edited
     * payloads perturb few segment gradients and stay under the
-    * threshold.
+    * threshold ([[MediaHammingMax]] — see its precision note).
     *
     * The machinery is [[DedupOps]]'s Hamming family, shared verbatim
-    * (one banding implementation, two signature kinds): 9-band split
-    * (pigeonhole: > 8 allowed bit errors ⇒ some band agrees), hot-key
-    * sub-salt guard, first-matching-band gate (globally unique pairs,
-    * no distinct()), bit_count verify. Scale shape identical to
-    * simhash_near_dup: one codegen'd scan for signatures, one banded
-    * equi-join, no blob ever crosses an exchange. */
-  def mediaNearDup(spark: SparkSession, sfDir: String, maxHamming: Int = 8,
+    * (one banding implementation, two signature kinds) at the media
+    * operating point ([[MediaBands]] × 8 bits over the low 32 — see its
+    * scale note): hot-key sub-salt guard, first-matching-band gate
+    * (globally unique pairs, no distinct()), full-64-bit bit_count
+    * verify. Scale shape identical to simhash_near_dup: one codegen'd
+    * scan for signatures, one banded equi-join, no blob ever crosses an
+    * exchange. */
+  def mediaNearDup(spark: SparkSession, sfDir: String,
+      maxHamming: Int = MediaHammingMax,
       maxBandDf: Int = DedupOps.SimhashBandDfCap): DataFrame = {
     val banded = phashBandCache.getOrElseUpdate(spark, sfDir) {
-      DedupOps.hammingBands(phashFrame(spark, sfDir), "phash")
+      DedupOps.hammingBands(phashFrame(spark, sfDir), "phash",
+        nBands = MediaBands, cover = MediaBandCover)
     }
-    DedupOps.hammingBandNearDup(banded, "phash", maxHamming, maxBandDf)
+    DedupOps.hammingBandNearDup(banded, "phash", maxHamming, maxBandDf,
+      nBands = MediaBands, cover = MediaBandCover)
   }
+
+  /** PRODUCTION operating point for media near-dup —
+    * [[mediaNearDup]]'s `_hi` sibling (the emb_lsh_near_dup_hi
+    * pattern): threshold 2 (every measured true near-dup pair on the
+    * harness corpus lands at Hamming 0–2 — the trailing-append
+    * construction perturbs at most two adjacent segment gradients), 3
+    * bands × 16 bits over bits 0..47. The wider band keys are the scale
+    * lever: candidate volume for multi-index Hamming is
+    * nBands · n² / 2^bandBits, so 16-bit keys cut the default row's
+    * per-band mass 256× — measured sf1 cold 21.6 s → ~2 s. Band 2
+    * (bits 32..47) rides the moderately-biased mid bits (worst key df
+    * ≈ 47 of 50k at sf1 — skewed but three orders from degenerate; the
+    * df-cap guard stays armed regardless). Same hash, same verify, same
+    * oracle machinery — only the (threshold, banding) point moves. */
+  def mediaNearDupHi(spark: SparkSession, sfDir: String,
+      maxBandDf: Int = DedupOps.SimhashBandDfCap): DataFrame = {
+    val banded = phashBandHiCache.getOrElseUpdate(spark, sfDir) {
+      DedupOps.hammingBands(phashFrame(spark, sfDir), "phash",
+        nBands = MediaBandsHi, cover = MediaBandCoverHi)
+    }
+    DedupOps.hammingBandNearDup(banded, "phash", MediaHammingMaxHi,
+      maxBandDf, nBands = MediaBandsHi, cover = MediaBandCoverHi)
+  }
+
+  val MediaHammingMaxHi = 2
+  val MediaBandsHi = MediaHammingMaxHi + 1
+  val MediaBandCoverHi = 48
+
+  private val phashBandHiCache = new graft.SessionFrameCache[String]
 
   /** Cross-modal retrieval: IVF top-k over the media-derived vectors,
     * joined back to the decoded media metadata (the neighbor's format)
@@ -272,9 +333,15 @@ object JsonMediaOps {
     "media_phash" -> (phashCte +
       "SELECT doc_id, simhash AS phash FROM sh ORDER BY doc_id"),
     // the banding/guard/gate replay is DedupOps.hammingPairsSql VERBATIM
-    // — same 9 bands, same df-cap sub-salt, same first-matching-band
-    // gate — stacked on the phash CTE instead of the simhash one
-    "media_near_dup" -> (phashCte + DedupOps.hammingPairsSql()),
+    // — same df-cap sub-salt, same first-matching-band gate — stacked on
+    // the phash CTE instead of the simhash one, at the media family's
+    // operating point (threshold 3; 4 bands over the low 32 bits)
+    "media_near_dup" -> (phashCte +
+      DedupOps.hammingPairsSql(maxHamming = MediaHammingMax,
+        nBands = MediaBands, cover = MediaBandCover)),
+    "media_near_dup_hi" -> (phashCte +
+      DedupOps.hammingPairsSql(maxHamming = MediaHammingMaxHi,
+        nBands = MediaBandsHi, cover = MediaBandCoverHi)),
     "json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

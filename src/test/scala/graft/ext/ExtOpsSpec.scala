@@ -592,9 +592,17 @@ class ExtOpsSpec extends SparkSpec {
     // within the threshold (first-band gate emits each pair exactly once)
     val corpus = JsonMediaOps.mediaNearDup(spark, sfDir).collect()
     assert(corpus.nonEmpty)
-    assert(corpus.forall(_.getLong(2) <= 8))
+    assert(corpus.forall(_.getLong(2) <= JsonMediaOps.MediaHammingMax))
     val keys = corpus.map(r => (r.getLong(0), r.getLong(1)))
     assert(keys.distinct.length == keys.length)
+    // the production operating point agrees with the default row at its
+    // tighter threshold: same pair set where hamming <= 2 (no shards
+    // engage at spec scale, so banding choice cannot change the output)
+    val hi = JsonMediaOps.mediaNearDupHi(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = corpus.filter(_.getLong(2) <= JsonMediaOps.MediaHammingMaxHi)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi == expect, s"hi=${hi.size} expect=${expect.size}")
   }
 
   test("staged curation: strict superset of order-free, splits agree, " +

@@ -51,17 +51,18 @@ class MediaBytesSpec extends AnyFunSuite {
     val hBmp = MediaBytes.dhash64(MediaBytes.bmp(33, 44, base))
     val hWav = MediaBytes.dhash64(MediaBytes.wav(base))
     assert(hPng == hBmp && hBmp == hWav)
-    // a small trailing append lands within the banding threshold (the
-    // quantized grid: 400 and 404 bytes share segment width 8, so only
-    // the touched segments' gradients can flip)
+    // a small trailing append lands within the precision-tuned banding
+    // threshold (the quantized grid: 400 and 404 bytes share segment
+    // width 8, so only the touched segments' gradients can flip)
+    val t = graft.ext.JsonMediaOps.MediaHammingMax
     val appended = base ++ " dup".getBytes("UTF-8")
-    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.wav(appended))) <= 8)
+    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.wav(appended))) <= t)
     // ... and a mid-stream byte substitution too
     val sub = base.clone(); sub(200) = 'Z'.toByte
-    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.png(33, 44, sub))) <= 8)
+    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.png(33, 44, sub))) <= t)
     // an unrelated payload of the same length is far away
     val other = Array.fill(400)((32 + rnd.nextInt(95)).toByte)
-    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.wav(other))) > 8)
+    assert(ham(hPng, MediaBytes.dhash64(MediaBytes.wav(other))) > t)
     // unknown container and empty payload degrade to 0, never throw
     assert(MediaBytes.dhash64("not a container".getBytes("UTF-8")) == 0L)
     assert(MediaBytes.dhash64(MediaBytes.wav(Array.empty[Byte])) == 0L)
