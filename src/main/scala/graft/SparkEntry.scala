@@ -307,6 +307,9 @@ object SparkEntry {
     "media_near_dup"   -> (JsonMediaOps.mediaNearDup(_, _)),
     // production operating point: tighter threshold, 16-bit band keys
     "media_near_dup_hi" -> (JsonMediaOps.mediaNearDupHi(_, _)),
+    // pairs -> transitive clusters, keeper = min id (the image-dedup
+    // keeper stage; media analog of dedup_clusters)
+    "media_dedup_clusters" -> (JsonMediaOps.mediaDedupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -162,8 +162,34 @@ object StreamBench {
     val embKept = StreamingOps.committedKept(spark, s"$embOut/kept").count()
     dirStats("emb_kept", s"$embOut/kept")
 
+    // ---- perceptual-hash media ingest-dedup stream over blobs ----------
+    // blobs synthesized from the documents corpus (the media family's
+    // construction), streamed as (doc_id, blob) — the dHash-banded
+    // exactly-once ingest at the production operating point
+    val blobs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.synthMedia(col("doc_id"), col("text"))
+          .as("blob"))
+      .as[(Long, Array[Byte])].collect()
+    val mediaOut = tmp("streambench_media")
+    val blobIn = MemoryStream[(Long, Array[Byte])]
+    val mediaQ = StreamingOps.runMediaDedupStream(
+      blobIn.toDS().toDF("doc_id", "blob"),
+      s"$mediaOut/state", s"$mediaOut/kept", s"$mediaOut/ckpt")
+    val t3 = System.nanoTime()
+    try {
+      blobs.grouped(docBatch).foreach { chunk =>
+        blobIn.addData(chunk.toIndexedSeq)
+        mediaQ.processAllAvailable()
+      }
+    } finally mediaQ.stop()
+    val mediaSecs = (System.nanoTime() - t3) / 1e9
+    val mediaRate = blobs.length / mediaSecs
+    val mediaKept = StreamingOps.committedKept(spark, s"$mediaOut/kept").count()
+    dirStats("media_kept", s"$mediaOut/kept")
+
     val line =
-      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"filtered_secs":$filtSecs,"filtered_docs_per_s":$filtRate,"filtered_kept":$filtKept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept}"""
+      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"filtered_secs":$filtSecs,"filtered_docs_per_s":$filtRate,"filtered_kept":$filtKept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept,"media_blobs":${blobs.length},"media_secs":$mediaSecs,"media_blobs_per_s":$mediaRate,"media_kept":$mediaKept}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT", "stream_bench.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[stream-bench] write failed: $e") }

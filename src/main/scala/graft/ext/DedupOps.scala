@@ -396,7 +396,7 @@ object DedupOps {
     * (PERF.md r11), and a band over them is one degenerate key holding
     * the whole corpus — measured 191 s at sf1 vs 2.4 s with the tail
     * excluded from banding (verification still reads all 64 bits). */
-  private[ext] def hammingBands(sig: DataFrame, sigName: String,
+  private[graft] def hammingBands(sig: DataFrame, sigName: String,
       nBands: Int = SimhashBands, cover: Int = 64): DataFrame = {
     val bounds = (0 to nBands).map(i => i * cover / nBands)
     sig.select(col("doc_id"), col(sigName),
@@ -421,7 +421,7 @@ object DedupOps {
     * (doc_id, `sigName`, band, band_bits) — hot-key sub-salting, the
     * first-matching-band gate, and the bit_count verify, shared across
     * signature kinds (SimHash text signatures, media dHashes). */
-  private[ext] def hammingBandNearDup(banded: DataFrame, sigName: String,
+  private[graft] def hammingBandNearDup(banded: DataFrame, sigName: String,
       maxHamming: Int, maxBandDf: Int,
       nBands: Int = SimhashBands, cover: Int = 64): DataFrame = {
     require(maxHamming < nBands, "bands must outnumber allowed bit errors")
@@ -1035,8 +1035,10 @@ object DedupOps {
     * end with `sh(doc_id, simhash)`; shared VERBATIM by the
     * simhash_near_dup and media_near_dup oracles (the no-fork
     * discipline: one banding replay, two signature kinds). */
-  private[graft] def hammingPairsSql(maxHamming: Int = 8,
-      cap: Int = SimhashBandDfCap,
+  /** The CTE chain (u/bx/dfc/bs) of [[hammingPairsSql]] — split out so
+    * stacking oracles (the media cluster closure) can reuse the banding
+    * replay and wrap only the pair SELECT in their own CTE. */
+  private[graft] def hammingPairsCtes(cap: Int = SimhashBandDfCap,
       nBands: Int = SimhashBands, cover: Int = 64): String =
     bandsSql(nBands, cover) +
     s""", dfc AS (
@@ -1052,14 +1054,25 @@ object DedupOps {
        |    ELSE 0 END AS shard
        |  FROM bx JOIN dfc d USING (band, band_bits)
        |)
-       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |""".stripMargin
+
+  /** The pair SELECT over [[hammingPairsCtes]]' `bs` frame (no ORDER BY
+    * — callers embed it as a CTE body or append their own). */
+  private[graft] def hammingPairsSelect(maxHamming: Int = 8,
+      nBands: Int = SimhashBands, cover: Int = 64): String =
+    s"""SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |  bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
        |FROM bs x JOIN bs y
        |  ON x.band = y.band AND x.band_bits = y.band_bits
        |  AND x.shard = y.shard AND x.doc_id < y.doc_id
        |  AND (${firstBandSql(nBands, cover)}) = x.band
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming""".stripMargin
+
+  private[graft] def hammingPairsSql(maxHamming: Int = 8,
+      cap: Int = SimhashBandDfCap,
+      nBands: Int = SimhashBands, cover: Int = 64): String =
+    hammingPairsCtes(cap, nBands, cover) +
+      hammingPairsSelect(maxHamming, nBands, cover) + "\nORDER BY doc_a, doc_b"
 
   val oracles: Map[String, String] = Map(
     "doc_simhash" -> (simhashCte +

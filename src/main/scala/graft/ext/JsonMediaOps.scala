@@ -222,6 +222,29 @@ object JsonMediaOps {
 
   private val phashBandHiCache = new graft.SessionFrameCache[String]
 
+  /** Media dedup clusters — the stage after pair detection: transitive
+    * closure of the production-regime pair graph ([[mediaNearDupHi]]),
+    * keeper = min doc_id per component, singletons labelling themselves
+    * — the media analog of [[DedupOps.dedupClusters]], completing the
+    * media-dedup story (hash → pairs → clusters) the way the text
+    * family's MinHash chain does. Components via the same
+    * large-star/small-star rounds; one left join against the documents
+    * scan restores singleton docs. Cached per (session, sfDir) — the
+    * converged labels hang off localCheckpoints a caller cannot
+    * release (the clusterCache rationale). */
+  def mediaDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    mediaClusterCache.getOrElseUpdate(spark, sfDir) {
+      val pairs = mediaNearDupHi(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      val comp = DedupOps.connectedComponents(pairs)
+      Tables.documents(spark, sfDir)
+        .join(comp.withColumnRenamed("doc_id", "cc_id"),
+          col("doc_id") === col("cc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("label"))
+    }.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+
+  private val mediaClusterCache = new graft.SessionFrameCache[String]
+
   /** Cross-modal retrieval: IVF top-k over the media-derived vectors,
     * joined back to the decoded media metadata (the neighbor's format)
     * — the row that links the multimodal scan path to the vector
@@ -342,6 +365,30 @@ object JsonMediaOps {
     "media_near_dup_hi" -> (phashCte +
       DedupOps.hammingPairsSql(maxHamming = MediaHammingMaxHi,
         nBands = MediaBandsHi, cover = MediaBandCoverHi)),
+    // transitive closure over the SAME production-regime pair replay
+    // (the dedup_clusters pattern): hp wraps hammingPairsSelect
+    // verbatim, then recursive reach + min-label per component
+    "media_dedup_clusters" -> (phashCte
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      DedupOps.hammingPairsCtes(nBands = MediaBandsHi,
+        cover = MediaBandCoverHi) +
+      s""", hp AS MATERIALIZED (
+         |${DedupOps.hammingPairsSelect(maxHamming = MediaHammingMaxHi,
+             nBands = MediaBandsHi, cover = MediaBandCoverHi)}
+         |), edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM hp
+         |  UNION ALL SELECT doc_b, doc_a FROM hp
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), clusters AS (
+         |  SELECT d.doc_id,
+         |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin),
     "json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -1649,6 +1649,175 @@ object StreamingOps {
     }
   }
 
+  /** Streaming MEDIA ingest dedup — the multimodal sibling of the
+    * MinHash and embedding ingest streams: media blobs arrive in
+    * micro-batches as (doc_id, blob), and a blob is kept iff its 64-bit
+    * payload dHash ([[graft.functions.MediaBytes.dhash64]]) is more
+    * than `maxHamming` bits from every PREVIOUSLY KEPT blob's hash and
+    * it is not a loser of its own batch's near-dup clusters (min doc_id
+    * wins). Candidates come from the production operating point of the
+    * batch row ([[graft.ext.JsonMediaOps.mediaNearDupHi]] — the same
+    * banding constants, so stream and batch cannot fork).
+    *
+    * SIMPLER state than both siblings: the banded frame carries the
+    * full signature, so verification is an inline bit_count on the band
+    * join itself — ONE state table, no second verify join, no shingle /
+    * unit tables. Exactly-once protocol identical (per-batch overwrite
+    * dirs, marker last, epoch-scoped ids, commit-filtered bootstrap,
+    * state + output compaction). */
+  def runMediaDedupStream(
+      docs: DataFrame,
+      statePath: String,
+      keptPath: String,
+      checkpointDir: String,
+      maxHamming: Int = graft.ext.JsonMediaOps.MediaHammingMaxHi)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val proc = new MediaDedupProcessor(statePath, keptPath, maxHamming,
+      epoch = CommitLog.resolveEpoch(
+        docs.sparkSession, checkpointDir, keptPath))
+    val query = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(proc.apply _)
+      .start()
+    closeOnTermination(docs.sparkSession, query, () => proc.close())
+    query
+  }
+
+  /** The foreachBatch half of [[runMediaDedupStream]] — same commit
+    * protocol as the MinHash/embedding processors. */
+  private[streaming] final class MediaDedupProcessor(
+      statePath: String, keptPath: String, maxHamming: Int,
+      epoch: Long = 0L, faultPoint: String => Unit = _ => ()) {
+    private var state: KeyedStreamState = null
+    private var committedBase: CommitLog.Committed = null
+    private var newIds = Set.empty[Long]
+    private var log: CommitLog = null
+    def close(): Unit = if (state != null) state.close()
+    def apply(batch: DataFrame, rawBatchId: Long): Unit = {
+      val batchId = CommitLog.pack(epoch, rawBatchId)
+      if (log == null) {
+        log = new CommitLog(batch.sparkSession, keptPath)
+        committedBase = log.committed()
+        state = new KeyedStreamState(batch.sparkSession, statePath,
+          Seq("bands"), committedBase, faultPoint)
+      }
+      if (!newIds(batchId) && !committedBase.contains(batchId) &&
+          !batch.isEmpty) {
+        mediaDedupBatch(batch, batchId, state, keptPath, maxHamming,
+          log, faultPoint)
+        newIds += batchId
+      }
+    }
+  }
+
+  private[streaming] def mediaDedupBatch(
+      batch: DataFrame, batchId: Long, state: KeyedStreamState,
+      keptPath: String, maxHamming: Int, log: CommitLog,
+      faultPoint: String => Unit): Unit = {
+    import graft.ext.{DedupOps, JsonMediaOps}
+    // one codegen'd scan computes the dHash; the banded frame (3 rows
+    // per doc at the production point, signature riding along) is the
+    // ONLY per-batch frame — localCheckpoint so its ~6 consumers plan
+    // once (the embDedupBatch rationale)
+    val banded = DedupOps.hammingBands(
+      batch.select(col("doc_id"),
+        graft.functions.MediaFunctions.mediaDhash(col("blob")).as("phash")),
+      "phash", nBands = JsonMediaOps.MediaBandsHi,
+      cover = JsonMediaOps.MediaBandCoverHi).localCheckpoint()
+    val nBatch = banded.count() / JsonMediaOps.MediaBandsHi
+    // broadcast gates sized on what actually crosses the driver: the
+    // banded frame carries MediaBandsHi rows per doc
+    def bc(df: DataFrame): DataFrame =
+      if (nBatch <= StreamBroadcastCap) broadcast(df) else df
+    def bcBands(df: DataFrame): DataFrame =
+      if (nBatch * JsonMediaOps.MediaBandsHi <= StreamBroadcastCap)
+        broadcast(df) else df
+    def ham(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      bit_count(x.bitwiseXOR(y)) <= maxHamming
+    var keptIds: DataFrame = null
+    var labels: DataFrame = null
+    val scratch = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    try {
+      // cross-batch: verification is INLINE — the band frames carry the
+      // signatures, so the join condition is the whole near-dup test
+      // (duplicate doc_ids from multi-band agreement are harmless to
+      // left_anti / isEmpty, the no-distinct discipline)
+      val dupOfKept =
+        if (state.isEmpty) null
+        else {
+          val d = bcBands(banded).as("x")
+            .join(state.table("bands").as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.band_bits") === col("y.band_bits") &&
+                ham(col("x.phash"), col("y.phash")))
+            .select(col("x.doc_id"))
+            .localCheckpoint()
+          scratch += d
+          if (d.isEmpty) null else d
+        }
+      def dropDups(df: DataFrame): DataFrame =
+        if (dupOfKept == null) df
+        else df.join(bc(dupOfKept), Seq("doc_id"), "left_anti")
+      // in-batch: banded self-join, hot-key guard gated on batch size
+      val freshBands =
+        if (nBatch <= DedupOps.SimhashBandDfCap)
+          dropDups(banded).withColumn("shard", lit(0L))
+        else DedupOps.subSaltHotKeys(dropDups(banded), "doc_id",
+          DedupOps.SimhashBandDfCap, bandCols = Seq("band", "band_bits"))
+      val inBatchPairs = freshBands.as("x").join(freshBands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_bits") === col("y.band_bits") &&
+            col("x.shard") === col("y.shard") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            ham(col("x.phash"), col("y.phash")))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .localCheckpoint() // connectedComponents distincts its edges
+      scratch += inBatchPairs
+      val losers =
+        if (inBatchPairs.isEmpty) null
+        else {
+          labels = DedupOps.connectedComponents(inBatchPairs)
+          labels.filter(col("doc_id") =!= col("label"))
+            .select(col("doc_id"))
+        }
+      def dropLosers(df: DataFrame): DataFrame =
+        if (losers == null) df
+        else df.join(bc(losers), Seq("doc_id"), "left_anti")
+      keptIds =
+        if (dupOfKept == null && losers == null) null // whole batch kept
+        else {
+          val k = dropDups(dropLosers(
+            banded.select(col("doc_id")).distinct())).localCheckpoint()
+          scratch += k; k
+        }
+      def keptOnly(df: DataFrame): DataFrame =
+        if (keptIds == null) df
+        else df.join(bc(keptIds), Seq("doc_id"), "left_semi")
+      // exactly-once write order: kept → state changelog → marker (LAST)
+      val nKept = if (keptIds == null) nBatch else keptIds.count()
+      if (nKept > 0) {
+        keptOnly(batch.select(col("doc_id"), col("blob")))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$keptPath/batch_id=$batchId")
+      }
+      faultPoint("after-kept")
+      state.append(batchId, Map("bands" -> keptOnly(banded)))
+      faultPoint("after-state")
+      log.commit(batchId, Array(nKept))
+      faultPoint("after-marker")
+      // post-commit, so a crash mid-compaction replays as a no-op
+      log.compact(KeyedStreamState.CompactEvery)
+      compactOutput(batch.sparkSession, keptPath,
+        { lazy val c = log.committed(); id => c.contains(id) },
+        KeyedStreamState.CompactEvery)
+    } finally {
+      org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(banded)
+      if (labels != null)
+        org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(labels)
+      scratch.foreach(org.apache.spark.sql.GraftBridge.unpersistLocalCheckpoint(_))
+    }
+  }
+
   /** Stream-static enrichment: an unbounded fact stream joined to a small
     * static dimension — planned as a BroadcastHashJoin per micro-batch, so
     * the stream side never shuffles (the streaming analog of j1). */

@@ -603,6 +603,12 @@ class ExtOpsSpec extends SparkSpec {
     val expect = corpus.filter(_.getLong(2) <= JsonMediaOps.MediaHammingMaxHi)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(hi == expect, s"hi=${hi.size} expect=${expect.size}")
+    // clusters: the planted trio collapses to min-id 300 transitively;
+    // the unrelated doc is its own singleton
+    val cl = JsonMediaOps.mediaDedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(300L -> 300L, 301L -> 300L, 302L -> 300L, 303L -> 303L),
+      cl.toString)
   }
 
   test("staged curation: strict superset of order-free, splits agree, " +

@@ -643,6 +643,57 @@ class StreamingOpsSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet == expected + 7L)
   }
 
+  test("media ingest is exactly-once: crash at every boundary, replay converges") {
+    import spark.implicits._
+    import graft.functions.MediaBytes
+    val rnd = new scala.util.Random(13)
+    def payload() = Array.fill(400)((32 + rnd.nextInt(95)).toByte)
+    val p1 = payload()
+    val p4 = payload()
+    val p6 = payload()
+    // blob 2: same payload as 1 in a DIFFERENT container — in-batch
+    // loser (the hash sees through the format); blob 3: trailing-append
+    // near-dup of 1 — cross-batch dup-of-kept; blob 5: near-dup of 4
+    val mkBatches = Seq(
+      0L -> Seq((1L, MediaBytes.png(33, 44, p1)), (2L, MediaBytes.wav(p1))),
+      1L -> Seq((3L, MediaBytes.bmp(33, 44, p1 ++ " dup".getBytes("UTF-8"))),
+        (4L, MediaBytes.wav(p4))),
+      2L -> Seq((5L, MediaBytes.png(33, 44, p4 ++ " x".getBytes("UTF-8"))),
+        (6L, MediaBytes.bmp(33, 44, p6))))
+    def frames = mkBatches.map { case (b, rows) => (b, rows.toDF("doc_id", "blob")) }
+    val expected = Set(1L, 4L, 6L)
+    val sites = Seq("after-kept", "after-state", "after-marker")
+
+    val ref = tmpDir("mediarefrun")
+    val refProc = new StreamingOps.MediaDedupProcessor(
+      s"$ref/state", s"$ref/kept", 2)
+    try frames.foreach { case (b, df) => refProc.apply(df, b) }
+    finally refProc.close()
+    assert(StreamingOps.committedKept(spark, s"$ref/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == expected)
+
+    val out = tmpDir("mediacrash")
+    crashReplayDrive[StreamingOps.MediaDedupProcessor](
+      frames, sites,
+      fp => new StreamingOps.MediaDedupProcessor(
+        s"$out/state", s"$out/kept", 2, faultPoint = fp))(
+      (p, b, df) => p.apply(df, b))(_.close())
+    val kept = StreamingOps.committedKept(spark, s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept.toSet == expected, s"crashed run diverged: $kept")
+    assert(kept.length == kept.toSet.size, s"double-applied batch: $kept")
+
+    // bootstrap-convergence probe: a near-dup of kept 6 is dropped by a
+    // FRESH processor over the same state; a novel blob is kept
+    val p2 = new StreamingOps.MediaDedupProcessor(s"$out/state", s"$out/kept", 2)
+    try p2.apply(Seq(
+      (7L, MediaBytes.wav(p6 ++ " y".getBytes("UTF-8"))),
+      (8L, MediaBytes.png(33, 44, payload()))).toDF("doc_id", "blob"), 3L)
+    finally p2.close()
+    assert(StreamingOps.committedKept(spark, s"$out/kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == expected + 8L)
+  }
+
   /** One novel doc per batch — every batch kept, every append non-empty,
     * so CompactEvery appends deterministically trigger disk compaction. */
   private def novelDocBatches(n: Int): Seq[(Long, org.apache.spark.sql.DataFrame)] =
