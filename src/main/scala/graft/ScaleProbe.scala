@@ -131,7 +131,8 @@ object ScaleProbe {
     // the media Hamming family (banded self-join, simhash's shape); and
     // the per-source ntile window (one reducer per source, ≈ linear)
     "curation_pipeline_staged", "media_phash", "media_near_dup",
-    "media_near_dup_hi", "media_dedup_clusters",
+    "media_near_dup_hi", "media_dedup_clusters", "media_decontam",
+    "media_cluster_keepers",
     "len_quartiles_by_source")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a

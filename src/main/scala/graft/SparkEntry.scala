@@ -310,6 +310,12 @@ object SparkEntry {
     // pairs -> transitive clusters, keeper = min id (the image-dedup
     // keeper stage; media analog of dedup_clusters)
     "media_dedup_clusters" -> (JsonMediaOps.mediaDedupClusters(_, _)),
+    // keep-the-largest-copy policy per media cluster (re-encodes and
+    // thumbnails shrink; the clusterKeepers analog for blobs)
+    "media_cluster_keepers" -> (JsonMediaOps.mediaClusterKeepers(_, _)),
+    // perceptual-hash benchmark decontamination: corpus blobs near an
+    // eval-slice blob (broadcast bench side, exact by construction)
+    "media_decontam" -> (JsonMediaOps.mediaDecontam(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -464,6 +464,38 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hamming band join of TWO banded signature frames (left: corpus,
+    * right: a broadcast-bounded reference set — the caller wraps it in
+    * broadcast()): pairs within `maxHamming` bits, each emitted exactly
+    * once via the first-matching-band gate. No df-cap sharding — on the
+    * cross path the candidate volume per corpus row is bounded by the
+    * broadcast side's occupancy of the key ([[decontamNearDup]]'s
+    * structural argument), so the guard's shuffle machinery would cost
+    * more than it saves. Exactness: pigeonhole over the banded subset
+    * guarantees every qualifying pair agrees on some band, and no cap
+    * drops any — the output IS the exact cross-set pair set, so the
+    * oracle can replay it with a direct n·(bench) bit_count join and no
+    * banding machinery at all. */
+  private[graft] def hammingBandJoin(left: DataFrame, right: DataFrame,
+      sigName: String, maxHamming: Int, nBands: Int, cover: Int): DataFrame = {
+    require(maxHamming < nBands, "bands must outnumber allowed bit errors")
+    val bounds = (0 to nBands).map(i => i * cover / nBands)
+    val xorSig = col(s"x.$sigName").bitwiseXOR(col(s"y.$sigName"))
+    val firstBand = (0 until nBands).reverse
+      .foldLeft(lit(nBands)) { (acc, i) =>
+        val width = bounds(i + 1) - bounds(i)
+        val mask = ((1L << width) - 1) << bounds(i)
+        when(xorSig.bitwiseAND(lit(mask)) === 0, lit(i)).otherwise(acc)
+      }
+    left.as("x").join(right.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          firstBand === col("x.band"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(xorSig).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One large-star round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"): every node u connects its strictly-LARGER
     * neighbors to m = min(Γ(u) ∪ {u}). One symmetric explode, one hash

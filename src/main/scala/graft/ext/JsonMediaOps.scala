@@ -245,6 +245,62 @@ object JsonMediaOps {
 
   private val mediaClusterCache = new graft.SessionFrameCache[String]
 
+  /** MEDIA benchmark decontamination — the multimodal analog of
+    * [[DedupOps.decontamNearDup]]: corpus blobs whose perceptual hash is
+    * within [[MediaHammingMaxHi]] bits of an eval-slice blob (the same
+    * doc_id mod [[DedupOps.DecontamBenchMod]] slice convention), one row
+    * per (contaminated doc, bench doc) pair. A re-encoded or
+    * lightly-cropped eval image sails through byte-exact decontam; the
+    * dHash relation catches it.
+    *
+    * Scale shape: eval benchmarks are broadcast-sized BY DEFINITION, so
+    * the band join broadcasts the bench side and the corpus band frame
+    * never shuffles; candidate volume per corpus row is bounded by the
+    * broadcast side, and with no df-cap shard on this path the banded
+    * output is EXACTLY the cross-slice pair set (pigeonhole recall, no
+    * cap losses) — which is why the oracle replays it with a direct
+    * bit_count join and zero banding machinery. */
+  def mediaDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = phashBandHiCache.getOrElseUpdate(spark, sfDir) {
+      DedupOps.hammingBands(phashFrame(spark, sfDir), "phash",
+        nBands = MediaBandsHi, cover = MediaBandCoverHi)
+    }
+    val m = DedupOps.DecontamBenchMod
+    DedupOps.hammingBandJoin(
+      b.filter(col("doc_id") % m =!= 0),
+      broadcast(b.filter(col("doc_id") % m === 0)),
+      "phash", MediaHammingMaxHi, MediaBandsHi, MediaBandCoverHi)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_doc_id"),
+        col("hamming"))
+      .orderBy("doc_id", "bench_doc_id")
+  }
+
+  /** Quality-aware media cluster keepers — production image dedup keeps
+    * the BEST copy per near-dup cluster, and for media "best" is the
+    * LARGEST file (the highest-fidelity copy — re-encodes and thumbnails
+    * shrink): one row per cluster with the argmax-n_bytes member (ties
+    * by min doc_id), the member count, and the kept size. The media
+    * analog of [[DedupOps.clusterKeepers]], same plan shape: clusters ⋈
+    * per-doc byte sizes (one scan), one window per cluster_id — media
+    * clusters are small by construction, so the per-cluster window
+    * cannot funnel. */
+  def mediaClusterKeepers(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(graft.functions.MediaFunctions
+        .synthMedia(col("doc_id"), col("text"))).cast("long").as("n_bytes"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_bytes").desc, col("doc_id").asc)
+    mediaDedupClusters(spark, sfDir)
+      .join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(when(col("rk") === 1, col("doc_id"))).as("keeper_doc_id"),
+        count(lit(1)).as("n_members"),
+        max(col("n_bytes")).as("keeper_bytes"))
+      .orderBy("cluster_id")
+  }
+
   /** Cross-modal retrieval: IVF top-k over the media-derived vectors,
     * joined back to the decoded media metadata (the neighbor's format)
     * — the row that links the multimodal scan path to the vector
@@ -352,6 +408,31 @@ object JsonMediaOps {
       |""".stripMargin
   }
 
+  /** Shared clusters CTE chain for the media cluster oracles: the phash
+    * replay (recursive), the production-point pair replay verbatim, the
+    * symmetric-closure `reach`, and `clusters(doc_id, cluster_id)`. */
+  private lazy val mediaClustersCte: String = (phashCte
+    .replaceFirst("WITH ", "WITH RECURSIVE ") +
+    DedupOps.hammingPairsCtes(nBands = MediaBandsHi,
+      cover = MediaBandCoverHi) +
+    s""", hp AS MATERIALIZED (
+       |${DedupOps.hammingPairsSelect(maxHamming = MediaHammingMaxHi,
+           nBands = MediaBandsHi, cover = MediaBandCoverHi)}
+       |), edges AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM hp
+       |  UNION ALL SELECT doc_b, doc_a FROM hp
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), clusters AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id
+       |)
+       |""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "media_phash" -> (phashCte +
       "SELECT doc_id, simhash AS phash FROM sh ORDER BY doc_id"),
@@ -368,27 +449,38 @@ object JsonMediaOps {
     // transitive closure over the SAME production-regime pair replay
     // (the dedup_clusters pattern): hp wraps hammingPairsSelect
     // verbatim, then recursive reach + min-label per component
-    "media_dedup_clusters" -> (phashCte
-      .replaceFirst("WITH ", "WITH RECURSIVE ") +
-      DedupOps.hammingPairsCtes(nBands = MediaBandsHi,
-        cover = MediaBandCoverHi) +
-      s""", hp AS MATERIALIZED (
-         |${DedupOps.hammingPairsSelect(maxHamming = MediaHammingMaxHi,
-             nBands = MediaBandsHi, cover = MediaBandCoverHi)}
-         |), edges AS MATERIALIZED (
-         |  SELECT doc_a AS src, doc_b AS dst FROM hp
-         |  UNION ALL SELECT doc_b, doc_a FROM hp
-         |), reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |), clusters AS (
-         |  SELECT d.doc_id,
-         |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
-         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |  GROUP BY d.doc_id
-         |)
-         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin),
+    "media_dedup_clusters" -> (mediaClustersCte +
+      "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    // the keeper policy over the same clusters CTE: largest blob wins
+    // (size predicted from the synthesis parameters — payload + per-
+    // format container overhead, the media_meta contract), ties by min
+    // doc_id via the deterministic ARRAY_AGG order
+    "media_cluster_keepers" -> (mediaClustersCte +
+      """, nb AS (
+        |  SELECT doc_id, octet_length(encode(text))::BIGINT
+        |    + CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 54 ELSE 44 END
+        |    AS n_bytes
+        |  FROM documents
+        |)
+        |SELECT c.cluster_id,
+        |  (ARRAY_AGG(c.doc_id ORDER BY nb.n_bytes DESC, c.doc_id))[1]
+        |    AS keeper_doc_id,
+        |  COUNT(*)::BIGINT AS n_members,
+        |  MAX(nb.n_bytes) AS keeper_bytes
+        |FROM clusters c JOIN nb ON c.doc_id = nb.doc_id
+        |GROUP BY c.cluster_id ORDER BY c.cluster_id""".stripMargin),
+    // EXACT cross-slice replay with zero banding machinery (the
+    // decontam_neardup independence argument): pigeonhole recall plus
+    // no df-cap on the broadcast cross path means the engine's banded
+    // output must equal the plain bit_count join
+    "media_decontam" -> (phashCte +
+      s"""SELECT a.doc_id, b.doc_id AS bench_doc_id,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sh a JOIN sh b
+         |  ON a.doc_id % ${DedupOps.DecontamBenchMod} <> 0
+         |  AND b.doc_id % ${DedupOps.DecontamBenchMod} = 0
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MediaHammingMaxHi
+         |ORDER BY a.doc_id, bench_doc_id""".stripMargin),
     "json_extract" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -609,6 +609,14 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl == Map(300L -> 300L, 301L -> 300L, 302L -> 300L, 303L -> 303L),
       cl.toString)
+    // keeper policy: LARGEST blob wins across formats — the bmp copy
+    // (54-byte header) beats the png original (45) and the longer wav
+    // payload (+4 bytes, 44-byte header): 454 > 449 > 448
+    val kp = JsonMediaOps.mediaClusterKeepers(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(kp(300L)._1 == 301L && kp(300L)._2 == 3L, kp.toString)
+    assert(kp(303L)._1 == 303L && kp(303L)._2 == 1L, kp.toString)
   }
 
   test("staged curation: strict superset of order-free, splits agree, " +
