@@ -477,6 +477,18 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("media decontam: bench side broadcasts, corpus bands never shuffle") {
+    val p = plan(graft.ext.JsonMediaOps.mediaDecontam(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus band frame must reach the join without a shuffle: the
+    // only allowed exchanges are the broadcast of the bench slice and
+    // the final presentation sort's range exchange
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 0, s"corpus side shuffles ($hashEx hash exchanges):\n$p")
+  }
+
   test("media ANN: no exchange carries the blob; candidate join keyed; salted top-k") {
     val df = graft.ext.JsonMediaOps.mediaAnnTopk(spark, sfDir)
     // the media feature vectors must be projected in the scan stage — a
