@@ -133,7 +133,15 @@ object ScaleProbe {
     "curation_pipeline_staged", "media_phash", "media_near_dup",
     "media_near_dup_hi", "media_dedup_clusters", "media_decontam",
     "media_cluster_keepers",
-    "len_quartiles_by_source")
+    "len_quartiles_by_source",
+    // r12 probe audit (verdict item 6): the remaining corpus-sized rows
+    // without a ratio — the media scan pair (synth + header decode, one
+    // codegen'd scan each), the events-scan JSON extraction, the
+    // sharded-CSV ETL at harness scale (synthesizes its input from
+    // `events`, so it scales with sf), and the new multimodal capstone
+    // (text gates ∩ media keepers — cold pays every component family)
+    "media_meta", "media_transform", "json_extract", "taxi_scaled_stats",
+    "curation_pipeline_multimodal")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -199,6 +199,9 @@ object SparkEntry {
     // quality survivors — exact keepers re-elected among survivors,
     // near-dup clusters induced on them (bridge removal can split them)
     "curation_pipeline_staged" -> (TextOps.curationPipelineStaged(_, _)),
+    // the MULTIMODAL capstone: every text gate AND the doc's blob is its
+    // media cluster's keeper — one more doc_id join over cached frames
+    "curation_pipeline_multimodal" -> (TextOps.curationPipelineMultimodal(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
@@ -307,6 +310,11 @@ object SparkEntry {
     "media_near_dup"   -> (JsonMediaOps.mediaNearDup(_, _)),
     // production operating point: tighter threshold, 16-bit band keys
     "media_near_dup_hi" -> (JsonMediaOps.mediaNearDupHi(_, _)),
+    // dense-grid siblings (w = ceil(n/65)): all 64 hash bits informative,
+    // so the 16-bit bands ride uniformly-random keys — the operating
+    // point the quantized hash's constant-zero tail forbids
+    "media_phash_dense"    -> (JsonMediaOps.mediaPhashDense(_, _)),
+    "media_near_dup_dense" -> (JsonMediaOps.mediaNearDupDense(_, _)),
     // pairs -> transitive clusters, keeper = min id (the image-dedup
     // keeper stage; media analog of dedup_clusters)
     "media_dedup_clusters" -> (JsonMediaOps.mediaDedupClusters(_, _)),
@@ -561,5 +569,22 @@ object SparkEntry {
          |       THEN 'test' ELSE 'train' END AS split
          |FROM cl JOIN k ON cl.doc_id = k.doc_id
          |WHERE cl.doc_id = cl.cluster_id
-         |ORDER BY k.doc_id""".stripMargin)
+         |ORDER BY k.doc_id""".stripMargin,
+    // the MULTIMODAL capstone reuses the text capstone's four component
+    // CTEs verbatim PLUS the media_cluster_keepers oracle verbatim — one
+    // more keeper join, same no-fork discipline
+    "curation_pipeline_multimodal" ->
+      s"""WITH mix AS (${TextOps.oracles("quality_mixer")}),
+         |pr AS (${TextOps.oracles("quality_prune_per_source")}),
+         |ex AS (${DedupOps.oracles("doc_dedup_exact")}),
+         |nd AS (${DedupOps.oracles("train_test_split_neardup")}),
+         |mk AS (${JsonMediaOps.oracles("media_cluster_keepers")})
+         |SELECT d.doc_id, d.source, nd.split
+         |FROM documents d
+         |JOIN mix ON d.doc_id = mix.doc_id AND mix.keep
+         |JOIN pr ON d.doc_id = pr.doc_id AND pr.keep
+         |JOIN ex ON d.doc_id = ex.keeper_doc_id
+         |JOIN nd ON d.doc_id = nd.doc_id AND nd.doc_id = nd.cluster_id
+         |JOIN mk ON d.doc_id = mk.keeper_doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 }

@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamingOps
 
 /** Streaming throughput micro-benchmark (r4 verdict item: the streaming
-  * family was correctness-tested but never timed). Two end-to-end rates,
+  * family was correctness-tested but never timed). End-to-end rates,
   * measured over MemoryStream micro-batch replays at the harness scale
-  * factor — both queries run the full production loop per batch (all
+  * factor — every stream runs the full production loop per batch (all
   * sinks, state reads/appends, checkpoint commits), so the rows/s figures
   * are honest pipeline numbers, not map-only throughput:
   *
@@ -21,7 +21,18 @@ import graft.streaming.StreamingOps
   *    seen-keys dedup included;
   *  - minhash_docs_per_s: LSH ingest dedup
   *    ([[StreamingOps.runMinhashDedupStream]]) over `documents`,
-  *    band-table state joins + verified-Jaccard filtering included.
+  *    band-table state joins + verified-Jaccard filtering included;
+  *  - filtered / emb / media: the gated, embedding, and perceptual-hash
+  *    ingest-dedup variants over the same corpus.
+  *
+  * SPARK_GRAFT_STREAM_ONLY (comma list of taxi,minhash,filtered,emb,
+  * media) restricts the run — the sf1 growth measurement runs the media
+  * stream alone at 10× the recorded scale without paying the other four.
+  * The media section samples state-dir / checkpoint / output sizes at
+  * 25/50/75/100% of the batch sequence (`media_growth` in the JSON): the
+  * bounded-lifecycle claim — content bytes grow with KEPT data, file
+  * counts stay compaction-bounded — made observable mid-run rather than
+  * asserted from the final listing alone.
   *
   * Output: one JSON line on stdout (last) + SPARK_GRAFT_STREAM_BENCH_OUT
   * (default stream_bench.json); recorded per-round in PERF.md. Driver
@@ -52,6 +63,18 @@ object StreamBench {
     // roll-up, state snapshot, and output range compaction end to end.
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "5").toInt
 
+    val allStreams = Seq("taxi", "minhash", "filtered", "emb", "media")
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_ONLY") match {
+      case None => allStreams.toSet
+      case Some(s) =>
+        val names = s.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- allStreams
+        require(unknown.isEmpty, s"unknown stream names: ${unknown.mkString(", ")}")
+        names
+    }
+
+    val fields = scala.collection.mutable.ListBuffer.empty[String]
+
     // post-run dir telemetry: the bounded-lifecycle claim, observable
     def dirStats(label: String, root: String): Unit = {
       val rp = new org.apache.hadoop.fs.Path(root)
@@ -68,128 +91,170 @@ object StreamBench {
       }
     }
 
-    // ---- taxi ETL stream over the scaled corpus -----------------------
-    val glob = queries.TaxiScaled.ensureGenerated(spark, sfDir)
-    val header = spark.read.textFile(glob).head()
-    val colIdx = header.split(",").zipWithIndex
-      .map { case (n, i) => n.trim.toLowerCase -> i }.toMap
-    val taxiIdx = graft.etl.CsvSource.RequiredColumns
-      .map(c => c -> colIdx(c.toLowerCase)).toMap
-    val lines = spark.read.textFile(glob).filter(col("value") =!= header)
-      .collect().zipWithIndex.map { case (l, i) => (i + 1L, l) }
-    val taxiOut = tmp("streambench_taxi")
-    val counters = new StreamingOps.TaxiStreamCounters
-    val taxiIn = MemoryStream[(Long, String)]
-    val taxiQ = StreamingOps.runTaxiEtlStream(
-      taxiIn.toDS().toDF("line_number", "value"),
-      graft.etl.EtlConfig(inputCsvPath = "",
-        duplicatesCsvPath = s"$taxiOut/duplicates", insertedPath = s"$taxiOut/trips"),
-      taxiIdx, s"$taxiOut/seen_keys", counters, s"$taxiOut/ckpt")
-    val taxiBatch = math.max(1, lines.length / nBatches)
-    val t0 = System.nanoTime()
-    try {
-      lines.grouped(taxiBatch).foreach { chunk =>
-        taxiIn.addData(chunk.toIndexedSeq)
-        taxiQ.processAllAvailable()
+    /** Recursive (bytes, files) under a root — the growth-sample unit. */
+    def duSize(root: String): (Long, Long) = {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rp)) (0L, 0L)
+      else {
+        var bytes = 0L; var files = 0L
+        val it = fs.listFiles(rp, true)
+        while (it.hasNext) { val f = it.next(); bytes += f.getLen; files += 1 }
+        (bytes, files)
       }
-    } finally taxiQ.stop()
-    val taxiSecs = (System.nanoTime() - t0) / 1e9
-    dirStats("taxi_trips", s"$taxiOut/trips")
-    val taxiRate = lines.length / taxiSecs
+    }
 
-    // ---- MinHash LSH ingest-dedup stream over documents ---------------
-    val docs = Tables.documents(spark, sfDir)
+    // ---- taxi ETL stream over the scaled corpus -----------------------
+    if (only("taxi")) {
+      val glob = queries.TaxiScaled.ensureGenerated(spark, sfDir)
+      val header = spark.read.textFile(glob).head()
+      val colIdx = header.split(",").zipWithIndex
+        .map { case (n, i) => n.trim.toLowerCase -> i }.toMap
+      val taxiIdx = graft.etl.CsvSource.RequiredColumns
+        .map(c => c -> colIdx(c.toLowerCase)).toMap
+      val lines = spark.read.textFile(glob).filter(col("value") =!= header)
+        .collect().zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      val taxiOut = tmp("streambench_taxi")
+      val counters = new StreamingOps.TaxiStreamCounters
+      val taxiIn = MemoryStream[(Long, String)]
+      val taxiQ = StreamingOps.runTaxiEtlStream(
+        taxiIn.toDS().toDF("line_number", "value"),
+        graft.etl.EtlConfig(inputCsvPath = "",
+          duplicatesCsvPath = s"$taxiOut/duplicates", insertedPath = s"$taxiOut/trips"),
+        taxiIdx, s"$taxiOut/seen_keys", counters, s"$taxiOut/ckpt")
+      val taxiBatch = math.max(1, lines.length / nBatches)
+      val t0 = System.nanoTime()
+      try {
+        lines.grouped(taxiBatch).foreach { chunk =>
+          taxiIn.addData(chunk.toIndexedSeq)
+          taxiQ.processAllAvailable()
+        }
+      } finally taxiQ.stop()
+      val taxiSecs = (System.nanoTime() - t0) / 1e9
+      dirStats("taxi_trips", s"$taxiOut/trips")
+      val taxiRate = lines.length / taxiSecs
+      fields += s""""taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum}"""
+    }
+
+    lazy val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .collect()
-    val dedupOut = tmp("streambench_dedup")
-    val docIn = MemoryStream[(Long, String)]
-    val dedupQ = StreamingOps.runMinhashDedupStream(
-      docIn.toDS().toDF("doc_id", "text"),
-      s"$dedupOut/state", s"$dedupOut/kept", s"$dedupOut/ckpt")
-    val docBatch = math.max(1, docs.length / nBatches)
-    val t1 = System.nanoTime()
-    try {
-      docs.grouped(docBatch).foreach { chunk =>
-        docIn.addData(chunk.toIndexedSeq)
-        dedupQ.processAllAvailable()
-      }
-    } finally dedupQ.stop()
-    val dedupSecs = (System.nanoTime() - t1) / 1e9
-    val dedupRate = docs.length / dedupSecs
+    lazy val docBatch = math.max(1, docs.length / nBatches)
 
-    val kept = StreamingOps.committedKept(spark, s"$dedupOut/kept").count()
-    dirStats("minhash_kept", s"$dedupOut/kept")
+    // ---- MinHash LSH ingest-dedup stream over documents ---------------
+    if (only("minhash")) {
+      val dedupOut = tmp("streambench_dedup")
+      val docIn = MemoryStream[(Long, String)]
+      val dedupQ = StreamingOps.runMinhashDedupStream(
+        docIn.toDS().toDF("doc_id", "text"),
+        s"$dedupOut/state", s"$dedupOut/kept", s"$dedupOut/ckpt")
+      val t1 = System.nanoTime()
+      try {
+        docs.grouped(docBatch).foreach { chunk =>
+          docIn.addData(chunk.toIndexedSeq)
+          dedupQ.processAllAvailable()
+        }
+      } finally dedupQ.stop()
+      val dedupSecs = (System.nanoTime() - t1) / 1e9
+      val dedupRate = docs.length / dedupSecs
+      val kept = StreamingOps.committedKept(spark, s"$dedupOut/kept").count()
+      dirStats("minhash_kept", s"$dedupOut/kept")
+      fields += s""""minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept"""
+    }
 
     // ---- Gopher-gated MinHash ingest (filter-then-dedup) ---------------
     // same corpus, same batch split — the delta vs the unfiltered loop is
     // the gate's cost minus the dedup work the gated-out docs never do
-    val filtOut = tmp("streambench_filtdedup")
-    val filtIn = MemoryStream[(Long, String)]
-    val filtQ = StreamingOps.runFilteredMinhashDedupStream(
-      filtIn.toDS().toDF("doc_id", "text"),
-      s"$filtOut/state", s"$filtOut/kept", s"$filtOut/ckpt")
-    val t1b = System.nanoTime()
-    try {
-      docs.grouped(docBatch).foreach { chunk =>
-        filtIn.addData(chunk.toIndexedSeq)
-        filtQ.processAllAvailable()
-      }
-    } finally filtQ.stop()
-    val filtSecs = (System.nanoTime() - t1b) / 1e9
-    val filtRate = docs.length / filtSecs
-    val filtKept = StreamingOps.committedKept(spark, s"$filtOut/kept").count()
-    dirStats("filtered_kept", s"$filtOut/kept")
+    if (only("filtered")) {
+      val filtOut = tmp("streambench_filtdedup")
+      val filtIn = MemoryStream[(Long, String)]
+      val filtQ = StreamingOps.runFilteredMinhashDedupStream(
+        filtIn.toDS().toDF("doc_id", "text"),
+        s"$filtOut/state", s"$filtOut/kept", s"$filtOut/ckpt")
+      val t1b = System.nanoTime()
+      try {
+        docs.grouped(docBatch).foreach { chunk =>
+          filtIn.addData(chunk.toIndexedSeq)
+          filtQ.processAllAvailable()
+        }
+      } finally filtQ.stop()
+      val filtSecs = (System.nanoTime() - t1b) / 1e9
+      val filtRate = docs.length / filtSecs
+      val filtKept = StreamingOps.committedKept(spark, s"$filtOut/kept").count()
+      dirStats("filtered_kept", s"$filtOut/kept")
+      fields += s""""filtered_secs":$filtSecs,"filtered_docs_per_s":$filtRate,"filtered_kept":$filtKept"""
+    }
 
     // ---- hyperplane-LSH embedding ingest-dedup stream over embeddings --
-    val vecs = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .collect()
-    val embOut = tmp("streambench_emb")
-    val vecIn = MemoryStream[(Long, Array[Float])]
-    val embQ = StreamingOps.runEmbDedupStream(
-      vecIn.toDS().toDF("vec_id", "embedding"),
-      s"$embOut/state", s"$embOut/kept", s"$embOut/ckpt")
-    val vecBatch = math.max(1, vecs.length / nBatches)
-    val t2 = System.nanoTime()
-    try {
-      vecs.grouped(vecBatch).foreach { chunk =>
-        vecIn.addData(chunk.toIndexedSeq)
-        embQ.processAllAvailable()
-      }
-    } finally embQ.stop()
-    val embSecs = (System.nanoTime() - t2) / 1e9
-    val embRate = vecs.length / embSecs
-    val embKept = StreamingOps.committedKept(spark, s"$embOut/kept").count()
-    dirStats("emb_kept", s"$embOut/kept")
+    if (only("emb")) {
+      val vecs = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect()
+      val embOut = tmp("streambench_emb")
+      val vecIn = MemoryStream[(Long, Array[Float])]
+      val embQ = StreamingOps.runEmbDedupStream(
+        vecIn.toDS().toDF("vec_id", "embedding"),
+        s"$embOut/state", s"$embOut/kept", s"$embOut/ckpt")
+      val vecBatch = math.max(1, vecs.length / nBatches)
+      val t2 = System.nanoTime()
+      try {
+        vecs.grouped(vecBatch).foreach { chunk =>
+          vecIn.addData(chunk.toIndexedSeq)
+          embQ.processAllAvailable()
+        }
+      } finally embQ.stop()
+      val embSecs = (System.nanoTime() - t2) / 1e9
+      val embRate = vecs.length / embSecs
+      val embKept = StreamingOps.committedKept(spark, s"$embOut/kept").count()
+      dirStats("emb_kept", s"$embOut/kept")
+      fields += s""""emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept"""
+    }
 
     // ---- perceptual-hash media ingest-dedup stream over blobs ----------
     // blobs synthesized from the documents corpus (the media family's
     // construction), streamed as (doc_id, blob) — the dHash-banded
     // exactly-once ingest at the production operating point
-    val blobs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        graft.functions.MediaFunctions.synthMedia(col("doc_id"), col("text"))
-          .as("blob"))
-      .as[(Long, Array[Byte])].collect()
-    val mediaOut = tmp("streambench_media")
-    val blobIn = MemoryStream[(Long, Array[Byte])]
-    val mediaQ = StreamingOps.runMediaDedupStream(
-      blobIn.toDS().toDF("doc_id", "blob"),
-      s"$mediaOut/state", s"$mediaOut/kept", s"$mediaOut/ckpt")
-    val t3 = System.nanoTime()
-    try {
-      blobs.grouped(docBatch).foreach { chunk =>
-        blobIn.addData(chunk.toIndexedSeq)
-        mediaQ.processAllAvailable()
-      }
-    } finally mediaQ.stop()
-    val mediaSecs = (System.nanoTime() - t3) / 1e9
-    val mediaRate = blobs.length / mediaSecs
-    val mediaKept = StreamingOps.committedKept(spark, s"$mediaOut/kept").count()
-    dirStats("media_kept", s"$mediaOut/kept")
+    if (only("media")) {
+      val blobs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"),
+          graft.functions.MediaFunctions.synthMedia(col("doc_id"), col("text"))
+            .as("blob"))
+        .as[(Long, Array[Byte])].collect()
+      val mediaOut = tmp("streambench_media")
+      val blobIn = MemoryStream[(Long, Array[Byte])]
+      val mediaQ = StreamingOps.runMediaDedupStream(
+        blobIn.toDS().toDF("doc_id", "blob"),
+        s"$mediaOut/state", s"$mediaOut/kept", s"$mediaOut/ckpt")
+      val blobBatch = math.max(1, blobs.length / nBatches)
+      val groups = blobs.grouped(blobBatch).toSeq
+      // quartile sample points over the batch sequence (always includes
+      // the final batch): the mid-run growth record
+      val marks = Set(1, 2, 3, 4).map(q => groups.size * q / 4).filter(_ > 0)
+      val samples = scala.collection.mutable.ListBuffer.empty[String]
+      val t3 = System.nanoTime()
+      try {
+        groups.zipWithIndex.foreach { case (chunk, i) =>
+          blobIn.addData(chunk.toIndexedSeq)
+          mediaQ.processAllAvailable()
+          if (marks(i + 1)) {
+            val (sb, sf) = duSize(s"$mediaOut/state")
+            val (kb, kf) = duSize(s"$mediaOut/kept")
+            val (cb, cf) = duSize(s"$mediaOut/ckpt")
+            val s = s"""{"after_batches":${i + 1},"state_bytes":$sb,"state_files":$sf,"kept_bytes":$kb,"kept_files":$kf,"ckpt_bytes":$cb,"ckpt_files":$cf}"""
+            System.err.println(s"[stream-bench] media_growth $s")
+            samples += s
+          }
+        }
+      } finally mediaQ.stop()
+      val mediaSecs = (System.nanoTime() - t3) / 1e9
+      val mediaRate = blobs.length / mediaSecs
+      val mediaKept = StreamingOps.committedKept(spark, s"$mediaOut/kept").count()
+      dirStats("media_kept", s"$mediaOut/kept")
+      fields += s""""media_blobs":${blobs.length},"media_secs":$mediaSecs,"media_blobs_per_s":$mediaRate,"media_kept":$mediaKept,"media_batches":${groups.size},"media_growth":[${samples.mkString(",")}]"""
+    }
 
     val line =
-      s"""{"metric":"stream_bench","sf":"$sfDir","taxi_rows":${lines.length},"taxi_secs":$taxiSecs,"taxi_rows_per_s":$taxiRate,"taxi_inserted":${counters.inserted.sum},"minhash_docs":${docs.length},"minhash_secs":$dedupSecs,"minhash_docs_per_s":$dedupRate,"minhash_kept":$kept,"filtered_secs":$filtSecs,"filtered_docs_per_s":$filtRate,"filtered_kept":$filtKept,"emb_vecs":${vecs.length},"emb_secs":$embSecs,"emb_vecs_per_s":$embRate,"emb_kept":$embKept,"media_blobs":${blobs.length},"media_secs":$mediaSecs,"media_blobs_per_s":$mediaRate,"media_kept":$mediaKept}"""
+      s"""{"metric":"stream_bench","sf":"$sfDir",${fields.mkString(",")}}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH_OUT", "stream_bench.json")
     try Files.writeString(Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[stream-bench] write failed: $e") }

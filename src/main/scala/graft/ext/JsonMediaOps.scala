@@ -222,6 +222,47 @@ object JsonMediaOps {
 
   private val phashBandHiCache = new graft.SessionFrameCache[String]
 
+  /** DENSE-grid perceptual hash ([[graft.functions.MediaBytes
+    * .dhashDense64]] — w = ⌈n/65⌉, no power-of-two rounding) as a
+    * registered sibling of [[mediaPhash]]: the quantized grid's
+    * constant-zero tail (bits 32–63 set-rates 0.47→0.008 on the harness
+    * corpus) wastes half the signature and pins banding to the low 32;
+    * the dense grid leaves ≤ 64/w trailing bits flat, so nearly the
+    * whole signature carries signal and bands can sit anywhere in the
+    * low 48 (measured set-rates in PERF.md). Same one-scan, codegen'd,
+    * oracle-bit-replayed shape as the quantized row. */
+  def mediaPhashDense(spark: SparkSession, sfDir: String): DataFrame =
+    phashDenseFrame(spark, sfDir).orderBy("doc_id")
+
+  private def phashDenseFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("blob",
+        graft.functions.MediaFunctions.synthMedia(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.mediaDhashDense(col("blob")).as("phash"))
+
+  /** Dense-hash near-dup pairs at the production operating point
+    * (threshold [[MediaHammingMaxDense]], [[MediaBandsDense]] × 16-bit
+    * bands over the low 48 — now uniformly informative bits, which is
+    * the point of the dense grid): the [[mediaNearDupHi]] analog over
+    * [[mediaPhashDense]]. Same shared Hamming-band machinery, same
+    * oracle replay stacked on the dense CTE. */
+  def mediaNearDupDense(spark: SparkSession, sfDir: String,
+      maxBandDf: Int = DedupOps.SimhashBandDfCap): DataFrame = {
+    val banded = phashDenseBandCache.getOrElseUpdate(spark, sfDir) {
+      DedupOps.hammingBands(phashDenseFrame(spark, sfDir), "phash",
+        nBands = MediaBandsDense, cover = MediaBandCoverDense)
+    }
+    DedupOps.hammingBandNearDup(banded, "phash", MediaHammingMaxDense,
+      maxBandDf, nBands = MediaBandsDense, cover = MediaBandCoverDense)
+  }
+
+  val MediaHammingMaxDense = 2
+  val MediaBandsDense = MediaHammingMaxDense + 1
+  val MediaBandCoverDense = 48
+
+  private val phashDenseBandCache = new graft.SessionFrameCache[String]
+
   /** Media dedup clusters — the stage after pair detection: transitive
     * closure of the production-regime pair graph ([[mediaNearDupHi]]),
     * keeper = min doc_id per component, singletons labelling themselves
@@ -374,12 +415,10 @@ object JsonMediaOps {
     * The chain ends in `sh(doc_id, simhash)` — the exact shape
     * [[DedupOps.hammingPairsSql]] consumes, so the media near-dup
     * oracle reuses the banding replay verbatim. */
-  private val phashCte: String = {
-    val powers = (0 to 40).map(i => s"${1L << i}::BIGINT").mkString(", ")
+  private def phashCteFor(wSql: String): String = {
     s"""WITH t AS (
       |  SELECT doc_id, text, octet_length(encode(text))::BIGINT AS n,
-      |    (SELECT MIN(p) FROM (SELECT unnest([$powers]) AS p) pw
-      |     WHERE p * 65 >= octet_length(encode(text))) AS w
+      |    $wSql AS w
       |  FROM documents
       |), by AS (
       |  SELECT doc_id, n, w, unnest(range(n)) AS i FROM t
@@ -407,6 +446,21 @@ object JsonMediaOps {
       |)
       |""".stripMargin
   }
+
+  /** Quantized grid: w = the smallest power of two with 65·w ≥ n,
+    * replayed EXACTLY via a min-over-powers-list scalar subquery (no
+    * float log2 whose rounding could differ). */
+  private val phashCte: String = {
+    val powers = (0 to 40).map(i => s"${1L << i}::BIGINT").mkString(", ")
+    phashCteFor(
+      s"""(SELECT MIN(p) FROM (SELECT unnest([$powers]) AS p) pw
+         |     WHERE p * 65 >= octet_length(encode(text)))""".stripMargin)
+  }
+
+  /** Dense grid: w = ⌈n/65⌉ exactly — one integer expression, the same
+    * arithmetic [[graft.functions.MediaBytes.dhashDense64]] runs. */
+  private val phashDenseCte: String =
+    phashCteFor("(octet_length(encode(text)) + 64) // 65")
 
   /** Shared clusters CTE chain for the media cluster oracles: the phash
     * replay (recursive), the production-point pair replay verbatim, the
@@ -446,6 +500,13 @@ object JsonMediaOps {
     "media_near_dup_hi" -> (phashCte +
       DedupOps.hammingPairsSql(maxHamming = MediaHammingMaxHi,
         nBands = MediaBandsHi, cover = MediaBandCoverHi)),
+    // the dense-grid siblings: the SAME CTE chain with the one-line w
+    // formula swapped in — hash and pair replay stay bit-exact
+    "media_phash_dense" -> (phashDenseCte +
+      "SELECT doc_id, simhash AS phash FROM sh ORDER BY doc_id"),
+    "media_near_dup_dense" -> (phashDenseCte +
+      DedupOps.hammingPairsSql(maxHamming = MediaHammingMaxDense,
+        nBands = MediaBandsDense, cover = MediaBandCoverDense)),
     // transitive closure over the SAME production-regime pair replay
     // (the dedup_clusters pattern): hp wraps hammingPairsSelect
     // verbatim, then recursive reach + min-label per component

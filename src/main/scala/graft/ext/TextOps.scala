@@ -127,17 +127,26 @@ object TextOps {
         "rule values, not your data)")
     val nWords = col("n_words")
     docs
+      // n_words / n_stop stay as the split + lambda forms DELIBERATELY:
+      // the r12 measure-then-decide pass (PERF.md) benchmarked every
+      // native rewrite on the 50k sf1 corpus — regexp_count('[^ ]+') +
+      // a whole-token alternation-with-lookahead for the stopwords
+      // (1.03–1.18 s warm), regexp_replace- and replace-based stopword
+      // counts over space-doubled text (1.5–2.1 s) — and the interpreted
+      // HOF pair wins at 0.76–0.82 s: short ASCII docs make the split +
+      // equality filter cheaper than any per-token regex machinery, and
+      // the one split feeds BOTH measurements. All variants verified
+      // bit-identical before being rejected.
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_words", size(col("toks")).cast("long"))
-      // the two measurements below avoid array lambdas (interpreted, not
-      // codegen'd — the PERF.md trap) because this projection sits on the
-      // INGEST hot path via gopherPrefilter, where every document pays
-      // it: Σ token lengths = the trimmed text minus its spaces (tokens
-      // split on single spaces, so nothing else is removed); tokens
-      // containing a letter = non-overlapping regexp matches anchored at
-      // start-or-space. Both bit-identical to the lambda forms on all
-      // 50k sf1 docs (gate throughput 21.5k → 25.6k docs/s warm) and
-      // hash-pinned per doc by the gopher_filter oracle.
+      // the two measurements below DO avoid array lambdas because their
+      // native forms measured faster in r11 (gate throughput 21.5k →
+      // 25.6k docs/s warm, bit-identical on all 50k sf1 docs): Σ token
+      // lengths = the trimmed text minus its spaces (tokens split on
+      // single spaces, so nothing else is removed); tokens containing a
+      // letter = non-overlapping regexp matches anchored at
+      // start-or-space. Both hash-pinned per doc by the gopher_filter
+      // oracle.
       .withColumn("mwl_milli",
         expr("""CASE WHEN n_words = 0 THEN 0L ELSE
                |  length(replace(trim(text), ' ', '')) * 1000L div n_words
@@ -866,6 +875,54 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         when(substring(h, 1, 2) < cut, "test").otherwise("train").as("split"))
       .join(keepers, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** MULTIMODAL curation pipeline — the composition a multimodal corpus
+    * actually runs, closing the arc the text capstone
+    * ([[curationPipeline]]) and the media-dedup family
+    * ([[JsonMediaOps.mediaClusterKeepers]]) tell separately: a document
+    * survives iff it passes every TEXT gate (quality mixer ∩ per-source
+    * prune ∩ exact-dup keeper ∩ near-dup cluster representative, with
+    * the leakage-safe split — rule-for-rule the order-free capstone)
+    * AND its media blob is its perceptual-hash cluster's KEEPER (the
+    * largest copy — re-encodes and thumbnails shrink). The media gate
+    * BINDS: a doc whose text is canonical can still lose its media
+    * cluster to a larger-container twin (e.g. the bmp copy of a png
+    * original) and be dropped — asserted non-vacuously in ExtOpsSpec.
+    *
+    * Output shape matches the text capstone (doc_id, source, split), so
+    * the three registered pipelines diff directly; the multimodal rows
+    * are exactly curation_pipeline ∩ media-keeper set.
+    *
+    * Plan: every component frame is session-cached (the mixer signals,
+    * the shingle/band frames, the media cluster labels), so the
+    * composition costs FIVE doc_id equi-joins over already-built inputs
+    * — the signals-then-policy claim extended across modalities: adding
+    * a modality to the keep-decision is one more cheap join, not a new
+    * corpus pass. At 100 TB the media keeper frame is cluster-count-
+    * sized (≤ one row per doc, no skew on the unique-id key), identical
+    * in shape to the exact-dedup keeper join next to it.
+    *
+    * The oracle composes the five component oracles verbatim as CTEs
+    * (the no-fork discipline) — the pipeline can never drift from its
+    * parts. */
+  def curationPipelineMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ext.{DedupOps => D}
+    val mix = qualityMixer(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
+    val pr = qualityPrunePerSource(spark, sfDir)
+      .filter(col("keep")).select(col("doc_id"))
+    val ex = D.exactDedup(spark, sfDir)
+      .select(col("keeper_doc_id").as("doc_id"))
+    val nd = D.trainTestSplitNearDup(spark, sfDir)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("split"))
+    val mk = JsonMediaOps.mediaClusterKeepers(spark, sfDir)
+      .select(col("keeper_doc_id").as("doc_id"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(mix, "doc_id").join(pr, "doc_id").join(ex, "doc_id")
+      .join(nd, "doc_id").join(mk, "doc_id")
       .orderBy("doc_id")
   }
 

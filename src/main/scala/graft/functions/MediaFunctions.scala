@@ -171,6 +171,40 @@ object MediaBytes {
     if (n <= 0) return 0L
     val x = (n + DhashSegments - 1) / DhashSegments
     val w = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
+    gradientHash(blob, off, n, w)
+  }
+
+  /** DENSE-grid variant of [[dhash64]]: w = ⌈n / 65⌉ exactly, no
+    * power-of-two rounding. The quantized grid's length-leak is the
+    * empty tail — for n just past a doubling boundary almost half the
+    * segments sit beyond the payload, their gradient bits constant zero
+    * (measured set-rates on the harness corpus: bits 32–63 at
+    * 0.47→0.008), which wastes half the signature and forces banding
+    * onto the low 32 bits. The minimal-w grid leaves at most
+    * ⌊(w·65−n)/w⌋ ≤ 64/w trailing segments empty (≤ 8 at the harness
+    * payload sizes, 0 when 65 | n), so ~56+ bits carry signal and bands
+    * can sit anywhere in the low 48.
+    *
+    * The edit-tolerance trade moves, not disappears: boundaries are
+    * still aligned from byte 0 and w is shared by near-equal lengths,
+    * but w now changes every 65 bytes of length drift instead of every
+    * doubling — so a trailing append loses the pair iff it crosses a
+    * 65·k length boundary (probability ≈ edit/65 vs ≈ edit/n before).
+    * Same integer-exact arithmetic, replayed bit-for-bit by the
+    * oracle's CTE with `w = (n + 64) // 65`. */
+  def dhashDense64(blob: Array[Byte]): Long = {
+    val off = payloadOffset(blob)
+    if (off < 0) return 0L
+    val n = blob.length - off
+    if (n <= 0) return 0L
+    gradientHash(blob, off, n, (n + DhashSegments - 1) / DhashSegments)
+  }
+
+  /** Shared gradient-bit kernel of the two dHash grids: fixed-width
+    * segments of `w` bytes, bit b = sign of the mean difference between
+    * segments b and b+1, compared by cross-multiplication so the hash
+    * stays on the integer grid. */
+  private def gradientHash(blob: Array[Byte], off: Int, n: Int, w: Int): Long = {
     val sums = new Array[Long](DhashSegments)
     val cnts = new Array[Long](DhashSegments)
     var i = 0
@@ -287,6 +321,23 @@ case class MediaDhash(child: Expression) extends UnaryExpression {
     copy(newChild)
 }
 
+/** `media_dhash_dense(blob)` → bigint: the dense-grid payload
+  * difference-hash ([[MediaBytes.dhashDense64]]). */
+case class MediaDhashDense(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "media_dhash_dense"
+
+  override def nullSafeEval(b: Any): Any =
+    MediaBytes.dhashDense64(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.functions.MediaBytes$$.MODULE$$.dhashDense64($b);")
+
+  override protected def withNewChildInternal(newChild: Expression): MediaDhashDense =
+    copy(newChild)
+}
+
 object MediaFunctions {
   def synthMedia(docId: Column, text: Column): Column =
     GraftBridge.column(SynthMedia(
@@ -301,4 +352,7 @@ object MediaFunctions {
 
   def mediaDhash(blob: Column): Column =
     GraftBridge.column(MediaDhash(GraftBridge.expression(blob)))
+
+  def mediaDhashDense(blob: Column): Column =
+    GraftBridge.column(MediaDhashDense(GraftBridge.expression(blob)))
 }

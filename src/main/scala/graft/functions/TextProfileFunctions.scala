@@ -103,12 +103,18 @@ object TrigramProfileScores {
     * UTF-8 by construction — but not GUARANTEED valid (casts from
     * binary, corrupt sources), and `UTF8String.getByte` is unchecked
     * over a possibly shared row buffer, so malformed input is handled
-    * in-bounds: a truncated multi-byte tail, a stray lead byte, or a
-    * lead whose trailing bytes aren't continuations (each checked for
-    * the 10xxxxxx pattern before acceptance) decodes as U+FFFD and
-    * advances one byte, deterministic and never reading past
-    * `numBytes` — matching `String.codePointAt` iteration's per-byte
-    * replacement behavior on the same malformed input. */
+    * in-bounds: a truncated multi-byte tail, a stray lead byte, a lead
+    * whose trailing bytes aren't continuations (each checked for the
+    * 10xxxxxx pattern before acceptance), an overlong encoding (C0/C1
+    * leads, E0 A0-/F0 90- second bytes), a UTF-16 surrogate (ED A0+),
+    * or a code point past U+10FFFF (F4 90+, F5..F7 leads) decodes as
+    * U+FFFD and advances one byte, deterministic and never reading past
+    * `numBytes`. The set of ACCEPTED sequences is exactly Unicode's
+    * well-formed table (what Java's decoder accepts); on rejected input
+    * the policy is one U+FFFD per rejected byte, which can differ from
+    * Java's maximal-subpart grouping in replacement COUNT (e.g. a
+    * truncated `E2 82` tail is two U+FFFD here, one in Java) but never
+    * in which byte sequences decode to real code points. */
   def score(s: UTF8String, keys: Array[Long], masks: Array[Long],
       nProfiles: Int): Array[Long] = {
     val counts = new Array[Long](nProfiles)
@@ -119,25 +125,40 @@ object TrigramProfileScores {
     // a trailing byte of a multi-byte sequence must be 10xxxxxx; masking
     // with & 0x3F UNchecked would let e.g. C3 41 decode to U+00C1 and
     // swallow the 'A' — the documented contract (malformed → U+FFFD,
-    // advance ONE byte) requires validating each continuation byte
+    // advance ONE byte) requires validating each continuation byte.
     @inline def cont(j: Int): Boolean = (s.getByte(j) & 0xC0) == 0x80
+    // the SECOND byte's legal range depends on the lead (Unicode 15 §3.7
+    // table of well-formed sequences): E0 excludes overlong A0-, ED
+    // excludes surrogates A0+, F0 excludes overlong 90-, F4 excludes
+    // > U+10FFFF 90+ — so overlong encodings, UTF-16 surrogates (ED A0
+    // 80 would be U+D800), and out-of-range code points (F4 90 80 80)
+    // all reject to U+FFFD instead of decoding to the forbidden value
+    @inline def contIn(j: Int, lo: Int, hi: Int): Boolean = {
+      val b = s.getByte(j) & 0xFF; b >= lo && b <= hi
+    }
     while (i < n) {
       val b0 = s.getByte(i) & 0xFF
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xE0) == 0xC0 && i + 1 < n && cont(i + 1)) {
+      else if (b0 >= 0xC2 && b0 <= 0xDF && i + 1 < n && cont(i + 1)) {
+        // C0/C1 leads are overlong by construction — excluded above
         cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
-      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n && cont(i + 1) &&
-          cont(i + 2)) {
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n &&
+          contIn(i + 1, if (b0 == 0xE0) 0xA0 else 0x80,
+            if (b0 == 0xED) 0x9F else 0xBF) && cont(i + 2)) {
         cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
           (s.getByte(i + 2) & 0x3F); i += 3
-      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n && cont(i + 1) &&
+      } else if (b0 >= 0xF0 && b0 <= 0xF4 && i + 3 < n &&
+          contIn(i + 1, if (b0 == 0xF0) 0x90 else 0x80,
+            if (b0 == 0xF4) 0x8F else 0xBF) &&
           cont(i + 2) && cont(i + 3)) {
+        // F5..F7 leads (code points past U+10FFFF) fall through to FFFD
         cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
           ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
       } else {
-        // malformed: stray continuation, invalid lead, truncated tail,
-        // or a lead whose trailing bytes aren't continuations
+        // malformed: stray continuation, invalid/overlong/out-of-range
+        // lead, truncated tail, surrogate or overlong second byte, or a
+        // lead whose trailing bytes aren't continuations
         cp = 0xFFFD; i += 1
       }
       if (p2 >= 0) {

@@ -385,7 +385,12 @@ object StreamingOps {
           (committed.epochs + 0L).max + 1
         }
         fs.mkdirs(p.getParent)
-        val tmp = new Path(p.getParent, ".tmp_graft_epoch")
+        // per-attempt unique tmp name: two concurrent resolvers of the
+        // same checkpoint must not interleave create/write on one shared
+        // tmp file, or the rename could still publish torn content the
+        // tmp-then-rename scheme exists to prevent
+        val tmp = new Path(p.getParent,
+          s".tmp_graft_epoch_${java.util.UUID.randomUUID}")
         val out = fs.create(tmp, true)
         try out.write(epoch.toString.getBytes("UTF-8")) finally out.close()
         if (!fs.rename(tmp, p)) {
@@ -1569,9 +1574,15 @@ object StreamingOps {
           scratch += d
           if (d.isEmpty) null else d
         }
+      // dupOfKept can hold up to `bands` rows per vec (multi-band
+      // collisions verified k times, no distinct — see above), so its
+      // broadcast gate uses the band-multiplied bound, not the vec count
       def dropDups(df: DataFrame): DataFrame =
         if (dupOfKept == null) df
-        else df.join(bc(dupOfKept), Seq("vec_id"), "left_anti")
+        else df.join(
+          if (nBatch * bands <= StreamBroadcastCap) broadcast(dupOfKept)
+          else dupOfKept,
+          Seq("vec_id"), "left_anti")
       val freshUnits = dropDups(units)
       // the in-batch hot-key guard can only bind when the batch itself
       // exceeds the band-df cap — for smaller batches (the normal
@@ -1755,9 +1766,12 @@ object StreamingOps {
           scratch += d
           if (d.isEmpty) null else d
         }
+      // dupOfKept can hold up to MediaBandsHi rows per doc (multi-band
+      // agreement, no distinct — the no-distinct discipline), so its
+      // broadcast gate is the band-multiplied bound, not the doc count
       def dropDups(df: DataFrame): DataFrame =
         if (dupOfKept == null) df
-        else df.join(bc(dupOfKept), Seq("doc_id"), "left_anti")
+        else df.join(bcBands(dupOfKept), Seq("doc_id"), "left_anti")
       // in-batch: banded self-join, hot-key guard gated on batch size
       val freshBands =
         if (nBatch <= DedupOps.SimhashBandDfCap)

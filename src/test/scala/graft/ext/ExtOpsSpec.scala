@@ -619,6 +619,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(kp(303L)._1 == 303L && kp(303L)._2 == 1L, kp.toString)
   }
 
+  test("dense media dHash: shared-grid copies pair, the 65·k straddle " +
+      "trade is real in BOTH directions") {
+    val rnd = new scala.util.Random(17)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = randText(400)  // dense w = ceil(400/65) = 7, stable through 455
+    val strad = randText(323) // dense w = 5; +4 bytes crosses 65*5 = 325 -> w = 6
+    val dir = docsFixture(Seq(
+      (600L, base, "en"),            // png (600 % 3 == 0)
+      (601L, base, "en"),            // bmp — same payload, other container
+      (602L, base + " dup", "en"),   // wav — trailing append, same dense grid
+      (610L, strad, "en"),
+      (611L, strad + " dup", "en"))) // straddles the 65*5 boundary
+    val dn = JsonMediaOps.mediaNearDupDense(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact cross-container copies: Hamming 0; the append perturbs only
+    // the tail segments of the SHARED w=7 grid and stays under threshold
+    assert(dn.get((600L, 601L)).contains(0L), dn.toString)
+    assert(dn.contains((600L, 602L)) && dn.contains((601L, 602L)), dn.toString)
+    // the straddle pair gets DIFFERENT grids (w 5 vs 6) — missed, the
+    // documented dense-grid trade (PERF.md r12: 12/15 sf1 losses)
+    assert(!dn.keysIterator.exists(p => p._1 >= 610L || p._2 >= 610L),
+      dn.toString)
+    // ...while the quantized production point shares w = 8 across the
+    // straddle (its boundaries are power-of-two doublings) and pairs it
+    val hi = JsonMediaOps.mediaNearDupHi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.contains((610L, 611L)), hi.toString)
+    // harness corpus: non-vacuous, every emitted pair within threshold,
+    // first-matching-band gate emits each pair exactly once
+    val corpus = JsonMediaOps.mediaNearDupDense(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(_.getLong(2) <= JsonMediaOps.MediaHammingMaxDense))
+    val keys = corpus.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
   test("staged curation: strict superset of order-free, splits agree, " +
       "extras are re-elections or splits") {
     // containment law: an order-free survivor passes quality, is its
@@ -646,6 +682,57 @@ class ExtOpsSpec extends SparkSpec {
     (staged.keySet -- free.keySet).foreach { id =>
       assert(mixKeep(id) && prKeep(id), s"staged extra $id fails quality")
     }
+  }
+
+  test("multimodal curation: the media keeper gate BINDS — a text-kept doc " +
+      "is dropped when its blob loses its media cluster") {
+    // quality-passing text via the mixer spec's stride construction: 60
+    // tokens, every bigram distinct, top share 0.05, >= 2 stopwords
+    def strideText(vocab: IndexedSeq[String]) = {
+      def stride(k: Int) = (0 until 20).map(i => vocab((i * k) % 20))
+      (stride(1) ++ stride(3) ++ stride(7)).mkString(" ")
+    }
+    val vocab = Vector("the", "and") ++ (1 to 18).map(i => f"word$i%02d")
+    val tA = strideText(vocab)
+    // SAME vocabulary (so tB stays inside the corpus top-20 OOV vocab)
+    // walked in disjoint stride classes: no shared word bigrams/shingles
+    // with tA, and a different payload byte ORDER, so the dHash segment
+    // gradients diverge — text- and media-unrelated by construction
+    val tB = {
+      def stride(k: Int) = (0 until 20).map(i => vocab((i * k) % 20))
+      (stride(9) ++ stride(11) ++ stride(13)).mkString(" ")
+    }
+    val dir = docsFixtureSrc(Seq(
+      (300L, tA, "en", "s0"),   // png copy of tA's payload (300 % 3 == 0)
+      (301L, tA, "en", "s1"),   // bmp copy — SAME payload, larger container
+      (302L, tB, "en", "s2")))  // unrelated wav singleton
+    // text-only capstone keeps 300 (exact keeper + near-dup rep of the
+    // {300, 301} text-dup pair) and 302; per-source prune is per-doc here
+    val textKept = TextOps.curationPipeline(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(textKept == Set(300L, 302L), textKept.toString)
+    // media: identical payloads pair at Hamming 0 across containers, and
+    // the bmp twin (54-byte header) out-sizes the png original (45) — the
+    // cluster's keeper is 301, NOT the text keeper 300
+    val mk = JsonMediaOps.mediaClusterKeepers(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mk == Map(300L -> 301L, 302L -> 302L), mk.toString)
+    // so the multimodal pipeline drops 300 — text-kept, media-dropped —
+    // which is exactly the case proving the media stage binds
+    val mm = TextOps.curationPipelineMultimodal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(mm.map(_._1).toSet == Set(302L), mm.toSeq.toString)
+    assert(mm.head._2 == "s2")
+    // harness corpus: the composition law — multimodal survivors are
+    // exactly (text capstone) ∩ (media cluster keepers), splits verbatim
+    val free = TextOps.curationPipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val keepers = JsonMediaOps.mediaClusterKeepers(spark, sfDir).collect()
+      .map(_.getAs[Long]("keeper_doc_id")).toSet
+    val mmBig = TextOps.curationPipelineMultimodal(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(mmBig.keySet == free.keySet.filter(keepers))
+    mmBig.foreach { case (id, split) => assert(free(id) == split) }
   }
 
   test("quality mixer: per-rule verdicts, first-fail precedence, planted failures") {

@@ -74,6 +74,30 @@ class TextProfileSpec extends SparkSpec {
       sc("�the and ".getBytes("UTF-8")))
   }
 
+  test("overlong / surrogate / out-of-range sequences reject to U+FFFD; " +
+      "well-formed boundary sequences still decode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // a trigram of three replacement chars makes replacement MULTIPLICITY
+    // observable: k rejected bytes -> k U+FFFDs -> k-2 overlapping matches,
+    // while a (wrongly) accepted sequence is ONE code point -> 0 matches
+    val p = Seq(Seq("���"))
+    val (keys, masks) = TrigramProfileScores.buildTables(p)
+    def m(bytes: Int*): Long = TrigramProfileScores.score(
+      UTF8String.fromBytes(bytes.map(_.toByte).toArray), keys, masks, 1)(0)
+    assert(m(0xED, 0xA0, 0x80) == 1L)       // surrogate U+D800: 3 FFFDs
+    assert(m(0xED, 0x9F, 0xBF) == 0L)       // U+D7FF: valid, one cp
+    assert(m(0xEE, 0x80, 0x80) == 0L)       // U+E000: valid, one cp
+    assert(m(0xE0, 0x80, 0x80) == 1L)       // overlong 3-byte
+    assert(m(0xE0, 0xA0, 0x80) == 0L)       // U+0800: valid boundary
+    assert(m(0xC0, 0x80, 0xFF) == 1L)       // overlong C0 80 + bad lead
+    assert(m(0xC2, 0x80, 0xFF) == 0L)       // U+0080 valid + 1 FFFD only
+    assert(m(0xF4, 0x90, 0x80, 0x80) == 2L) // past U+10FFFF: 4 FFFDs
+    assert(m(0xF4, 0x8F, 0xBF, 0xBF) == 0L) // U+10FFFF: valid, one cp
+    assert(m(0xF0, 0x80, 0x80, 0x80) == 2L) // overlong 4-byte
+    assert(m(0xF0, 0x90, 0x80, 0x80) == 0L) // U+10000: valid boundary
+    assert(m(0xF5, 0x80, 0x80, 0x80) == 2L) // F5 lead: past U+10FFFF
+  }
+
   test("hand-computed counts: multiplicity, overlap, cross-profile shares") {
     val Seq(r) = Seq("aaaa the theory und")
       .toDF("text")
