@@ -141,7 +141,10 @@ object ScaleProbe {
     // `events`, so it scales with sf), and the new multimodal capstone
     // (text gates ∩ media keepers — cold pays every component family)
     "media_meta", "media_transform", "json_extract", "taxi_scaled_stats",
-    "curation_pipeline_multimodal")
+    "curation_pipeline_multimodal",
+    // r12: the dense-grid hash siblings (uniform band keys — the ratio
+    // should sit at or below the quantized _hi point's 2.1)
+    "media_phash_dense", "media_near_dup_dense")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail
