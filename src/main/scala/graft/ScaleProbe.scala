@@ -144,7 +144,10 @@ object ScaleProbe {
     "curation_pipeline_multimodal",
     // r12: the dense-grid hash siblings (uniform band keys — the ratio
     // should sit at or below the quantized _hi point's 2.1)
-    "media_phash_dense", "media_near_dup_dense")
+    "media_phash_dense", "media_near_dup_dense",
+    // r12: staged across modalities — cold pays the staged text build
+    // plus the survivor-scoped media stage; should track the staged row
+    "curation_pipeline_staged_multimodal")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -202,6 +202,11 @@ object SparkEntry {
     // the MULTIMODAL capstone: every text gate AND the doc's blob is its
     // media cluster's keeper — one more doc_id join over cached frames
     "curation_pipeline_multimodal" -> (TextOps.curationPipelineMultimodal(_, _)),
+    // the staged ordering ACROSS modalities: media dedup induced on the
+    // text-staged survivors — a cluster whose global keeper fell to a
+    // text stage re-elects its largest surviving copy
+    "curation_pipeline_staged_multimodal" ->
+      (TextOps.curationPipelineStagedMultimodal(_, _)),
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
@@ -325,6 +330,35 @@ object SparkEntry {
     // eval-slice blob (broadcast bench side, exact by construction)
     "media_decontam" -> (JsonMediaOps.mediaDecontam(_, _)),
   )
+
+  /** The staged text-curation CTE chain (mix → pr → quality frame q →
+    * exact keepers ex/k → induced near-dup clusters cl), shared VERBATIM
+    * by the curation_pipeline_staged and curation_pipeline_staged_
+    * multimodal oracles — the two replays cannot fork on the text
+    * stages. */
+  private def stagedTextCtes: String =
+    s"""mix AS (${TextOps.oracles("quality_mixer")}),
+       |pr AS (${TextOps.oracles("quality_prune_per_source")}),
+       |q AS (
+       |  SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN mix ON d.doc_id = mix.doc_id AND mix.keep
+       |  JOIN pr ON d.doc_id = pr.doc_id AND pr.keep
+       |), ex AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM q
+       |  GROUP BY md5(regexp_replace(lower(trim(text)), '${TextOps.WsRunRe}', ' ', 'g'))
+       |), k AS (
+       |  SELECT q.doc_id, q.source, q.text FROM q JOIN ex USING (doc_id)
+       |), cl AS (
+       |  ${DedupOps.clustersOracleFrom("k")}
+       |)""".stripMargin
+
+  /** The representative's own-content-hash split (train_test_split's
+    * salt and 10% cut) over alias `a`'s text column — shared by the two
+    * staged oracles' final rows. */
+  private def stagedSplitSql(a: String): String =
+    s"CASE WHEN substr(md5('graft' || regexp_replace(lower(trim($a.text)), " +
+      s"'${TextOps.WsRunRe}', ' ', 'g')), 1, 2) < '19' " +
+      "THEN 'test' ELSE 'train' END AS split"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -548,28 +582,45 @@ object SparkEntry {
     // the keeper frame `k` (DedupOps.clustersOracleFrom — one CTE
     // definition, re-scoped, never re-derived); the split is the
     // representative's own content hash, same salt+cut as
-    // train_test_split
+    // train_test_split. The chain and final row shape are shared
+    // VERBATIM with the staged-multimodal oracle below (stagedTextCtes /
+    // stagedSplitSql), which only re-roots the media closure on top.
     "curation_pipeline_staged" ->
-      s"""WITH mix AS (${TextOps.oracles("quality_mixer")}),
-         |pr AS (${TextOps.oracles("quality_prune_per_source")}),
-         |q AS (
-         |  SELECT d.doc_id, d.source, d.text FROM documents d
-         |  JOIN mix ON d.doc_id = mix.doc_id AND mix.keep
-         |  JOIN pr ON d.doc_id = pr.doc_id AND pr.keep
-         |), ex AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM q
-         |  GROUP BY md5(regexp_replace(lower(trim(text)), '${TextOps.WsRunRe}', ' ', 'g'))
-         |), k AS (
-         |  SELECT q.doc_id, q.source, q.text FROM q JOIN ex USING (doc_id)
-         |), cl AS (
-         |  ${DedupOps.clustersOracleFrom("k")}
-         |)
-         |SELECT k.doc_id, k.source,
-         |  CASE WHEN substr(md5('graft' || regexp_replace(lower(trim(k.text)), '${TextOps.WsRunRe}', ' ', 'g')), 1, 2) < '19'
-         |       THEN 'test' ELSE 'train' END AS split
+      s"""WITH $stagedTextCtes
+         |SELECT k.doc_id, k.source, ${stagedSplitSql("k")}
          |FROM cl JOIN k ON cl.doc_id = k.doc_id
          |WHERE cl.doc_id = cl.cluster_id
          |ORDER BY k.doc_id""".stripMargin,
+    // staged ACROSS modalities: the same staged text chain, its
+    // survivor frame `ts`, then the media clusters chain re-rooted at
+    // `ts` (JsonMediaOps.mediaClustersOracleFrom — one definition,
+    // re-scoped) and the largest-copy election among survivors only.
+    // ts/mcl are MATERIALIZED: ts embeds the whole staged chain (incl.
+    // its recursive closure) and is referenced 4×; un-materialized,
+    // DuckDB re-inlines it per reference and the sf1 replay spilled
+    // past 77 GB of temp before failing — materialized it passes
+    "curation_pipeline_staged_multimodal" ->
+      s"""WITH $stagedTextCtes,
+         |ts AS MATERIALIZED (
+         |  SELECT k.doc_id, k.source, k.text FROM cl
+         |  JOIN k ON cl.doc_id = k.doc_id
+         |  WHERE cl.doc_id = cl.cluster_id
+         |), mcl AS MATERIALIZED (
+         |  ${JsonMediaOps.mediaClustersOracleFrom("ts")}
+         |), nb AS (
+         |  SELECT doc_id, octet_length(encode(text))::BIGINT
+         |    + CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 54 ELSE 44 END
+         |    AS n_bytes
+         |  FROM ts
+         |), mk AS (
+         |  SELECT (ARRAY_AGG(c.doc_id ORDER BY nb.n_bytes DESC, c.doc_id))[1]
+         |    AS doc_id
+         |  FROM mcl c JOIN nb ON c.doc_id = nb.doc_id
+         |  GROUP BY c.cluster_id
+         |)
+         |SELECT ts.doc_id, ts.source, ${stagedSplitSql("ts")}
+         |FROM ts JOIN mk ON ts.doc_id = mk.doc_id
+         |ORDER BY ts.doc_id""".stripMargin,
     // the MULTIMODAL capstone reuses the text capstone's four component
     // CTEs verbatim PLUS the media_cluster_keepers oracle verbatim — one
     // more keeper join, same no-fork discipline

@@ -342,6 +342,44 @@ object JsonMediaOps {
       .orderBy("cluster_id")
   }
 
+  /** Media cluster keepers INDUCED on a survivor id frame — the media
+    * stage of the STAGED multimodal pipeline: the production-point band
+    * frame is semi-joined down to `ids` (per-doc rows, so the semi-join
+    * IS the induced frame and the session-cached corpus hash pass is
+    * reused), pairs and transitive closure run on survivors only, and
+    * the largest surviving blob wins each induced cluster (ties by min
+    * doc_id). A cluster whose global keeper was dropped upstream
+    * RE-ELECTS its largest surviving copy here — where the order-free
+    * composition drops the whole cluster's survivors; a cluster whose
+    * bridge blob fell upstream SPLITS, each side contributing its own
+    * keeper. Returns the keeper doc_ids. */
+  private[ext] def mediaClusterKeepersScoped(spark: SparkSession,
+      sfDir: String, ids: DataFrame): DataFrame = {
+    val banded = phashBandHiCache.getOrElseUpdate(spark, sfDir) {
+      DedupOps.hammingBands(phashFrame(spark, sfDir), "phash",
+        nBands = MediaBandsHi, cover = MediaBandCoverHi)
+    }.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = DedupOps.hammingBandNearDup(banded, "phash",
+      MediaHammingMaxHi, DedupOps.SimhashBandDfCap,
+      nBands = MediaBandsHi, cover = MediaBandCoverHi)
+    val comp = DedupOps.connectedComponents(
+      pairs.select(col("doc_a"), col("doc_b")))
+    val clusters = ids.select(col("doc_id"))
+      .join(comp.withColumnRenamed("doc_id", "cc_id"),
+        col("doc_id") === col("cc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(graft.functions.MediaFunctions
+        .synthMedia(col("doc_id"), col("text"))).cast("long").as("n_bytes"))
+      .join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_bytes").desc, col("doc_id").asc)
+    clusters.join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"))
+  }
+
   /** Cross-modal retrieval: IVF top-k over the media-derived vectors,
     * joined back to the decoded media metadata (the neighbor's format)
     * — the row that links the multimodal scan path to the vector
@@ -415,11 +453,11 @@ object JsonMediaOps {
     * The chain ends in `sh(doc_id, simhash)` — the exact shape
     * [[DedupOps.hammingPairsSql]] consumes, so the media near-dup
     * oracle reuses the banding replay verbatim. */
-  private def phashCteFor(wSql: String): String = {
+  private def phashCteFor(wSql: String, from: String = "documents"): String = {
     s"""WITH t AS (
       |  SELECT doc_id, text, octet_length(encode(text))::BIGINT AS n,
       |    $wSql AS w
-      |  FROM documents
+      |  FROM $from
       |), by AS (
       |  SELECT doc_id, n, w, unnest(range(n)) AS i FROM t
       |), sg AS (
@@ -430,7 +468,7 @@ object JsonMediaOps {
       |), grid AS (
       |  SELECT d.doc_id, g.seg,
       |    COALESCE(sg.s, 0)::BIGINT AS s, COALESCE(sg.c, 0)::BIGINT AS c
-      |  FROM (SELECT doc_id FROM documents) d
+      |  FROM (SELECT doc_id FROM $from) d
       |  CROSS JOIN (SELECT unnest(range(65)) AS seg) g
       |  LEFT JOIN sg ON sg.doc_id = d.doc_id AND sg.seg = g.seg
       |), bits AS (
@@ -462,30 +500,53 @@ object JsonMediaOps {
   private val phashDenseCte: String =
     phashCteFor("(octet_length(encode(text)) + 64) // 65")
 
-  /** Shared clusters CTE chain for the media cluster oracles: the phash
-    * replay (recursive), the production-point pair replay verbatim, the
-    * symmetric-closure `reach`, and `clusters(doc_id, cluster_id)`. */
-  private lazy val mediaClustersCte: String = (phashCte
-    .replaceFirst("WITH ", "WITH RECURSIVE ") +
-    DedupOps.hammingPairsCtes(nBands = MediaBandsHi,
-      cover = MediaBandCoverHi) +
-    s""", hp AS MATERIALIZED (
-       |${DedupOps.hammingPairsSelect(maxHamming = MediaHammingMaxHi,
-           nBands = MediaBandsHi, cover = MediaBandCoverHi)}
-       |), edges AS MATERIALIZED (
-       |  SELECT doc_a AS src, doc_b AS dst FROM hp
-       |  UNION ALL SELECT doc_b, doc_a FROM hp
-       |), reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-       |), clusters AS (
-       |  SELECT d.doc_id,
-       |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
-       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-       |  GROUP BY d.doc_id
-       |)
-       |""".stripMargin)
+  /** Shared clusters CTE chain for the media cluster oracles,
+    * parameterized by the source relation (the clustersCteFrom pattern —
+    * ONE definition, re-rooted, never re-derived): the phash replay
+    * (recursive) over `from`, the production-point pair replay verbatim,
+    * the symmetric-closure `reach`, and `clusters(doc_id, cluster_id)`
+    * labeling every `from` row. */
+  private def mediaClustersChainFor(from: String): String = {
+    val powers = (0 to 40).map(i => s"${1L << i}::BIGINT").mkString(", ")
+    (phashCteFor(
+      s"""(SELECT MIN(p) FROM (SELECT unnest([$powers]) AS p) pw
+         |     WHERE p * 65 >= octet_length(encode(text)))""".stripMargin,
+      from)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      DedupOps.hammingPairsCtes(nBands = MediaBandsHi,
+        cover = MediaBandCoverHi) +
+      s""", hp AS MATERIALIZED (
+         |${DedupOps.hammingPairsSelect(maxHamming = MediaHammingMaxHi,
+             nBands = MediaBandsHi, cover = MediaBandCoverHi)}
+         |), m_edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM hp
+         |  UNION ALL SELECT doc_b, doc_a FROM hp
+         |), m_reach AS (
+         |  SELECT src, dst FROM m_edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM m_reach r JOIN m_edges e ON r.dst = e.src
+         |), m_clusters AS (
+         |  SELECT d.doc_id,
+         |    LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS cluster_id
+         |  FROM $from d LEFT JOIN m_reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id
+         |)
+         |""".stripMargin)
+    // m_-prefixed closure names: DuckDB registers MATERIALIZED CTE names
+    // across sibling nested scopes, so an unprefixed `edges` here
+    // collides with the text dedup chain's MATERIALIZED `edges` when a
+    // composed oracle nests both (the staged-multimodal row)
+  }
+
+  private lazy val mediaClustersCte: String = mediaClustersChainFor("documents")
+
+  /** Complete clusters statement rooted at an outer CTE — nestable
+    * inside a `x AS (...)` definition (the DedupOps.clustersOracleFrom
+    * shape), for oracles that induce media clusters on a survivor
+    * frame. */
+  private[graft] def mediaClustersOracleFrom(from: String): String =
+    mediaClustersChainFor(from) +
+      "SELECT doc_id, cluster_id FROM m_clusters ORDER BY doc_id"
 
   val oracles: Map[String, String] = Map(
     "media_phash" -> (phashCte +
@@ -511,7 +572,7 @@ object JsonMediaOps {
     // (the dedup_clusters pattern): hp wraps hammingPairsSelect
     // verbatim, then recursive reach + min-label per component
     "media_dedup_clusters" -> (mediaClustersCte +
-      "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+      "SELECT doc_id, cluster_id FROM m_clusters ORDER BY doc_id"),
     // the keeper policy over the same clusters CTE: largest blob wins
     // (size predicted from the synthesis parameters — payload + per-
     // format container overhead, the media_meta contract), ties by min
@@ -528,7 +589,7 @@ object JsonMediaOps {
         |    AS keeper_doc_id,
         |  COUNT(*)::BIGINT AS n_members,
         |  MAX(nb.n_bytes) AS keeper_bytes
-        |FROM clusters c JOIN nb ON c.doc_id = nb.doc_id
+        |FROM m_clusters c JOIN nb ON c.doc_id = nb.doc_id
         |GROUP BY c.cluster_id ORDER BY c.cluster_id""".stripMargin),
     // EXACT cross-slice replay with zero banding machinery (the
     // decontam_neardup independence argument): pigeonhole recall plus

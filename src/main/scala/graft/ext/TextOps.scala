@@ -926,6 +926,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Keeper ids of the staged-multimodal media stage cached per
+    * (session, sfDir) — the media closure hangs off localCheckpoints
+    * (the clusterCache rationale) and the bench invokes the row twice. */
+  private val stagedMultimodalCache = new graft.SessionFrameCache[String]
+
+  /** STAGED MULTIMODAL curation pipeline — the production ordering run
+    * ACROSS modalities, completing the 2×2 the other three registered
+    * pipelines span (order-free/staged × text-only/multimodal): text
+    * quality → text dedup among survivors ([[curationPipelineStaged]]'s
+    * stages verbatim) → media dedup induced on what remains
+    * ([[JsonMediaOps.mediaClusterKeepersScoped]] — pairs, closure, and
+    * largest-copy election computed on SURVIVOR blobs only).
+    *
+    * Ordering is observable exactly where the text-staged row's is: a
+    * media cluster whose global largest-copy keeper fell to a text
+    * stage RE-ELECTS its largest surviving copy (the order-free
+    * multimodal row drops those survivors — on the harness corpus the
+    * staged row keeps the doc the order-free row loses to its
+    * text-duplicate bmp twin, because exact dedup removed that twin
+    * BEFORE the media stage voted), and a cluster whose bridge blob
+    * fell upstream SPLITS into per-side keepers. Output shape matches
+    * the other three pipelines (doc_id, source, split), so all four
+    * diff directly; staged-multimodal ⊆ staged-text by construction.
+    *
+    * Plan: the text stages are the session-cached staged build; the
+    * media stage semi-joins the session-cached corpus band frame down
+    * to survivors (the 50k-blob hash pass is shared, the induced join
+    * is survivor-sized) — at 100 TB the media stage costs
+    * survivor-scale, not corpus-scale, which is the operational point
+    * of staging: each stage's input shrinks before the next pays.
+    *
+    * The oracle re-roots the media clusters CTE chain at the staged
+    * survivor frame (one definition, re-scoped — the
+    * clustersOracleFrom discipline). */
+  def curationPipelineStagedMultimodal(spark: SparkSession, sfDir: String): DataFrame = {
+    val kept = stagedMultimodalCache.getOrElseUpdate(spark, sfDir) {
+      JsonMediaOps.mediaClusterKeepersScoped(spark, sfDir,
+        curationPipelineStaged(spark, sfDir).select(col("doc_id")))
+    }
+    curationPipelineStaged(spark, sfDir).join(kept, "doc_id").orderBy("doc_id")
+  }
+
   /** Per-source curation stats: the slice-and-dice pass before deciding
     * what to keep per provenance bucket. One hash aggregate; every
     * measure is an exact integer so the hash compare is drift-free. */

@@ -735,6 +735,48 @@ class ExtOpsSpec extends SparkSpec {
     mmBig.foreach { case (id, split) => assert(free(id) == split) }
   }
 
+  test("staged multimodal: a media cluster whose keeper fell to a text " +
+      "stage RE-ELECTS its surviving copy — ordering observable") {
+    // same construction as the order-free multimodal fixture: 300 (png)
+    // and 301 (bmp, larger container) share payload AND text; 302 is an
+    // unrelated wav singleton
+    def strideText(vocab: IndexedSeq[String]) = {
+      def stride(k: Int) = (0 until 20).map(i => vocab((i * k) % 20))
+      (stride(1) ++ stride(3) ++ stride(7)).mkString(" ")
+    }
+    val vocab = Vector("the", "and") ++ (1 to 18).map(i => f"word$i%02d")
+    val tA = strideText(vocab)
+    val tB = {
+      def stride(k: Int) = (0 until 20).map(i => vocab((i * k) % 20))
+      (stride(9) ++ stride(11) ++ stride(13)).mkString(" ")
+    }
+    val dir = docsFixtureSrc(Seq(
+      (300L, tA, "en", "s0"), (301L, tA, "en", "s1"), (302L, tB, "en", "s2")))
+    // STAGED: text exact-dedup removes the bmp twin 301 BEFORE the media
+    // stage votes, so 300's induced media cluster is the singleton {300}
+    // and 300 survives — where the order-free composition dropped it to
+    // the twin's larger blob (the multimodal fixture above)
+    val staged = TextOps.curationPipelineStagedMultimodal(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(staged == Set(300L, 302L), staged.toString)
+    val orderFree = TextOps.curationPipelineMultimodal(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(orderFree == Set(302L), orderFree.toString)
+    // harness corpus laws: staged-multimodal ⊆ staged-text with splits
+    // verbatim, and the drops are EXACTLY the staged survivors that are
+    // not their induced media cluster's keeper
+    val st = TextOps.curationPipelineStaged(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val stMm = TextOps.curationPipelineStagedMultimodal(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(stMm.keySet.subsetOf(st.keySet))
+    stMm.foreach { case (id, split) => assert(st(id) == split) }
+    import spark.implicits._
+    val inducedKeepers = JsonMediaOps.mediaClusterKeepersScoped(spark, sfDir,
+      st.keySet.toSeq.toDF("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(stMm.keySet == st.keySet.filter(inducedKeepers))
+  }
+
   test("quality mixer: per-rule verdicts, first-fail precedence, planted failures") {
     // doc A: 20-token vocabulary walked in three different stride orders —
     // 60 tokens, every bigram distinct (dup ratio 0), each token 3/60
