@@ -147,7 +147,10 @@ object ScaleProbe {
     "media_phash_dense", "media_near_dup_dense",
     // r12: staged across modalities — cold pays the staged text build
     // plus the survivor-scoped media stage; should track the staged row
-    "curation_pipeline_staged_multimodal")
+    "curation_pipeline_staged_multimodal",
+    // r12: reverse-image search — broadcast queries over one corpus
+    // scan, salted top-k; should stay ≈ linear
+    "media_hamming_knn")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

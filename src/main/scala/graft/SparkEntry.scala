@@ -320,6 +320,9 @@ object SparkEntry {
     // point the quantized hash's constant-zero tail forbids
     "media_phash_dense"    -> (JsonMediaOps.mediaPhashDense(_, _)),
     "media_near_dup_dense" -> (JsonMediaOps.mediaNearDupDense(_, _)),
+    // reverse-image search: exact Hamming top-k per query blob over the
+    // dense hash — the retrieval sibling of the near-dup relation rows
+    "media_hamming_knn"    -> (JsonMediaOps.mediaHammingKnn(_, _)),
     // pairs -> transitive clusters, keeper = min id (the image-dedup
     // keeper stage; media analog of dedup_clusters)
     "media_dedup_clusters" -> (JsonMediaOps.mediaDedupClusters(_, _)),

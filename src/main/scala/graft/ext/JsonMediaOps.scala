@@ -342,6 +342,52 @@ object JsonMediaOps {
       .orderBy("cluster_id")
   }
 
+  /** Query count / k for [[mediaHammingKnn]], shared with the oracle. */
+  val MediaKnnQueries = 10
+  val MediaKnnK = 5
+
+  /** REVERSE-IMAGE SEARCH — exact Hamming top-k over the dense
+    * perceptual hash ([[mediaPhashDense]]): for each query blob (the
+    * first [[MediaKnnQueries]] docs, the family's query convention),
+    * the k nearest corpus blobs by Hamming distance, ties by doc_id.
+    * The retrieval sibling of the near-dup RELATION rows: near-dup
+    * answers "which pairs are within r", this answers "what is most
+    * similar to THIS blob" with no radius to tune — the query shape
+    * image-dedup tooling and dataset-inspection UIs actually issue.
+    * Uses the DENSE grid deliberately: top-k ranking reads the whole
+    * 64-bit distance spectrum, where the quantized hash's constant-zero
+    * tail would compress unrelated docs into spurious low distances
+    * (the measured 22× chance-mass gap — PERF.md r12).
+    *
+    * Plan: the query hashes broadcast (a fixed handful of rows); the
+    * corpus side is ONE codegen'd scan (synth + dhash + bit_count per
+    * query — no blob past the scan, no corpus shuffle); the salted
+    * two-phase top-k bounds the exchange at salts·k rows per query
+    * (the bruteTopk shape). Exact and integer-valued, so the oracle
+    * replays rank AND distance bit-for-bit. */
+  def mediaHammingKnn(spark: SparkSession, sfDir: String,
+      nQueries: Int = MediaKnnQueries, k: Int = MediaKnnK): DataFrame = {
+    val h = phashDenseFrame(spark, sfDir)
+    val q = h.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("phash").as("q_hash"))
+    val scored = h.join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        bit_count(col("phash").bitwiseXOR(col("q_hash")))
+          .cast("long").as("hamming"))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("salt", pmod(col("neighbor_id"), lit(32)))
+      .withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("hamming"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Media cluster keepers INDUCED on a survivor id frame — the media
     * stage of the STAGED multimodal pipeline: the production-point band
     * frame is semi-joined down to `ids` (per-doc rows, so the semi-join
@@ -568,6 +614,21 @@ object JsonMediaOps {
     "media_near_dup_dense" -> (phashDenseCte +
       DedupOps.hammingPairsSql(maxHamming = MediaHammingMaxDense,
         nBands = MediaBandsDense, cover = MediaBandCoverDense)),
+    // reverse-image search: exact cross join + ROW_NUMBER over the same
+    // dense-hash replay — rank AND integer distance both hash-checked
+    "media_hamming_knn" -> (phashDenseCte +
+      s""", qh AS (
+         |  SELECT doc_id AS query_id, simhash AS q FROM sh
+         |  WHERE doc_id < $MediaKnnQueries
+         |)
+         |SELECT query_id, rank, neighbor_id, hamming FROM (
+         |  SELECT qh.query_id, s.doc_id AS neighbor_id,
+         |    bit_count(xor(s.simhash, qh.q))::BIGINT AS hamming,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY qh.query_id
+         |      ORDER BY bit_count(xor(s.simhash, qh.q)), s.doc_id) AS BIGINT)
+         |      AS rank
+         |  FROM sh s JOIN qh ON s.doc_id <> qh.query_id) t
+         |WHERE rank <= $MediaKnnK ORDER BY query_id, rank""".stripMargin),
     // transitive closure over the SAME production-regime pair replay
     // (the dedup_clusters pattern): hp wraps hammingPairsSelect
     // verbatim, then recursive reach + min-label per component

@@ -655,6 +655,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("media Hamming kNN: exact copy ranks first at distance 0, edited " +
+      "copy next; harness ranks consecutive with non-decreasing distance") {
+    val rnd = new scala.util.Random(23)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val base = randText(400)
+    val dir = docsFixture(Seq(
+      (0L, base, "en"),            // query (doc_id < MediaKnnQueries), png
+      (1L, base, "en"),            // bmp — same payload: Hamming 0
+      (2L, base + " dup", "en"),   // wav — trailing append, small distance
+      (3L, randText(350), "en")))  // unrelated
+    val knn = JsonMediaOps.mediaHammingKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(knn((0L, 1L)) == (1L, 0L), knn.toString) // exact copy first, d=0
+    val (n2, d2) = knn((0L, 2L))
+    assert(n2 == 2L && d2 <= 2L, knn.toString)      // edited copy second
+    // harness corpus: 10 queries × k ranks, consecutive, never self,
+    // distance non-decreasing in rank per query
+    val rows = JsonMediaOps.mediaHammingKnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == JsonMediaOps.MediaKnnQueries * JsonMediaOps.MediaKnnK)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to JsonMediaOps.MediaKnnK).toSeq)
+      assert(sorted.forall(_._3 != q))
+      val ds = sorted.map(_._4).toSeq
+      assert(ds == ds.sorted, s"query $q distances not monotone: $ds")
+    }
+  }
+
   test("staged curation: strict superset of order-free, splits agree, " +
       "extras are re-elections or splits") {
     // containment law: an order-free survivor passes quality, is its
