@@ -1176,6 +1176,30 @@ object StreamingOps {
     runMinhashDedupStream(graft.ext.TextOps.gopherPrefilter(docs),
       statePath, keptPath, checkpointDir, threshold)
 
+  /** GATED MULTIMODAL ingest — the streaming face of the staged
+    * multimodal pipeline's first two stages: a (doc_id, text, blob)
+    * stream where the Gopher TEXT gate runs AHEAD of the media-dedup
+    * sink, so junk documents' blobs never pay dHash computation,
+    * banding, or state I/O. The gate is the SAME annotated-frame code
+    * path as the oracle-checked batch gopher_filter row
+    * ([[graft.ext.TextOps.gopherPrefilter]] — stream and batch cannot
+    * fork on rule semantics) and is stateless, so the plan stays
+    * stateless ahead of the sink and crash replays refilter the same
+    * batch content deterministically; the sink is
+    * [[runMediaDedupStream]]'s processor verbatim over the surviving
+    * (doc_id, blob) rows — the exactly-once argument is untouched. */
+  def runFilteredMediaDedupStream(
+      docs: DataFrame,
+      statePath: String,
+      keptPath: String,
+      checkpointDir: String,
+      maxHamming: Int = graft.ext.JsonMediaOps.MediaHammingMaxHi)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    runMediaDedupStream(
+      graft.ext.TextOps.gopherPrefilter(docs)
+        .select(col("doc_id"), col("blob")),
+      statePath, keptPath, checkpointDir, maxHamming)
+
   /** Release a processor's state blocks when its query terminates — a
     * session that stops/restarts the stream (redeploy loop, the restart
     * tests) would otherwise strand the full keyed state per stopped

@@ -364,6 +364,56 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gated multimodal ingest: text gate drops junk blobs before the " +
+      "media sink; cross-container media near-dups still deduped") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = (Vector("the", "and") ++ (1 to 18).map(i => f"word$i%02d"))
+    def walk(ks: Seq[Int]) =
+      ks.flatMap(k => (0 until 20).map(i => vocab((i * k) % 20))).mkString(" ")
+    val good = walk(Seq(1, 3, 7))
+    val otherGood = walk(Seq(9, 11, 13)) // same vocab, disjoint strides:
+                                         // quality-passing, media-unrelated
+    val junk = "tiny doc here"           // fails the 50-word floor
+    def blob(id: Long, text: String): Array[Byte] =
+      graft.functions.MediaBytes.synth(id, UTF8String.fromString(text))
+    val out = tmpDir("fmediastream")
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val q = StreamingOps.runFilteredMediaDedupStream(
+      input.toDS().toDF("doc_id", "text", "blob"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    try {
+      // batch 1: 301 (bmp) carries the SAME payload as 300 (png) — an
+      // in-batch cross-container media dup, loses to 300; 302's junk
+      // text is gated out BEFORE the sink (blob never hashed or stated)
+      input.addData((300L, good, blob(300L, good)),
+        (301L, good, blob(301L, good)), (302L, junk, blob(302L, junk)))
+      q.processAllAvailable()
+      // batch 2: 303 carries KEPT 300's payload again (cross-batch
+      // media dup — dropped via the band state); 304 is novel and kept
+      input.addData((303L, good, blob(303L, good)),
+        (304L, otherGood, blob(304L, otherGood)))
+      q.processAllAvailable()
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(300L, 304L), kept.toString)
+      // the junk doc left no trace in the band state: a byte-identical
+      // payload resent with GOOD text must be judged on its own (novel
+      // — nothing with the junk payload was ever admitted to state)...
+      input.addData((305L, good + " tail tokens here now", blob(305L, junk)))
+      q.processAllAvailable()
+      val kept2 = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(300L, 304L, 305L), kept2.toString)
+      // ...and junk text is still gated regardless of its blob
+      input.addData((306L, junk, blob(306L, junk)))
+      q.processAllAvailable()
+      val kept3 = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept3 == Set(300L, 304L, 305L), kept3.toString)
+    } finally q.stop()
+  }
+
   test("streaming embedding ingest dedup drops vector near-dups across batches") {
     implicit val sqlCtx = spark.sqlContext
     // unit-direction fixtures in 8 dims: v2 = scaled v1 (cosine 1.0),
