@@ -36,6 +36,37 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
 
+  /** 1-minute system load average (-1.0 where the platform hides it) —
+    * sampled at bench start and end so a contended run is visible in
+    * the artifact itself instead of re-litigated from PERF.md narrative
+    * every round (the r10/r11/r12 adjudication tax). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** MACHINE-EPOCH probe: a fixed, registry-independent CPU workload
+    * (xxhash64 folded over a 200M range, 32 fixed slices) timed in the
+    * same session as the bench — the r11 controlled-A/B trick made a
+    * permanent part of the artifact. Two runs of the SAME code on the
+    * same data whose probe times differ by the same factor as their
+    * totals are the same plan on a different machine epoch; a total
+    * that moves while the probe holds is a real regression. min of 3
+    * in-session repeats (same robustness argument as the per-query
+    * min). Comparable only between runs with equal `cpus` — recorded
+    * alongside. */
+  private def epochProbeSecs(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, expr, xxhash64}
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .select(xxhash64(col("id")).as("h"))
+        // xor fold: order-free and can never overflow (a SUM of full-
+        // range hashes trips ANSI long-overflow within one partition)
+        .agg(expr("bit_xor(h)")).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
   private def storageMb(spark: SparkSession): Long =
     spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1024 * 1024)
 
@@ -60,6 +91,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadAvg
+    val probeStart = epochProbeSecs(spark)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warm-up pass (disable with SPARK_GRAFT_WARMUP=0): the first run of
     // each query pays 0.5-2 s of one-time JVM/codegen/scan-setup cost at
@@ -133,11 +166,30 @@ object Bench {
         else s""","errors":${errs.map(jstr).mkString("[", ",", "]")}"""
       s""""$name":{"gc_ms":$gc,"cached_mb":$mb,"runs":$all$errField}"""
     }.mkString("{", ",", "}")
+    // end-of-run machine context: the probe repeats AFTER the timed
+    // passes so a mid-run epoch shift (another tenant landing) shows as
+    // start/end probe divergence inside one artifact
+    val probeEnd = epochProbeSecs(spark)
+    val loadEnd = loadAvg
+    val machine =
+      s""""cpus":$cpus,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"epoch_probe_secs_start":$probeStart,"epoch_probe_secs_end":$probeEnd"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"queries":$qs,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")},"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,"telemetry":$telemetry}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"queries":$qs,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")},"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,$machine,"telemetry":$telemetry}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try Files.writeString(Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // dated side copy: the driver run overwrites bench_out.json, which
+    // cost r10 and r12 their in-round per-query snapshots — every run
+    // also lands under bench_runs/ with a UTC timestamp, so any two runs
+    // remain diffable after the fact
+    try {
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
+        .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+      val dir = Paths.get(out).toAbsolutePath.getParent.resolve("bench_runs")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(s"bench_$ts.json"), full + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dated copy failed: $e") }
     spark.stop()
     // the driver greps stdout's tail for this line — it must be LAST
     println(compact)

@@ -150,7 +150,16 @@ object ScaleProbe {
     "curation_pipeline_staged_multimodal",
     // r12: reverse-image search — broadcast queries over one corpus
     // scan, salted top-k; should stay ≈ linear
-    "media_hamming_knn")
+    "media_hamming_knn",
+    // r13: semantic decontam. NOTE the expected band: the exact row is
+    // one corpus scan × the broadcast bench slice, and the HARNESS
+    // bench slice grows with sf (vec_id % 29), so pair volume — and
+    // the ratio — carries a quadratic-in-sf component BY CONSTRUCTION
+    // (sf0.1→sf1 is 133k→13.3M pairs). A real eval set is fixed-size,
+    // where the same plan is exactly linear in the corpus; the _ann
+    // row prunes candidates to the probed lists (nprobe/L of the
+    // corpus per bench item) and should sit well below the exact row
+    "decontam_semantic", "decontam_semantic_ann")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -217,6 +217,13 @@ object SparkEntry {
     // fuzzy decontamination: near-dup (not just verbatim) overlap between
     // corpus and the eval slice — banded candidates, exact-verified
     "decontam_neardup" -> (DedupOps.decontamNearDup(_, _)),
+    // SEMANTIC decontamination: corpus docs whose EMBEDDING is within
+    // cosine theta of a benchmark item — the paraphrase-contamination
+    // modality n-gram and near-dup decontam miss by construction.
+    // Exact-integer milli-cosine against the broadcast eval slice;
+    // the _ann sibling prunes candidates via deterministic IVF probes
+    "decontam_semantic"     -> (SimilarityOps.decontamSemantic(_, _)),
+    "decontam_semantic_ann" -> (SimilarityOps.decontamSemanticAnn(_, _)),
     // integer-deterministic PageRank over the near-dup graph (generated
     // iteration-by-iteration oracle replay)
     "pagerank_near_dup" -> (DedupOps.pagerankNearDup(_, _)),

@@ -63,11 +63,15 @@ object StreamBench {
     // roll-up, state snapshot, and output range compaction end to end.
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "5").toInt
 
-    val allStreams = Seq("taxi", "minhash", "filtered", "emb", "media")
+    val allStreams = Seq("taxi", "minhash", "filtered", "emb", "media",
+      "mediafiltered")
     val only: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_ONLY") match {
       case None => allStreams.toSet
       case Some(s) =>
         val names = s.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        require(names.nonEmpty,
+          "SPARK_GRAFT_STREAM_ONLY is set but selects no stream — an empty " +
+            "selection would emit a malformed, all-skipped bench record")
         val unknown = names -- allStreams
         require(unknown.isEmpty, s"unknown stream names: ${unknown.mkString(", ")}")
         names
@@ -228,8 +232,11 @@ object StreamBench {
       val blobBatch = math.max(1, blobs.length / nBatches)
       val groups = blobs.grouped(blobBatch).toSeq
       // quartile sample points over the batch sequence (always includes
-      // the final batch): the mid-run growth record
-      val marks = Set(1, 2, 3, 4).map(q => groups.size * q / 4).filter(_ > 0)
+      // the final batch): the mid-run growth record. ceil, not integer
+      // division — with 5 batches the marks are 2/3/4/5 (40/60/80/100%),
+      // the closest-from-above quartiles, never a skipped 75% point
+      val marks = Set(1, 2, 3, 4)
+        .map(q => math.ceil(groups.size * q / 4.0).toInt).filter(_ > 0)
       val samples = scala.collection.mutable.ListBuffer.empty[String]
       val t3 = System.nanoTime()
       try {
@@ -251,6 +258,37 @@ object StreamBench {
       val mediaKept = StreamingOps.committedKept(spark, s"$mediaOut/kept").count()
       dirStats("media_kept", s"$mediaOut/kept")
       fields += s""""media_blobs":${blobs.length},"media_secs":$mediaSecs,"media_blobs_per_s":$mediaRate,"media_kept":$mediaKept,"media_batches":${groups.size},"media_growth":[${samples.mkString(",")}]"""
+    }
+
+    // ---- Gopher-gated media ingest (filter-then-media-dedup) -----------
+    // same blob corpus and batch split as the ungated media loop: the
+    // delta is the text gate's cost minus the dHash/banding/state work
+    // the gated-out docs' blobs never pay (the `filtered` vs `minhash`
+    // text-gate protocol, applied verbatim to the multimodal stream)
+    if (only("mediafiltered")) {
+      val rows = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"),
+          graft.functions.MediaFunctions.synthMedia(col("doc_id"), col("text"))
+            .as("blob"))
+        .as[(Long, String, Array[Byte])].collect()
+      val mfOut = tmp("streambench_mediafilt")
+      val mfIn = MemoryStream[(Long, String, Array[Byte])]
+      val mfQ = StreamingOps.runFilteredMediaDedupStream(
+        mfIn.toDS().toDF("doc_id", "text", "blob"),
+        s"$mfOut/state", s"$mfOut/kept", s"$mfOut/ckpt")
+      val mfBatch = math.max(1, rows.length / nBatches)
+      val t4 = System.nanoTime()
+      try {
+        rows.grouped(mfBatch).foreach { chunk =>
+          mfIn.addData(chunk.toIndexedSeq)
+          mfQ.processAllAvailable()
+        }
+      } finally mfQ.stop()
+      val mfSecs = (System.nanoTime() - t4) / 1e9
+      val mfRate = rows.length / mfSecs
+      val mfKept = StreamingOps.committedKept(spark, s"$mfOut/kept").count()
+      dirStats("mediafiltered_kept", s"$mfOut/kept")
+      fields += s""""mediafiltered_blobs":${rows.length},"mediafiltered_secs":$mfSecs,"mediafiltered_blobs_per_s":$mfRate,"mediafiltered_kept":$mfKept"""
     }
 
     val line =

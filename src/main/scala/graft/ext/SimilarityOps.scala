@@ -798,6 +798,125 @@ object SimilarityOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Semantic-decontamination threshold in milli-cosine units: a corpus
+    * doc is flagged when its embedding's cosine against ANY benchmark
+    * item floors to >= this value. 0.400 sits well above the random-pair
+    * background for 64-dim vectors (sigma = 1/sqrt(dim) = 0.125, so 3.2
+    * sigma) while catching the paraphrase-level pairs n-gram decontam
+    * misses — measured 6 hits at sf0.01, 58 at sf0.1 on the harness
+    * cross-slice distribution. Shared with both oracles. */
+  val SemDecontamThetaMilli = 400L
+
+  /** Probe depth for [[decontamSemanticAnn]] — the [[ivfTopk]] nprobe
+    * convention. */
+  val SemDecontamNprobe = 3
+
+  /** Quantized embedding frame with HOISTED norms for the semantic
+    * decontam family: (vec_id, lbl, qd, nrm) where qd is the 1e-6-grid
+    * integer vector as doubles (every coordinate < 2^20 — exact), and
+    * nrm = sqrt(dot(qd, qd)) computed ONCE per row (dot < 2^46 — an
+    * exact integer-valued double; sqrt is correctly rounded on every
+    * IEEE engine). Downstream pair scores are then dot / (nrm_a * nrm_b)
+    * — integer-exact numerator, deterministic denominator — so the
+    * flagged set and the emitted milli-scores are bit-identical between
+    * Spark and the DuckDB replay, with no threshold-margin argument
+    * needed (the [[listCentroids]] exact-integer contract, applied to a
+    * THRESHOLD instead of a ranking). Zero vectors (cosine undefined)
+    * are dropped on both sides via the n2 > 0 guard. */
+  private def semDecontamFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("lbl"),
+        transform(col("embedding"), x => q6col(x).cast("double")).as("qd"))
+      .withColumn("n2", fdot(col("qd"), col("qd")))
+      .filter(col("n2") > 0)
+      .select(col("vec_id"), col("lbl"), col("qd"), sqrt(col("n2")).as("nrm"))
+
+  /** The exact-integer milli-cosine of the decontam family: floor of
+    * dot/(nrm_a·nrm_b)·1000 — the SAME expression shape the oracle
+    * replays (division first, then the 1000 scale, then floor). */
+  private def cosMilli(aQd: Column, aNrm: Column,
+      bQd: Column, bNrm: Column): Column =
+    floor(fdot(aQd, bQd) / (aNrm * bNrm) * lit(1000.0)).as("cos_milli")
+
+  /** SEMANTIC (embedding-space) benchmark decontamination — the
+    * modality the n-gram family is blind to by construction: a
+    * paraphrased eval item shares no token 4-gram with its source
+    * ([[TextOps.decontamNgram]] misses it) and its perceptual hash is
+    * unrelated ([[JsonMediaOps.mediaDecontam]] misses it), but its
+    * EMBEDDING sits within cosine theta of the benchmark vector. Flags
+    * every (corpus doc, benchmark item) pair with floored milli-cosine
+    * >= [[SemDecontamThetaMilli]], using the same
+    * doc_id % [[DedupOps.DecontamBenchMod]] == 0 eval-slice convention
+    * as the rest of the decontam family.
+    *
+    * Plan — the [[JsonMediaOps.mediaDecontam]] shape in vector space:
+    * the benchmark slice BROADCASTS (eval sets are broadcast-sized BY
+    * DEFINITION — that asymmetry is the whole design), the corpus is
+    * ONE scan with quantization and norm hoisted per row, and scoring
+    * streams through the codegen'd [[graft.functions.VecDot]] loop with
+    * zero corpus-side exchanges (PlanAuditSpec gates this). The
+    * broadcast join is deliberately non-equi (every corpus row scores
+    * every bench item — linear in corpus × bench, the brute-decontam
+    * cost every eval-integrity pipeline pays when it wants exact
+    * recall); [[decontamSemanticAnn]] is the probed-IVF sibling that
+    * prunes candidates by list when the bench set grows. */
+  def decontamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = semDecontamFrame(spark, sfDir)
+    val m = DedupOps.DecontamBenchMod
+    val bench = f.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("bench_vec_id"), col("qd").as("b_qd"),
+        col("nrm").as("b_nrm"))
+    f.filter(col("vec_id") % m =!= 0)
+      .join(broadcast(bench), lit(true))
+      .select(col("vec_id").as("doc_id"), col("bench_vec_id"),
+        cosMilli(col("qd"), col("nrm"), col("b_qd"), col("b_nrm")))
+      .filter(col("cos_milli") >= SemDecontamThetaMilli)
+      .orderBy("doc_id", "bench_vec_id")
+  }
+
+  /** [[decontamSemantic]] over PROBED-IVF candidates — the 100 TB shape
+    * when the benchmark itself is too large for every corpus row to
+    * score every item: each benchmark vector probes its
+    * [[SemDecontamNprobe]] closest coarse lists (the corpus `label`
+    * lists, ranked by the exact-integer centroid cosine — the
+    * [[ivfTopk]] deterministic-probe contract, so probe choice and
+    * therefore the candidate set replay in the oracle), and only corpus
+    * rows in probed lists are scored, with the SAME exact-integer
+    * milli-cosine as the exact sibling. Candidates come from a KEYED
+    * equi-join on the list id with the (bench × nprobe)-row probe frame
+    * broadcast — the corpus never shuffles and per-bench-item work
+    * drops from n to nprobe·n/L (k-means lists at scale: L ~ sqrt(n)).
+    * Approximate in WHICH pairs are seen (a contaminated doc in an
+    * unprobed list is missed — recall vs [[decontamSemantic]] is
+    * test-asserted); exact in every emitted score. */
+  def decontamSemanticAnn(spark: SparkSession, sfDir: String,
+      nprobe: Int = SemDecontamNprobe): DataFrame = {
+    val f = semDecontamFrame(spark, sfDir)
+    val m = DedupOps.DecontamBenchMod
+    val bench = f.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("bench_vec_id"), col("qd").as("b_qd"),
+        col("nrm").as("b_nrm"))
+    // probe ranking: bench × L centroid rows — tiny at any scale (the
+    // pscore shape of annCandidates, restricted to the bench slice)
+    val wProbe = Window.partitionBy(col("bench_vec_id"))
+      .orderBy(col("c_cos").desc, col("c_label").asc)
+    val probes = bench
+      .join(broadcast(listCentroids(Tables.embeddings(spark, sfDir))), lit(true))
+      .select(col("bench_vec_id"), col("b_qd"), col("b_nrm"), col("c_label"),
+        cosine(col("b_qd"), col("centroid")).as("c_cos"))
+      .filter(!isnan(col("c_cos")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("bench_vec_id"), col("b_qd"), col("b_nrm"),
+        col("c_label").cast("long").as("p_label"))
+    f.filter(col("vec_id") % m =!= 0)
+      .join(broadcast(probes), col("lbl") === col("p_label"))
+      .select(col("vec_id").as("doc_id"), col("bench_vec_id"),
+        cosMilli(col("qd"), col("nrm"), col("b_qd"), col("b_nrm")))
+      .filter(col("cos_milli") >= SemDecontamThetaMilli)
+      .orderBy("doc_id", "bench_vec_id")
+  }
+
   /** Int8-quantized exact-rerank-free ANN: per-vector symmetric scalar
     * quantization (scale = max|x|/127, elements rounded to int8 — 4× the
     * vectors per byte of executor memory / shuffle / cache, which at
@@ -1846,6 +1965,20 @@ object SimilarityOps {
       |  FROM comp GROUP BY label
       |)""".stripMargin
 
+  /** WITH-body for the semantic-decontam oracles: the 1e-6-grid
+    * quantized vectors plus the HOISTED sqrt norm — the SQL twin of
+    * [[semDecontamFrame]], including its n2 > 0 zero-vector guard. */
+  private val SemDecontamQnCtes =
+    """qf AS (
+      |  SELECT vec_id, label,
+      |    [CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding] AS qv
+      |  FROM embeddings
+      |), qn AS (
+      |  SELECT vec_id, label, qv,
+      |    sqrt(CAST(list_sum([x*x for x in qv]) AS DOUBLE)) AS nrm
+      |  FROM qf WHERE list_sum([x*x for x in qv]) > 0
+      |)""".stripMargin
+
   /** WITH-prefix for the ANN-kNN oracles: full-corpus probe choice
     * (exact-integer, NaN-guarded like the heap aggregate) → probed-list
     * candidate scoring → per-query rank ≤ k. `labelFilter` restricts
@@ -2152,5 +2285,52 @@ object SimilarityOps {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // semantic decontam: literal replay of the quantize-hoist-score
+    // arithmetic (semDecontamFrame scaladoc) — integer dot cast to
+    // double, hoisted sqrt norms, division-then-scale-then-floor in the
+    // same expression shape, so scores are bit-identical by construction
+    "decontam_semantic" ->
+      s"""WITH $SemDecontamQnCtes
+         |SELECT doc_id, bench_vec_id, cos_milli FROM (
+         |  SELECT c.vec_id AS doc_id, b.vec_id AS bench_vec_id,
+         |    CAST(floor(CAST(list_sum([c.qv[i] * b.qv[i]
+         |        for i in range(1, len(c.qv)+1)]) AS DOUBLE)
+         |      / (c.nrm * b.nrm) * 1000) AS BIGINT) AS cos_milli
+         |  FROM qn c JOIN qn b
+         |    ON c.vec_id % ${DedupOps.DecontamBenchMod} <> 0
+         |   AND b.vec_id % ${DedupOps.DecontamBenchMod} = 0) t
+         |WHERE cos_milli >= $SemDecontamThetaMilli
+         |ORDER BY doc_id, bench_vec_id""".stripMargin,
+    // probed-IVF sibling: probe choice replayed by the shared CentCtes +
+    // the pscore idiom restricted to the bench slice, then the exact
+    // milli-cosine on (probed list x bench) candidates only
+    "decontam_semantic_ann" ->
+      s"""WITH $CentCtes, $SemDecontamQnCtes, pscoreb AS (
+         |  SELECT b.vec_id AS bench_vec_id, c.label,
+         |    CAST(list_sum([b.qv[i] * c.cc[i]
+         |        for i in range(1, len(b.qv)+1)]) AS DOUBLE)
+         |      / (b.nrm * sqrt(CAST(list_sum([x*x for x in c.cc]) AS DOUBLE)))
+         |      AS pcos
+         |  FROM qn b, cent c
+         |  WHERE b.vec_id % ${DedupOps.DecontamBenchMod} = 0
+         |), bprobe AS (
+         |  SELECT bench_vec_id, label FROM (
+         |    SELECT bench_vec_id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY bench_vec_id
+         |        ORDER BY pcos DESC, label ASC) AS probe_rank
+         |    FROM pscoreb WHERE NOT isnan(pcos)) t
+         |  WHERE probe_rank <= $SemDecontamNprobe
+         |)
+         |SELECT doc_id, bench_vec_id, cos_milli FROM (
+         |  SELECT c.vec_id AS doc_id, p.bench_vec_id,
+         |    CAST(floor(CAST(list_sum([c.qv[i] * b.qv[i]
+         |        for i in range(1, len(c.qv)+1)]) AS DOUBLE)
+         |      / (c.nrm * b.nrm) * 1000) AS BIGINT) AS cos_milli
+         |  FROM bprobe p
+         |  JOIN qn c ON c.label = p.label
+         |   AND c.vec_id % ${DedupOps.DecontamBenchMod} <> 0
+         |  JOIN qn b ON b.vec_id = p.bench_vec_id) t
+         |WHERE cos_milli >= $SemDecontamThetaMilli
+         |ORDER BY doc_id, bench_vec_id""".stripMargin,
   )
 }

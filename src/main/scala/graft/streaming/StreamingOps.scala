@@ -385,6 +385,20 @@ object StreamingOps {
           (committed.epochs + 0L).max + 1
         }
         fs.mkdirs(p.getParent)
+        // reap STALE orphans first: a crash between create and rename
+        // leaves a UUID-named tmp behind FOREVER (the fixed-name scheme
+        // this replaced was self-overwriting). Only tmps older than a
+        // minute are reaped — a LIVE concurrent resolver's
+        // create-to-rename window is milliseconds, so reaping its
+        // in-flight tmp (which would fail its rename while the epoch
+        // file is still unpublished) is excluded by construction
+        try {
+          val cutoff = System.currentTimeMillis() - 60000L
+          fs.listStatus(p.getParent)
+            .filter(s => s.getPath.getName.startsWith(".tmp_graft_epoch_") &&
+              s.getModificationTime < cutoff)
+            .foreach(s => fs.delete(s.getPath, false))
+        } catch { case _: java.io.IOException => () } // reap is best-effort
         // per-attempt unique tmp name: two concurrent resolvers of the
         // same checkpoint must not interleave create/write on one shared
         // tmp file, or the rename could still publish torn content the

@@ -308,6 +308,34 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 3, p)
   }
 
+  test("semantic decontam: bench side broadcasts, corpus never shuffles; " +
+      "ANN candidates come from a KEYED list join") {
+    // EXACT: one corpus scan -> BroadcastNestedLoopJoin against the
+    // broadcast bench slice (non-equi threshold predicate — the
+    // mediaHammingKnn brute-scoring contract: linear in corpus × bench,
+    // the bench side broadcast-sized BY DEFINITION). The ONLY exchanges
+    // allowed are the bench BroadcastExchange and the output-order range
+    // partitioning — zero corpus-side hash shuffles.
+    val pe = plan(SimilarityOps.decontamSemantic(spark, sfDir))
+    assert(!pe.contains("CartesianProduct"), pe)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pe).length == 1, pe)
+    assert(!pe.contains("Exchange hashpartitioning"),
+      s"corpus-side shuffle in exact semantic decontam:\n$pe")
+    // ANN: the candidate join must be a KEYED BroadcastHashJoin on the
+    // list id with the threshold as residual — the corpus side still
+    // never hash-shuffles (the only hash exchanges are the bench probe
+    // window and the centroid aggregate, both bench/L-sized)
+    val pa = plan(SimilarityOps.decontamSemanticAnn(spark, sfDir))
+    assert(!pa.contains("CartesianProduct"), pa)
+    val candJoin = pa.split("\n").find(l =>
+      l.contains("BroadcastHashJoin") && l.contains("p_label"))
+    assert(candJoin.isDefined, pa)
+    assert(candJoin.get.contains("FLOOR"),
+      s"threshold not residual on the keyed join:\n${candJoin.get}")
+    // probe scoring over L centroids is the one expected nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pa).length == 1, pa)
+  }
+
   test("decontamination broadcasts the benchmark side; vocab top-k heaps") {
     val pd = plan(graft.ext.TextOps.decontamNgram(spark, sfDir))
     assert(pd.contains("BroadcastHashJoin"), pd) // eval sets are small by definition

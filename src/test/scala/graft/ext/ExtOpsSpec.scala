@@ -866,6 +866,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(big.forall(_.getDouble(2) >= 0.6))
   }
 
+  test("semantic decontam: a PARAPHRASE pair n-gram decontam misses is caught; " +
+      "the probed-IVF sibling agrees on planted geometry") {
+    import spark.implicits._
+    // one fixture dir serving BOTH families: doc 2900 is in the bench
+    // slice of decontam_ngram (% 100 == 0) AND decontam_semantic (% 29
+    // == 0); 2901 is a paraphrase — ZERO shared words with the bench doc
+    // (so no 4-gram overlap, by construction), but a near-identical
+    // embedding; 2902 is unrelated in both modalities
+    val dir = tmpDir("semdecon")
+    Seq(
+      (2900L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2901L, "a speedy russet vulpine leaped across one sleepy hound", "en"),
+      (2902L, "unrelated words entirely different topic here now", "en"))
+      .toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    Seq((2900L, v(1f, 0f), 0), (2901L, v(0.99f, 0.14f), 0),
+        (2902L, v(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // n-gram decontam is BLIND to the paraphrase (no shared gram at all)
+    assert(TextOps.decontamNgram(spark, dir).collect().isEmpty)
+    // semantic decontam catches exactly the paraphrase, not the unrelated doc
+    val sem = SimilarityOps.decontamSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sem.map(p => (p._1, p._2)).toSeq == Seq((2901L, 2900L)), sem.toSeq.toString)
+    assert(sem.head._3 >= SimilarityOps.SemDecontamThetaMilli)
+    // planted geometry puts the paraphrase in the bench item's probed
+    // list, so the ANN sibling reproduces the exact row VERBATIM
+    val ann = SimilarityOps.decontamSemanticAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ann.toSeq == sem.toSeq, s"ann=${ann.toSeq} exact=${sem.toSeq}")
+  }
+
+  test("semantic decontam on harness data: sides respect the slice, ANN is a " +
+      "subset with identical scores") {
+    val m = DedupOps.DecontamBenchMod
+    val exact = SimilarityOps.decontamSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case ((d, b), cm) =>
+      assert(d % m != 0 && b % m == 0)
+      assert(cm >= SimilarityOps.SemDecontamThetaMilli)
+    }
+    // the probed sibling can only MISS pairs (unprobed lists), never
+    // invent or re-score them — containment with score equality
+    val ann = SimilarityOps.decontamSemanticAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ann.foreach { case (k, cm) =>
+      assert(exact.contains(k), s"ANN invented pair $k")
+      assert(exact(k) == cm, s"score drift on $k: ann=$cm exact=${exact(k)}")
+    }
+  }
+
   test("winnow candidate pairs find shifted near-dups, ignore unrelated docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val dir = docsFixture(Seq(

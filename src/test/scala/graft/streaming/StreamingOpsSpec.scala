@@ -1052,6 +1052,29 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("stale epoch-claim tmp orphans are reaped on resolve; a fresh " +
+      "in-flight tmp is left alone") {
+    val out = tmpDir("tmporphan")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ck = s"$out/ckpt"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(ck))
+    // a crash between create and rename left this behind two minutes ago
+    val stale = new org.apache.hadoop.fs.Path(s"$ck/.tmp_graft_epoch_stale")
+    fs.create(stale, true).close()
+    fs.setTimes(stale, System.currentTimeMillis() - 120000L, -1)
+    // a CONCURRENT resolver's tmp is seconds old — must survive the reap
+    // (deleting it would fail that resolver's rename while the epoch
+    // file is still unpublished)
+    val fresh = new org.apache.hadoop.fs.Path(s"$ck/.tmp_graft_epoch_fresh")
+    fs.create(fresh, true).close()
+    val e = StreamingOps.CommitLog.resolveEpoch(spark, ck, s"$out/kept")
+    assert(!fs.exists(stale), "stale orphan survived the reap")
+    assert(fs.exists(fresh), "live in-flight tmp was reaped")
+    // the published claim is stable on re-resolution
+    assert(StreamingOps.CommitLog.resolveEpoch(spark, ck, s"$out/kept") == e)
+  }
+
   test("zero-row (footerless) committed batch dirs: views stay readable, compaction skips them") {
     import spark.implicits._
     val root = tmpDir("footerless")
