@@ -264,18 +264,30 @@ object JsonMediaOps {
   private val phashDenseBandCache = new graft.SessionFrameCache[String]
 
   /** Media dedup clusters — the stage after pair detection: transitive
-    * closure of the production-regime pair graph ([[mediaNearDupHi]]),
-    * keeper = min doc_id per component, singletons labelling themselves
-    * — the media analog of [[DedupOps.dedupClusters]], completing the
-    * media-dedup story (hash → pairs → clusters) the way the text
-    * family's MinHash chain does. Components via the same
-    * large-star/small-star rounds; one left join against the documents
-    * scan restores singleton docs. Cached per (session, sfDir) — the
-    * converged labels hang off localCheckpoints a caller cannot
-    * release (the clusterCache rationale). */
+    * closure of the production-regime pair graph, keeper = min doc_id
+    * per component, singletons labelling themselves — the media analog
+    * of [[DedupOps.dedupClusters]], completing the media-dedup story
+    * (hash → pairs → clusters) the way the text family's MinHash chain
+    * does. Components via the same large-star/small-star rounds; one
+    * left join against the documents scan restores singleton docs.
+    * Cached per (session, sfDir) — the converged labels hang off
+    * localCheckpoints a caller cannot release (the clusterCache
+    * rationale).
+    *
+    * PRODUCTION HASH = the DENSE grid ([[mediaNearDupDense]]) since
+    * r13 — the measured decision (PERF.md r13): at sf1 the dense point
+    * emits 244 true pairs + 10 chance pairs vs quantized's 255 + 65
+    * (precision 0.96 vs 0.80, F1 0.96 vs 0.88 against the union truth
+    * set), runs 2× cheaper cold (1.40 s vs 2.7 s), and its uniform
+    * bits let bands sit anywhere in the low 48. For the CLUSTER stage
+    * specifically, precision dominates: a chance pair MERGES two
+    * unrelated components and the keeper policy then deletes good
+    * docs, while a missed true pair merely keeps one duplicate. The
+    * quantized rows (media_near_dup / _hi) stay registered as the
+    * recall-leaning operating points. */
   def mediaDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     mediaClusterCache.getOrElseUpdate(spark, sfDir) {
-      val pairs = mediaNearDupHi(spark, sfDir).select(col("doc_a"), col("doc_b"))
+      val pairs = mediaNearDupDense(spark, sfDir).select(col("doc_a"), col("doc_b"))
       val comp = DedupOps.connectedComponents(pairs)
       Tables.documents(spark, sfDir)
         .join(comp.withColumnRenamed("doc_id", "cc_id"),
@@ -288,7 +300,7 @@ object JsonMediaOps {
 
   /** MEDIA benchmark decontamination — the multimodal analog of
     * [[DedupOps.decontamNearDup]]: corpus blobs whose perceptual hash is
-    * within [[MediaHammingMaxHi]] bits of an eval-slice blob (the same
+    * within [[MediaHammingMaxDense]] bits of an eval-slice blob (the same
     * doc_id mod [[DedupOps.DecontamBenchMod]] slice convention), one row
     * per (contaminated doc, bench doc) pair. A re-encoded or
     * lightly-cropped eval image sails through byte-exact decontam; the
@@ -302,15 +314,18 @@ object JsonMediaOps {
     * cap losses) — which is why the oracle replays it with a direct
     * bit_count join and zero banding machinery. */
   def mediaDecontam(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = phashBandHiCache.getOrElseUpdate(spark, sfDir) {
-      DedupOps.hammingBands(phashFrame(spark, sfDir), "phash",
-        nBands = MediaBandsHi, cover = MediaBandCoverHi)
+    // dense production hash since r13 (the mediaDedupClusters decision
+    // note) — decontam is precision-sensitive the same way: a chance
+    // hit flags a CLEAN training doc for removal
+    val b = phashDenseBandCache.getOrElseUpdate(spark, sfDir) {
+      DedupOps.hammingBands(phashDenseFrame(spark, sfDir), "phash",
+        nBands = MediaBandsDense, cover = MediaBandCoverDense)
     }
     val m = DedupOps.DecontamBenchMod
     DedupOps.hammingBandJoin(
       b.filter(col("doc_id") % m =!= 0),
       broadcast(b.filter(col("doc_id") % m === 0)),
-      "phash", MediaHammingMaxHi, MediaBandsHi, MediaBandCoverHi)
+      "phash", MediaHammingMaxDense, MediaBandsDense, MediaBandCoverDense)
       .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_doc_id"),
         col("hamming"))
       .orderBy("doc_id", "bench_doc_id")
@@ -401,13 +416,17 @@ object JsonMediaOps {
     * keeper. Returns the keeper doc_ids. */
   private[ext] def mediaClusterKeepersScoped(spark: SparkSession,
       sfDir: String, ids: DataFrame): DataFrame = {
-    val banded = phashBandHiCache.getOrElseUpdate(spark, sfDir) {
-      DedupOps.hammingBands(phashFrame(spark, sfDir), "phash",
-        nBands = MediaBandsHi, cover = MediaBandCoverHi)
+    // dense production hash since r13, matching mediaDedupClusters —
+    // the staged and order-free pipelines must vote on the SAME pair
+    // relation or the staged-⊆-text containment law breaks for reasons
+    // that have nothing to do with staging
+    val banded = phashDenseBandCache.getOrElseUpdate(spark, sfDir) {
+      DedupOps.hammingBands(phashDenseFrame(spark, sfDir), "phash",
+        nBands = MediaBandsDense, cover = MediaBandCoverDense)
     }.join(ids.select(col("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = DedupOps.hammingBandNearDup(banded, "phash",
-      MediaHammingMaxHi, DedupOps.SimhashBandDfCap,
-      nBands = MediaBandsHi, cover = MediaBandCoverHi)
+      MediaHammingMaxDense, DedupOps.SimhashBandDfCap,
+      nBands = MediaBandsDense, cover = MediaBandCoverDense)
     val comp = DedupOps.connectedComponents(
       pairs.select(col("doc_a"), col("doc_b")))
     val clusters = ids.select(col("doc_id"))
@@ -553,17 +572,16 @@ object JsonMediaOps {
     * the symmetric-closure `reach`, and `clusters(doc_id, cluster_id)`
     * labeling every `from` row. */
   private def mediaClustersChainFor(from: String): String = {
-    val powers = (0 to 40).map(i => s"${1L << i}::BIGINT").mkString(", ")
-    (phashCteFor(
-      s"""(SELECT MIN(p) FROM (SELECT unnest([$powers]) AS p) pw
-         |     WHERE p * 65 >= octet_length(encode(text)))""".stripMargin,
-      from)
+    // DENSE production hash since r13 (the mediaDedupClusters decision
+    // note): the w formula is the dense ⌈n/65⌉, the pair replay runs at
+    // the same (threshold 2, 3×16-over-48) operating point
+    (phashCteFor("(octet_length(encode(text)) + 64) // 65", from)
       .replaceFirst("WITH ", "WITH RECURSIVE ") +
-      DedupOps.hammingPairsCtes(nBands = MediaBandsHi,
-        cover = MediaBandCoverHi) +
+      DedupOps.hammingPairsCtes(nBands = MediaBandsDense,
+        cover = MediaBandCoverDense) +
       s""", hp AS MATERIALIZED (
-         |${DedupOps.hammingPairsSelect(maxHamming = MediaHammingMaxHi,
-             nBands = MediaBandsHi, cover = MediaBandCoverHi)}
+         |${DedupOps.hammingPairsSelect(maxHamming = MediaHammingMaxDense,
+             nBands = MediaBandsDense, cover = MediaBandCoverDense)}
          |), m_edges AS MATERIALIZED (
          |  SELECT doc_a AS src, doc_b AS dst FROM hp
          |  UNION ALL SELECT doc_b, doc_a FROM hp
@@ -656,13 +674,13 @@ object JsonMediaOps {
     // decontam_neardup independence argument): pigeonhole recall plus
     // no df-cap on the broadcast cross path means the engine's banded
     // output must equal the plain bit_count join
-    "media_decontam" -> (phashCte +
+    "media_decontam" -> (phashDenseCte +
       s"""SELECT a.doc_id, b.doc_id AS bench_doc_id,
          |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
          |FROM sh a JOIN sh b
          |  ON a.doc_id % ${DedupOps.DecontamBenchMod} <> 0
          |  AND b.doc_id % ${DedupOps.DecontamBenchMod} = 0
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MediaHammingMaxHi
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MediaHammingMaxDense
          |ORDER BY a.doc_id, bench_doc_id""".stripMargin),
     "json_extract" ->
       """SELECT event_id,

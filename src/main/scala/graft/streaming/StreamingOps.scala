@@ -1207,7 +1207,7 @@ object StreamingOps {
       statePath: String,
       keptPath: String,
       checkpointDir: String,
-      maxHamming: Int = graft.ext.JsonMediaOps.MediaHammingMaxHi)
+      maxHamming: Int = graft.ext.JsonMediaOps.MediaHammingMaxDense)
       : org.apache.spark.sql.streaming.StreamingQuery =
     runMediaDedupStream(
       graft.ext.TextOps.gopherPrefilter(docs)
@@ -1701,11 +1701,14 @@ object StreamingOps {
   /** Streaming MEDIA ingest dedup — the multimodal sibling of the
     * MinHash and embedding ingest streams: media blobs arrive in
     * micro-batches as (doc_id, blob), and a blob is kept iff its 64-bit
-    * payload dHash ([[graft.functions.MediaBytes.dhash64]]) is more
-    * than `maxHamming` bits from every PREVIOUSLY KEPT blob's hash and
-    * it is not a loser of its own batch's near-dup clusters (min doc_id
-    * wins). Candidates come from the production operating point of the
-    * batch row ([[graft.ext.JsonMediaOps.mediaNearDupHi]] — the same
+    * DENSE-grid payload dHash
+    * ([[graft.functions.MediaBytes.dhashDense64]] — the production
+    * hash since the r13 promotion, see mediaDedupClusters' decision
+    * note) is more than `maxHamming` bits from every PREVIOUSLY KEPT
+    * blob's hash and it is not a loser of its own batch's near-dup
+    * clusters (min doc_id wins). Candidates come from the production
+    * operating point of the batch row
+    * ([[graft.ext.JsonMediaOps.mediaNearDupDense]] — the same hash and
     * banding constants, so stream and batch cannot fork).
     *
     * SIMPLER state than both siblings: the banded frame carries the
@@ -1719,7 +1722,7 @@ object StreamingOps {
       statePath: String,
       keptPath: String,
       checkpointDir: String,
-      maxHamming: Int = graft.ext.JsonMediaOps.MediaHammingMaxHi)
+      maxHamming: Int = graft.ext.JsonMediaOps.MediaHammingMaxDense)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val proc = new MediaDedupProcessor(statePath, keptPath, maxHamming,
       epoch = CommitLog.resolveEpoch(
@@ -1770,16 +1773,16 @@ object StreamingOps {
     // once (the embDedupBatch rationale)
     val banded = DedupOps.hammingBands(
       batch.select(col("doc_id"),
-        graft.functions.MediaFunctions.mediaDhash(col("blob")).as("phash")),
-      "phash", nBands = JsonMediaOps.MediaBandsHi,
-      cover = JsonMediaOps.MediaBandCoverHi).localCheckpoint()
-    val nBatch = banded.count() / JsonMediaOps.MediaBandsHi
+        graft.functions.MediaFunctions.mediaDhashDense(col("blob")).as("phash")),
+      "phash", nBands = JsonMediaOps.MediaBandsDense,
+      cover = JsonMediaOps.MediaBandCoverDense).localCheckpoint()
+    val nBatch = banded.count() / JsonMediaOps.MediaBandsDense
     // broadcast gates sized on what actually crosses the driver: the
-    // banded frame carries MediaBandsHi rows per doc
+    // banded frame carries MediaBandsDense rows per doc
     def bc(df: DataFrame): DataFrame =
       if (nBatch <= StreamBroadcastCap) broadcast(df) else df
     def bcBands(df: DataFrame): DataFrame =
-      if (nBatch * JsonMediaOps.MediaBandsHi <= StreamBroadcastCap)
+      if (nBatch * JsonMediaOps.MediaBandsDense <= StreamBroadcastCap)
         broadcast(df) else df
     def ham(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
       bit_count(x.bitwiseXOR(y)) <= maxHamming
@@ -1804,7 +1807,7 @@ object StreamingOps {
           scratch += d
           if (d.isEmpty) null else d
         }
-      // dupOfKept can hold up to MediaBandsHi rows per doc (multi-band
+      // dupOfKept can hold up to MediaBandsDense rows per doc (multi-band
       // agreement, no distinct — the no-distinct discipline), so its
       // broadcast gate is the band-multiplied bound, not the doc count
       def dropDups(df: DataFrame): DataFrame =
