@@ -159,7 +159,11 @@ object ScaleProbe {
     // where the same plan is exactly linear in the corpus; the _ann
     // row prunes candidates to the probed lists (nprobe/L of the
     // corpus per bench item) and should sit well below the exact row
-    "decontam_semantic", "decontam_semantic_ann")
+    "decontam_semantic", "decontam_semantic_ann",
+    // the per-doc score row shares the exact row's pair volume but
+    // folds it map-side to two-long partials — the ratio should track
+    // decontam_semantic's
+    "contam_semantic")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -224,6 +224,9 @@ object SparkEntry {
     // the _ann sibling prunes candidates via deterministic IVF probes
     "decontam_semantic"     -> (SimilarityOps.decontamSemantic(_, _)),
     "decontam_semantic_ann" -> (SimilarityOps.decontamSemanticAnn(_, _)),
+    // per-doc removal-policy scores (max milli-cosine vs bench, zero
+    // rows included) — the contam_fraction analog for the semantic family
+    "contam_semantic"       -> (SimilarityOps.contamSemantic(_, _)),
     // integer-deterministic PageRank over the near-dup graph (generated
     // iteration-by-iteration oracle replay)
     "pagerank_near_dup" -> (DedupOps.pagerankNearDup(_, _)),

@@ -874,6 +874,48 @@ object SimilarityOps {
       .orderBy("doc_id", "bench_vec_id")
   }
 
+  /** Per-document SEMANTIC contamination score — the thresholdable
+    * signal real decontam policies act on, completing the semantic
+    * family the way [[TextOps.contamFraction]] completes the n-gram
+    * one: for EVERY non-benchmark document (zero rows included), the
+    * maximum exact-integer milli-cosine against any benchmark item,
+    * the number of benchmark items at or above
+    * [[SemDecontamThetaMilli]], and the drop verdict. [[decontamSemantic]]
+    * reports the flagged PAIRS (a hit list); a removal policy needs
+    * the per-doc max and the clean rows too (drop above hard θ, audit
+    * the near-threshold band).
+    *
+    * Plan: the same broadcast-bench single-scan shape as the exact
+    * row, then ONE map-side-combined aggregate on doc_id (max + a
+    * conditional count — partial buffers are two longs per doc, so
+    * the exchange carries per-doc partials, never pair rows) and a
+    * left join against the corpus id frame to restore zero rows. Max
+    * of exact integers — order-free, oracle-replayable. */
+  def contamSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = semDecontamFrame(spark, sfDir)
+    val m = DedupOps.DecontamBenchMod
+    val bench = f.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("bench_vec_id"), col("qd").as("b_qd"),
+        col("nrm").as("b_nrm"))
+    val corpus = f.filter(col("vec_id") % m =!= 0)
+    val scored = corpus.join(broadcast(bench), lit(true))
+      .select(col("vec_id").as("doc_id"),
+        cosMilli(col("qd"), col("nrm"), col("b_qd"), col("b_nrm")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cos_milli")).as("max_cos_milli"),
+        sum(when(col("cos_milli") >= SemDecontamThetaMilli, 1L)
+          .otherwise(0L)).as("n_bench_hits"))
+    corpus.select(col("vec_id").as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // -10000 = "no benchmark to score against" (cos_milli is bounded
+        // below by ~-1001): only reachable when the bench slice is empty
+        coalesce(col("max_cos_milli"), lit(-10000L)).as("max_cos_milli"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"))
+      .withColumn("drop", col("n_bench_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   /** [[decontamSemantic]] over PROBED-IVF candidates — the 100 TB shape
     * when the benchmark itself is too large for every corpus row to
     * score every item: each benchmark vector probes its
@@ -2301,6 +2343,30 @@ object SimilarityOps {
          |   AND b.vec_id % ${DedupOps.DecontamBenchMod} = 0) t
          |WHERE cos_milli >= $SemDecontamThetaMilli
          |ORDER BY doc_id, bench_vec_id""".stripMargin,
+    // per-doc removal-policy scores: same pair arithmetic, one max/count
+    // aggregate, LEFT JOIN restores the clean zero rows
+    "contam_semantic" ->
+      s"""WITH $SemDecontamQnCtes, sc AS (
+         |  SELECT doc_id, MAX(cos_milli) AS max_cos_milli,
+         |    SUM(CASE WHEN cos_milli >= $SemDecontamThetaMilli
+         |        THEN 1 ELSE 0 END)::BIGINT AS n_bench_hits
+         |  FROM (
+         |    SELECT c.vec_id AS doc_id,
+         |      CAST(floor(CAST(list_sum([c.qv[i] * b.qv[i]
+         |          for i in range(1, len(c.qv)+1)]) AS DOUBLE)
+         |        / (c.nrm * b.nrm) * 1000) AS BIGINT) AS cos_milli
+         |    FROM qn c JOIN qn b
+         |      ON c.vec_id % ${DedupOps.DecontamBenchMod} <> 0
+         |     AND b.vec_id % ${DedupOps.DecontamBenchMod} = 0) t
+         |  GROUP BY doc_id
+         |)
+         |SELECT c.vec_id AS doc_id,
+         |  COALESCE(sc.max_cos_milli, -10000)::BIGINT AS max_cos_milli,
+         |  COALESCE(sc.n_bench_hits, 0)::BIGINT AS n_bench_hits,
+         |  COALESCE(sc.n_bench_hits, 0) > 0 AS "drop"
+         |FROM qn c LEFT JOIN sc ON c.vec_id = sc.doc_id
+         |WHERE c.vec_id % ${DedupOps.DecontamBenchMod} <> 0
+         |ORDER BY doc_id""".stripMargin,
     // probed-IVF sibling: probe choice replayed by the shared CentCtes +
     // the pscore idiom restricted to the bench slice, then the exact
     // milli-cosine on (probed list x bench) candidates only

@@ -334,6 +334,13 @@ class PlanAuditSpec extends SparkSpec {
       s"threshold not residual on the keyed join:\n${candJoin.get}")
     // probe scoring over L centroids is the one expected nested loop
     assert("BroadcastNestedLoopJoin".r.findAllIn(pa).length == 1, pa)
+    // the per-doc score row: same broadcast-scan shape, then ONE
+    // map-side-combined aggregate — pair rows must fold to two-long
+    // partials before any exchange
+    val ps = plan(SimilarityOps.contamSemantic(spark, sfDir))
+    assert(!ps.contains("CartesianProduct"), ps)
+    assert(ps.contains("partial_max") || ps.contains("partial_sum"),
+      s"contam scores not map-side combined:\n$ps")
   }
 
   test("decontamination broadcasts the benchmark side; vocab top-k heaps") {

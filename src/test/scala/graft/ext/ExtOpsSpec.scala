@@ -922,6 +922,33 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("semantic contam scores: drop set == the pair row's flagged docs, " +
+      "max is attained by a pair, clean rows present at zero") {
+    val m = DedupOps.DecontamBenchMod
+    val scores = SimilarityOps.contamSemantic(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val nCorpus = graft.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % m =!= 0).count()
+    // one row per corpus doc — the clean zero rows are the point
+    assert(scores.size == nCorpus)
+    val pairs = SimilarityOps.decontamSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val flagged = pairs.map(_._1).toSet
+    scores.foreach { case (doc, (mx, hits, drop)) =>
+      assert(drop == flagged(doc), s"doc $doc drop=$drop vs pair rows")
+      assert(drop == (hits > 0))
+      if (drop) {
+        // the max is attained by one of the doc's own pair scores and
+        // clears the threshold the pair row enforces
+        val own = pairs.filter(_._1 == doc).map(_._2)
+        assert(own.max == mx, s"doc $doc max=$mx pairs=${own.toSeq}")
+        assert(mx >= SimilarityOps.SemDecontamThetaMilli)
+      } else assert(mx < SimilarityOps.SemDecontamThetaMilli)
+    }
+    assert(flagged.nonEmpty && scores.size > flagged.size) // both classes present
+  }
+
   test("winnow candidate pairs find shifted near-dups, ignore unrelated docs") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val dir = docsFixture(Seq(
