@@ -111,10 +111,27 @@ object SimilarityOps {
       .select(col("label").as("c_label"),
         transform(col("pairs"), p => p.getField("cv").cast("double")).as("centroid"))
 
+  /** [[listCentroids]] over the harness corpus, cached per (session,
+    * sfDir): the centroid table is a reusable INDEX ARTIFACT (L rows),
+    * not per-query state — every probe consumer (ivfTopk,
+    * ivfFullProbe, the ANN-kNN candidate stream, decontamSemanticAnn)
+    * was re-running the corpus aggregate per invocation. At 100 TB the
+    * same statement is sharper: centroids are built once when the
+    * index is, persisted, and broadcast per query — recomputing them
+    * per query would be a full corpus pass each time. localCheckpoint
+    * is safe for determinism (same exact-integer aggregate, just
+    * materialized). */
+  private val centTableCache = new graft.SessionFrameCache[String]
+
+  private def listCentroidsCached(spark: SparkSession, sfDir: String): DataFrame =
+    centTableCache.getOrElseUpdate(spark, sfDir) {
+      listCentroids(Tables.embeddings(spark, sfDir))
+    }
+
   def ivfTopk(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val centroids = listCentroids(e)
+    val centroids = listCentroidsCached(spark, sfDir)
 
     // each query probes the nprobe closest centroids (by quantized query)
     val q = e.filter(col("vec_id") < nQueries)
@@ -943,7 +960,7 @@ object SimilarityOps {
     val wProbe = Window.partitionBy(col("bench_vec_id"))
       .orderBy(col("c_cos").desc, col("c_label").asc)
     val probes = bench
-      .join(broadcast(listCentroids(Tables.embeddings(spark, sfDir))), lit(true))
+      .join(broadcast(listCentroidsCached(spark, sfDir)), lit(true))
       .select(col("bench_vec_id"), col("b_qd"), col("b_nrm"), col("c_label"),
         cosine(col("b_qd"), col("centroid")).as("c_cos"))
       .filter(!isnan(col("c_cos")))
@@ -1638,7 +1655,7 @@ object SimilarityOps {
     val probes = e
       .select(col("vec_id"),
         transform(col("embedding"), x => q6col(x).cast("double")).as("q_q6"))
-      .join(broadcast(listCentroids(e)), lit(true))
+      .join(broadcast(listCentroidsCached(spark, sfDir)), lit(true))
       .select(col("vec_id"), cosine(col("q_q6"), col("centroid")).as("c_cos"),
         col("c_label").cast("long").as("c_label"))
       .groupBy(col("vec_id"))
