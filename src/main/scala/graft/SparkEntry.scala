@@ -217,6 +217,10 @@ object SparkEntry {
     // fuzzy decontamination: near-dup (not just verbatim) overlap between
     // corpus and the eval slice — banded candidates, exact-verified
     "decontam_neardup" -> (DedupOps.decontamNearDup(_, _)),
+    // incremental ingest dedup: the new batch (doc_id % 4 == 3) verdicted
+    // against the accepted base WITHOUT re-pairing base with itself —
+    // the daily-delta shape; policy mirrors the minhash ingest stream
+    "incr_ingest_dedup" -> (DedupOps.incrIngestDedupCorpus(_, _)),
     // SEMANTIC decontamination: corpus docs whose EMBEDDING is within
     // cosine theta of a benchmark item — the paraphrase-contamination
     // modality n-gram and near-dup decontam miss by construction.

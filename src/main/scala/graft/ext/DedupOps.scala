@@ -265,14 +265,22 @@ object DedupOps {
     minhashNearDupCore(spark, sfDir, Some(scope.select(col("doc_id"))),
       maxBandDf)
 
+  /** The full-corpus 32×4 band frame, cached per (session, sfDir) — the
+    * persistent LSH INDEX every MinHash-family consumer shares (self-join
+    * dedup, decontam, and the incremental-ingest path, which treats the
+    * base slice of this frame as the accepted-set index a production
+    * ingest loop maintains on disk). */
+  private def corpusBands(spark: SparkSession, sfDir: String): DataFrame =
+    bandCache.getOrElseUpdate(spark, sfDir)(
+      bandFrame(withShingles(spark, sfDir).filter(size(col("sh")) > 0)))
+
   private def minhashNearDupCore(spark: SparkSession, sfDir: String,
       scope: Option[DataFrame], maxBandDf: Int): DataFrame = {
     def scoped(df: DataFrame): DataFrame =
       scope.fold(df)(ids => df.join(ids, Seq("doc_id"), "left_semi"))
     val s = scoped(withShingles(spark, sfDir).filter(size(col("sh")) > 0))
     val bands = subSaltHotKeys(
-      scoped(bandCache.getOrElseUpdate(spark, sfDir)(
-        bandFrame(withShingles(spark, sfDir).filter(size(col("sh")) > 0)))),
+      scoped(corpusBands(spark, sfDir)),
       "doc_id", maxBandDf)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -321,7 +329,7 @@ object DedupOps {
 
   def decontamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
-    val bands = bandCache.getOrElseUpdate(spark, sfDir)(bandFrame(s))
+    val bands = corpusBands(spark, sfDir)
     val cand = bands.filter(col("doc_id") % DecontamBenchMod =!= 0).as("x")
       .join(broadcast(bands.filter(col("doc_id") % DecontamBenchMod === 0).as("y")),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
@@ -332,6 +340,148 @@ object DedupOps {
       .select(col("doc_a").as("doc_id"), col("doc_b").as("bench_doc_id"),
         col("jaccard"))
       .orderBy("doc_id", "bench_doc_id")
+  }
+
+  /** Increment slice for the registered harness row: doc_id %
+    * [[IncrIngestMod]] == [[IncrIngestMod]]−1 (25% of the corpus) is the
+    * "new batch"; the rest is the already-accepted base. Chosen so BOTH
+    * drop reasons are exercised at the driver's sf0.01 gate (7 base-dups
+    * and 2 in-batch losers — measured against the exact pair set; a
+    * thinner slice crosses zero in-batch pairs and the reason would be
+    * vacuously green, the decontam %-100 lesson). */
+  val IncrIngestMod = 4
+
+  /** INCREMENTAL-ingest near-dup dedup — the batch face of the daily
+    * delta an LLM pipeline actually runs at 100 TB: the accepted corpus
+    * (`base`) is never re-deduped against itself; only the new batch
+    * (`incr`) pays work. Verdict per increment doc, mirroring
+    * [[graft.streaming.StreamingOps.runMinhashDedupStream]]'s policy
+    * EXACTLY (the batch/stream equivalence is spec-asserted):
+    *
+    *  - `dropped_base`: verified near-dup (Jaccard >= `threshold`) of ANY
+    *    base doc; `dup_of` = the smallest such base id;
+    *  - `dropped_batch`: among the docs that survive the base check,
+    *    near-dup clusters (transitive closure of verified pairs) keep
+    *    their min doc_id; losers carry `dup_of` = the cluster keeper;
+    *  - `kept` otherwise (including docs with < 3 tokens — no shingles,
+    *    so they cannot near-dup anything, same as the stream).
+    *
+    * Plan shape — the incremental contract: the base side contributes its
+    * band frame (a persistent index: the ingest loop appends each kept
+    * batch's bands, exactly what the streaming processor's band STATE is)
+    * to ONE equi-join against the batch bands and its shingles only to
+    * the candidate-driven verify join. No base×base pair is ever formed,
+    * so per-batch cost is O(batch + matched candidates) regardless of
+    * corpus size — re-running [[minhashNearDup]] over base ∪ batch would
+    * pay the full corpus self-join every day.
+    *
+    * The within-batch self-join carries the [[subSaltHotKeys]] df-cap
+    * guard like every banded self-join. The cross join is deliberately
+    * unguarded: its per-key output is df_base(key) × df_incr(key) where
+    * the increment side is batch-sized by construction, and a DEGENERATE
+    * base band key (the m-identical-docs regime the self-join guard
+    * exists for) cannot arise in an accepted set that was itself deduped
+    * at the same threshold on the way in — exact copies collapse to one
+    * keeper before their bands ever reach the index. A corpus whose
+    * sub-threshold boilerplate still concentrates band keys would shard
+    * the INDEX side with the same md5 trick and replicate batch rows
+    * across shards (complete, output-identical salting). */
+  def incrIngestDedup(base: DataFrame, incr: DataFrame,
+      threshold: Double = 0.6,
+      maxBandDf: Int = MinHashBandDfCap): DataFrame = {
+    val sBase = shingleFrame(base).filter(size(col("sh")) > 0)
+    val sIncr = shingleFrame(incr).filter(size(col("sh")) > 0)
+    incrIngestCore(incr.select(col("doc_id")), sBase, bandFrame(sBase),
+      sIncr, bandFrame(sIncr), threshold, maxBandDf)
+  }
+
+  /** The registered harness instantiation of [[incrIngestDedup]]: the
+    * corpus split by doc_id % [[IncrIngestMod]]. Both sides are FILTERS
+    * of the session-cached corpus shingle and band frames — the 128-perm
+    * signature pass is shared with the whole MinHash family, and the base
+    * slice of [[corpusBands]] plays the persistent accepted-set index. */
+  def incrIngestDedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val isIncr = (col("doc_id") % IncrIngestMod) === (IncrIngestMod - 1)
+    val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
+    val bands = corpusBands(spark, sfDir)
+    incrIngestCore(
+      Tables.documents(spark, sfDir).filter(isIncr).select(col("doc_id")),
+      s.filter(!isIncr), bands.filter(!isIncr),
+      s.filter(isIncr), bands.filter(isIncr),
+      threshold = 0.6, maxBandDf = MinHashBandDfCap)
+  }
+
+  /** The two lazily-planned pair stages of the incremental path —
+    * (base-dup verdicts, within-batch survivor pairs) — split out so
+    * PlanAuditSpec can pin their plan shapes (the final verdict frame
+    * sits behind [[connectedComponents]]' localCheckpoint wall, which
+    * truncates lineage and hides the joins from the output plan). */
+  private[graft] def incrIngestPairStages(
+      sBase: DataFrame, bBase: DataFrame,
+      sIncr: DataFrame, bIncr: DataFrame,
+      threshold: Double, maxBandDf: Int): (DataFrame, DataFrame) = {
+    // cross-batch candidates: batch bands ⋈ accepted-index bands — an
+    // equi-join on (band, band_key); the base frame appears on ONE side
+    // only, never against itself
+    val cand = bIncr.as("x").join(bBase.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates only; shingle lookup spans both sides (doc_a is
+    // batch, doc_b is base) so the union feeds the inverted-index join
+    val baseDup = exactJaccard(sIncr.unionByName(sBase), Some(cand))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("base_dup_of"))
+    // within-batch pairs among the base-check SURVIVORS (the stream
+    // clusters after the cross-batch drop — order matters: a doc dropped
+    // against base must not also claim batch losers)
+    val bSurv = subSaltHotKeys(
+      bIncr.join(baseDup, Seq("doc_id"), "left_anti"), "doc_id", maxBandDf)
+    val icand = bSurv.as("x").join(bSurv.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.shard") === col("y.shard") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ipairs = exactJaccard(sIncr, Some(icand))
+      .filter(col("jaccard") >= threshold)
+    (baseDup, ipairs)
+  }
+
+  /** [[incrIngestPairStages]] over the registered corpus %-split — the
+    * PlanAuditSpec entry point. */
+  private[graft] def incrIngestCorpusStages(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val isIncr = (col("doc_id") % IncrIngestMod) === (IncrIngestMod - 1)
+    val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
+    val bands = corpusBands(spark, sfDir)
+    incrIngestPairStages(s.filter(!isIncr), bands.filter(!isIncr),
+      s.filter(isIncr), bands.filter(isIncr), 0.6, MinHashBandDfCap)
+  }
+
+  private def incrIngestCore(incrIds: DataFrame,
+      sBase: DataFrame, bBase: DataFrame,
+      sIncr: DataFrame, bIncr: DataFrame,
+      threshold: Double, maxBandDf: Int): DataFrame = {
+    val (baseDup, ipairs) = incrIngestPairStages(
+      sBase, bBase, sIncr, bIncr, threshold, maxBandDf)
+    // transitive closure; keeper = component min, losers point at it
+    val batchDup = connectedComponents(
+        ipairs.select(col("doc_a"), col("doc_b")))
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id"), col("label").as("batch_dup_of"))
+    incrIds
+      .join(baseDup, Seq("doc_id"), "left")
+      .join(batchDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("base_dup_of").isNotNull, lit("dropped_base"))
+          .when(col("batch_dup_of").isNotNull, lit("dropped_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("base_dup_of"), col("batch_dup_of")).as("dup_of"))
+      .orderBy("doc_id")
   }
 
   /** Per-token 64-bit hash = the first 8 bytes of md5, big-endian (the
@@ -1145,6 +1295,56 @@ object DedupOps {
     // exact-Jaccard pair graph the banded path reproduces:
     "dedup_clusters" -> (clustersCte +
       "SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"),
+    // incremental ingest: the oracle replays the POLICY (base check
+    // first, then in-batch closure over survivors) on the exact pair
+    // graph — banding + verify must reproduce that graph, the same
+    // independence argument as minhash_near_dup's oracle
+    "incr_ingest_dedup" -> (shingleCteFrom("documents")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", sx AS (
+         |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
+         |), jp AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+         |), basedup AS (
+         |  SELECT i AS doc_id, MIN(b) AS base_dup_of FROM (
+         |    SELECT doc_a AS i, doc_b AS b FROM jp
+         |    WHERE doc_a % $IncrIngestMod = ${IncrIngestMod - 1}
+         |      AND doc_b % $IncrIngestMod <> ${IncrIngestMod - 1}
+         |    UNION ALL
+         |    SELECT doc_b AS i, doc_a AS b FROM jp
+         |    WHERE doc_b % $IncrIngestMod = ${IncrIngestMod - 1}
+         |      AND doc_a % $IncrIngestMod <> ${IncrIngestMod - 1}
+         |  ) GROUP BY i
+         |), ip AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM jp
+         |  WHERE doc_a % $IncrIngestMod = ${IncrIngestMod - 1}
+         |    AND doc_b % $IncrIngestMod = ${IncrIngestMod - 1}
+         |    AND doc_a NOT IN (SELECT doc_id FROM basedup)
+         |    AND doc_b NOT IN (SELECT doc_id FROM basedup)
+         |), edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ip
+         |  UNION ALL SELECT doc_b, doc_a FROM ip
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), batchdup AS (
+         |  SELECT src AS doc_id, MIN(dst) AS batch_dup_of FROM reach
+         |  GROUP BY src HAVING MIN(dst) < src
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN bd.base_dup_of IS NOT NULL THEN 'dropped_base'
+         |       WHEN iu.batch_dup_of IS NOT NULL THEN 'dropped_batch'
+         |       ELSE 'kept' END AS status,
+         |  COALESCE(bd.base_dup_of, iu.batch_dup_of) AS dup_of
+         |FROM documents d
+         |LEFT JOIN basedup bd ON bd.doc_id = d.doc_id
+         |LEFT JOIN batchdup iu ON iu.doc_id = d.doc_id
+         |WHERE d.doc_id % $IncrIngestMod = ${IncrIngestMod - 1}
+         |ORDER BY d.doc_id""".stripMargin),
     // cluster-granular split: every member inherits its representative's
     // content-hash split (same salt+cut as the train_test_split oracle)
     "train_test_split_neardup" -> (clustersCte +

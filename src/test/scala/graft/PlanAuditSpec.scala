@@ -145,6 +145,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("incremental ingest dedup: equi-joins only, shard key on the " +
+      "within-batch self-join") {
+    // the incremental contract's plan face: every join is an equi-join
+    // (cross-batch candidates on (band, band_key), verify on doc ids) and
+    // the within-batch self-join keeps the df-cap shard in its keys — a
+    // refactor that turns either into a nested loop or drops the guard
+    // re-opens the quadratic regimes this operator exists to avoid.
+    // The pair stages are audited directly: the verdict frame sits behind
+    // connectedComponents' localCheckpoint, which truncates its plan.
+    val (baseDup, ipairs) = DedupOps.incrIngestCorpusStages(spark, sfDir)
+    val pc = plan(baseDup)
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"), pc)
+    val pi = plan(ipairs)
+    assert(pi.contains("shard"), s"shard not in the within-batch plan:\n$pi")
+    assert(!pi.contains("CartesianProduct") &&
+      !pi.contains("BroadcastNestedLoopJoin"), pi)
+    val p = plan(DedupOps.incrIngestDedupCorpus(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("winnow pair join is an equi-join; bigram top-k avoids a global sort") {
     val p = plan(graft.ext.TextOps.winnowPairs(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p)

@@ -63,6 +63,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("incremental ingest dedup: base check first, survivor-scoped batch " +
+      "clusters, base never re-deduped") {
+    import spark.implicits._
+    def doc(lo: Int): String = (lo until lo + 40).map(i => s"w$i").mkString(" ")
+    def zdoc(lo: Int): String = (lo until lo + 40).map(i => s"z$i").mkString(" ")
+    // base carries an INTERNAL exact-dup pair (ids 1,2) — the incremental
+    // contract: it must never surface in the output (base is never
+    // re-deduped), but a batch doc colliding with it gets the MIN base id
+    val base = Seq((1L, doc(1)), (2L, doc(1)),
+      (3L, (200 to 240).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val incr = Seq(
+      (100L, doc(9)),  // j vs base doc(1) ≈ 0.65 → dropped_base, dup_of 1
+      (101L, doc(13)), // j vs doc(9) ≈ 0.81 but vs base doc(1) ≈ 0.52:
+                       // its ONLY neighbor was dropped against base, and
+                       // clustering runs over SURVIVORS → kept
+      (102L, zdoc(1)), (103L, zdoc(9)), (104L, zdoc(13)), // in-batch chain:
+                       // 102~103~104 transitively → keeper 102
+      (105L, "a b"),   // < 3 tokens: no shingles, cannot near-dup → kept
+      (106L, (300 to 340).map(i => s"q$i").mkString(" ")) // novel → kept
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrIngestDedup(base, incr).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out.keySet == Set(100L, 101L, 102L, 103L, 104L, 105L, 106L),
+      s"output must cover exactly the increment: $out")
+    assert(out(100L) == ("dropped_base", Some(1L))) // min of base ids {1,2}
+    assert(out(101L) == ("kept", None))
+    assert(out(102L) == ("kept", None))
+    assert(out(103L) == ("dropped_batch", Some(102L)))
+    assert(out(104L) == ("dropped_batch", Some(102L))) // transitive loser
+    assert(out(105L) == ("kept", None))
+    assert(out(106L) == ("kept", None))
+  }
+
   test("cluster keepers: argmax-quality representative per cluster") {
     def doc(lo: Int): String = (lo until lo + 40).map(i => s"w$i").mkString(" ")
     val dir = docsFixture(Seq(

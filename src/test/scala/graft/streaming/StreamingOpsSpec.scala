@@ -327,6 +327,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch incremental dedup reproduces the ingest stream's second-batch verdicts") {
+    // THE batch/stream equivalence law: feeding the stream batch1 then
+    // batch2 must agree with the batch operator run as
+    // incrIngestDedup(base = stream's kept-after-batch1, incr = batch2) —
+    // same policy, two execution models, spec-pinned so they cannot fork.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def doc(lo: Int): String = (lo until lo + 40).map(i => s"w$i").mkString(" ")
+    def zdoc(lo: Int): String = (lo until lo + 40).map(i => s"z$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val batch1 = Seq((1L, doc(1)), (2L, doc(1) + " x1 x2"), (3L, other))
+    val batch2 = Seq(
+      (10L, doc(3)),          // near-dup of kept 1 → dropped cross-batch
+      (11L, other + " y1 y2"), // near-dup of kept 3 → dropped cross-batch
+      (12L, zdoc(1)), (13L, zdoc(5)), // in-batch pair → 13 loses to 12
+      (14L, "a b"))           // shingle-less → kept
+    val out = tmpDir("incrlaw")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.runMinhashDedupStream(
+      input.toDS().toDF("doc_id", "text"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    val streamKept2 =
+      try {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        val kept1 = StreamingOps.committedKept(spark, s"$out/kept")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(kept1 == Set(1L, 3L)) // 2 lost its in-batch cluster
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        StreamingOps.committedKept(spark, s"$out/kept")
+          .select("doc_id").collect().map(_.getLong(0)).toSet -- kept1
+      } finally q.stop()
+    val batchVerdicts = graft.ext.DedupOps.incrIngestDedup(
+        StreamingOps.committedKept(spark, s"$out/kept")
+          .filter($"doc_id" < 10L).select("doc_id", "text"),
+        batch2.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchKept = batchVerdicts.collect { case (id, "kept") => id }.toSet
+    assert(batchKept == streamKept2,
+      s"stream kept $streamKept2, batch operator kept $batchKept")
+    assert(batchVerdicts(10L) == "dropped_base" &&
+      batchVerdicts(11L) == "dropped_base" &&
+      batchVerdicts(13L) == "dropped_batch")
+  }
+
   test("filtered ingest: Gopher gate drops junk before dedup; near-dups still deduped") {
     implicit val sqlCtx = spark.sqlContext
     // quality docs: a 20-token vocabulary (incl. >= 2 Gopher stopwords)
