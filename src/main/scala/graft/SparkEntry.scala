@@ -271,6 +271,13 @@ object SparkEntry {
     // parameter grown with the corpus) — deterministic Lloyd + integer
     // probe metric, so oracle-checked like ann_ivf_topk
     "ann_ivf_kmeans_topk" -> (SimilarityOps.ivfKmeansTopk(_, _)),
+    // INCREMENTAL index append: new vectors (vec_id % 4 == 3) assigned
+    // to the FROZEN base-trained centroids — no retraining, no base
+    // pass; the write path a 100 TB index runs between retrains
+    "ann_index_append" -> (SimilarityOps.annIndexAppend(_, _)),
+    // probed search over the appended index (frozen centroids, base ∪
+    // appended lists): appended vectors are first-class retrievable
+    "ann_ivf_append_topk" -> (SimilarityOps.annIvfAppendTopk(_, _)),
     // SemDeDup as the paper runs it: pair search scoped to k-means
     // clusters (linear at scale), CC + min-rep election as semdedup
     "semdedup_clustered" -> (SimilarityOps.semDedupClustered(_, _)),

@@ -223,12 +223,13 @@ object SimilarityOps {
     (v, cc, aa)
   }
 
-  /** private[graft] so PlanAuditSpec can audit the REAL Lloyd plan —
-    * through the cache it would only see checkpoint scans. */
-  private[graft] def kmeansRunUncached(spark: SparkSession, sfDir: String,
-      k: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
-    val v = quantizedCorpus(spark, sfDir)
-
+  /** `rounds` Lloyd iterations over a quantized working set `v` from the
+    * given initial centroids — the shared core of the full-corpus run and
+    * the base-slice index the append family freezes. Each round is one
+    * broadcast assignment plus one (cluster, pos) aggregate; an emptied
+    * cluster keeps its previous centroid (the left-join coalesce). */
+  private def lloydRounds(v: DataFrame, init: DataFrame,
+      rounds: Int): DataFrame = {
     def recompute(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val fresh = assigned
         .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "x")))
@@ -243,10 +244,19 @@ object SimilarityOps {
       prev.join(fresh, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("c_new"), col("c")).as("c"))
     }
-
-    var cents = v.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cluster"), col("q").as("c"))
+    var cents = init
     for (_ <- 1 to rounds) cents = recompute(assignTo(v, cents), cents)
+    cents
+  }
+
+  /** private[graft] so PlanAuditSpec can audit the REAL Lloyd plan —
+    * through the cache it would only see checkpoint scans. */
+  private[graft] def kmeansRunUncached(spark: SparkSession, sfDir: String,
+      k: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    val v = quantizedCorpus(spark, sfDir)
+    val cents = lloydRounds(v,
+      v.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cluster"), col("q").as("c")), rounds)
     (v, cents, assignTo(v, cents))
   }
 
@@ -291,6 +301,93 @@ object SimilarityOps {
   def ivfKmeansTopk(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
     val (v, cents, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val probes = kmeansProbes(v, cents, nQueries, nprobe)
+      .select(col("query_id"), col("cluster").as("p_cluster"))
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = e
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .join(broadcast(probes.join(q, "query_id")),
+        col("cluster") === col("p_cluster") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    topkPerQuery(scored, k)
+  }
+
+  /** Append slice for the incremental-index family: vec_id %
+    * [[AnnAppendMod]] == [[AnnAppendMod]]−1 (25%) is the NEW batch of
+    * vectors; the rest is the corpus the IVF index was trained on. */
+  val AnnAppendMod = 4
+
+  /** Smallest id bound containing exactly `k` base ids under the %-split
+    * (base = ids not ≡ m−1 mod m): the j-th base id is j + j/(m−1), so
+    * the k-th is (k−1) + (k−1)/(m−1). Seeding "first k BASE vectors"
+    * this way keeps the seed rule a pure FILTER (no global row-number)
+    * and k real seeds — `vec_id < k` alone would lose the seeds that
+    * fall in the increment slice. */
+  private[ext] def appendSeedBound(k: Int, m: Int): Int =
+    (k - 1) + (k - 1) / (m - 1) + 1
+
+  private def isAppendSlice: Column =
+    (col("vec_id") % AnnAppendMod) === (AnnAppendMod - 1)
+
+  /** Frozen base-index artifacts cached per (session, sfDir): the
+    * centroids and the base assignment are INDEX state — in production
+    * they live on disk and the append path only reads them, so per-query
+    * rebuilds would misrepresent the operator's cost shape (the same
+    * argument as the label-centroid table and the Lloyd caches). */
+  private val appendCentCache = new graft.SessionFrameCache[String]
+  private val appendAssignCache = new graft.SessionFrameCache[String]
+
+  /** (full quantized corpus, frozen base-trained centroids, base
+    * assignment) — the IVF index as it stood BEFORE the new batch. */
+  private def baseIndexRun(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    val v = quantizedCorpus(spark, sfDir)
+    val vBase = v.filter(!isAppendSlice)
+    val cc = appendCentCache.getOrElseUpdateRaw(spark, sfDir) {
+      lloydRounds(vBase,
+        vBase.filter(col("vec_id") < appendSeedBound(KmeansK, AnnAppendMod))
+          .select(col("vec_id").as("cluster"), col("q").as("c")),
+        KmeansRounds).localCheckpoint()
+    }
+    val aa = appendAssignCache.getOrElseUpdateRaw(spark, sfDir) {
+      assignTo(vBase, cc).localCheckpoint()
+    }
+    (v, cc, aa)
+  }
+
+  /** The frozen base-trained centroid table — exposed for the spec's
+    * independent argmin replay (a Scala loop, not a DataFrame plan). */
+  private[graft] def appendIndexCentroids(spark: SparkSession,
+      sfDir: String): DataFrame = baseIndexRun(spark, sfDir)._2
+
+  /** INCREMENTAL index append — the ANN face of the daily delta: new
+    * vectors join an EXISTING IVF index by assignment to its frozen
+    * centroids (exact-integer squared L2, ties to the smaller cluster —
+    * the Lloyd metric verbatim), with NO retraining and no base-corpus
+    * pass. Per-batch cost is O(batch × k): one broadcast of the k
+    * centroids against the increment scan. Retraining cadence is a
+    * policy decision downstream (list-size drift says when); between
+    * retrains this is the only write path a 100 TB index needs. */
+  def annIndexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val (v, cents, _) = baseIndexRun(spark, sfDir)
+    assignTo(v.filter(isAppendSlice), cents)
+      .select(col("vec_id"), col("cluster")).orderBy("vec_id")
+  }
+
+  /** Probed IVF top-k over the APPENDED index — proves the appended
+    * vectors are first-class retrieval citizens: candidate lists are the
+    * union of the frozen base assignment and the increment's appended
+    * assignment, probed through the SAME frozen centroids
+    * ([[kmeansProbes]] — queries never see two different probe metrics).
+    * Same contract as [[ivfKmeansTopk]]; only the index construction
+    * differs (frozen + appended instead of retrained). */
+  def annIvfAppendTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val (v, cents, aBase) = baseIndexRun(spark, sfDir)
+    val assigned = aBase.unionByName(assignTo(v.filter(isAppendSlice), cents))
     val probes = kmeansProbes(v, cents, nQueries, nprobe)
       .select(col("query_id"), col("cluster").as("p_cluster"))
     val e = Tables.embeddings(spark, sfDir)
@@ -403,39 +500,72 @@ object SimilarityOps {
     * (quantized corpus), `c0..c<rounds>` (centroids), `afinal` (final
     * assignment). Shared by the kmeans, k-means-IVF and clustered
     * SemDeDup oracles so the replays cannot drift. */
-  private[ext] def kmeansCtesSql(k: Int = KmeansK,
-      rounds: Int = KmeansRounds): String = {
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (
-         |  SELECT vec_id, q, cluster
-         |  FROM (SELECT v.vec_id, v.q, cc.cluster,
-         |          list_sum(list_transform(range(1, len(v.q) + 1),
-         |            i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) AS d
-         |        FROM v, $cents cc) t
-         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1)""".stripMargin
-    def centCtes(r: Int, assigned: String, prev: String): String =
-      s"""c${r}e AS (
-         |  SELECT cluster, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS cs, COUNT(*) AS n
-         |  FROM $assigned, LATERAL UNNEST(range(1, len(q) + 1)) AS u(i)
-         |  GROUP BY cluster, i),
-         |c${r}v AS (
-         |  SELECT cluster, pos, (cs - ((cs % n + n) % n)) // n AS cv FROM c${r}e),
-         |c${r}l AS (
-         |  SELECT cluster, list(cv ORDER BY pos) AS c_new FROM c${r}v GROUP BY cluster),
-         |c$r AS (
-         |  SELECT p.cluster, COALESCE(l.c_new, p.c) AS c
-         |  FROM $prev p LEFT JOIN c${r}l l USING (cluster))""".stripMargin
-    val roundsSql = (1 to rounds).map { r =>
-      assignCte(s"a$r", s"c${r - 1}") + ",\n" + centCtes(r, s"a$r", s"c${r - 1}")
+  /** One Lloyd assignment CTE over an arbitrary quantized source and
+    * centroid CTE — lifted out of [[kmeansCtesSql]] so the append-index
+    * replay reuses the exact text (no-fork discipline). */
+  private def lloydAssignCteSql(name: String, vSrc: String,
+      cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, q, cluster
+       |  FROM (SELECT v.vec_id, v.q, cc.cluster,
+       |          list_sum(list_transform(range(1, len(v.q) + 1),
+       |            i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) AS d
+       |        FROM $vSrc v, $cents cc) t
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1)""".stripMargin
+
+  /** One Lloyd centroid-recompute round (`prefix` namespaces the CTE
+    * chain so two Lloyd replays can coexist in one oracle). */
+  private def lloydCentCtesSql(prefix: String, r: Int, assigned: String,
+      prev: String): String =
+    s"""$prefix${r}e AS (
+       |  SELECT cluster, i AS pos, CAST(SUM(q[i]) AS BIGINT) AS cs, COUNT(*) AS n
+       |  FROM $assigned, LATERAL UNNEST(range(1, len(q) + 1)) AS u(i)
+       |  GROUP BY cluster, i),
+       |$prefix${r}v AS (
+       |  SELECT cluster, pos, (cs - ((cs % n + n) % n)) // n AS cv FROM $prefix${r}e),
+       |$prefix${r}l AS (
+       |  SELECT cluster, list(cv ORDER BY pos) AS c_new FROM $prefix${r}v GROUP BY cluster),
+       |$prefix$r AS (
+       |  SELECT p.cluster, COALESCE(l.c_new, p.c) AS c
+       |  FROM $prev p LEFT JOIN $prefix${r}l l USING (cluster))""".stripMargin
+
+  private def lloydRoundsSql(vSrc: String, prefix: String, aPrefix: String,
+      rounds: Int): String =
+    (1 to rounds).map { r =>
+      lloydAssignCteSql(s"$aPrefix$r", vSrc, s"$prefix${r - 1}") + ",\n" +
+        lloydCentCtesSql(prefix, r, s"$aPrefix$r", s"$prefix${r - 1}")
     }.mkString(",\n")
+
+  private[ext] def kmeansCtesSql(k: Int = KmeansK,
+      rounds: Int = KmeansRounds): String =
     s"""v AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cluster, q AS c FROM v WHERE vec_id < $k),
-       |$roundsSql,
-       |${assignCte("afinal", s"c$rounds")}""".stripMargin
-  }
+       |${lloydRoundsSql("v", "c", "a", rounds)},
+       |${lloydAssignCteSql("afinal", "v", s"c$rounds")}""".stripMargin
+
+  /** CTE list (no WITH) replaying the APPEND-index construction: Lloyd
+    * trained on the base slice only (`vb`, seeds = first k base ids via
+    * [[appendSeedBound]]), frozen centroids `b<rounds>`, base assignment
+    * `abase`, increment assignment `aincr`, and the appended index
+    * `aall` = abase ∪ aincr. The Lloyd text itself is byte-shared with
+    * [[kmeansCtesSql]] through the lifted builders. */
+  private[ext] def appendIndexCtesSql(k: Int = KmeansK,
+      rounds: Int = KmeansRounds, m: Int = AnnAppendMod): String =
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vb AS (SELECT * FROM v WHERE vec_id % $m <> ${m - 1}),
+       |b0 AS (SELECT vec_id AS cluster, q AS c FROM vb
+       |       WHERE vec_id < ${appendSeedBound(k, m)}),
+       |${lloydRoundsSql("vb", "b", "ab", rounds)},
+       |${lloydAssignCteSql("abase", "vb", s"b$rounds")},
+       |${lloydAssignCteSql("aincr",
+           s"(SELECT * FROM v WHERE vec_id % $m = ${m - 1})", s"b$rounds")},
+       |aall AS (SELECT * FROM abase UNION ALL SELECT * FROM aincr)""".stripMargin
 
   private[ext] def kmeansOracleSql(k: Int = KmeansK,
       rounds: Int = KmeansRounds): String =
@@ -447,7 +577,8 @@ object SimilarityOps {
     * `v` and `c<rounds>` from [[kmeansCtesSql]]. ONE text shared by the
     * ann_ivf_kmeans_topk and ann_ivf_pq_topk oracles, mirroring the
     * shared Scala helper. */
-  private def kmeansProbesCte(nQueries: Int, nprobe: Int): String =
+  private def kmeansProbesCte(nQueries: Int, nprobe: Int,
+      cents: String = s"c$KmeansRounds"): String =
     s"""probes AS (
        |  SELECT query_id, cluster FROM (
        |    SELECT v.vec_id AS query_id, cc.cluster,
@@ -455,7 +586,7 @@ object SimilarityOps {
        |        list_sum(list_transform(range(1, len(v.q) + 1),
        |          i -> (v.q[i] - cc.c[i]) * (v.q[i] - cc.c[i]))) ASC,
        |        cc.cluster ASC) AS pr
-       |    FROM v, c$KmeansRounds cc WHERE v.vec_id < $nQueries) t
+       |    FROM v, $cents cc WHERE v.vec_id < $nQueries) t
        |  WHERE pr <= $nprobe)""".stripMargin
 
   /** CTE list (no WITH keyword) replaying PQ literally — the
@@ -2183,6 +2314,31 @@ object SimilarityOps {
          |FROM knn ORDER BY vec_id, rank""".stripMargin,
     // literal round-by-round Lloyd replay, generated from shared constants
     "kmeans_assign" -> kmeansOracleSql(),
+    // incremental append: Lloyd trained on the BASE slice only (frozen
+    // index), increment assigned to the frozen centroids — the same
+    // lifted Lloyd CTE text, re-rooted at the base slice
+    "ann_index_append" ->
+      s"""WITH ${appendIndexCtesSql()}
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM aincr ORDER BY vec_id""".stripMargin,
+    // probed top-k over the APPENDED index (frozen centroids, base ∪
+    // appended lists) — the ann_ivf_kmeans_topk rank replay verbatim,
+    // re-pointed at the b-chain centroids and the aall assignment
+    "ann_ivf_append_topk" ->
+      s"""WITH ${appendIndexCtesSql()},
+         |${kmeansProbesCte(nQueries = 10, nprobe = 3,
+             cents = s"b$KmeansRounds")}
+         |SELECT query_id, rank, neighbor_id FROM (
+         |  SELECT p.query_id, m.vec_id AS neighbor_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(e.embedding, qe.embedding) DESC,
+         |               m.vec_id) AS BIGINT) AS rank
+         |  FROM probes p
+         |  JOIN aall m ON m.cluster = p.cluster
+         |  JOIN embeddings e ON e.vec_id = m.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = p.query_id
+         |  WHERE m.vec_id <> p.query_id) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // PQ: M parallel subspace Lloyds + LUT scoring, replayed literally in
     // the same exact-integer arithmetic (generated from shared constants)
     "ann_pq_topk" -> pqOracleSql(),

@@ -449,6 +449,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(sizes.max <= n * 6 / 10, s"largest cluster ${sizes.max} of $n")
   }
 
+  test("incremental index append: frozen-centroid argmin replayed " +
+      "independently, appended vectors retrievable, index truly frozen") {
+    import org.apache.spark.sql.functions.{col, floor, transform => atransform}
+    val m = SimilarityOps.AnnAppendMod
+    // independent argmin replay: collect the frozen centroids and the
+    // increment's quantized vectors, recompute nearest-centroid with a
+    // plain Scala loop (ties to the smaller cluster — the Lloyd metric)
+    val cents = SimilarityOps.appendIndexCentroids(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    val incr = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % m === m - 1)
+      .select(col("vec_id"),
+        atransform(col("embedding"),
+          x => floor(x.cast("double") * 1e6).cast("long")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    def argmin(q: Array[Long]): Long =
+      cents.minBy { case (c, cv) =>
+        (q.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }._1
+    val expected = incr.map { case (id, q) => id -> argmin(q) }.toMap
+    val appended = SimilarityOps.annIndexAppend(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(appended == expected)
+    // the index is FROZEN: appending must not perturb the centroid
+    // table (re-read after the append — bit-identical)
+    val cents2 = SimilarityOps.appendIndexCentroids(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).sortBy(_._1)
+    assert(cents.map(_._1).sameElements(cents2.map(_._1)) &&
+      cents.zip(cents2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // appended vectors are first-class retrieval citizens: the probed
+    // top-k over the appended index returns increment neighbors
+    val topk = SimilarityOps.annIvfAppendTopk(spark, sfDir).collect()
+    assert(topk.exists(_.getLong(2) % m === m - 1),
+      "no appended vector ever retrieved")
+    // ranks contiguous from 1 per query, the family contract
+    assert(topk.groupBy(_.getLong(0)).values.forall { rs =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size).toSeq
+    })
+  }
+
   test("clustered SemDeDup refines the exact components (pairs are a subset)") {
     val exact = SimilarityOps.semDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
