@@ -163,7 +163,14 @@ object ScaleProbe {
     // the per-doc score row shares the exact row's pair volume but
     // folds it map-side to two-long partials — the ratio should track
     // decontam_semantic's
-    "contam_semantic")
+    "contam_semantic",
+    // r13: the incremental-ingest family. incr_ingest_dedup's cold pays
+    // the shared shingle/band build (the minhash family's fixed cost)
+    // plus increment-sized joins — the ratio should sit at or below
+    // minhash_near_dup's; the ANN append rows are a base-slice Lloyd
+    // (broadcast-assign rounds, ≈ linear) plus batch-sized assignment,
+    // so both should track ann_ivf_kmeans_topk's band
+    "incr_ingest_dedup", "ann_index_append", "ann_ivf_append_topk")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail
