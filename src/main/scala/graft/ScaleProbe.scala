@@ -170,7 +170,19 @@ object ScaleProbe {
     // minhash_near_dup's; the ANN append rows are a base-slice Lloyd
     // (broadcast-assign rounds, ≈ linear) plus batch-sized assignment,
     // so both should track ann_ivf_kmeans_topk's band
-    "incr_ingest_dedup", "ann_index_append", "ann_ivf_append_topk")
+    "incr_ingest_dedup", "ann_index_append", "ann_ivf_append_topk",
+    // r13 (this session): cluster-balanced sampling rides the cached
+    // Lloyd (cold pays it) then is one broadcast-join scan — expect the
+    // kmeans band; random projection is a stateless projection scan +
+    // broadcast-query scoring (candidate volume n × nQueries × RpDim)
+    // + a candidate-sized exact tail — expect ≈ linear
+    "cluster_balanced_sample", "ann_rp_topk",
+    // incremental semantic dedup: exact bipartite cross stage is
+    // O(batch × base / blocks) scoring — both sides grow 10× at sf1 so
+    // the pair volume grows 100×; expect the quadratic-adjacent band of
+    // its exact relation (emb_near_dup's), damped by fixed overhead —
+    // the registered 0.47/0.8 division of labor note in the scaladoc
+    "incr_ingest_semdedup")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail
@@ -384,7 +396,23 @@ object ScaleProbe {
       line
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json")
-    try Files.writeString(Paths.get(out), rows.mkString("[", ",\n", "]\n"))
+    // MERGE into the existing artifact keyed by query name (a PROBE_ONLY
+    // rerun must refresh its rows, not clobber the other 60 — the full
+    // sweep still replaces every row it measures). Existing rows are raw
+    // JSON object lines; keep unknown-format lines verbatim.
+    val merged = try {
+      val p = Paths.get(out)
+      if (Files.exists(p)) {
+        val qOf = "\"query\":\"([^\"]+)\"".r
+        val fresh = rows.map(l => qOf.findFirstMatchIn(l).get.group(1) -> l).toMap
+        val kept = Files.readString(p)
+          .stripPrefix("[").stripSuffix("\n").stripSuffix("]")
+          .split(",\n").toSeq.filter(_.nonEmpty)
+          .filter(l => qOf.findFirstMatchIn(l).forall(m => !fresh.contains(m.group(1))))
+        (kept ++ rows).sortBy(l => qOf.findFirstMatchIn(l).map(_.group(1)).getOrElse(l))
+      } else rows
+    } catch { case _: Throwable => rows }
+    try Files.writeString(Paths.get(out), merged.mkString("[", ",\n", "]\n"))
     catch { case e: Throwable => System.err.println(s"[scale-probe] write failed: $e") }
     spark.stop()
   }

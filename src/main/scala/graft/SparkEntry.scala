@@ -210,6 +210,11 @@ object SparkEntry {
     "doc_dedup_exact"  -> (DedupOps.exactDedup(_, _)),
     "jaccard_pairs"    -> (DedupOps.jaccardPairs(_, _)),
     "minhash_near_dup" -> (DedupOps.minhashNearDup(_, _)),
+    // registered recall/precision telemetry for the near-dup pipelines
+    // (the annRecallReport convention applied to the dedup family):
+    // certificates for the verified LSH paths, true approximation
+    // telemetry for cluster-scoped SemDeDup
+    "dedup_recall_report" -> (DedupOps.dedupRecallReport(_, _)),
     "dedup_clusters"   -> (DedupOps.dedupClusters(_, _)),
     // cluster-granular split: near-dups can never straddle train/test
     // (the leakage mode content-hash splitting misses)
@@ -264,6 +269,11 @@ object SparkEntry {
     // deterministic Lloyd (exact-integer distances/centroids): the final
     // assignment after 2 rounds is oracle-replayed in DuckDB
     "kmeans_assign"    -> (SimilarityOps.kmeansAssign(_, _)),
+    // cluster-balanced (temperature α=1/2) sampling over the Lloyd
+    // clusters — the semantic sibling of source_mixture_sample — plus
+    // its realised-mixture audit table
+    "cluster_balanced_sample"  -> (SimilarityOps.clusterBalancedSample(_, _)),
+    "cluster_balanced_summary" -> (SimilarityOps.clusterBalancedSummary(_, _)),
     // approximate recall by design, but DETERMINISTIC (exact-integer
     // centroid/probe arithmetic) — so nprobe=3 is oracle-checked too:
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),
@@ -278,6 +288,10 @@ object SparkEntry {
     // probed search over the appended index (frozen centroids, base ∪
     // appended lists): appended vectors are first-class retrievable
     "ann_ivf_append_topk" -> (SimilarityOps.annIvfAppendTopk(_, _)),
+    // incremental-ingest dedup, embedding face: new vectors verdicted
+    // against the accepted base (exact 0.47 pair relation; policy
+    // mirrors the streaming emb processor — base never self-paired)
+    "incr_ingest_semdedup" -> (SimilarityOps.incrIngestSemDedupCorpus(_, _)),
     // SemDeDup as the paper runs it: pair search scoped to k-means
     // clusters (linear at scale), CC + min-rep election as semdedup
     "semdedup_clustered" -> (SimilarityOps.semDedupClustered(_, _)),
@@ -295,6 +309,10 @@ object SparkEntry {
     "ann_ivf_pq_topk"    -> (SimilarityOps.ivfPqTopk(_, _)),
     // two-stage retrieval: PQ first pass, exact re-rank of R survivors
     "ann_pq_rerank_topk" -> (SimilarityOps.pqRerankTopk(_, _)),
+    // random-projection (JL ±1) first pass at dim/4 + exact re-rank —
+    // the DIMENSION-compression axis of the family (values: quantized,
+    // codes: pq); exact-integer projection/scoring, oracle-replayed
+    "ann_rp_topk"        -> (SimilarityOps.rpTopk(_, _)),
     // IVF-PQ with residual encoding (FAISS's standard recall refinement:
     // codes quantize x − c_list(x), same plan shape as ann_ivf_pq_topk)
     "ann_ivf_pq_res_topk" -> (SimilarityOps.ivfPqResTopk(_, _)),

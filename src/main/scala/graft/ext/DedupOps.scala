@@ -127,6 +127,89 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Candidate-pipeline recall/precision telemetry for the near-dup
+    * family — the text/embedding twin of
+    * [[SimilarityOps.annRecallReport]]: each approximate pair pipeline
+    * counted against its exact reference relation, as a REGISTERED row
+    * (found, exact, hits, precision_bp, recall_bp per family), so the
+    * recall certificates the sf1 sweeps measure by hand become a
+    * dashboard number an operator watches per corpus.
+    *
+    * Three legs, two kinds of claim:
+    *  - `minhash_near_dup` vs the full-corpus exact Jaccard relation and
+    *    `emb_lsh_near_dup_hi` vs the exact cosine-0.8 relation are
+    *    CERTIFICATES: both pipelines verify candidates exactly, so
+    *    precision is 10000 by construction and recall 10000 is the
+    *    banded-candidate completeness claim their own oracles assert —
+    *    here it is measured and reported rather than assumed.
+    *  - `semdedup_clustered` pairs vs the same exact 0.8 relation is
+    *    true APPROXIMATION telemetry: cluster-scoped pairing misses
+    *    cross-cluster pairs by design (the refinement law pins pairs ⊆
+    *    exact, so precision stays 10000 while recall is the number to
+    *    watch as L grows with the corpus).
+    *
+    * Telemetry by construction (the annRecallReport convention): the
+    * exact references are the registered quadratic-class baselines, so
+    * this row costs what they cost — in production the same report runs
+    * over a BOUNDED audit sample (the [[jaccardPairs]] note), not the
+    * full corpus. The counting plan is scale-clean: one union of pair
+    * streams, one (a, b)-keyed aggregate, one global fold — no joins,
+    * no windows. */
+  def dedupRecallReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def leg(name: String, found: DataFrame, exact: DataFrame): DataFrame =
+      found.toDF("a", "b")
+        .select(col("a"), col("b"), lit(1L).as("in_f"), lit(0L).as("in_x"))
+        .unionAll(exact.toDF("a", "b")
+          .select(col("a"), col("b"), lit(0L).as("in_f"), lit(1L).as("in_x")))
+        .groupBy("a", "b")
+        .agg(max("in_f").as("f"), max("in_x").as("x"))
+        .agg(coalesce(sum("f"), lit(0L)).as("found"),
+          coalesce(sum("x"), lit(0L)).as("exact"),
+          coalesce(sum(col("f") * col("x")), lit(0L)).as("hits"))
+        .select(lit(name).as("family"),
+          col("found").cast("long").as("found"),
+          col("exact").cast("long").as("exact"),
+          col("hits").cast("long").as("hits"),
+          expr("CASE WHEN found = 0 THEN 10000 " +
+            "ELSE (10000 * hits) div found END").cast("long").as("precision_bp"),
+          expr("CASE WHEN exact = 0 THEN 10000 " +
+            "ELSE (10000 * hits) div exact END").cast("long").as("recall_bp"))
+    // full-corpus exact Jaccard relation (the minhash oracle's claim,
+    // computed engine-side): the inverted-index join — NOT banded, so a
+    // pair at 0.6 necessarily shares shingles and cannot hide
+    val jacFull = exactJaccard(
+        withShingles(spark, sfDir).filter(size(col("sh")) > 0),
+        candidates = None)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val exactEmb08 = SimilarityOps.embNearDup(spark, sfDir, threshold = 0.8)
+      .select(col("vec_a"), col("vec_b"))
+    leg("minhash_near_dup",
+        minhashNearDup(spark, sfDir).select(col("doc_a"), col("doc_b")),
+        jacFull)
+      .unionAll(leg("emb_lsh_near_dup_hi",
+        SimilarityOps.embLshNearDupHi(spark, sfDir)
+          .select(col("vec_a"), col("vec_b")),
+        exactEmb08))
+      .unionAll(leg("semdedup_clustered",
+        SimilarityOps.semDedupClusteredPairs(spark, sfDir)
+          .select(col("doc_a"), col("doc_b")),
+        exactEmb08))
+      // the harness corpora have ZERO exact pairs at 0.8 (measured at
+      // sf0.01/sf0.1/sf1 — the orthogonal-transform copies preserve no
+      // cross-copy cosine above threshold), so the 0.8 legs are
+      // certificates over an empty relation there; this leg runs the
+      // clustered pairing at the 0.47 noise threshold where harness
+      // pairs EXIST, so the report carries a live recall number per
+      // corpus, not only on planted fixtures
+      .unionAll(leg("semdedup_clustered_047",
+        SimilarityOps.semDedupClusteredPairs(spark, sfDir, threshold = 0.47)
+          .select(col("doc_a"), col("doc_b")),
+        SimilarityOps.embNearDup(spark, sfDir, threshold = 0.47)
+          .select(col("vec_a"), col("vec_b"))))
+      .orderBy("family")
+  }
+
   private val NumPerms = graft.functions.MinHashSignature.NumPerms // 128
   /** Rows per doc in [[bandFrame]] — broadcast gates sized in DOCS must
     * multiply by this before comparing a band frame against a row cap. */
@@ -1256,7 +1339,63 @@ object DedupOps {
     hammingPairsCtes(cap, nBands, cover) +
       hammingPairsSelect(maxHamming, nBands, cover) + "\nORDER BY doc_a, doc_b"
 
+  /** One leg of the dedup recall report: found/exact pair relations
+    * unioned with membership flags, folded to the five counters — the
+    * literal SQL twin of the engine's union + (a,b)-keyed aggregate. */
+  private def recallLegSql(name: String, aCol: String, bCol: String,
+      foundSql: String, exactSql: String): String =
+    s"""SELECT '$name' AS family,
+       |  CAST(COALESCE(SUM(in_f), 0) AS BIGINT) AS found,
+       |  CAST(COALESCE(SUM(in_x), 0) AS BIGINT) AS exact,
+       |  CAST(COALESCE(SUM(in_f * in_x), 0) AS BIGINT) AS hits,
+       |  CAST(CASE WHEN COALESCE(SUM(in_f), 0) = 0 THEN 10000
+       |    ELSE (10000 * SUM(in_f * in_x)) // SUM(in_f) END AS BIGINT) AS precision_bp,
+       |  CAST(CASE WHEN COALESCE(SUM(in_x), 0) = 0 THEN 10000
+       |    ELSE (10000 * SUM(in_f * in_x)) // SUM(in_x) END AS BIGINT) AS recall_bp
+       |FROM (
+       |  SELECT a, b, MAX(in_f) AS in_f, MAX(in_x) AS in_x FROM (
+       |    SELECT $aCol AS a, $bCol AS b, 1 AS in_f, 0 AS in_x FROM ($foundSql) ff
+       |    UNION ALL
+       |    SELECT $aCol AS a, $bCol AS b, 0 AS in_f, 1 AS in_x FROM ($exactSql) xx
+       |  ) u GROUP BY a, b) g""".stripMargin
+
+  /** Exact embedding near-dup relation at the production 0.8 threshold —
+    * the emb_lsh_near_dup_hi oracle's pair set, shared by two legs. */
+  private val EmbExact08Sql =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8""".stripMargin
+
+  /** Oracle for [[dedupRecallReport]]: each leg's found/exact relations
+    * are the families' own oracle texts (minhash = the full-corpus exact
+    * Jaccard claim; emb legs = the exact 0.8 join; clustered = the Lloyd
+    * replay's within-cluster pairs), so the report cannot fork from the
+    * rows it audits. */
+  private def dedupRecallReportSql: String = {
+    val clusteredPairsSql =
+      s"""WITH ${SimilarityOps.kmeansCtesSql()}
+         |SELECT ma.vec_id AS vec_a, mb.vec_id AS vec_b
+         |FROM afinal ma JOIN afinal mb
+         |  ON ma.cluster = mb.cluster AND ma.vec_id < mb.vec_id
+         |JOIN embeddings a ON a.vec_id = ma.vec_id
+         |JOIN embeddings b ON b.vec_id = mb.vec_id
+         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8""".stripMargin
+    Seq(
+      recallLegSql("emb_lsh_near_dup_hi", "vec_a", "vec_b",
+        EmbExact08Sql, EmbExact08Sql),
+      recallLegSql("minhash_near_dup", "doc_a", "doc_b",
+        jaccardSql("documents"), jaccardSql("documents")),
+      recallLegSql("semdedup_clustered", "vec_a", "vec_b",
+        clusteredPairsSql, EmbExact08Sql),
+      recallLegSql("semdedup_clustered_047", "vec_a", "vec_b",
+        clusteredPairsSql.replace(">= 0.8", ">= 0.47"),
+        EmbExact08Sql.replace(">= 0.8", ">= 0.47")))
+      .mkString("SELECT family, found, exact, hits, precision_bp, recall_bp FROM (\n",
+        "\nUNION ALL\n", "\n) rr ORDER BY family")
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_recall_report" -> dedupRecallReportSql,
     "doc_simhash" -> (simhashCte +
       "SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
     // the guard replay (dfc/bs) is inert wherever band dfs stay under

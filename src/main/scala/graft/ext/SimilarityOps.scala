@@ -265,6 +265,80 @@ object SimilarityOps {
     kmeansRun(spark, sfDir, k, rounds)._3
       .select(col("vec_id"), col("cluster")).orderBy("vec_id")
 
+  /** Cluster-balanced sample budget denominator: the target kept count
+    * is n_total div this. */
+  val ClusterSampleBudgetDen = 2
+
+  /** Per-cluster sizes + the α = 1/2 temperature weight over the Lloyd
+    * assignment — the [[graft.ext.TextOps.sourceMixtureSample]] stats
+    * shape with LEARNED clusters standing in for metadata sources. */
+  private def clusterSampleStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+      .withColumn("w_isqrt",
+        floor(sqrt(col("n_vecs").cast("double"))).cast("long"))
+
+  /** Shared kept-set frame for the cluster-balanced rows: deterministic
+    * per-vector inclusion against the per-cluster temperature rate —
+    * keep v in cluster c iff  h32(v) · Σw · n_c  <  T · w_c · 2^32
+    * (T = n_total div [[ClusterSampleBudgetDen]], w_c = isqrt(n_c)),
+    * the [[graft.ext.TextOps]] mixture inequality cross-multiplied into
+    * DECIMAL(38,0) products so the kept set is bit-identical
+    * cross-engine. */
+  private def clusterSampleKept(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (_, _, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val W = org.apache.spark.sql.expressions.Window
+    // totals via an unpartitioned window over the ≤ k-row stats frame
+    // (bounded by construction), the sourceMixtureSample pattern
+    val stats = clusterSampleStats(assigned)
+      .withColumn("t_isqrt", sum("w_isqrt").over(W.partitionBy()))
+      .withColumn("n_total", sum("n_vecs").over(W.partitionBy()))
+    assigned
+      .select(col("vec_id"), col("cluster"),
+        conv(substring(md5(concat(lit("cbs"), col("vec_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h32"))
+      .join(broadcast(stats), "cluster")
+      .filter(expr(
+        s"""CAST(h32 AS DECIMAL(38,0)) * t_isqrt * n_vecs
+           |  < CAST(n_total div $ClusterSampleBudgetDen AS DECIMAL(38,0))
+           |    * w_isqrt * 4294967296""".stripMargin))
+  }
+
+  /** Cluster-balanced (temperature) sampling over the embedding corpus —
+    * the semantic-diversity subsample real curation runs when metadata
+    * domains are too coarse (the SemDeDup/DataComp follow-up recipe):
+    * k-means clusters stand in for sources, and each cluster is sampled
+    * at a rate ∝ isqrt(n_c)/n_c, flattening dense regions of embedding
+    * space so a handful of boilerplate-heavy clusters stop dominating
+    * the kept set while rare clusters survive at rate 1 (the h32 < 2^32
+    * bound caps every rate automatically — the mixture row's upsample
+    * cap). Expected kept count per cluster is T·w_c/Σw.
+    *
+    * Plan shape: the session-cached Lloyd assignment (built once per
+    * session, the index artifact) scanned ONCE with a per-row md5 and a
+    * broadcast of the ≤ k-row stats frame — no corpus shuffle anywhere
+    * before the final order-for-display. At 100 TB the stats frame is
+    * still k rows, and adding a modality or re-clustering changes only
+    * the cached assignment input. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame =
+    clusterSampleKept(spark, sfDir)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .orderBy("vec_id")
+
+  /** Per-cluster audit for [[clusterBalancedSample]]: size, temperature
+    * weight, kept count — the realised-mixture table (which clusters hit
+    * the rate-1 cap shows as n_kept = n_vecs). */
+  def clusterBalancedSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, _, assigned) = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)
+    val kept = clusterSampleKept(spark, sfDir).groupBy("cluster")
+      .agg(count(lit(1)).cast("long").as("n_kept"))
+    clusterSampleStats(assigned).join(kept, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"), col("n_vecs"),
+        col("w_isqrt"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("cluster")
+  }
+
   /** IVF top-k over K-MEANS lists instead of the corpus's `label`
     * partitions — the production IVF construction: the list count is a
     * free parameter grown with the corpus (L ≈ √n), so per-query
@@ -663,6 +737,58 @@ object SimilarityOps {
        |  WHERE v.vec_id < $nQueries)""".stripMargin
   }
 
+  /** Literal replay of [[rpTopk]]: the ±1 matrix regenerated from the
+    * same md5 rule (first hex digit >= 8), projections as BIGINT sums
+    * over the 1e-6 grid, exact-integer first-pass dots ranked by
+    * dot/√n2 to top-R, then the exact-cosine re-rank tail (the
+    * [[pqRerankOracleSql]] shape). */
+  private[ext] def rpOracleSql(nQueries: Int = 10, k: Int = 5,
+      rerank: Int = RpRerankR): String =
+    s"""WITH rdims AS (
+       |  SELECT DISTINCT unnest(range(len(embedding))) AS i FROM embeddings),
+       |rp AS (
+       |  SELECT j, i, CASE WHEN strpos('0123456789abcdef',
+       |      substr(md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+       |        1, 1)) - 1 >= 8 THEN 1 ELSE -1 END AS sgn
+       |  FROM range($RpDim) t1(j), rdims),
+       |vq AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, list(psum ORDER BY j) AS p FROM (
+       |    SELECT v.vec_id, r.j,
+       |      CAST(SUM(r.sgn * v.q[r.i + 1]) AS BIGINT) AS psum
+       |    FROM vq v, rp r GROUP BY v.vec_id, r.j) t
+       |  GROUP BY vec_id),
+       |rn2 AS (
+       |  SELECT vec_id, CAST(list_sum([x * x for x in p]) AS BIGINT) AS n2
+       |  FROM pr),
+       |rdots AS (
+       |  SELECT qp.vec_id AS query_id, cp.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(qp.p) + 1),
+       |      i -> qp.p[i] * cp.p[i])) AS BIGINT) AS dot
+       |  FROM pr cp JOIN (SELECT * FROM pr WHERE vec_id < $nQueries) qp
+       |    ON cp.vec_id <> qp.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT d.query_id, d.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY d.query_id
+       |        ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(rn2.n2 AS DOUBLE)) DESC,
+       |                 d.vec_id) AS rp_rank
+       |    FROM rdots d JOIN rn2 ON rn2.vec_id = d.vec_id
+       |    WHERE rn2.n2 > 0) t
+       |  WHERE rp_rank <= $rerank)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id
+       |      ORDER BY list_cosine_similarity(e.embedding, qe.embedding) DESC,
+       |               c.vec_id) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Rank tail shared by the PQ and IVF-PQ oracles: cos = dot/√n2, the
     * same two IEEE ops and vec_id tie-break as [[pqRank]]. Expects
     * `dots(query_id, vec_id, dot)` and `n2` in scope. */
@@ -822,7 +948,8 @@ object SimilarityOps {
       leg("ann_ivf_pq", ivfPqOracleSql(nQueries, k)),
       leg("ann_ivf_pq_res", ivfPqResOracleSql(nQueries, k)),
       leg("ann_pq", pqOracleSql(nQueries, k)),
-      leg("ann_pq_rerank", pqRerankOracleSql(nQueries, k)))
+      leg("ann_pq_rerank", pqRerankOracleSql(nQueries, k)),
+      leg("ann_rp", rpOracleSql(nQueries, k)))
       .mkString("SELECT family, hits, total, recall_bp FROM (\n",
         "\nUNION ALL\n", "\n) u ORDER BY family")
   }
@@ -918,8 +1045,16 @@ object SimilarityOps {
     * cosine in the harness data, so cross-engine float accumulation drift
     * cannot flip membership. Scores are intentionally not emitted. */
   def embNearDup(spark: SparkSession, sfDir: String, threshold: Double = 0.47,
-      nBlocks: Int = 16): DataFrame = {
-    val e = unitVectors(spark, sfDir)
+      nBlocks: Int = 16): DataFrame =
+    embNearDupFrame(unitVectors(spark, sfDir), threshold, nBlocks)
+
+  /** [[embNearDup]] over an arbitrary unit frame `(vec_id, unit)` — the
+    * blocked B(B+1)/2 self-join extracted so the incremental-ingest
+    * in-batch stage shares the exact pair relation (and its no-BNLJ
+    * plan) with the corpus row instead of redefining it. */
+  private[graft] def embNearDupFrame(units: DataFrame,
+      threshold: Double, nBlocks: Int = 16): DataFrame = {
+    val e = units
       .withColumn("blk", pmod(col("vec_id"), lit(nBlocks)).cast("int"))
     // pair key (i, j) encoded as i * nBlocks + j, i <= j
     val a = e.select(col("vec_id").as("vec_a"), col("unit").as("u_a"),
@@ -944,6 +1079,105 @@ object SimilarityOps {
         greatest(col("vec_a"), col("vec_b")).as("vec_b"))
       .distinct()
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Increment slice for the registered incremental semantic-dedup row:
+    * vec_id % [[IncrSemIngestMod]] == 0 is the "new batch", the rest the
+    * accepted base. Chosen (with the 0.47 threshold) so BOTH drop
+    * reasons are exercised at the driver's sf0.01 gate — measured on the
+    * exact pair set: 2 base near-dups (340←7, 466←169) and 4 in-batch
+    * cluster losers; the text row's %4 convention crosses zero in-batch
+    * pairs there (the decontam %-100 lesson), and at the 0.8 production
+    * threshold the harness has zero pairs at ANY scale. */
+  val IncrSemIngestMod = 2
+
+  /** INCREMENTAL-ingest SEMANTIC dedup — the embedding face of
+    * [[graft.ext.DedupOps.incrIngestDedup]], completing the
+    * incremental family across modalities (text MinHash: the batch row +
+    * ingest stream; media dHash: the ingest stream; embeddings: the
+    * streaming [[graft.streaming.StreamingOps.runEmbDedupStream]]
+    * processor and now its oracle-checkable batch face). The accepted
+    * corpus (`base`) is never re-paired with itself; verdict per
+    * increment vector, the stream's policy EXACTLY:
+    *
+    *  - `dropped_base`: cosine >= `threshold` against ANY base vector;
+    *    `dup_of` = the smallest such base id;
+    *  - `dropped_batch`: among base-check survivors, near-dup clusters
+    *    (transitive closure of verified pairs) keep their min vec_id;
+    *  - `kept` otherwise.
+    *
+    * The pair relation here is EXACT (the [[embNearDup]] blocked join,
+    * bipartite for the cross stage, self for the in-batch stage) so the
+    * whole verdict table is oracle-replayable at the 0.47 threshold
+    * where harness pairs exist — the registered division of labor of
+    * this family (emb_near_dup exact at 0.47 vs emb_lsh_near_dup_hi
+    * banded at 0.8). At the 0.8 production point the cross stage's
+    * candidates come from the hyperplane band INDEX instead — that
+    * incremental state machine is implemented and crash-tested in the
+    * streaming processor; the batch≡stream law ties this row's policy
+    * to it on planted geometry.
+    *
+    * Cross-stage plan: the BATCH side replicates across `crossBlocks`
+    * base blocks and meets the base in one equi-join on the block id —
+    * the base is scanned once, shuffled once by its own id hash, never
+    * replicated and never self-joined, so per-batch cost is
+    * O(batch × base / parallelism) scoring with parallelism =
+    * `crossBlocks` (a free parameter; production batches are
+    * broadcast-sized next to the accepted corpus, the asymmetry every
+    * decontam row exploits). */
+  def incrIngestSemDedup(base: DataFrame, incr: DataFrame,
+      threshold: Double = 0.47, crossBlocks: Int = 16): DataFrame =
+    incrSemCore(incr.select(col("vec_id")),
+      unitize(base.select(col("vec_id"), col("embedding"))),
+      unitize(incr.select(col("vec_id"), col("embedding"))),
+      threshold, crossBlocks)
+
+  /** The registered harness instantiation of [[incrIngestSemDedup]]:
+    * the corpus split by vec_id % [[IncrSemIngestMod]]; both sides are
+    * filters of the session-cached unit frame (the normalization pass is
+    * shared with the whole similarity family). */
+  def incrIngestSemDedupCorpus(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val isIncr = pmod(col("vec_id"), lit(IncrSemIngestMod)) === 0
+    val u = unitVectors(spark, sfDir)
+    incrSemCore(
+      Tables.embeddings(spark, sfDir).select(col("vec_id")).filter(isIncr),
+      u.filter(!isIncr), u.filter(isIncr),
+      threshold = 0.47, crossBlocks = 16)
+  }
+
+  private def incrSemCore(incrIds: DataFrame, uBase: DataFrame,
+      uIncr: DataFrame, threshold: Double, crossBlocks: Int): DataFrame = {
+    // cross stage: batch replicas meet base blocks in ONE equi-join;
+    // the cosine is the last conjunct (the fuzzyMatch lesson)
+    val baseB = uBase.select(col("vec_id").as("b_id"), col("unit").as("b_u"),
+      pmod(col("vec_id"), lit(crossBlocks)).cast("int").as("b_blk"))
+    val incrRep = uIncr.select(col("vec_id").as("i_id"), col("unit").as("i_u"),
+      explode(sequence(lit(0), lit(crossBlocks - 1))).as("i_blk"))
+    val baseDup = incrRep.join(baseB,
+        col("i_blk") === col("b_blk") &&
+          fdot(col("i_u"), col("b_u")) >= threshold)
+      .groupBy(col("i_id"))
+      .agg(min(col("b_id")).as("base_dup_of"))
+      .select(col("i_id").as("vec_id"), col("base_dup_of"))
+    // in-batch pairs among base-check survivors: the exact blocked
+    // self-join shared verbatim with emb_near_dup
+    val surv = uIncr.join(baseDup.select(col("vec_id")),
+      Seq("vec_id"), "left_anti")
+    val ipairs = embNearDupFrame(surv, threshold, crossBlocks)
+    val batchDup = graft.ext.DedupOps.connectedComponents(
+        ipairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"), col("label").as("batch_dup_of"))
+    incrIds
+      .join(baseDup, Seq("vec_id"), "left")
+      .join(batchDup, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("base_dup_of").isNotNull, lit("dropped_base"))
+          .when(col("batch_dup_of").isNotNull, lit("dropped_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("base_dup_of"), col("batch_dup_of")).as("dup_of"))
+      .orderBy("vec_id")
   }
 
   /** Semantic-decontamination threshold in milli-cosine units: a corpus
@@ -1131,6 +1365,90 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         cosine(col("qv"), col("q_qv")).as("cos"))
     topkPerQuery(scored, k)
+  }
+
+  /** Output dimensionality of the random-projection index — dim/4 at the
+    * harness's 64, the classic 4× compression point. */
+  val RpDim = 16
+
+  /** Exact re-rank depth for [[rpTopk]] (the [[PqRerankR]] convention). */
+  val RpRerankR = 20
+
+  /** Deterministic ±1 projection matrix: sign(j, i) = +1 iff the first
+    * md5 hex digit of "rp:j:i" is >= 8 — the engine's standard
+    * cross-engine-replayable hash derivation (the SimHash md5 argument:
+    * DuckDB has md5, xxhash64 is Spark-only). Driver-side: RpDim × dim
+    * entries, an index constant. */
+  private def rpSigns(dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDim, dim) { (j, i) =>
+      val d0 = md.digest(s"rp:$j:$i".getBytes("UTF-8"))(0)
+      if (((d0 >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+  }
+
+  /** Exact-integer long dot product of two array&lt;long&gt; columns —
+    * projected vectors are 16 longs, so the HOF fold is 16 mult-adds per
+    * pair (not a hot loop the [[graft.functions.VecDot]] codegen
+    * argument applies to). */
+  private def longDot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (s, v) -> s + v)")
+
+  /** ANN top-k via signed random projection (Johnson-Lindenstrauss /
+    * Achlioptas ±1): the third compression axis of the ANN family —
+    * [[quantizedTopk]] narrows VALUES (8-bit), [[pqTopk]] narrows CODES
+    * (subspace indices), this row narrows DIMENSIONS (64 → [[RpDim]]),
+    * so the first-pass scan reads and multiplies 4× less per candidate
+    * while keeping the whole pipeline exact-integer:
+    *
+    *  - quantize to the 1e-6 grid (longs), project with a seeded ±1
+    *    matrix — each projected coordinate is an exact signed sum of 64
+    *    grid values (|p_j| < 2^27, computed as integer-valued doubles
+    *    through the codegen'd [[graft.functions.VecDot]], then cast) —
+    *    distances in the projected space concentrate around the original
+    *    by the JL lemma, and ±1 entries make the projection itself
+    *    integer-exact (a Gaussian matrix would not be);
+    *  - first-pass ranking by exact LONG dot / candidate norm (products
+    *    ≤ 2^54 summed over 16 — inside BIGINT on both engines; the
+    *    [[pqRank]] score convention), salted two-phase top-[[RpRerankR]];
+    *  - exact full-dimension cosine re-rank of the R survivors (the
+    *    [[pqRerankTopk]] tail, byte-shared conventions).
+    *
+    * Approximate recall by construction, but fully DETERMINISTIC, so
+    * ranked output is oracle-checked (`ann_rp_topk`), and the recall
+    * telemetry rides [[annRecallReport]]. At 100 TB: the projection is
+    * one stateless scan (an index build stores 16 longs next to the PQ
+    * codes), queries broadcast, the corpus never shuffles. */
+  def rpTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = RpRerankR): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    // dimension probe: one O(1) driver action (the embLshNearDup note)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val signs = rpSigns(dim)
+    val qvd = transform(col("embedding"), x => q6col(x).cast("double"))
+    val proj = array((0 until RpDim).map(j =>
+      graft.functions.VectorFunctions.vecDot(qvd, typedLit(signs(j).toSeq))
+        .cast("long")): _*)
+    val pr = e.select(col("vec_id"), proj.as("p"))
+    val q = pr.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"))
+    val scored = pr
+      .withColumn("n2", longDot("p", "p"))
+      .filter(col("n2") > 0)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (longDot("p", "qp").cast("double") / sqrt(col("n2").cast("double")))
+          .as("cos"))
+    val cand = topkPerQuery(scored, rerank)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val qe = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val rescored = cand
+      .join(e, "vec_id")
+      .join(broadcast(qe), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+    topkPerQuery(rescored, k)
   }
 
   /** Product-quantization constants, shared with the generated oracle:
@@ -1531,7 +1849,8 @@ object SimilarityOps {
       row("ann_ivf_pq", ivfPqTopk(spark, sfDir, nQueries, k)),
       row("ann_ivf_pq_res", ivfPqResTopk(spark, sfDir, nQueries, k)),
       row("ann_pq", pqTopk(spark, sfDir, nQueries, k)),
-      row("ann_pq_rerank", pqRerankTopk(spark, sfDir, nQueries, k)))
+      row("ann_pq_rerank", pqRerankTopk(spark, sfDir, nQueries, k)),
+      row("ann_rp", rpTopk(spark, sfDir, nQueries, k)))
       .reduce(_ unionAll _)
       .withColumn("total", lit(nQueries.toLong * k))
       .withColumn("recall_bp", expr("(10000 * hits) div total"))
@@ -2229,7 +2548,91 @@ object SimilarityOps {
       |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
       |ORDER BY vec_id""".stripMargin
 
+  /** Shared WITH-body of the cluster-balanced sampling oracles: the
+    * Lloyd replay ([[kmeansCtesSql]] — the sample cannot fork from
+    * kmeans_assign) + the temperature-inclusion replay, the MixtureCte
+    * inequality with clusters for sources and the md5-h32 digit fold. */
+  private def clusterSampleCtesSql: String =
+    s"""${kmeansCtesSql()},
+       |cb AS (
+       |  SELECT vec_id, cluster,
+       |    md5('cbs' || CAST(vec_id AS VARCHAR)) AS h
+       |  FROM afinal),
+       |cs AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_isqrt
+       |  FROM cb GROUP BY cluster),
+       |ct AS (
+       |  SELECT CAST(SUM(w_isqrt) AS BIGINT) AS t_isqrt,
+       |    CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM cs),
+       |ck AS (
+       |  SELECT cb.vec_id, cb.cluster
+       |  FROM cb JOIN cs USING (cluster), ct
+       |  WHERE list_sum([(strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT
+       |                  * ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]
+       |                  FOR i IN range(1, 9)])::HUGEINT * t_isqrt * n_vecs
+       |        < ((n_total // $ClusterSampleBudgetDen)::HUGEINT) * w_isqrt * 4294967296)""".stripMargin
+
+  /** Oracle for [[incrIngestSemDedupCorpus]]: the exact 0.47 pair set
+    * (the emb_near_dup relation) + the policy replayed literally — the
+    * incr_ingest_dedup oracle's shape with cosine pairs for Jaccard
+    * pairs. */
+  private def incrSemOracleSql: String = {
+    val m = IncrSemIngestMod
+    s"""WITH RECURSIVE ep AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.47
+       |), basedup AS (
+       |  SELECT i AS vec_id, MIN(b) AS base_dup_of FROM (
+       |    SELECT va AS i, vb AS b FROM ep
+       |    WHERE va % $m = 0 AND vb % $m <> 0
+       |    UNION ALL
+       |    SELECT vb AS i, va AS b FROM ep
+       |    WHERE vb % $m = 0 AND va % $m <> 0
+       |  ) GROUP BY i
+       |), ip AS MATERIALIZED (
+       |  SELECT va, vb FROM ep
+       |  WHERE va % $m = 0 AND vb % $m = 0
+       |    AND va NOT IN (SELECT vec_id FROM basedup)
+       |    AND vb NOT IN (SELECT vec_id FROM basedup)
+       |), edges AS MATERIALIZED (
+       |  SELECT va AS src, vb AS dst FROM ip
+       |  UNION ALL SELECT vb, va FROM ip
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), batchdup AS (
+       |  SELECT src AS vec_id, MIN(dst) AS batch_dup_of FROM reach
+       |  GROUP BY src HAVING MIN(dst) < src
+       |)
+       |SELECT e.vec_id,
+       |  CASE WHEN bd.base_dup_of IS NOT NULL THEN 'dropped_base'
+       |       WHEN iu.batch_dup_of IS NOT NULL THEN 'dropped_batch'
+       |       ELSE 'kept' END AS status,
+       |  COALESCE(bd.base_dup_of, iu.batch_dup_of) AS dup_of
+       |FROM embeddings e
+       |LEFT JOIN basedup bd ON bd.vec_id = e.vec_id
+       |LEFT JOIN batchdup iu ON iu.vec_id = e.vec_id
+       |WHERE e.vec_id % $m = 0
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "incr_ingest_semdedup" -> incrSemOracleSql,
+    "cluster_balanced_sample" ->
+      s"""WITH $clusterSampleCtesSql
+         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+         |FROM ck ORDER BY vec_id""".stripMargin,
+    "cluster_balanced_summary" ->
+      s"""WITH $clusterSampleCtesSql
+         |SELECT CAST(cs.cluster AS BIGINT) AS cluster, cs.n_vecs, cs.w_isqrt,
+         |  CAST(COALESCE(kk.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM cs LEFT JOIN (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM ck GROUP BY cluster) kk USING (cluster)
+         |ORDER BY cluster""".stripMargin,
     // k-means-IVF: Lloyd replayed literally (shared kmeansCtesSql), probe
     // ranking by the same exact-integer squared-L2, candidate ranks by
     // cosine — deterministic end to end, like ann_ivf_topk
@@ -2430,6 +2833,9 @@ object SimilarityOps {
          |ORDER BY vec_a, vec_b""".stripMargin,
     // full-probe IVF ≡ brute force: same oracle proves the IVF plumbing
     "ann_ivf_full_probe" -> bruteTopkSql,
+    // random-projection first pass + exact re-rank: deterministic
+    // exact-integer pipeline end to end, replayed literally
+    "ann_rp_topk" -> rpOracleSql(),
     // nprobe=3 replay: the exact-integer centroid/probe arithmetic of
     // ivfTopk (quantize → long sum → subtract-pmod floor-mean → integer
     // dot products) reproduced literally — every intermediate is exact,

@@ -165,6 +165,13 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(DedupOps.incrIngestDedupCorpus(spark, sfDir))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
+    // the embedding face: the cross stage is an equi-join on the block id
+    // (batch replicated, base scanned once) and the in-batch stage is the
+    // shared embNearDupFrame blocked self-join — same no-nested-loop
+    // contract
+    val ps = plan(graft.ext.SimilarityOps.incrIngestSemDedupCorpus(spark, sfDir))
+    assert(!ps.contains("CartesianProduct") &&
+      !ps.contains("BroadcastNestedLoopJoin"), ps)
   }
 
   test("winnow pair join is an equi-join; bigram top-k avoids a global sort") {
@@ -394,6 +401,12 @@ class PlanAuditSpec extends SparkSpec {
     val pd = plan(graft.ext.TextOps.dsirScores(spark, sfDir))
     assert(pd.contains("BroadcastHashJoin"), pd)
     assert(!pd.contains("CartesianProduct") && !pd.contains("BroadcastNestedLoopJoin"), pd)
+    // cluster-balanced sampling: the same contract over LEARNED clusters —
+    // the ≤ k-row stats frame broadcasts onto the cached assignment scan;
+    // a sort-merge here would shuffle the corpus for 8 rows
+    val pc = plan(graft.ext.SimilarityOps.clusterBalancedSample(spark, sfDir))
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("SortMergeJoin"), pc)
   }
 
   test("global sequence packing never funnels documents into one reducer") {
@@ -507,6 +520,18 @@ class PlanAuditSpec extends SparkSpec {
           l.contains("Exchange hashpartitioning") && l.contains("salt")),
         s"no salted top-k exchange:\n$ps")
     }
+    // random projection: queries broadcast onto the projected scan, the
+    // corpus never shuffles to be scored, salted two-phase top-k on both
+    // passes; no cartesian/BNLJ anywhere (the =!= join is keyed by the
+    // broadcast side)
+    val pr = plan(SimilarityOps.rpTopk(spark, sfDir))
+    assert(pr.contains("BroadcastHashJoin") || pr.contains("BroadcastNestedLoopJoin"),
+      s"queries not broadcast:\n$pr")
+    assert(!pr.contains("CartesianProduct"), pr)
+    assert(!pr.contains("SortMergeJoin"), s"corpus shuffled to meet queries:\n$pr")
+    assert(pr.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("salt")),
+      s"no salted top-k exchange:\n$pr")
   }
 
   test("media near-dup: signatures projected in the scan, no blob in any exchange") {

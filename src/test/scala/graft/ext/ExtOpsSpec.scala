@@ -99,6 +99,47 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(106L) == ("kept", None))
   }
 
+  test("incremental semantic ingest dedup: base check first (min base id " +
+      "through an internal base dup), survivor-scoped transitive clusters") {
+    import spark.implicits._
+    val c35 = math.cos(math.toRadians(35)).toFloat
+    val s35 = math.sin(math.toRadians(35)).toFloat
+    val c70 = math.cos(math.toRadians(70)).toFloat
+    val s70 = math.sin(math.toRadians(70)).toFloat
+    def e(i: Int): Array[Float] = { val a = Array.fill(8)(0f); a(i) = 1f; a }
+    def inPlane(i: Int, j: Int, c: Float, s: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(i) = c; a(j) = s; a
+    }
+    // base holds an INTERNAL exact-dup pair (1, 5 both = e0): it must
+    // never surface (base is never re-paired), but an increment vector
+    // near it gets the MIN base id
+    val base = Seq((1L, e(0)), (5L, e(0)), (3L, e(1)))
+      .toDF("vec_id", "embedding")
+    val incr = Seq(
+      (100L, inPlane(0, 4, c35, s35)), // cos vs e0 = .819 → dropped_base(1)
+      (110L, inPlane(0, 4, c70, s70)), // cos vs e0 = .342, vs 100 = .819:
+                                       // only neighbor fell to base; the
+                                       // cluster stage sees SURVIVORS → kept
+      (102L, e(2)),                    // chain 102~104~106 (.819/.819,
+      (104L, inPlane(2, 5, c35, s35)), // 102·106 = .342 transitive only)
+      (106L, inPlane(2, 5, c70, s70)), // → keeper 102, losers 104, 106
+      (108L, e(3))                     // novel → kept
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.incrIngestSemDedup(base, incr, threshold = 0.8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(out.keySet == Set(100L, 102L, 104L, 106L, 108L, 110L),
+      s"output must cover exactly the increment: $out")
+    assert(out(100L) == (("dropped_base", Some(1L))))
+    assert(out(110L) == (("kept", None)))
+    assert(out(102L) == (("kept", None)))
+    assert(out(104L) == (("dropped_batch", Some(102L))))
+    assert(out(106L) == (("dropped_batch", Some(102L)))) // transitive loser
+    assert(out(108L) == (("kept", None)))
+  }
+
   test("cluster keepers: argmax-quality representative per cluster") {
     def doc(lo: Int): String = (lo until lo + 40).map(i => s"w$i").mkString(" ")
     val dir = docsFixture(Seq(
@@ -290,6 +331,36 @@ class ExtOpsSpec extends SparkSpec {
     assert(rrRecall > pqRecall, s"no recall recovered: $rrRecall")
   }
 
+  test("random projection: exact copy survives projection at rank 1, " +
+      "deeper re-rank never loses recall") {
+    // a byte-identical copy projects to the SAME 16 longs, so it tops the
+    // projected ranking of its twin and the exact re-rank pins rank 1
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(64)(d => (((d * 7) % 13).toFloat - 6f) / 6f)
+    val rows = Seq((0L, base, 0), (1L, base.clone(), 0)) ++
+      (2L until 30L).map(i =>
+        (i, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f), 0))
+    val dir = embFixture(rows)
+    val out = SimilarityOps.rpTopk(spark, dir, nQueries = 1, k = 5).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.find(_._1 == 1L).map(_._2).contains(1L),
+      s"copy not at rank 1: ${out.mkString(",")}")
+    // rank contiguity per query on harness data
+    val h = SimilarityOps.rpTopk(spark, sfDir).collect()
+    h.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size).toSeq)
+    }
+    // R=20 exactly re-scores a SUPERSET of R=5's candidate set, so
+    // recall vs brute can only improve (the pqRerank dominance argument)
+    val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(rerank: Int): Double =
+      SimilarityOps.rpTopk(spark, sfDir, rerank = rerank).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+        .intersect(brute).size.toDouble / brute.size
+    assert(recall(20) >= recall(5), s"deeper rerank lost recall")
+  }
+
   test("IVF-PQ candidates are a subset of PQ's, full-rank queries still served") {
     val pq = SimilarityOps.pqTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -353,7 +424,7 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(rows.keySet ==
-      Set("ann_pq", "ann_ivf_pq", "ann_ivf_pq_res", "ann_pq_rerank"))
+      Set("ann_pq", "ann_ivf_pq", "ann_ivf_pq_res", "ann_pq_rerank", "ann_rp"))
     // the row IS the test assertion rewritten as data: recompute one
     // family's hits independently and check the integer arithmetic
     val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
@@ -1492,6 +1563,67 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (4L, 4L, true)))
+  }
+
+  test("cluster-balanced sample: independent inclusion replay, dense cluster " +
+      "flattened, rare clusters kept whole (rate cap), summary consistent") {
+    // 8 well-separated blobs, one Lloyd seed (ids 0-7) per blob; blob 0
+    // gets 56 extra members (ids 8-63), blob 1 gets 3 (ids 64-66) —
+    // sizes 57,4,1,1,1,1,1,1 → w=(7,2,1×6), Σw=15, T=34:
+    // rate_0 = 34·7/(15·57) ≈ 0.28 (strict subset), every other cluster's
+    // rate > 1 → the h32 < 2^32 bound keeps it whole
+    def center(b: Int): Array[Float] = {
+      val a = Array.fill(8)(0f); a(b) = 1f; a
+    }
+    val rnd = new scala.util.Random(7)
+    def around(b: Int): Array[Float] =
+      center(b).map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val rows = (0 until 8).map(b => (b.toLong, around(b), 0)) ++
+      (8 until 64).map(i => (i.toLong, around(0), 0)) ++
+      (64 until 67).map(i => (i.toLong, around(1), 0))
+    val dir = embFixture(rows)
+    val kept = SimilarityOps.clusterBalancedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCl = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // rare clusters survive at rate 1
+    (1L to 7L).foreach { c =>
+      val expectSize = if (c == 1L) 4 else 1
+      assert(byCl.getOrElse(c, Set.empty).size == expectSize,
+        s"cluster $c not kept whole: ${byCl.get(c)}")
+    }
+    // the dense blob is a strict, non-empty subset
+    val kept0 = byCl.getOrElse(0L, Set.empty)
+    assert(kept0.nonEmpty && kept0.size < 57, s"blob 0 kept ${kept0.size} of 57")
+    // independent Scala replay of the inclusion inequality:
+    // h32(v)·Σw·n_c < T·w_c·2^32 with h32 = first 8 md5 hex chars
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = {
+      val hex = md.digest(s"cbs$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val sizesByCluster = Map(0L -> 57L, 1L -> 4L) ++ (2L to 7L).map(_ -> 1L)
+    val sumW = 15L; val t = 34L
+    def wOf(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
+    val expected = rows.map(_._1).map { id =>
+      val c = if (id < 8) id else if (id < 64) 0L else 1L
+      (id, c)
+    }.filter { case (id, c) =>
+      val n = sizesByCluster(c)
+      BigInt(h32(id)) * sumW * n < BigInt(t) * wOf(n) * 4294967296L
+    }
+    assert(kept.toSet == expected.toSet,
+      s"engine kept ${kept.length}, replay expects ${expected.length}")
+    // summary agrees with the realised sample
+    val summ = SimilarityOps.clusterBalancedSummary(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("w_isqrt"), r.getAs[Long]("n_kept"))).toMap
+    assert(summ(0L) == ((57L, 7L, kept0.size.toLong)))
+    assert(summ(1L) == ((4L, 2L, 4L)))
+    (2L to 7L).foreach(c => assert(summ(c) == ((1L, 1L, 1L))))
+    // per-id hash ⇒ reruns reproduce the kept set bit-for-bit
+    assert(SimilarityOps.clusterBalancedSample(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == kept.map(_._1).toSeq.sorted)
   }
 
   test("kmeans recovers planted well-separated blobs; deterministic across runs") {

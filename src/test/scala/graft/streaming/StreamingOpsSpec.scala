@@ -460,6 +460,54 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch incremental SEMANTIC dedup reproduces the emb stream's " +
+      "second-batch verdicts") {
+    // the incr_ingest_dedup law's embedding twin: stream batch1 then
+    // batch2 must agree with incrIngestSemDedup(base = kept-after-batch1,
+    // incr = batch2) at the stream's 0.8 threshold
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val c35 = math.cos(math.toRadians(35)).toFloat
+    val s35 = math.sin(math.toRadians(35)).toFloat
+    def e(i: Int): Array[Float] = { val a = Array.fill(8)(0f); a(i) = 1f; a }
+    def inPlane(i: Int, j: Int): Array[Float] = {
+      val a = Array.fill(8)(0f); a(i) = c35; a(j) = s35; a
+    }
+    val batch1 = Seq((1L, e(0)), (2L, e(0).map(_ * 2f)), (3L, e(1)))
+    val batch2 = Seq(
+      (10L, inPlane(0, 4)),  // cos .819 vs kept 1 → dropped cross-batch
+      (12L, e(2)), (14L, inPlane(2, 5)), // in-batch pair → 14 loses to 12
+      (16L, e(3)))           // novel → kept
+    val out = tmpDir("semincrlaw")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.runEmbDedupStream(
+      input.toDS().toDF("vec_id", "embedding"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    val streamKept2 =
+      try {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        val kept1 = StreamingOps.committedKept(spark, s"$out/kept")
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        assert(kept1 == Set(1L, 3L)) // 2 lost its in-batch cluster
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+        StreamingOps.committedKept(spark, s"$out/kept")
+          .select("vec_id").collect().map(_.getLong(0)).toSet -- kept1
+      } finally q.stop()
+    val batchVerdicts = graft.ext.SimilarityOps.incrIngestSemDedup(
+        StreamingOps.committedKept(spark, s"$out/kept")
+          .filter($"vec_id" < 10L).select("vec_id", "embedding"),
+        batch2.toDF("vec_id", "embedding"),
+        threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchKept = batchVerdicts.collect { case (id, "kept") => id }.toSet
+    assert(batchKept == streamKept2,
+      s"stream kept $streamKept2, batch operator kept $batchKept")
+    assert(batchVerdicts(10L) == "dropped_base" &&
+      batchVerdicts(14L) == "dropped_batch")
+  }
+
   test("streaming embedding ingest dedup drops vector near-dups across batches") {
     implicit val sqlCtx = spark.sqlContext
     // unit-direction fixtures in 8 dims: v2 = scaled v1 (cosine 1.0),
