@@ -176,13 +176,16 @@ object ScaleProbe {
     // kmeans band; random projection is a stateless projection scan +
     // broadcast-query scoring (candidate volume n × nQueries × RpDim)
     // + a candidate-sized exact tail — expect ≈ linear
-    "cluster_balanced_sample", "ann_rp_topk",
+    "cluster_balanced_sample", "ann_rp_topk", "ann_rp_q8_topk",
     // incremental semantic dedup: exact bipartite cross stage is
     // O(batch × base / blocks) scoring — both sides grow 10× at sf1 so
     // the pair volume grows 100×; expect the quadratic-adjacent band of
     // its exact relation (emb_near_dup's), damped by fixed overhead —
     // the registered 0.47/0.8 division of labor note in the scaladoc
-    "incr_ingest_semdedup")
+    "incr_ingest_semdedup",
+    // training order: one order-preserving range exchange + pid-local
+    // rank window + O(#partitions) driver prefix — expect ≈ linear
+    "training_order")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -139,6 +139,9 @@ object SparkEntry {
     "pii_redact"       -> (TextOps.piiRedact(_, _)),
     "seq_pack"         -> (TextOps.seqPack(_, _)),
     "seq_pack_global"  -> (TextOps.seqPackGlobal(_, _)),
+    // reproducible global training-order shuffle + shard assignment
+    // (two-pass prefix sum — no single-reducer global sort)
+    "training_order"   -> (TextOps.trainingOrder(_, _)),
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     // per-doc benchmark-overlap FRACTION (exact milli-ratio incl. zero
@@ -313,6 +316,9 @@ object SparkEntry {
     // the DIMENSION-compression axis of the family (values: quantized,
     // codes: pq); exact-integer projection/scoring, oracle-replayed
     "ann_rp_topk"        -> (SimilarityOps.rpTopk(_, _)),
+    // projection further quantized to int8: 16 B/vector (16x), scoring
+    // still exact-integer — the dims × values composition point
+    "ann_rp_q8_topk"     -> (SimilarityOps.rpQuantizedTopk(_, _)),
     // IVF-PQ with residual encoding (FAISS's standard recall refinement:
     // codes quantize x − c_list(x), same plan shape as ann_ivf_pq_topk)
     "ann_ivf_pq_res_topk" -> (SimilarityOps.ivfPqResTopk(_, _)),

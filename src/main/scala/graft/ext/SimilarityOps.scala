@@ -742,9 +742,10 @@ object SimilarityOps {
     * over the 1e-6 grid, exact-integer first-pass dots ranked by
     * dot/√n2 to top-R, then the exact-cosine re-rank tail (the
     * [[pqRerankOracleSql]] shape). */
-  private[ext] def rpOracleSql(nQueries: Int = 10, k: Int = 5,
-      rerank: Int = RpRerankR): String =
-    s"""WITH rdims AS (
+  /** Projection CTEs shared by the RP oracles: the ±1 matrix regenerated
+    * from md5 (rp), the 1e-6-grid corpus (vq), projections (pr). */
+  private def rpProjCtesSql: String =
+    s"""rdims AS (
        |  SELECT DISTINCT unnest(range(len(embedding))) AS i FROM embeddings),
        |rp AS (
        |  SELECT j, i, CASE WHEN strpos('0123456789abcdef',
@@ -760,15 +761,20 @@ object SimilarityOps {
        |    SELECT v.vec_id, r.j,
        |      CAST(SUM(r.sgn * v.q[r.i + 1]) AS BIGINT) AS psum
        |    FROM vq v, rp r GROUP BY v.vec_id, r.j) t
-       |  GROUP BY vec_id),
-       |rn2 AS (
+       |  GROUP BY vec_id)""".stripMargin
+
+  /** First-pass rank + exact re-rank tail over a projected CTE `src` —
+    * the literal twin of [[rpFirstPass]] + [[exactRerank]]. */
+  private def rpRankTailSql(src: String, nQueries: Int, k: Int,
+      rerank: Int): String =
+    s"""rn2 AS (
        |  SELECT vec_id, CAST(list_sum([x * x for x in p]) AS BIGINT) AS n2
-       |  FROM pr),
+       |  FROM $src),
        |rdots AS (
        |  SELECT qp.vec_id AS query_id, cp.vec_id,
        |    CAST(list_sum(list_transform(range(1, len(qp.p) + 1),
        |      i -> qp.p[i] * cp.p[i])) AS BIGINT) AS dot
-       |  FROM pr cp JOIN (SELECT * FROM pr WHERE vec_id < $nQueries) qp
+       |  FROM $src cp JOIN (SELECT * FROM $src WHERE vec_id < $nQueries) qp
        |    ON cp.vec_id <> qp.vec_id),
        |cand AS (
        |  SELECT query_id, vec_id FROM (
@@ -788,6 +794,27 @@ object SimilarityOps {
        |  JOIN embeddings e ON e.vec_id = c.vec_id
        |  JOIN embeddings qe ON qe.vec_id = c.query_id) t
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  private[ext] def rpOracleSql(nQueries: Int = 10, k: Int = 5,
+      rerank: Int = RpRerankR): String =
+    s"""WITH $rpProjCtesSql,
+       |${rpRankTailSql("pr", nQueries, k, rerank)}""".stripMargin
+
+  /** Literal replay of [[rpQuantizedTopk]]: the shared projection CTEs +
+    * the per-vector max-abs/127 scale and round (the ann_quantized_topk
+    * replay applied to the projected longs) + the shared rank tail. */
+  private[ext] def rpQ8OracleSql(nQueries: Int = 10, k: Int = 5,
+      rerank: Int = RpRerankR): String =
+    s"""WITH $rpProjCtesSql,
+       |rsc AS (
+       |  SELECT vec_id,
+       |    greatest(list_max([abs(x::DOUBLE) for x in p]) / 127.0, 1e-12) AS s
+       |  FROM pr),
+       |pq8 AS (
+       |  SELECT pr.vec_id,
+       |    [round(x::DOUBLE / rsc.s)::BIGINT for x in pr.p] AS p
+       |  FROM pr JOIN rsc ON pr.vec_id = rsc.vec_id),
+       |${rpRankTailSql("pq8", nQueries, k, rerank)}""".stripMargin
 
   /** Rank tail shared by the PQ and IVF-PQ oracles: cos = dot/√n2, the
     * same two IEEE ops and vec_id tie-break as [[pqRank]]. Expects
@@ -949,7 +976,8 @@ object SimilarityOps {
       leg("ann_ivf_pq_res", ivfPqResOracleSql(nQueries, k)),
       leg("ann_pq", pqOracleSql(nQueries, k)),
       leg("ann_pq_rerank", pqRerankOracleSql(nQueries, k)),
-      leg("ann_rp", rpOracleSql(nQueries, k)))
+      leg("ann_rp", rpOracleSql(nQueries, k)),
+      leg("ann_rp_q8", rpQ8OracleSql(nQueries, k)))
       .mkString("SELECT family, hits, total, recall_bp FROM (\n",
         "\nUNION ALL\n", "\n) u ORDER BY family")
   }
@@ -1419,17 +1447,30 @@ object SimilarityOps {
     * telemetry rides [[annRecallReport]]. At 100 TB: the projection is
     * one stateless scan (an index build stores 16 longs next to the PQ
     * codes), queries broadcast, the corpus never shuffles. */
-  def rpTopk(spark: SparkSession, sfDir: String,
-      nQueries: Int = 10, k: Int = 5, rerank: Int = RpRerankR): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    // dimension probe: one O(1) driver action (the embLshNearDup note)
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
-    val signs = rpSigns(dim)
-    val qvd = transform(col("embedding"), x => q6col(x).cast("double"))
-    val proj = array((0 until RpDim).map(j =>
-      graft.functions.VectorFunctions.vecDot(qvd, typedLit(signs(j).toSeq))
-        .cast("long")): _*)
-    val pr = e.select(col("vec_id"), proj.as("p"))
+  /** Projected corpus (vec_id, p: array&lt;long&gt;) cached per (session,
+    * sfDir): the projection is an INDEX ARTIFACT (built once, stored
+    * next to the PQ codes at scale) shared by [[rpTopk]], its quantized
+    * sibling, and the recall-report legs. */
+  private val rpProjCache = new graft.SessionFrameCache[String]
+
+  private def rpProjected(spark: SparkSession, sfDir: String): DataFrame =
+    rpProjCache.getOrElseUpdate(spark, sfDir) {
+      val e = Tables.embeddings(spark, sfDir)
+      // dimension probe: one O(1) driver action (the embLshNearDup note)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val signs = rpSigns(dim)
+      val qvd = transform(col("embedding"), x => q6col(x).cast("double"))
+      val proj = array((0 until RpDim).map(j =>
+        graft.functions.VectorFunctions.vecDot(qvd, typedLit(signs(j).toSeq))
+          .cast("long")): _*)
+      e.select(col("vec_id"), proj.as("p"))
+    }
+
+  /** First pass over a projected frame: exact-LONG dot / candidate norm,
+    * salted top-`rerank` per query — shared by the raw-long and int8
+    * projected indexes. */
+  private def rpFirstPass(pr: DataFrame, nQueries: Int,
+      rerank: Int): DataFrame = {
     val q = pr.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("p").as("qp"))
     val scored = pr
@@ -1439,8 +1480,15 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         (longDot("p", "qp").cast("double") / sqrt(col("n2").cast("double")))
           .as("cos"))
-    val cand = topkPerQuery(scored, rerank)
+    topkPerQuery(scored, rerank)
       .select(col("query_id"), col("neighbor_id").as("vec_id"))
+  }
+
+  /** Exact full-dimension cosine re-rank of candidate (query_id, vec_id)
+    * pairs to top-k — the [[pqRerankTopk]] tail, shared. */
+  private def exactRerank(spark: SparkSession, sfDir: String,
+      cand: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
     val qe = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val rescored = cand
@@ -1449,6 +1497,31 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cos"))
     topkPerQuery(rescored, k)
+  }
+
+  def rpTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = RpRerankR): DataFrame =
+    exactRerank(spark, sfDir,
+      rpFirstPass(rpProjected(spark, sfDir), nQueries, rerank), nQueries, k)
+
+  /** [[rpTopk]] with the projected coordinates further quantized to int8
+    * (the [[quantizedTopk]] per-vector max-abs/127 scale applied to the
+    * PROJECTED longs): 16 bytes per vector — 16× less than the raw 256 B
+    * embedding and 8× less than the long projection — while the scoring
+    * pipeline stays exact-integer (|dot| ≤ 16·127², trivially inside
+    * BIGINT) and therefore oracle-replayable. This is the composition
+    * point PERF.md's RP note promises: dimension cut × value cut, with
+    * the same exact re-rank recovering recall. */
+  def rpQuantizedTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, rerank: Int = RpRerankR): DataFrame = {
+    val pr = rpProjected(spark, sfDir)
+    val scale = greatest(
+      array_max(transform(col("p"), x => abs(x.cast("double")))) / 127.0,
+      lit(1e-12))
+    val q8 = pr.select(col("vec_id"),
+      transform(col("p"), x => round(x.cast("double") / scale).cast("long"))
+        .as("p"))
+    exactRerank(spark, sfDir, rpFirstPass(q8, nQueries, rerank), nQueries, k)
   }
 
   /** Product-quantization constants, shared with the generated oracle:
@@ -1850,7 +1923,8 @@ object SimilarityOps {
       row("ann_ivf_pq_res", ivfPqResTopk(spark, sfDir, nQueries, k)),
       row("ann_pq", pqTopk(spark, sfDir, nQueries, k)),
       row("ann_pq_rerank", pqRerankTopk(spark, sfDir, nQueries, k)),
-      row("ann_rp", rpTopk(spark, sfDir, nQueries, k)))
+      row("ann_rp", rpTopk(spark, sfDir, nQueries, k)),
+      row("ann_rp_q8", rpQuantizedTopk(spark, sfDir, nQueries, k)))
       .reduce(_ unionAll _)
       .withColumn("total", lit(nQueries.toLong * k))
       .withColumn("recall_bp", expr("(10000 * hits) div total"))
@@ -2836,6 +2910,9 @@ object SimilarityOps {
     // random-projection first pass + exact re-rank: deterministic
     // exact-integer pipeline end to end, replayed literally
     "ann_rp_topk" -> rpOracleSql(),
+    // int8-quantized projection (16 B/vector): same replay + the
+    // quantized row's scale/round CTEs over the projected longs
+    "ann_rp_q8_topk" -> rpQ8OracleSql(),
     // nprobe=3 replay: the exact-integer centroid/probe arithmetic of
     // ivfTopk (quantize → long sum → subtract-pmod floor-mean → integer
     // dot products) reproduced literally — every intermediate is exact,

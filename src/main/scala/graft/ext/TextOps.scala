@@ -1146,6 +1146,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Documents per output shard for [[trainingOrder]], shared with the
+    * oracle. 100 keeps several shards live at the driver's sf0.01 gate
+    * (500 docs → 5 shards) while the last-shard remainder stays
+    * exercised at sf0.1/sf1. */
+  val TrainingShardDocs = 100L
+
+  /** Deterministic GLOBAL training-order shuffle — the last step a
+    * pretraining data pipeline runs before writing shards: every doc
+    * gets a reproducible pseudo-random position (order key = md5-h32 of
+    * 'ord' + doc_id, doc_id tiebreak for the 32-bit collisions a 50k+
+    * corpus will contain) and a shard id (`global_pos div
+    * [[TrainingShardDocs]]`), so any two runs — and any two ENGINES —
+    * emit byte-identical training order without a seed file.
+    *
+    * The naive plan is ROW_NUMBER over a global ORDER BY — one reducer
+    * sorting the world. This uses the [[seqPackGlobal]] mechanism
+    * instead: an order-preserving range exchange on (h, doc_id), pass 1
+    * collects O(#partitions) per-partition counts and prefix-sums them
+    * on the driver in partition order, pass 2 is a partition-LOCAL
+    * row_number plus the broadcast base — the result is independent of
+    * where the range boundaries land (any order-preserving split yields
+    * the same positions), so sampling-based boundaries don't break
+    * determinism. At 100 TB: sorting is per-partition, the driver sees
+    * one row per partition, and the shard column is how the writer
+    * groups output files. */
+  def trainingOrder(spark: SparkSession, sfDir: String,
+      shardDocs: Long = TrainingShardDocs): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit("ord"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: per-partition counts → driver prefix in (h, doc_id) order
+    val subs = keyed.groupBy(col("pid"))
+      .agg(count(lit(1)).as("n"), min(struct(col("h"), col("doc_id"))).as("lo"))
+      .collect().sortBy(r => (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))
+    val bases = subs.toSeq.scanLeft((0, 0L)) { case ((_, acc), r) =>
+      (r.getAs[Int]("pid"), acc + r.getAs[Long]("n"))
+    }.sliding(2).collect { case Seq((_, base), (pid, _)) => (pid, base) }.toSeq
+    import spark.implicits._
+    // pass 2: partition-local rank + broadcast base
+    val w = W.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))
+    keyed.join(broadcast(bases.toDF("pid", "base")), "pid")
+      .withColumn("global_pos",
+        col("base") + row_number().over(w).cast("long") - 1L)
+      .select(col("doc_id"), col("global_pos"),
+        expr(s"global_pos div $shardDocs").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking — the retrieval/embedding-side
     * sibling of [[seqPack]]: each document explodes into windows of
     * `chunkTokens` tokens every `stride` tokens (the last window may be
@@ -3215,6 +3268,21 @@ object TextOps {
         |ORDER BY doc_id""".stripMargin,
     // the distributed two-pass prefix sum must equal the naive GLOBAL
     // ordered window — which is exactly what the oracle computes
+    // the naive single-window formulation IS the oracle: the engine's
+    // two-pass prefix-sum must equal it exactly (the seq_pack_global
+    // relationship); h32 replayed with the standard digit fold
+    "training_order" ->
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS global_pos,
+         |  CAST((ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1) // $TrainingShardDocs AS BIGINT) AS shard_id
+         |FROM (
+         |  SELECT doc_id,
+         |    list_sum([(strpos('0123456789abcdef',
+         |        substr(md5('ord' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+         |      * ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]
+         |      FOR i IN range(1, 9)]) AS h
+         |  FROM documents) d
+         |ORDER BY doc_id""".stripMargin,
     "seq_pack_global" ->
       """SELECT doc_id, n_tokens, tok_offset, tok_offset // 512 AS pack_id
         |FROM (

@@ -416,6 +416,11 @@ class PlanAuditSpec extends SparkSpec {
     // a global ORDER BY window (empty partition spec = one reducer)
     assert(p.contains("windowspecdefinition(pid"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // training order: the same contract — a global ROW_NUMBER would be
+    // one reducer sorting the corpus; the rank window must be pid-local
+    val pt = plan(graft.ext.TextOps.trainingOrder(spark, sfDir))
+    assert(pt.contains("windowspecdefinition(pid"), pt)
+    assert(pt.contains("BroadcastHashJoin") || pt.contains("BroadcastExchange"), pt)
   }
 
   test("AQE splits skewed join partitions at runtime (skew-readiness)") {

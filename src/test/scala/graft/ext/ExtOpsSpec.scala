@@ -359,6 +359,17 @@ class ExtOpsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(2))).toSet
         .intersect(brute).size.toDouble / brute.size
     assert(recall(20) >= recall(5), s"deeper rerank lost recall")
+    // int8 projection: a byte-identical copy has the same per-vector
+    // scale, hence the same 16 codes — still pinned to rank 1; ranks
+    // stay contiguous on harness data
+    val q8 = SimilarityOps.rpQuantizedTopk(spark, dir, nQueries = 1, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(q8.find(_._1 == 1L).map(_._2).contains(1L),
+      s"copy not at rank 1 under int8: ${q8.mkString(",")}")
+    SimilarityOps.rpQuantizedTopk(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).values.foreach { rs =>
+        assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size).toSeq)
+      }
   }
 
   test("IVF-PQ candidates are a subset of PQ's, full-rank queries still served") {
@@ -423,8 +434,8 @@ class ExtOpsSpec extends SparkSpec {
     val rows = SimilarityOps.annRecallReport(spark, sfDir).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(rows.keySet ==
-      Set("ann_pq", "ann_ivf_pq", "ann_ivf_pq_res", "ann_pq_rerank", "ann_rp"))
+    assert(rows.keySet == Set("ann_pq", "ann_ivf_pq", "ann_ivf_pq_res",
+      "ann_pq_rerank", "ann_rp", "ann_rp_q8"))
     // the row IS the test assertion rewritten as data: recompute one
     // family's hits independently and check the integer arithmetic
     val brute = SimilarityOps.bruteTopk(spark, sfDir).collect()
@@ -1563,6 +1574,31 @@ class ExtOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
     assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (4L, 4L, true)))
+  }
+
+  test("training order: positions replay the md5 rank independently, " +
+      "permutation + shard law, deterministic") {
+    val out = TextOps.trainingOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length
+    // positions are exactly a permutation of 0..n-1, shards derived
+    assert(out.map(_._2).sorted.toSeq == (0L until n.toLong).toSeq)
+    assert(out.forall { case (_, pos, shard) =>
+      shard == pos / TextOps.TrainingShardDocs })
+    // independent replay: rank by (h32 of 'ord'+id, id) in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"ord$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val expected = out.map(_._1).sortBy(id => (h32(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, pos, _) =>
+      assert(pos == expected(id), s"doc $id at $pos, replay says ${expected(id)}")
+    }
+    // reruns reproduce the order bit-for-bit (no sampling dependence)
+    assert(TextOps.trainingOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      out.map(t => (t._1, t._2)).toSeq)
   }
 
   test("cluster-balanced sample: independent inclusion replay, dense cluster " +
