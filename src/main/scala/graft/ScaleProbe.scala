@@ -185,7 +185,11 @@ object ScaleProbe {
     "incr_ingest_semdedup",
     // training order: one order-preserving range exchange + pid-local
     // rank window + O(#partitions) driver prefix — expect ≈ linear
-    "training_order")
+    "training_order",
+    // curate → order → shard composition: cold pays the staged
+    // capstone's component builds (its 2.1 band) + the sub-second
+    // ordering of the survivor frame
+    "curation_training_order")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

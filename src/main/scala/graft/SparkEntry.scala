@@ -202,6 +202,9 @@ object SparkEntry {
     // quality survivors — exact keepers re-elected among survivors,
     // near-dup clusters induced on them (bridge removal can split them)
     "curation_pipeline_staged" -> (TextOps.curationPipelineStaged(_, _)),
+    // curate → order → shard: the staged survivors in reproducible
+    // training order with shard assignment (the end-to-end close)
+    "curation_training_order"  -> (TextOps.curationTrainingOrder(_, _)),
     // the MULTIMODAL capstone: every text gate AND the doc's blob is its
     // media cluster's keeper — one more doc_id join over cached frames
     "curation_pipeline_multimodal" -> (TextOps.curationPipelineMultimodal(_, _)),
@@ -639,6 +642,26 @@ object SparkEntry {
          |FROM cl JOIN k ON cl.doc_id = k.doc_id
          |WHERE cl.doc_id = cl.cluster_id
          |ORDER BY k.doc_id""".stripMargin,
+    // curate → order → shard: the staged chain verbatim, then the
+    // training_order ROW_NUMBER formulation over its survivors
+    "curation_training_order" ->
+      s"""WITH $stagedTextCtes,
+         |surv AS (
+         |  SELECT k.doc_id FROM cl JOIN k ON cl.doc_id = k.doc_id
+         |  WHERE cl.doc_id = cl.cluster_id
+         |)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS global_pos,
+         |  CAST((ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1)
+         |    // ${TextOps.TrainingShardDocs} AS BIGINT) AS shard_id
+         |FROM (
+         |  SELECT doc_id,
+         |    list_sum([(strpos('0123456789abcdef',
+         |        substr(md5('ord' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+         |      * ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]
+         |      FOR i IN range(1, 9)]) AS h
+         |  FROM surv) d
+         |ORDER BY doc_id""".stripMargin,
     // staged ACROSS modalities: the same staged text chain, its
     // survivor frame `ts`, then the media clusters chain re-rooted at
     // `ts` (JsonMediaOps.mediaClustersOracleFrom — one definition,

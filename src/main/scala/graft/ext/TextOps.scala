@@ -1172,9 +1172,18 @@ object TextOps {
     * one row per partition, and the shard column is how the writer
     * groups output files. */
   def trainingOrder(spark: SparkSession, sfDir: String,
+      shardDocs: Long = TrainingShardDocs): DataFrame =
+    trainingOrderIds(Tables.documents(spark, sfDir).select(col("doc_id")),
+      shardDocs)
+
+  /** [[trainingOrder]] over an arbitrary `(doc_id)` frame — the same
+    * two-pass mechanism, extracted so the curated-survivor composition
+    * shares it verbatim with the whole-corpus row. */
+  private[graft] def trainingOrderIds(ids: DataFrame,
       shardDocs: Long = TrainingShardDocs): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val keyed = Tables.documents(spark, sfDir)
+    val spark = ids.sparkSession
+    val keyed = ids
       .select(col("doc_id"),
         conv(substring(md5(concat(lit("ord"), col("doc_id").cast("string"))),
           1, 8), 16, 10).cast("long").as("h"))
@@ -1198,6 +1207,19 @@ object TextOps {
         expr(s"global_pos div $shardDocs").as("shard_id"))
       .orderBy("doc_id")
   }
+
+  /** The end-to-end close of the curation story: the STAGED capstone's
+    * survivors, shuffled into reproducible training order and assigned
+    * shards — curate → order → shard, the full path from raw corpus to
+    * what a training job actually reads, as ONE oracle-checked row.
+    * Composition only: the survivor frame is [[curationPipelineStaged]]
+    * verbatim (session-cached component frames), the ordering is
+    * [[trainingOrderIds]] verbatim — and the oracle composes the staged
+    * CTE chain with the ROW_NUMBER formulation the same way, so this
+    * row cannot fork from either parent. */
+  def curationTrainingOrder(spark: SparkSession, sfDir: String): DataFrame =
+    trainingOrderIds(
+      curationPipelineStaged(spark, sfDir).select(col("doc_id")))
 
   /** Overlapping token-window chunking — the retrieval/embedding-side
     * sibling of [[seqPack]]: each document explodes into windows of

@@ -1601,6 +1601,26 @@ class ExtOpsSpec extends SparkSpec {
       out.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("curation training order: exactly the staged survivors, ordered by " +
+      "the md5 rank, sharded") {
+    val surv = TextOps.curationPipelineStaged(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val out = TextOps.curationTrainingOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == surv,
+      "ordered set must be exactly the staged survivor set")
+    assert(out.map(_._2).sorted.toSeq == (0L until surv.size.toLong).toSeq)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"ord$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val expected = surv.toSeq.sortBy(id => (h32(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, pos, shard) =>
+      assert(pos == expected(id) && shard == pos / TextOps.TrainingShardDocs)
+    }
+  }
+
   test("cluster-balanced sample: independent inclusion replay, dense cluster " +
       "flattened, rare clusters kept whole (rate cap), summary consistent") {
     // 8 well-separated blobs, one Lloyd seed (ids 0-7) per blob; blob 0
