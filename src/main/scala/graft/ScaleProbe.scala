@@ -189,7 +189,11 @@ object ScaleProbe {
     // curate → order → shard composition: cold pays the staged
     // capstone's component builds (its 2.1 band) + the sub-second
     // ordering of the survivor frame
-    "curation_training_order")
+    "curation_training_order",
+    // decontam verdict: three doc_id left-joins over the component
+    // frames (shingle/band/hash passes shared) — expect the decontam
+    // family's band (decontam_neardup 4.7)
+    "decontam_verdict")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

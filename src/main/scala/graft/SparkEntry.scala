@@ -237,6 +237,9 @@ object SparkEntry {
     // modality n-gram and near-dup decontam miss by construction.
     // Exact-integer milli-cosine against the broadcast eval slice;
     // the _ann sibling prunes candidates via deterministic IVF probes
+    // per-doc decontamination verdict across the doc_id-keyed modalities
+    // (ngram/neardup/media) with first-flag precedence + keep decision
+    "decontam_verdict"      -> (TextOps.decontamVerdict(_, _)),
     "decontam_semantic"     -> (SimilarityOps.decontamSemantic(_, _)),
     "decontam_semantic_ann" -> (SimilarityOps.decontamSemanticAnn(_, _)),
     // per-doc removal-policy scores (max milli-cosine vs bench, zero
@@ -692,6 +695,28 @@ object SparkEntry {
          |SELECT ts.doc_id, ts.source, ${stagedSplitSql("ts")}
          |FROM ts JOIN mk ON ts.doc_id = mk.doc_id
          |ORDER BY ts.doc_id""".stripMargin,
+    // per-doc decontamination verdict: the three registered modality
+    // oracles verbatim as CTEs (no-fork), distinct-doc'd, left-joined
+    // onto the clean-side corpus with the fixed flag precedence
+    "decontam_verdict" ->
+      s"""WITH ngx AS (${TextOps.oracles("decontam_ngram")}),
+         |ndx AS (${DedupOps.oracles("decontam_neardup")}),
+         |mdx AS (${JsonMediaOps.oracles("media_decontam")})
+         |SELECT d.doc_id,
+         |  (ng.doc_id IS NOT NULL) AS hit_ngram,
+         |  (nd.doc_id IS NOT NULL) AS hit_neardup,
+         |  (md.doc_id IS NOT NULL) AS hit_media,
+         |  CASE WHEN ng.doc_id IS NOT NULL THEN 'ngram'
+         |       WHEN nd.doc_id IS NOT NULL THEN 'neardup'
+         |       WHEN md.doc_id IS NOT NULL THEN 'media' END AS first_flag,
+         |  (ng.doc_id IS NULL AND nd.doc_id IS NULL AND md.doc_id IS NULL)
+         |    AS keep
+         |FROM documents d
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM ngx) ng ON ng.doc_id = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM ndx) nd ON nd.doc_id = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM mdx) md ON md.doc_id = d.doc_id
+         |WHERE d.doc_id % 100 <> 0 AND d.doc_id % ${DedupOps.DecontamBenchMod} <> 0
+         |ORDER BY d.doc_id""".stripMargin,
     // the MULTIMODAL capstone reuses the text capstone's four component
     // CTEs verbatim PLUS the media_cluster_keepers oracle verbatim — one
     // more keeper join, same no-fork discipline

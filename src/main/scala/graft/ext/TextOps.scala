@@ -1976,6 +1976,49 @@ object TextOps {
     * corpus before any exchange/probe work. The one-row driver collect of
     * the filter bytes is O(bitset), not O(data) — the same justified
     * pattern as the ANN dim probe. */
+  /** Per-document decontamination VERDICT across modalities — the
+    * quality_mixer discipline applied to the decontam family: one row
+    * per clean-side corpus doc with a boolean per registered modality
+    * (exact 4-gram overlap, fuzzy MinHash near-dup, perceptual-hash
+    * media), the first flagging modality in fixed precedence
+    * (ngram > neardup > media — cheapest-signal-first, the order a
+    * policy would short-circuit in), and the keep decision. The family
+    * reports hit LISTS; a removal policy needs the per-doc decision
+    * table including the clean zero rows — this row is that table.
+    *
+    * Each modality keeps its own registered benchmark-slice convention
+    * (ngram: doc_id % 100, neardup/media: % [[DedupOps.DecontamBenchMod]]
+    * — the slice-width reasoning in each component's scaladoc); the
+    * verdict covers docs on the CORPUS side of every modality, i.e. in
+    * no eval slice. Composition only: the three component frames are the
+    * registered operators verbatim (session-cached shingle/band/hash
+    * frames shared), three doc_id left-joins — adding a modality is one
+    * more join, the curation-capstone scaling argument. */
+  def decontamVerdict(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = graft.ext.DedupOps.DecontamBenchMod
+    def hits(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id")).distinct().withColumn(name, lit(true))
+    Tables.documents(spark, sfDir).select(col("doc_id"))
+      .filter(col("doc_id") % 100 =!= 0 && col("doc_id") % m =!= 0)
+      .join(hits(decontamNgram(spark, sfDir), "hit_ngram"),
+        Seq("doc_id"), "left")
+      .join(hits(graft.ext.DedupOps.decontamNearDup(spark, sfDir),
+        "hit_neardup"), Seq("doc_id"), "left")
+      .join(hits(graft.ext.JsonMediaOps.mediaDecontam(spark, sfDir),
+        "hit_media"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit_ngram"), lit(false)).as("hit_ngram"),
+        coalesce(col("hit_neardup"), lit(false)).as("hit_neardup"),
+        coalesce(col("hit_media"), lit(false)).as("hit_media"))
+      .withColumn("first_flag",
+        when(col("hit_ngram"), lit("ngram"))
+          .when(col("hit_neardup"), lit("neardup"))
+          .when(col("hit_media"), lit("media")))
+      .withColumn("keep",
+        !(col("hit_ngram") || col("hit_neardup") || col("hit_media")))
+      .orderBy("doc_id")
+  }
+
   def decontamBloom(spark: SparkSession, sfDir: String, n: Int = 4): DataFrame = {
     import graft.functions.FrequencyFunctions.{bloomFilterAgg, mightContain}
     val (bench, corpus) = decontamGrams(spark, sfDir, n)

@@ -1601,6 +1601,36 @@ class ExtOpsSpec extends SparkSpec {
       out.map(t => (t._1, t._2)).toSeq)
   }
 
+  test("decontam verdict: keep iff no modality hit, fixed flag precedence, " +
+      "exactly the clean-side corpus") {
+    val m = DedupOps.DecontamBenchMod
+    val ng = TextOps.decontamNgram(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val nd = DedupOps.decontamNearDup(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val md = JsonMediaOps.mediaDecontam(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val out = TextOps.decontamVerdict(spark, sfDir).collect()
+    val cleanSide = graft.Tables.documents(spark, sfDir)
+      .collect().map(_.getLong(0))
+      .filter(id => id % 100 != 0 && id % m != 0).toSet
+    assert(out.map(_.getLong(0)).toSet == cleanSide)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (hn, hd, hm) = (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
+      assert(hn == ng(id) && hd == nd(id) && hm == md(id),
+        s"doc $id flags ($hn,$hd,$hm) vs components")
+      val expFlag = if (hn) Some("ngram") else if (hd) Some("neardup")
+        else if (hm) Some("media") else None
+      assert(Option(r.getString(4)) == expFlag, s"doc $id precedence")
+      assert(r.getBoolean(5) == !(hn || hd || hm))
+    }
+    // the precedence column must actually bind on multi-flag docs
+    // somewhere in the harness corpus (measured: neardup ∩ media ≠ ∅)
+    assert(out.exists(r => r.getBoolean(2) && r.getBoolean(3)),
+      "no multi-modality doc — precedence untested on harness data")
+  }
+
   test("curation training order: exactly the staged survivors, ordered by " +
       "the md5 rank, sharded") {
     val surv = TextOps.curationPipelineStaged(spark, sfDir).collect()
