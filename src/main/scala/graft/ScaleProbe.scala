@@ -193,7 +193,10 @@ object ScaleProbe {
     // decontam verdict: three doc_id left-joins over the component
     // frames (shingle/band/hash passes shared) — expect the decontam
     // family's band (decontam_neardup 4.7)
-    "decontam_verdict")
+    "decontam_verdict",
+    // DSIR resampling: rides the dsir_scores λ pass (probed 0.9,
+    // overhead-dominated) + one 1-row aggregate + a stateless filter
+    "dsir_sample")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -182,6 +182,9 @@ object SparkEntry {
     // DSIR-style importance scores vs the lang-target slice (hashed
     // unigram features, exact-integer smoothed frequency ratios)
     "dsir_scores"            -> (TextOps.dsirScores(_, _)),
+    // DSIR's second half: importance RESAMPLING — inclusion ∝ the
+    // exact-integer score, the mixture inequality with per-doc weights
+    "dsir_sample"            -> (TextOps.dsirSample(_, _)),
     "source_len_percentiles" -> (TextOps.sourceLenPercentiles(_, _)),
     // GK quantile sketch (rows-only, like q8's HLL: sketch internals are
     // engine-specific; the rank-error bound is test-asserted)
@@ -695,6 +698,21 @@ object SparkEntry {
          |SELECT ts.doc_id, ts.source, ${stagedSplitSql("ts")}
          |FROM ts JOIN mk ON ts.doc_id = mk.doc_id
          |ORDER BY ts.doc_id""".stripMargin,
+    // DSIR resampling: the dsir_scores oracle verbatim + the mixture
+    // inclusion inequality with per-doc weights (HUGEINT products)
+    "dsir_sample" ->
+      s"""WITH ds AS (${TextOps.oracles("dsir_scores")}),
+         |dtot AS (
+         |  SELECT CAST(SUM(dsir_score) AS BIGINT) AS total,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM ds)
+         |SELECT doc_id, dsir_score FROM ds, dtot
+         |WHERE list_sum([(strpos('0123456789abcdef',
+         |    substr(md5('dsir' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+         |  * ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]
+         |  FOR i IN range(1, 9)])::HUGEINT * total
+         |  < ((n // ${TextOps.DsirSampleBudgetDen})::HUGEINT)
+         |    * dsir_score * 4294967296
+         |ORDER BY doc_id""".stripMargin,
     // per-doc decontamination verdict: the three registered modality
     // oracles verbatim as CTEs (no-fork), distinct-doc'd, left-joined
     // onto the clean-side corpus with the fixed flag precedence

@@ -2853,6 +2853,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sampling budget denominator for [[dsirSample]]: target kept count
+    * is n_docs div this (20%). */
+  val DsirSampleBudgetDen = 5L
+
+  /** DSIR importance RESAMPLING — the second half of Xie et al. '23 that
+    * [[dsirScores]] leaves to the reader: having scored every doc's
+    * target-likeness, actually draw the training subset with inclusion
+    * probability ∝ its importance weight. Deterministic realization via
+    * the mixture-row inequality with PER-DOC weights standing in for
+    * per-source ones:
+    *
+    *   keep d  iff  h32(d) · Σscore  <  T · score_d · 2^32
+    *
+    * (T = n_docs div [[DsirSampleBudgetDen]]) — expected kept count per
+    * doc is T·score_d/Σscore capped at 1, so target-like documents
+    * oversample exactly in proportion to their exact-integer λ sums, and
+    * zero-score docs (no target evidence) are never drawn. All products
+    * are DECIMAL(38,0): h32·Σscore ≈ 2^31·(λ-scale·corpus tokens) stays
+    * inside 38 digits past 10^12 docs.
+    *
+    * Plan shape: the λ-scoring pass of [[dsirScores]] (1024-row
+    * broadcast), ONE 1-row aggregate pulled to the driver (an O(1)
+    * action, not a data collect — the same class as the dimension
+    * probes) whose total re-enters as a literal, then a stateless
+    * per-row md5 + integer test. No window, no doc-frame shuffle before
+    * the display sort. */
+  /** (doc_id, dsir_score) checkpointed per (session, sfDir): the sample
+    * consumes the score frame TWICE (the totals aggregate + the filtered
+    * output), and each uncached consumption is a full token-explode λ
+    * pass — the score table is an index artifact, the centroid-cache
+    * argument. */
+  private val dsirScoreCache = new graft.SessionFrameCache[String]
+
+  def dsirSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = dsirScoreCache.getOrElseUpdateRaw(spark, sfDir) {
+      dsirScores(spark, sfDir).select(col("doc_id"), col("dsir_score"))
+        .localCheckpoint()
+    }
+    val agg = s.agg(sum("dsir_score").as("t"), count(lit(1)).as("n")).head()
+    val total = agg.getLong(0)
+    val t = agg.getLong(1) / DsirSampleBudgetDen
+    s.withColumn("h32",
+        conv(substring(md5(concat(lit("dsir"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      .filter(expr(
+        s"""CAST(h32 AS DECIMAL(38,0)) * ${total}L
+           |  < CAST(${t}L AS DECIMAL(38,0)) * dsir_score * 4294967296""".stripMargin))
+      .select(col("doc_id"), col("dsir_score"))
+      .orderBy("doc_id")
+  }
+
   /** Shared CTE text for the two mixture oracles: per-doc tokens + hash,
     * per-source stats, totals, kept set — the Spark arithmetic replayed
     * in HUGEINT. The 8-hex-digit md5 prefix folds to the same unsigned
