@@ -18,6 +18,44 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("bench count() semantics: the join-elimination class is pinned") {
+    // The bench/probe harnesses drive every registered query through
+    // count(), and Catalyst ELIMINATES provably row-preserving joins
+    // (unique-keyed left joins, etc.) whose outputs a bare count never
+    // reads — so for the rows below, the benched number is the
+    // count-consumer's plan, not full materialization (PERF.md "count()
+    // measurement semantics" records both readings where the gap is
+    // material: decontam_verdict 0.88 vs 10.2 s, dsir via dsir_sample).
+    // This test pins the CLASS: a new row silently joining it would
+    // carry a misleading bench number until documented — membership
+    // changes must update this set AND the PERF note together.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def joins(p: LogicalPlan): Int = p.collect { case j: Join => j }.size
+    val pruned = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val full = joins(df.queryExecution.optimizedPlan)
+          val cnt = joins(df.groupBy().count().queryExecution.optimizedPlan)
+          if (cnt < full) Some(name) else None
+        } catch { case _: Throwable => None }
+    }.toSet
+    val documented = Set(
+      "bpe_encode", "cluster_balanced_summary", "clustering_coeff",
+      "contam_fraction", "contam_semantic", "decontam_verdict",
+      "doc_oov_rate", "doc_repetition", "dsir_scores", "dsir_sample",
+      "incr_ingest_dedup", "incr_ingest_semdedup", "pagerank_near_dup",
+      "quality_mixer", "source_drift", "source_mixture_summary",
+      "substring_dedup")
+    // dsir_sample may or may not prune depending on the session cache
+    // state (checkpointed score frame has no joins left); allow either
+    val extra = pruned -- documented
+    val missing = (documented -- pruned) - "dsir_sample"
+    assert(extra.isEmpty, s"NEW count()-pruned rows, document them: $extra")
+    assert(missing.isEmpty,
+      s"rows left the pruned class — update the set + PERF note: $missing")
+  }
+
   test("point filter is pushed down to the parquet scan") {
     val p = plan(CoreQueries.q4PointFilter(spark, sfDir))
     assert(p.contains("PushedFilters:") && p.contains("EqualTo(l_suppkey,3"), p)
