@@ -130,6 +130,33 @@ object Bench {
       val ok = timesPerRun.flatMap(_(name)._1.toOption)
       name -> (if (ok.isEmpty) None else Some(ok.min))
     }
+    // MATERIALIZED second column for the count()-pruned class
+    // (CountPrunedClass.rows — the PlanAuditSpec-pinned set whose
+    // count-consumer plans drop provably row-preserving joins): one
+    // timed pass per member driving a consumer that hash-folds EVERY
+    // output column (xxhash64 over all columns, bit_xor-folded — no
+    // join is dead code under it), AFTER the timed passes so it can
+    // never perturb the headline numbers. Runs warm (the passes above
+    // already heated the caches), one pass — this is gap telemetry per
+    // row, not a headline; disable with SPARK_GRAFT_BENCH_MATERIALIZE=0.
+    val materialize =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MATERIALIZE", "1") != "0"
+    val materializedSecs: Map[String, Either[String, Double]] =
+      if (!materialize) Map.empty
+      else queries.collect {
+        case (name, fn) if CountPrunedClass.rows.contains(name) =>
+          import org.apache.spark.sql.functions.{col, expr, xxhash64}
+          val t0 = System.nanoTime()
+          val r: Either[String, Double] =
+            try {
+              val df = fn(spark, sfDir)
+              df.select(xxhash64(df.columns.map(col): _*).as("h"))
+                .agg(expr("bit_xor(h)")).head()
+              Right((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+          name -> r
+      }.toMap
     val errors = results.collect { case (n, None) => n }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.fold("null")(_.toString) }.mkString("{", ",", "}")
@@ -164,7 +191,11 @@ object Bench {
       val errField =
         if (errs.isEmpty) ""
         else s""","errors":${errs.map(jstr).mkString("[", ",", "]")}"""
-      s""""$name":{"gc_ms":$gc,"cached_mb":$mb,"runs":$all$errField}"""
+      val matField = materializedSecs.get(name).fold("") {
+        case Right(s)  => s""","materialized_secs":$s"""
+        case Left(err) => s""","materialized_error":${jstr(err)}"""
+      }
+      s""""$name":{"gc_ms":$gc,"cached_mb":$mb,"runs":$all$errField$matField}"""
     }.mkString("{", ",", "}")
     // end-of-run machine context: the probe repeats AFTER the timed
     // passes so a mid-run epoch shift (another tenant landing) shows as

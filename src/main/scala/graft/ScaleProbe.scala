@@ -196,7 +196,15 @@ object ScaleProbe {
     "decontam_verdict",
     // DSIR resampling: rides the dsir_scores λ pass (probed 0.9,
     // overhead-dominated) + one 1-row aggregate + a stateless filter
-    "dsir_sample")
+    "dsir_sample",
+    // r14: the probed incremental-semantic batch face (ratio should be
+    // ≈ linear — probe rows are batch × L, cross candidates
+    // nprobe·batch·n/L vs the exact row's batch×base), the learned
+    // quality pair (one token explode + vocab-bounded aggregates), and
+    // the semantic drift row (doc→cluster equi-join + aggregates
+    // bounded by #sources × k)
+    "incr_ingest_semdedup_ann", "incr_ingest_semdedup_ann_047",
+    "quality_learned", "quality_learned_audit", "source_drift_semantic")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail
@@ -425,7 +433,14 @@ object ScaleProbe {
           .filter(l => qOf.findFirstMatchIn(l).forall(m => !fresh.contains(m.group(1))))
         (kept ++ rows).sortBy(l => qOf.findFirstMatchIn(l).map(_.group(1)).getOrElse(l))
       } else rows
-    } catch { case _: Throwable => rows }
+    } catch { case e: Throwable =>
+      // fall back to fresh rows only — but LOUDLY: a corrupt/unparseable
+      // existing artifact means the merge is about to discard the rows it
+      // exists to preserve, and a silent fallback hides that
+      System.err.println(s"[scale-probe] existing $out unparseable ($e) — " +
+        "writing fresh rows only; prior rows are being DISCARDED")
+      rows
+    }
     try Files.writeString(Paths.get(out), merged.mkString("[", ",\n", "]\n"))
     catch { case e: Throwable => System.err.println(s"[scale-probe] write failed: $e") }
     spark.stop()

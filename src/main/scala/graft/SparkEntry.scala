@@ -193,6 +193,13 @@ object SparkEntry {
     // the ensemble keep/drop policy over every quality signal, with a
     // first-failing-rule audit column (fixed precedence)
     "quality_mixer"    -> (TextOps.qualityMixer(_, _)),
+    // LEARNED quality classifier (fastText/CCNet-style distillation):
+    // add-one NB likelihood-ratio weights trained on the train slice's
+    // gopher verdicts, exact-integer mean-ratio score per doc — plus its
+    // held-out confusion/calibration audit. NOT a mixer rule by design
+    // (trained ON r_gopher — would double-count; see the scaladoc)
+    "quality_learned"       -> (TextOps.qualityLearned(_, _)),
+    "quality_learned_audit" -> (TextOps.qualityLearnedAudit(_, _)),
     // keep each source's top 20% by LM score — per-source cuts preserve
     // mixture diversity; the cut comes from a histogram window, no
     // per-source doc sort
@@ -235,14 +242,14 @@ object SparkEntry {
     // against the accepted base WITHOUT re-pairing base with itself —
     // the daily-delta shape; policy mirrors the minhash ingest stream
     "incr_ingest_dedup" -> (DedupOps.incrIngestDedupCorpus(_, _)),
+    // per-doc decontamination verdict across the doc_id-keyed modalities
+    // (ngram/neardup/media) with first-flag precedence + keep decision
+    "decontam_verdict"      -> (TextOps.decontamVerdict(_, _)),
     // SEMANTIC decontamination: corpus docs whose EMBEDDING is within
     // cosine theta of a benchmark item — the paraphrase-contamination
     // modality n-gram and near-dup decontam miss by construction.
     // Exact-integer milli-cosine against the broadcast eval slice;
     // the _ann sibling prunes candidates via deterministic IVF probes
-    // per-doc decontamination verdict across the doc_id-keyed modalities
-    // (ngram/neardup/media) with first-flag precedence + keep decision
-    "decontam_verdict"      -> (TextOps.decontamVerdict(_, _)),
     "decontam_semantic"     -> (SimilarityOps.decontamSemantic(_, _)),
     "decontam_semantic_ann" -> (SimilarityOps.decontamSemanticAnn(_, _)),
     // per-doc removal-policy scores (max milli-cosine vs bench, zero
@@ -286,6 +293,10 @@ object SparkEntry {
     // its realised-mixture audit table
     "cluster_balanced_sample"  -> (SimilarityOps.clusterBalancedSample(_, _)),
     "cluster_balanced_summary" -> (SimilarityOps.clusterBalancedSummary(_, _)),
+    // embedding-space drift per source: TV distance between the two
+    // snapshot halves' cluster-mass distributions — catches content
+    // shift under a stable vocabulary (source_drift's blind spot)
+    "source_drift_semantic" -> (SimilarityOps.sourceDriftSemantic(_, _)),
     // approximate recall by design, but DETERMINISTIC (exact-integer
     // centroid/probe arithmetic) — so nprobe=3 is oracle-checked too:
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),
@@ -304,6 +315,18 @@ object SparkEntry {
     // against the accepted base (exact 0.47 pair relation; policy
     // mirrors the streaming emb processor — base never self-paired)
     "incr_ingest_semdedup" -> (SimilarityOps.incrIngestSemDedupCorpus(_, _)),
+    // the 100 TB batch face of the same verdict: candidates from
+    // deterministic IVF probes against FROZEN base-trained centroids
+    // (the decontam_semantic_ann contract), exact-integer milli-cosine —
+    // registered at the production 0.8 point (a certificate on the
+    // harness corpora, which have zero pairs there) AND at the 0.47
+    // noise-regime point where drops exist, so both drop paths are
+    // live-hash-checked; recall vs the exact relation is a registered
+    // dedup_recall_report leg
+    "incr_ingest_semdedup_ann" -> (SimilarityOps.incrIngestSemDedupAnn(_, _)),
+    "incr_ingest_semdedup_ann_047" -> ((s, d) =>
+      SimilarityOps.incrIngestSemDedupAnn(s, d,
+        SimilarityOps.IncrSemLiveThetaMilli)),
     // SemDeDup as the paper runs it: pair search scoped to k-means
     // clusters (linear at scale), CC + min-rep election as semdedup
     "semdedup_clustered" -> (SimilarityOps.semDedupClustered(_, _)),

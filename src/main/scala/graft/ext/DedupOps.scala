@@ -207,6 +207,27 @@ object DedupOps {
           .select(col("doc_a"), col("doc_b")),
         SimilarityOps.embNearDup(spark, sfDir, threshold = 0.47)
           .select(col("vec_a"), col("vec_b"))))
+      // incremental-semdedup probe completeness: the probed cross-stage
+      // relation vs the exact batch×base relation, BEFORE drop policy —
+      // at the production 0.8 point (a certificate over the harness's
+      // empty relation, the emb_lsh_near_dup_hi convention) and at the
+      // 0.47 point where the number is live (probed candidates MISS
+      // cross-list pairs by design — this is the decay-with-L metric an
+      // operator watches, the semdedup_clustered_047 twin)
+      .unionAll(leg("incr_semdedup_ann",
+        SimilarityOps.incrSemAnnCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemProdThetaMilli)
+          .select(col("vec_a"), col("vec_b")),
+        SimilarityOps.incrSemExactCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemProdThetaMilli)
+          .select(col("vec_a"), col("vec_b"))))
+      .unionAll(leg("incr_semdedup_ann_047",
+        SimilarityOps.incrSemAnnCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemLiveThetaMilli)
+          .select(col("vec_a"), col("vec_b")),
+        SimilarityOps.incrSemExactCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemLiveThetaMilli)
+          .select(col("vec_a"), col("vec_b"))))
       .orderBy("family")
   }
 
@@ -1389,7 +1410,17 @@ object DedupOps {
         clusteredPairsSql, EmbExact08Sql),
       recallLegSql("semdedup_clustered_047", "vec_a", "vec_b",
         clusteredPairsSql.replace(">= 0.8", ">= 0.47"),
-        EmbExact08Sql.replace(">= 0.8", ">= 0.47")))
+        EmbExact08Sql.replace(">= 0.8", ">= 0.47")),
+      recallLegSql("incr_semdedup_ann", "vec_a", "vec_b",
+        SimilarityOps.incrSemAnnCrossPairsSql(
+          SimilarityOps.IncrSemProdThetaMilli),
+        SimilarityOps.incrSemExactCrossPairsSql(
+          SimilarityOps.IncrSemProdThetaMilli)),
+      recallLegSql("incr_semdedup_ann_047", "vec_a", "vec_b",
+        SimilarityOps.incrSemAnnCrossPairsSql(
+          SimilarityOps.IncrSemLiveThetaMilli),
+        SimilarityOps.incrSemExactCrossPairsSql(
+          SimilarityOps.IncrSemLiveThetaMilli)))
       .mkString("SELECT family, found, exact, hits, precision_bp, recall_bp FROM (\n",
         "\nUNION ALL\n", "\n) rr ORDER BY family")
   }

@@ -339,6 +339,74 @@ object SimilarityOps {
       .orderBy("cluster")
   }
 
+  /** EMBEDDING-SPACE corpus drift per source — the semantic face of
+    * [[graft.ext.TextOps.sourceDrift]], catching the failure mode the
+    * token face is blind to by construction: a source whose CONTENT
+    * shifts under a stable vocabulary (same tokens recombined into
+    * different meaning — template changes, paraphrase farms, topic
+    * rotation inside a fixed house style) moves in embedding space
+    * while its token distribution stands still (test-pinned on a
+    * planted shift with bit-identical half vocabularies). For every
+    * source, the total-variation distance between the CLUSTER-MASS
+    * distributions of its two deterministic snapshot halves — docs
+    * below vs at-or-above the id-space midpoint `(max_id + 1) div 2`
+    * (ids are append-ordered, so the halves are the corpus's earlier
+    * and later snapshots; an interleave split like doc_id % 2 would be
+    * DEGENERATE here because the harness assigns source = doc_id mod
+    * #sources, making parity constant within a source — measured, the
+    * reason this convention is the midpoint) — over the session-cached
+    * Lloyd assignment (doc_id aligns with vec_id on the harness corpus
+    * — the [[tfidfTopk]] convention).
+    *
+    * Exact integer arithmetic — the [[graft.ext.TextOps.sourceDrift]]
+    * cross-multiplied formulation with clusters for tokens and halves
+    * for sources: `tv_scaled = 2·Ta·Tb + Σ_{c∈A∩B} (|ca·Tb − cb·Ta| −
+    * ca·Tb − cb·Ta)` (one-sided clusters folded in closed form, so only
+    * clusters BOTH halves populate are ever joined), `tv` the one
+    * deterministic float division. A source with an empty half emits no
+    * row (no distribution to compare).
+    *
+    * Scale shape: the corpus-sized work is one doc→cluster equi-join +
+    * one (source, cluster, half) hash aggregate — everything after is
+    * bounded by #sources × k. The c·T products are O(corpus)² longs —
+    * the sourceDrift DECIMAL(38,0) note applies unchanged at extreme
+    * scale. */
+  def sourceDriftSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = kmeansRun(spark, sfDir, KmeansK, KmeansRounds)._3
+      .select(col("vec_id"), col("cluster"))
+    val mid = Tables.documents(spark, sfDir)
+      .agg(expr("(max(doc_id) + 1) div 2").as("mid"))
+    val sc = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(assigned, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(mid))
+      .select(col("source"), col("cluster"),
+        when(col("doc_id") < col("mid"), 0L).otherwise(1L).as("half"))
+    val cnt = sc.groupBy(col("source"), col("cluster"), col("half"))
+      .agg(count(lit(1)).as("c"))
+    val tot = sc.groupBy(col("source"), col("half"))
+      .agg(count(lit(1)).as("t"))
+    val pair = tot.filter(col("half") === 0)
+      .select(col("source"), col("t").as("ta"))
+      .join(tot.filter(col("half") === 1)
+        .select(col("source"), col("t").as("tb")), "source")
+    val sharedTerm = cnt.filter(col("half") === 0)
+      .select(col("source"), col("cluster"), col("c").as("ca"))
+      .join(cnt.filter(col("half") === 1)
+        .select(col("source"), col("cluster"), col("c").as("cb")),
+        Seq("source", "cluster"))
+      .join(broadcast(pair), "source")
+      .groupBy(col("source"))
+      .agg(sum(abs(col("ca") * col("tb") - col("cb") * col("ta"))
+        - col("ca") * col("tb") - col("cb") * col("ta")).as("shared_term"))
+    pair.join(sharedTerm, Seq("source"), "left")
+      .select(col("source"), col("ta").as("n_a"), col("tb").as("n_b"),
+        (lit(2L) * col("ta") * col("tb")
+          + coalesce(col("shared_term"), lit(0L))).as("tv_scaled"))
+      .withColumn("tv", col("tv_scaled").cast("double")
+        / (lit(2.0) * (col("n_a") * col("n_b")).cast("double")))
+      .orderBy("source")
+  }
+
   /** IVF top-k over K-MEANS lists instead of the corpus's `label`
     * partitions — the production IVF construction: the list count is a
     * free parameter grown with the corpus (L ≈ √n), so per-query
@@ -1367,6 +1435,201 @@ object SimilarityOps {
         cosMilli(col("qd"), col("nrm"), col("b_qd"), col("b_nrm")))
       .filter(col("cos_milli") >= SemDecontamThetaMilli)
       .orderBy("doc_id", "bench_vec_id")
+  }
+
+  /** Probe depth for [[incrIngestSemDedupAnn]] — the [[ivfTopk]] nprobe
+    * convention, shared with the generated oracle. */
+  val IncrSemNprobe = 3
+
+  /** Production milli-cosine threshold for the banded/probed incremental
+    * semantic dedup row (the 0.8 operating point the emb_lsh_near_dup_hi
+    * and streaming-processor scaladocs commit to). The harness corpora
+    * have ZERO pairs at this threshold (measured sf0.01/sf0.1/sf1 — the
+    * emb_lsh_near_dup_hi note), so the registered production row is a
+    * CERTIFICATE (all-kept verdicts, hash-checked end to end through the
+    * probe replay); [[IncrSemLiveThetaMilli]] is the sibling registered
+    * at the 0.47 noise-regime point where harness drops EXIST, so the
+    * probed pipeline's drop paths are live-hash-checked too. */
+  val IncrSemProdThetaMilli = 800L
+  val IncrSemLiveThetaMilli = 470L
+
+  /** Base-trained list centroids for the incremental family — the
+    * [[listCentroids]] aggregate restricted to the accepted base
+    * (vec_id % [[IncrSemIngestMod]] != 0), cached per (session, sfDir):
+    * the FROZEN-index convention of [[annIndexAppend]]. An incremental
+    * verdict path must probe the index that existed when the batch
+    * arrived; centroids that shifted with the batch would make verdicts
+    * depend on the batch's own mass. */
+  private val baseCentCache = new graft.SessionFrameCache[String]
+
+  private def baseListCentroidsCached(spark: SparkSession,
+      sfDir: String): DataFrame =
+    baseCentCache.getOrElseUpdate(spark, sfDir) {
+      listCentroids(Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % IncrSemIngestMod =!= 0))
+    }
+
+  /** [[incrIngestSemDedupCorpus]] over PROBED-IVF candidates — the
+    * 100 TB batch face of incremental SEMANTIC dedup (what the exact
+    * row's scaladoc promises at the production threshold): the exact
+    * batch×base cross stage scores every pair — O(batch × base) grows
+    * 100× for 10× data — while here each batch vector probes its
+    * [[IncrSemNprobe]] closest BASE lists (ranked by the exact-integer
+    * centroid cosine against the frozen base-trained centroids — the
+    * [[decontamSemanticAnn]] deterministic-probe contract, so probe
+    * choice and therefore the candidate set replay in the oracle) and
+    * only base vectors in probed lists are scored, with the exact-integer
+    * milli-cosine of the decontam family. Per-batch-vector work drops
+    * from |base| to nprobe·|base|/L (k-means lists at scale: L ~ √n).
+    *
+    * Policy is the stream's, EXACTLY (the [[incrIngestSemDedup]]
+    * contract): `dropped_base` on any probed base pair at or above
+    * `thetaMilli` (dup_of = smallest such base id); among base-check
+    * survivors, in-batch candidates are pairs where either endpoint's
+    * home list is probed by the other (the symmetric closure of the
+    * keyed-list rule, normalized by least/greatest), verified with the
+    * same milli-cosine, closed transitively, min id kept; `kept`
+    * otherwise. Approximate in WHICH pairs are seen (a near-dup in an
+    * unprobed list is missed — the recall legs in
+    * [[DedupOps.dedupRecallReport]] measure exactly that against the
+    * exact relation); exact in every emitted score, so the whole verdict
+    * table is hash-checked.
+    *
+    * Plan: the batch side carries (nprobe × batch) probe rows into ONE
+    * keyed equi-join on the list id — the base is scanned once and hash-
+    * shuffled only by its own list id, never replicated per batch vector
+    * and never self-paired (PlanAuditSpec gates: no cartesian, the one
+    * BNLJ is the L-row centroid broadcast, candidates from keyed joins).
+    * Production batches are broadcast-sized next to the accepted corpus,
+    * so the keyed join degenerates to a broadcast probe of the base —
+    * the [[annIndexAppend]] write-path asymmetry on the read side. */
+  def incrIngestSemDedupAnn(spark: SparkSession, sfDir: String,
+      thetaMilli: Long = IncrSemProdThetaMilli,
+      nprobe: Int = IncrSemNprobe): DataFrame = {
+    val f = semDecontamFrame(spark, sfDir)
+    val m = IncrSemIngestMod
+    val base = f.filter(col("vec_id") % m =!= 0)
+      .select(col("vec_id").as("b_id"), col("lbl").as("b_lbl"),
+        col("qd").as("b_qd"), col("nrm").as("b_nrm"))
+    val incr = f.filter(col("vec_id") % m === 0)
+    // probe ranking: batch × L centroid rows — the one expected nested
+    // loop (L-row broadcast); exact-integer-valued doubles end to end
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_label").asc)
+    val probes = incr
+      .join(broadcast(baseListCentroidsCached(spark, sfDir)), lit(true))
+      .select(col("vec_id"), col("qd"), col("nrm"), col("c_label"),
+        cosine(col("qd"), col("centroid")).as("c_cos"))
+      .filter(!isnan(col("c_cos")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
+        col("nrm").as("i_nrm"), col("c_label").cast("long").as("p_label"))
+    // cross stage: ONE keyed equi-join on the probed list id, threshold
+    // as residual — the decontam_semantic_ann shape
+    val baseDup = probes.join(base, col("b_lbl") === col("p_label"))
+      .select(col("i_id"), col("b_id"),
+        cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+      .filter(col("cos_milli") >= thetaMilli)
+      .groupBy(col("i_id"))
+      .agg(min(col("b_id")).as("base_dup_of"))
+      .select(col("i_id").as("vec_id"), col("base_dup_of"))
+    // in-batch stage among base-check survivors: candidate (a, b) iff
+    // either endpoint's home list is probed by the other — keyed join of
+    // the survivor probe rows against survivor home lists, symmetrized
+    // by least/greatest + distinct
+    val surv = incr.join(baseDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val survProbes = probes
+      .join(baseDup.select(col("vec_id").as("i_id")), Seq("i_id"), "left_anti")
+    val cand = survProbes
+      .join(surv.select(col("vec_id").as("s_id"), col("lbl").as("s_lbl")),
+        col("s_lbl") === col("p_label") && col("s_id") =!= col("i_id"))
+      .select(least(col("i_id"), col("s_id")).as("va"),
+        greatest(col("i_id"), col("s_id")).as("vb"))
+      .distinct()
+    val ipairs = cand
+      .join(surv.select(col("vec_id").as("va"), col("qd").as("a_qd"),
+        col("nrm").as("a_nrm")), "va")
+      .join(surv.select(col("vec_id").as("vb"), col("qd").as("z_qd"),
+        col("nrm").as("z_nrm")), "vb")
+      .select(col("va"), col("vb"),
+        cosMilli(col("a_qd"), col("a_nrm"), col("z_qd"), col("z_nrm")))
+      .filter(col("cos_milli") >= thetaMilli)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    val batchDup = graft.ext.DedupOps.connectedComponents(ipairs)
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"), col("label").as("batch_dup_of"))
+    // verdicts over ALL batch ids (zero vectors the n2 guard dropped
+    // from scoring are trivially kept — nothing can pair with them)
+    Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .filter(col("vec_id") % m === 0)
+      .join(baseDup, Seq("vec_id"), "left")
+      .join(batchDup, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("base_dup_of").isNotNull, lit("dropped_base"))
+          .when(col("batch_dup_of").isNotNull, lit("dropped_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("base_dup_of"), col("batch_dup_of")).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** The CANDIDATE-COMPLETENESS relation behind
+    * [[incrIngestSemDedupAnn]]'s recall legs: every (batch, base) pair
+    * the probed cross stage verifies at or above `thetaMilli`,
+    * normalized (vec_a, vec_b) = (min, max) — BEFORE any drop policy, so
+    * comparing it against the exact batch×base relation isolates the
+    * probe rule's recall from policy effects (a pair missed here is a
+    * contaminated-verdict miss; a pair missed by the VERDICT table could
+    * just be policy ordering). */
+  private[graft] def incrSemAnnCrossPairs(spark: SparkSession, sfDir: String,
+      thetaMilli: Long, nprobe: Int = IncrSemNprobe): DataFrame = {
+    val f = semDecontamFrame(spark, sfDir)
+    val m = IncrSemIngestMod
+    val base = f.filter(col("vec_id") % m =!= 0)
+      .select(col("vec_id").as("b_id"), col("lbl").as("b_lbl"),
+        col("qd").as("b_qd"), col("nrm").as("b_nrm"))
+    val incr = f.filter(col("vec_id") % m === 0)
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_label").asc)
+    val probes = incr
+      .join(broadcast(baseListCentroidsCached(spark, sfDir)), lit(true))
+      .select(col("vec_id"), col("qd"), col("nrm"), col("c_label"),
+        cosine(col("qd"), col("centroid")).as("c_cos"))
+      .filter(!isnan(col("c_cos")))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
+        col("nrm").as("i_nrm"), col("c_label").cast("long").as("p_label"))
+    probes.join(base, col("b_lbl") === col("p_label"))
+      .select(col("i_id"), col("b_id"),
+        cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+      .filter(col("cos_milli") >= thetaMilli)
+      .select(least(col("i_id"), col("b_id")).as("vec_a"),
+        greatest(col("i_id"), col("b_id")).as("vec_b"))
+  }
+
+  /** The EXACT batch×base milli-cosine relation at `thetaMilli` — the
+    * ground truth [[incrSemAnnCrossPairs]] is measured against in the
+    * recall report (quadratic-class: a verifier, not a production path;
+    * the [[DedupOps.jaccardPairs]] bounded-audit-sample note applies). */
+  private[graft] def incrSemExactCrossPairs(spark: SparkSession, sfDir: String,
+      thetaMilli: Long): DataFrame = {
+    val f = semDecontamFrame(spark, sfDir)
+    val m = IncrSemIngestMod
+    val base = f.filter(col("vec_id") % m =!= 0)
+      .select(col("vec_id").as("b_id"), col("lbl").as("b_lbl"),
+        col("qd").as("b_qd"), col("nrm").as("b_nrm"),
+        pmod(col("vec_id"), lit(16)).cast("int").as("b_blk"))
+    val incrRep = f.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
+        col("nrm").as("i_nrm"),
+        explode(sequence(lit(0), lit(15))).as("i_blk"))
+    incrRep.join(base, col("i_blk") === col("b_blk"))
+      .select(col("i_id"), col("b_id"),
+        cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+      .filter(col("cos_milli") >= thetaMilli)
+      .select(least(col("i_id"), col("b_id")).as("vec_a"),
+        greatest(col("i_id"), col("b_id")).as("vec_b"))
   }
 
   /** Int8-quantized exact-rerank-free ANN: per-vector symmetric scalar
@@ -2528,25 +2791,31 @@ object SimilarityOps {
       |    ON e.vec_id <> q.vec_id) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Shared centroid-replay CTE text (expl → comp → cent): the
-    * exact-integer list centroids of [[listCentroids]] reproduced
-    * literally — shared by the IVF and ANN-kNN oracles so the replays
-    * cannot drift from each other (or from the Scala side). */
-  private val CentCtes =
-    """expl AS (
-      |  SELECT label,
-      |    unnest(range(len(embedding))) AS pos,
-      |    unnest([CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding]) AS qv
-      |  FROM embeddings
-      |), comp AS (
-      |  SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS cs,
-      |    CAST(COUNT(*) AS BIGINT) AS n
-      |  FROM expl GROUP BY label, pos
-      |), cent AS (
-      |  SELECT label,
-      |    list((cs - ((cs % n + n) % n)) // n ORDER BY pos) AS cc
-      |  FROM comp GROUP BY label
-      |)""".stripMargin
+  /** Centroid-replay CTE text (expl → comp → cent), parameterized by an
+    * alias suffix and a source predicate so ONE text serves both the
+    * full-corpus instance ([[CentCtes]]) and the base-restricted
+    * instance the incremental-semantic-dedup oracle replays (the
+    * frozen-index convention) — the replays cannot drift from each
+    * other (or from the Scala side). */
+  private def centCtesSql(suffix: String, whereSql: String): String =
+    s"""expl$suffix AS (
+       |  SELECT label,
+       |    unnest(range(len(embedding))) AS pos,
+       |    unnest([CAST(floor(x::DOUBLE * 1000000) AS BIGINT) for x in embedding]) AS qv
+       |  FROM embeddings$whereSql
+       |), comp$suffix AS (
+       |  SELECT label, pos, CAST(SUM(qv) AS BIGINT) AS cs,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM expl$suffix GROUP BY label, pos
+       |), cent$suffix AS (
+       |  SELECT label,
+       |    list((cs - ((cs % n + n) % n)) // n ORDER BY pos) AS cc
+       |  FROM comp$suffix GROUP BY label
+       |)""".stripMargin
+
+  /** The exact-integer list centroids of [[listCentroids]] reproduced
+    * literally — shared by the IVF and ANN-kNN oracles. */
+  private val CentCtes = centCtesSql("", "")
 
   /** WITH-body for the semantic-decontam oracles: the 1e-6-grid
     * quantized vectors plus the HOISTED sqrt norm — the SQL twin of
@@ -2693,8 +2962,121 @@ object SimilarityOps {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** Probe-replay CTE chain shared by the incr-semdedup-ann oracle and
+    * its recall legs: base-restricted centroids (centb), quantized-norm
+    * corpus (qn), batch probe ranking (pscorei → iprobe), probed cross
+    * candidates with the exact-integer milli-cosine (bcand). ONE text so
+    * the verdict oracle and the recall report measure the same rule. */
+  private def incrSemAnnProbeCtes(nprobe: Int): String = {
+    val m = IncrSemIngestMod
+    s"""${centCtesSql("b", s" WHERE vec_id % $m <> 0")},
+       |$SemDecontamQnCtes, pscorei AS (
+       |  SELECT q.vec_id AS i_id, c.label,
+       |    CAST(list_sum([q.qv[i] * c.cc[i]
+       |        for i in range(1, len(q.qv)+1)]) AS DOUBLE)
+       |      / (q.nrm * sqrt(CAST(list_sum([x*x for x in c.cc]) AS DOUBLE)))
+       |      AS pcos
+       |  FROM qn q, centb c WHERE q.vec_id % $m = 0
+       |), iprobe AS (
+       |  SELECT i_id, label FROM (
+       |    SELECT i_id, label,
+       |      ROW_NUMBER() OVER (PARTITION BY i_id
+       |        ORDER BY pcos DESC, label ASC) AS probe_rank
+       |    FROM pscorei WHERE NOT isnan(pcos)) t
+       |  WHERE probe_rank <= $nprobe
+       |), bcand AS (
+       |  SELECT p.i_id, b.vec_id AS b_id,
+       |    CAST(floor(CAST(list_sum([q.qv[i] * b.qv[i]
+       |        for i in range(1, len(q.qv)+1)]) AS DOUBLE)
+       |      / (q.nrm * b.nrm) * 1000) AS BIGINT) AS cos_milli
+       |  FROM iprobe p
+       |  JOIN qn b ON b.label = p.label AND b.vec_id % $m <> 0
+       |  JOIN qn q ON q.vec_id = p.i_id
+       |)""".stripMargin
+  }
+
+  /** The probed cross-stage pair relation as standalone SQL — the
+    * recall report's `found` side ([[incrSemAnnCrossPairs]] replayed). */
+  private[ext] def incrSemAnnCrossPairsSql(theta: Long,
+      nprobe: Int = IncrSemNprobe): String =
+    s"""WITH ${incrSemAnnProbeCtes(nprobe)}
+       |SELECT LEAST(i_id, b_id) AS vec_a, GREATEST(i_id, b_id) AS vec_b
+       |FROM bcand WHERE cos_milli >= $theta""".stripMargin
+
+  /** The exact batch×base milli-cosine relation as standalone SQL — the
+    * recall report's `exact` side ([[incrSemExactCrossPairs]] replayed:
+    * same quantize-hoist-score arithmetic, every pair). */
+  private[ext] def incrSemExactCrossPairsSql(theta: Long): String = {
+    val m = IncrSemIngestMod
+    s"""WITH $SemDecontamQnCtes
+       |SELECT LEAST(a.vec_id, b.vec_id) AS vec_a,
+       |  GREATEST(a.vec_id, b.vec_id) AS vec_b
+       |FROM qn a JOIN qn b
+       |  ON a.vec_id % $m = 0 AND b.vec_id % $m <> 0
+       |WHERE CAST(floor(CAST(list_sum([a.qv[i] * b.qv[i]
+       |    for i in range(1, len(a.qv)+1)]) AS DOUBLE)
+       |  / (a.nrm * b.nrm) * 1000) AS BIGINT) >= $theta""".stripMargin
+  }
+
+  /** Oracle for [[incrIngestSemDedupAnn]]: probe choice and cross
+    * candidates from [[incrSemAnnProbeCtes]], then the drop policy
+    * replayed literally — the [[incrSemOracleSql]] shape with probed
+    * candidates for exact pairs (in-batch stage included: survivor
+    * candidates by the same symmetric probed-list rule, verified with
+    * the same milli-cosine, closed by the recursive reach). */
+  private def incrSemAnnOracleSql(theta: Long,
+      nprobe: Int = IncrSemNprobe): String = {
+    val m = IncrSemIngestMod
+    s"""WITH RECURSIVE ${incrSemAnnProbeCtes(nprobe)},
+       |basedup AS (
+       |  SELECT i_id AS vec_id, MIN(b_id) AS base_dup_of
+       |  FROM bcand WHERE cos_milli >= $theta GROUP BY i_id
+       |), surv AS MATERIALIZED (
+       |  SELECT vec_id, label, qv, nrm FROM qn
+       |  WHERE vec_id % $m = 0
+       |    AND vec_id NOT IN (SELECT vec_id FROM basedup)
+       |), icand AS (
+       |  SELECT DISTINCT LEAST(p.i_id, s.vec_id) AS va,
+       |    GREATEST(p.i_id, s.vec_id) AS vb
+       |  FROM iprobe p
+       |  JOIN surv s ON s.label = p.label AND s.vec_id <> p.i_id
+       |  WHERE p.i_id IN (SELECT vec_id FROM surv)
+       |), ip AS MATERIALIZED (
+       |  SELECT va, vb FROM icand
+       |  JOIN surv a ON a.vec_id = va
+       |  JOIN surv b ON b.vec_id = vb
+       |  WHERE CAST(floor(CAST(list_sum([a.qv[i] * b.qv[i]
+       |      for i in range(1, len(a.qv)+1)]) AS DOUBLE)
+       |    / (a.nrm * b.nrm) * 1000) AS BIGINT) >= $theta
+       |), edges AS MATERIALIZED (
+       |  SELECT va AS src, vb AS dst FROM ip
+       |  UNION ALL SELECT vb, va FROM ip
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), batchdup AS (
+       |  SELECT src AS vec_id, MIN(dst) AS batch_dup_of FROM reach
+       |  GROUP BY src HAVING MIN(dst) < src
+       |)
+       |SELECT e.vec_id,
+       |  CASE WHEN bd.base_dup_of IS NOT NULL THEN 'dropped_base'
+       |       WHEN iu.batch_dup_of IS NOT NULL THEN 'dropped_batch'
+       |       ELSE 'kept' END AS status,
+       |  COALESCE(bd.base_dup_of, iu.batch_dup_of) AS dup_of
+       |FROM embeddings e
+       |LEFT JOIN basedup bd ON bd.vec_id = e.vec_id
+       |LEFT JOIN batchdup iu ON iu.vec_id = e.vec_id
+       |WHERE e.vec_id % $m = 0
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "incr_ingest_semdedup" -> incrSemOracleSql,
+    "incr_ingest_semdedup_ann" ->
+      incrSemAnnOracleSql(IncrSemProdThetaMilli),
+    "incr_ingest_semdedup_ann_047" ->
+      incrSemAnnOracleSql(IncrSemLiveThetaMilli),
     "cluster_balanced_sample" ->
       s"""WITH $clusterSampleCtesSql
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
@@ -2707,6 +3089,41 @@ object SimilarityOps {
          |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_kept
          |  FROM ck GROUP BY cluster) kk USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    // semantic drift: Lloyd replay + the sourceDrift cross-multiplied TV
+    // over (source, half) cluster masses — shared-cluster join only,
+    // one-sided clusters folded in closed form
+    "source_drift_semantic" ->
+      s"""WITH ${kmeansCtesSql()}, sd AS (
+         |  SELECT d.source, a.cluster,
+         |    CASE WHEN d.doc_id <
+         |      (SELECT (MAX(doc_id) + 1) // 2 FROM documents)
+         |    THEN 0 ELSE 1 END AS half
+         |  FROM documents d JOIN afinal a ON a.vec_id = d.doc_id
+         |), cntd AS (
+         |  SELECT source, cluster, half, COUNT(*)::BIGINT AS c
+         |  FROM sd GROUP BY 1, 2, 3
+         |), totd AS (
+         |  SELECT source, half, COUNT(*)::BIGINT AS t FROM sd GROUP BY 1, 2
+         |), pairsd AS (
+         |  SELECT x.source, x.t AS ta, y.t AS tb
+         |  FROM totd x JOIN totd y
+         |    ON x.source = y.source AND x.half = 0 AND y.half = 1
+         |), shd AS (
+         |  SELECT x.source,
+         |    CAST(SUM(ABS(x.c * p.tb - y.c * p.ta)
+         |      - x.c * p.tb - y.c * p.ta) AS BIGINT) AS shared_term
+         |  FROM cntd x
+         |  JOIN cntd y ON x.source = y.source AND x.cluster = y.cluster
+         |    AND x.half = 0 AND y.half = 1
+         |  JOIN pairsd p ON p.source = x.source
+         |  GROUP BY x.source
+         |)
+         |SELECT p.source, p.ta AS n_a, p.tb AS n_b,
+         |  (2 * p.ta * p.tb + COALESCE(sh.shared_term, 0))::BIGINT AS tv_scaled,
+         |  CAST(2 * p.ta * p.tb + COALESCE(sh.shared_term, 0) AS DOUBLE)
+         |    / (2.0 * p.ta * p.tb) AS tv
+         |FROM pairsd p LEFT JOIN shd sh USING (source)
+         |ORDER BY source""".stripMargin,
     // k-means-IVF: Lloyd replayed literally (shared kmeansCtesSql), probe
     // ranking by the same exact-integer squared-L2, candidate ranks by
     // cosine — deterministic end to end, like ann_ivf_topk

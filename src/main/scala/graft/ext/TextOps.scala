@@ -715,6 +715,126 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Score scale (milli) and decision threshold of the LEARNED quality
+    * classifier: [[qualityLearned]] emits the mean per-token class
+    * likelihood ratio in milli, and `score_milli >=` this value (mean
+    * ratio >= 1 — the doc's tokens are on net more pass-like than
+    * fail-like under the learned model) predicts pass. Shared with the
+    * generated oracle. */
+  val QualityLearnedScale = 1000L
+
+  /** LEARNED quality classifier — the fastText/CCNet-style model-based
+    * filter that sits between rule gates ([[gopherFilter]]) and LM
+    * scores ([[lmLikelihood]]) in every LLaMA-class pipeline: train a
+    * per-token model on a deterministic labeled slice, score EVERY
+    * document. Labels are the Gopher rule verdict on the train slice
+    * (doc_id % 10 < 8, the [[trainTestSplit]] convention) — the
+    * distillation setup real pipelines bootstrap from when no human
+    * labels exist (CCNet trains against Wikipedia-vs-crawl the same
+    * way); the value over the rules themselves is GENERALIZATION: the
+    * learned score transfers the verdict onto the token distribution,
+    * so a doc whose own surface stats squeak past the thresholds still
+    * scores low when its vocabulary is fail-associated (test-pinned in
+    * ExtOpsSpec), and scoring needs no rule re-evaluation at all.
+    *
+    * Model arithmetic — add-one-smoothed per-token class likelihood
+    * ratio, EXACT INTEGER end to end (the [[lmLikelihood]] convention;
+    * log-space NB would hinge hash equality on cross-engine libm):
+    * `w(t) = ((c_pos+1) · (N_neg+V) · 1000) div ((c_neg+1) · (N_pos+V))`
+    * — P(t|pass)/P(t|fail) in milli under add-one smoothing — and the
+    * doc score is the occurrence-weighted MEAN of w over its tokens
+    * (`div n_tokens`), the arithmetic-mean variant of the NB vote
+    * (monotone in each per-token ratio; the geometric mean's log-sum is
+    * what it replaces). Unseen tokens get the smoothed prior-odds
+    * weight `((N_neg+V)·1000) div (N_pos+V)`. All products run in
+    * DECIMAL(38,0) / HUGEINT so no magnitude overflows at any corpus
+    * size; tokenless docs score the neutral 1000. DELIBERATELY NOT a
+    * [[qualityMixer]] rule: the mixer composes INDEPENDENT signals, and
+    * this score is trained ON r_gopher — adding it would double-count
+    * the rule verdict; its integration point is the audit row
+    * ([[qualityLearnedAudit]]) measuring where learned and rule gates
+    * disagree on held-out docs.
+    *
+    * Plan: one token explode feeds BOTH the class-count aggregate
+    * (vocabulary-sized from there on) and the per-doc term counts; the
+    * 1-row totals broadcast; the weight table is a vocabulary-keyed
+    * equi-join (at 100 TB the trained table is an INDEX ARTIFACT —
+    * built once, persisted, broadcast at scoring; the [[listCentroids]]
+    * argument); one map-side-combined per-doc aggregate; a unique-keyed
+    * left join restores tokenless docs. No corpus-sized window, no
+    * nested loop beyond the 1-row total broadcasts. */
+  def qualityLearned(spark: SparkSession, sfDir: String): DataFrame =
+    qualityLearnedScored(spark, sfDir)
+      .select(col("doc_id"), col("score_milli"),
+        (col("score_milli") >= QualityLearnedScale).as("pred_pass"))
+      .orderBy("doc_id")
+
+  /** Held-out confusion/calibration audit of [[qualityLearned]] vs the
+    * rule gate on the EVAL slice (doc_id % 10 >= 8 — docs whose labels
+    * the model never saw): one row per (rule_keep, pred_pass) cell with
+    * the doc count and the cell's score range, so an operator reads
+    * agreement, the two disagreement classes (learned-stricter /
+    * learned-looser), and how far from the threshold each cell sits —
+    * the calibration read. Composition only: the scored frame is
+    * session-cached and shared with the score row. */
+  def qualityLearnedAudit(spark: SparkSession, sfDir: String): DataFrame =
+    qualityLearnedScored(spark, sfDir)
+      .join(gopherAnnotated(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), col("keep").as("rule_keep")), "doc_id")
+      .filter(col("doc_id") % 10 >= 8)
+      .withColumn("pred_pass", col("score_milli") >= QualityLearnedScale)
+      .groupBy(col("rule_keep"), col("pred_pass"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_milli")).as("min_score"),
+        max(col("score_milli")).as("max_score"))
+      .orderBy("rule_keep", "pred_pass")
+
+  private val qlCache = new graft.SessionFrameCache[String]
+
+  private def qualityLearnedScored(spark: SparkSession,
+      sfDir: String): DataFrame =
+    qlCache.getOrElseUpdate(spark, sfDir) {
+      qualityLearnedFrame(Tables.documents(spark, sfDir))
+    }
+
+  /** [[qualityLearned]] over an arbitrary `(doc_id, text, …)` frame —
+    * train on the frame's own %-10 slice, score every row; extracted so
+    * planted-fixture specs drive the learn/score path directly. */
+  private[ext] def qualityLearnedFrame(docs: DataFrame): DataFrame = {
+    val lbl = gopherAnnotated(docs).select(col("doc_id"), col("keep"))
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("token"))
+    val cw = tok.join(lbl.filter(col("doc_id") % 10 < 8), "doc_id")
+      .groupBy(col("token"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("c_neg"))
+    val tot = cw.agg(
+      coalesce(sum(col("c_pos")), lit(0L)).as("n_pos"),
+      coalesce(sum(col("c_neg")), lit(0L)).as("n_neg"),
+      count(lit(1)).as("v"))
+    val w = cw.crossJoin(broadcast(tot))
+      .select(col("token"), expr(
+        s"""(CAST(c_pos + 1 AS DECIMAL(38,0)) * (n_neg + v) * $QualityLearnedScale)
+           |div (CAST(c_neg + 1 AS DECIMAL(38,0)) * (n_pos + v))""".stripMargin)
+        .as("w"))
+    val sc = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c_doc"))
+      .join(w, Seq("token"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c_doc"),
+        coalesce(col("w"), expr(
+          s"(CAST(n_neg + v AS DECIMAL(38,0)) * $QualityLearnedScale) div (n_pos + v)"))
+          .as("wv"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_doc") * expr("CAST(wv AS DECIMAL(38,0))")).as("s"),
+        sum(col("c_doc")).as("n"))
+    docs.select(col("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), expr(
+        s"""CAST(CASE WHEN n IS NULL OR n = 0 THEN $QualityLearnedScale
+           |ELSE s div n END AS BIGINT)""".stripMargin).as("score_milli"))
+  }
+
   /** Keep-percentage for [[qualityPrunePerSource]] (shared with the
     * oracle): top 20% per source, the RefinedWeb/FineWeb-style pruning
     * regime. */
@@ -1176,33 +1296,56 @@ object TextOps {
     trainingOrderIds(Tables.documents(spark, sfDir).select(col("doc_id")),
       shardDocs)
 
-  /** [[trainingOrder]] over an arbitrary `(doc_id)` frame — the same
-    * two-pass mechanism, extracted so the curated-survivor composition
-    * shares it verbatim with the whole-corpus row. */
-  private[graft] def trainingOrderIds(ids: DataFrame,
-      shardDocs: Long = TrainingShardDocs): DataFrame = {
+  /** Distributed GLOBAL 0-based rank over the total order (`k1`, `k2`)
+    * (two long columns) — the range-exchange + partition-local
+    * row_number + O(#partitions) driver-prefix mechanism extracted from
+    * [[trainingOrderIds]] so every consumer of a global rank
+    * ([[trainingOrder]], the curated composition, [[lenQuartiles]])
+    * shares ONE implementation and none re-grows a single-reducer
+    * window. Returns the ranked frame (input columns + `global_pos`,
+    * minus the transient `pid`) and the total row count the driver
+    * already holds from pass 1 (free for callers whose arithmetic —
+    * ntile bucket widths — needs n). The result is independent of where
+    * the range boundaries land: any order-preserving split yields the
+    * same positions. localCheckpoint pins the pid assignment between
+    * pass 1's collect and pass 2's window (the [[seqPackGlobal]]
+    * durability note). */
+  private def globalRank(df: DataFrame, k1: String, k2: String)
+      : (DataFrame, Long) = {
     val W = org.apache.spark.sql.expressions.Window
-    val spark = ids.sparkSession
-    val keyed = ids
-      .select(col("doc_id"),
-        conv(substring(md5(concat(lit("ord"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long").as("h"))
-      .repartitionByRange(col("h"), col("doc_id"))
+    val spark = df.sparkSession
+    val keyed = df
+      .repartitionByRange(col(k1), col(k2))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
-    // pass 1: per-partition counts → driver prefix in (h, doc_id) order
+    // pass 1: per-partition counts → driver prefix in (k1, k2) order
     val subs = keyed.groupBy(col("pid"))
-      .agg(count(lit(1)).as("n"), min(struct(col("h"), col("doc_id"))).as("lo"))
+      .agg(count(lit(1)).as("n"), min(struct(col(k1), col(k2))).as("lo"))
       .collect().sortBy(r => (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1)))
+    val total = subs.map(_.getAs[Long]("n")).sum
     val bases = subs.toSeq.scanLeft((0, 0L)) { case ((_, acc), r) =>
       (r.getAs[Int]("pid"), acc + r.getAs[Long]("n"))
     }.sliding(2).collect { case Seq((_, base), (pid, _)) => (pid, base) }.toSeq
     import spark.implicits._
     // pass 2: partition-local rank + broadcast base
-    val w = W.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))
-    keyed.join(broadcast(bases.toDF("pid", "base")), "pid")
+    val w = W.partitionBy(col("pid")).orderBy(col(k1), col(k2))
+    val ranked = keyed.join(broadcast(bases.toDF("pid", "base")), "pid")
       .withColumn("global_pos",
         col("base") + row_number().over(w).cast("long") - 1L)
+      .drop("pid", "base")
+    (ranked, total)
+  }
+
+  /** [[trainingOrder]] over an arbitrary `(doc_id)` frame — the same
+    * two-pass mechanism, extracted so the curated-survivor composition
+    * shares it verbatim with the whole-corpus row. */
+  private[graft] def trainingOrderIds(ids: DataFrame,
+      shardDocs: Long = TrainingShardDocs): DataFrame = {
+    val keyed = ids
+      .select(col("doc_id"),
+        conv(substring(md5(concat(lit("ord"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+    globalRank(keyed, "h", "doc_id")._1
       .select(col("doc_id"), col("global_pos"),
         expr(s"global_pos div $shardDocs").as("shard_id"))
       .orderBy("doc_id")
@@ -2158,20 +2301,37 @@ object TextOps {
           (col("pos") + width - col("start") + 1).cast("int"))).as("snippet"))
       .orderBy(col("doc_id"))
 
-  /** Equi-depth quartile assignment by document length: ntile(4) over
-    * (n_chars, doc_id) — the deterministic tie-break makes the floor-
-    * based ntile split identical cross-engine, so a BINNING operator
-    * (usually approximated with quantile sketches at scale) gets an
-    * exact oracle. Scale note: a GLOBAL ntile is a single-reducer sort
-    * — fine for the registered corpus-profiling row; the scale path is
-    * per-group ntile (partition by source) or binning against
-    * sketch-derived cut points ([[sourceLenApproxPercentiles]]). */
+  /** Equi-depth quartile assignment by document length — bit-identical
+    * to `ntile(4)` over the (n_chars, doc_id) total order (the
+    * deterministic tie-break makes the floor-based ntile split identical
+    * cross-engine, so a BINNING operator — usually approximated with
+    * quantile sketches at scale — gets an exact oracle; the DuckDB
+    * replay IS that ntile), but computed WITHOUT the single-reducer
+    * global window the naive formulation costs: [[globalRank]] gives
+    * each row its 0-based global position via the range exchange +
+    * partition-local rank + O(#partitions) driver prefix, and the ntile
+    * bucket is then CLOSED-FORM arithmetic on (position, n) — with
+    * q = n div 4 and r = n mod 4, the first r buckets hold q+1 rows,
+    * so quartile = pos div (q+1) + 1 below the r·(q+1) boundary and
+    * r + (pos − r·(q+1)) div q + 1 above it (exactly how ntile
+    * distributes remainders). This retires the last unpartitioned
+    * WindowExec in the registry; [[lenQuartilesBySource]] remains the
+    * per-source sibling and [[sourceLenApproxPercentiles]] the sketch
+    * path for groups that outgrow exact ranking. */
   def lenQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("quartile",
-        ntile(4).over(W.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+    val (ranked, n) = globalRank(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id")
+    val q = n / 4
+    val r = n % 4
+    // max(q, 1) only guards the never-taken ELSE branch when n < 4 (all
+    // rows then fall below the boundary r·(q+1) = n); ANSI mode would
+    // otherwise have a division-by-zero lurking in the unevaluated text
+    ranked.select(col("doc_id"), col("n_chars"),
+      expr(s"""CASE WHEN global_pos < ${r * (q + 1)}
+              |  THEN global_pos div ${q + 1} + 1
+              |  ELSE $r + (global_pos - ${r * (q + 1)}) div ${math.max(q, 1L)} + 1
+              |END""".stripMargin).cast("long").as("quartile"))
       .orderBy(col("doc_id"))
   }
 
@@ -3548,7 +3708,64 @@ object TextOps {
        |FROM sc JOIN cuts ON sc.source = cuts.source
        |ORDER BY sc.doc_id""".stripMargin
 
+  /** Learning-CTE chain of the learned-quality oracles — the
+    * [[LangLearnedCte]] discipline: labels replayed from the
+    * gopher_filter oracle text itself (the no-fork rule), token counts,
+    * smoothed integer weights in HUGEINT, per-doc mean; nothing learned
+    * leaks in as a constant. */
+  private def qualityLearnedCtes: String =
+    s"""WITH $TokCte, lbl AS (
+       |  SELECT doc_id, keep FROM (${baseOracles("gopher_filter")})
+       |), cw AS (
+       |  SELECT t.token,
+       |    CAST(SUM(CASE WHEN l.keep THEN 1 ELSE 0 END) AS HUGEINT) AS c_pos,
+       |    CAST(SUM(CASE WHEN l.keep THEN 0 ELSE 1 END) AS HUGEINT) AS c_neg
+       |  FROM tok t JOIN lbl l USING (doc_id)
+       |  WHERE t.doc_id % 10 < 8
+       |  GROUP BY t.token
+       |), tot AS (
+       |  SELECT COALESCE(SUM(c_pos), 0)::HUGEINT AS n_pos,
+       |    COALESCE(SUM(c_neg), 0)::HUGEINT AS n_neg,
+       |    COUNT(*)::HUGEINT AS v
+       |  FROM cw
+       |), w AS (
+       |  SELECT token,
+       |    ((c_pos + 1) * (n_neg + v) * $QualityLearnedScale)
+       |      // ((c_neg + 1) * (n_pos + v)) AS w
+       |  FROM cw, tot
+       |), sc AS (
+       |  SELECT dt.doc_id,
+       |    SUM(dt.c_doc * COALESCE(w.w,
+       |      (SELECT ((n_neg + v) * $QualityLearnedScale) // (n_pos + v)
+       |       FROM tot))) AS s,
+       |    SUM(dt.c_doc) AS n
+       |  FROM (SELECT doc_id, token, COUNT(*)::HUGEINT AS c_doc
+       |        FROM tok GROUP BY 1, 2) dt
+       |  LEFT JOIN w USING (token)
+       |  GROUP BY dt.doc_id
+       |), ql AS (
+       |  SELECT d.doc_id,
+       |    CAST(CASE WHEN sc.n IS NULL OR sc.n = 0 THEN $QualityLearnedScale
+       |      ELSE sc.s // sc.n END AS BIGINT) AS score_milli
+       |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |)""".stripMargin
+
   val oracles: Map[String, String] = baseOracles +
+    ("quality_learned" ->
+      s"""$qualityLearnedCtes
+         |SELECT doc_id, score_milli,
+         |  score_milli >= $QualityLearnedScale AS pred_pass
+         |FROM ql ORDER BY doc_id""".stripMargin) +
+    ("quality_learned_audit" ->
+      s"""$qualityLearnedCtes
+         |SELECT l.keep AS rule_keep,
+         |  q.score_milli >= $QualityLearnedScale AS pred_pass,
+         |  COUNT(*)::BIGINT AS n_docs,
+         |  MIN(q.score_milli) AS min_score,
+         |  MAX(q.score_milli) AS max_score
+         |FROM ql q JOIN lbl l USING (doc_id)
+         |WHERE q.doc_id % 10 >= 8
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
     ("quality_prune_per_source" -> pruneOracleSql) + ("quality_mixer" ->
     s"""WITH g AS (${baseOracles("gopher_filter")}),
        |rep AS (${baseOracles("doc_repetition")}),

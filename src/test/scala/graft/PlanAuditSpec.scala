@@ -40,13 +40,10 @@ class PlanAuditSpec extends SparkSpec {
           if (cnt < full) Some(name) else None
         } catch { case _: Throwable => None }
     }.toSet
-    val documented = Set(
-      "bpe_encode", "cluster_balanced_summary", "clustering_coeff",
-      "contam_fraction", "contam_semantic", "decontam_verdict",
-      "doc_oov_rate", "doc_repetition", "dsir_scores", "dsir_sample",
-      "incr_ingest_dedup", "incr_ingest_semdedup", "pagerank_near_dup",
-      "quality_mixer", "source_drift", "source_mixture_summary",
-      "substring_dedup")
+    // the set lives in main source (graft.CountPrunedClass) because the
+    // Bench materialized-consumer pass reads it too — every member gets
+    // a measured materialized_secs column in the bench artifact
+    val documented = graft.CountPrunedClass.rows
     // dsir_sample may or may not prune depending on the session cache
     // state (checkpointed score frame has no joins left); allow either
     val extra = pruned -- documented
@@ -54,6 +51,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(extra.isEmpty, s"NEW count()-pruned rows, document them: $extra")
     assert(missing.isEmpty,
       s"rows left the pruned class — update the set + PERF note: $missing")
+  }
+
+  test("unpartitioned windows are pinned to the bounded-frame class") {
+    // A Window with an empty partitionSpec funnels its input through ONE
+    // reducer — fatal on a corpus-sized frame, deliberate and harmless on
+    // a stats frame bounded by construction (≤ k clusters, ≤ #sources,
+    // vocab cut tables). r14 retired the last CORPUS-sized one
+    // (len_quartiles' global ntile → two-pass rank); what remains is the
+    // bounded-frame class, pinned here by name so a new corpus-sized
+    // global window cannot enter the registry as "just another warning
+    // in the bench tail" (the r13 verdict's warning-count item).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val p = fn(spark, sfDir).queryExecution.optimizedPlan
+          if (p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+            .nonEmpty) Some(name) else None
+        } catch { case _: Throwable => None }
+    }.toSet
+    // every member's global window rides a frame bounded BY CONSTRUCTION,
+    // never the corpus: vocab_coverage's cumulative share runs over the
+    // top-K cut table (TakeOrderedAndProject gated above the window);
+    // cluster_balanced_sample/_summary over the ≤ k-row cluster stats;
+    // source_mixture_sample/_summary over the ≤ #sources stats frame;
+    // dsir_scores over the vocabulary-bounded λ table
+    val documented = Set("vocab_coverage", "cluster_balanced_sample",
+      "cluster_balanced_summary", "source_mixture_sample",
+      "source_mixture_summary", "dsir_scores")
+    assert(offenders == documented,
+      s"unpartitioned-window class changed: +${offenders -- documented} " +
+        s"-${documented -- offenders}")
   }
 
   test("point filter is pushed down to the parquet scan") {
@@ -210,6 +239,36 @@ class PlanAuditSpec extends SparkSpec {
     val ps = plan(graft.ext.SimilarityOps.incrIngestSemDedupCorpus(spark, sfDir))
     assert(!ps.contains("CartesianProduct") &&
       !ps.contains("BroadcastNestedLoopJoin"), ps)
+    // the PROBED batch face: no cartesian anywhere; the only nested
+    // loops are the L-row broadcast centroid scorings (the probe frame
+    // feeds both the cross and in-batch stages, so its subtree prints
+    // once per consumer); every CANDIDATE join — cross stage and
+    // in-batch — is KEYED on the probed list id
+    val pann = plan(graft.ext.SimilarityOps.incrIngestSemDedupAnn(spark, sfDir))
+    assert(!pann.contains("CartesianProduct"), pann)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(pann).length
+    assert(bnlj >= 1 && bnlj <= 2, s"probe-scoring BNLJ count $bnlj:\n$pann")
+    // (the in-batch stage's joins sit behind connectedComponents'
+    // localCheckpoint and don't print here; its candidate join is the
+    // same keyed code shape, gated below on the visible cross stage)
+    val keyedCand = pann.split("\n").filter(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("p_label"))
+    assert(keyedCand.nonEmpty,
+      s"expected a keyed candidate join on p_label:\n$pann")
+    // cross stage in isolation: exactly one nested loop (the L-row
+    // centroid broadcast), candidates from the keyed list join with the
+    // milli-cosine threshold as residual — never a batch×base loop
+    val pxp = plan(graft.ext.SimilarityOps.incrSemAnnCrossPairs(
+      spark, sfDir, graft.ext.SimilarityOps.IncrSemProdThetaMilli))
+    assert(!pxp.contains("CartesianProduct"), pxp)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pxp).length == 1, pxp)
+    val crossJoin = pxp.split("\n").find(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("p_label"))
+    assert(crossJoin.isDefined, pxp)
+    assert(crossJoin.get.contains("FLOOR"),
+      s"threshold not residual on the keyed cross join:\n${crossJoin.get}")
   }
 
   test("winnow pair join is an equi-join; bigram top-k avoids a global sort") {
@@ -459,6 +518,14 @@ class PlanAuditSpec extends SparkSpec {
     val pt = plan(graft.ext.TextOps.trainingOrder(spark, sfDir))
     assert(pt.contains("windowspecdefinition(pid"), pt)
     assert(pt.contains("BroadcastHashJoin") || pt.contains("BroadcastExchange"), pt)
+    // global length quartiles: was the registry's LAST unpartitioned
+    // WindowExec (one reducer sorting the corpus + bench-tail warnings);
+    // now the same two-pass rank — pid-local window only, closed-form
+    // ntile arithmetic on the global position
+    val pq = plan(graft.ext.TextOps.lenQuartiles(spark, sfDir))
+    assert(pq.contains("windowspecdefinition(pid"), pq)
+    assert(!pq.contains("windowspecdefinition(n_chars"), pq)
+    assert(pq.contains("BroadcastHashJoin") || pq.contains("BroadcastExchange"), pq)
   }
 
   test("AQE splits skewed join partitions at runtime (skew-readiness)") {

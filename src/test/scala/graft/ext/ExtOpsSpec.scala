@@ -140,6 +140,156 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(108L) == (("kept", None)))
   }
 
+  test("incremental semdedup ANN: probed candidates drive both drop paths " +
+      "at the production threshold when every list is probed") {
+    val c35 = math.cos(math.toRadians(35)).toFloat
+    val s35 = math.sin(math.toRadians(35)).toFloat
+    val c70 = math.cos(math.toRadians(70)).toFloat
+    val s70 = math.sin(math.toRadians(70)).toFloat
+    def e(i: Int): Array[Float] = { val a = Array.fill(8)(0f); a(i) = 1f; a }
+    def inPlane(i: Int, j: Int, c: Float, s: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(i) = c; a(j) = s; a
+    }
+    // base = odd ids (lists 0 and 1; nprobe = 3 >= L, so probe choice is
+    // complete and the ANN verdict must equal the exact policy exactly —
+    // the geometry of the exact row's spec, labels mapped onto base lists)
+    val dir = embFixture(Seq(
+      (1L, e(0), 0), (5L, e(0), 0), (3L, e(1), 1),           // base
+      (100L, inPlane(0, 4, c35, s35), 0),  // cos .819 vs e0 → dropped_base(1)
+      (110L, inPlane(0, 4, c70, s70), 0),  // .342 vs base; neighbor fell → kept
+      (102L, e(2), 1),                     // chain 102~104~106
+      (104L, inPlane(2, 5, c35, s35), 1),
+      (106L, inPlane(2, 5, c70, s70), 0),
+      (108L, e(3), 1)))                    // novel → kept
+    val out = SimilarityOps.incrIngestSemDedupAnn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(out.keySet == Set(100L, 102L, 104L, 106L, 108L, 110L), out.toString)
+    assert(out(100L) == (("dropped_base", Some(1L)))) // min of the 1/5 dup pair
+    assert(out(110L) == (("kept", None)))
+    assert(out(102L) == (("kept", None)))
+    assert(out(104L) == (("dropped_batch", Some(102L))))
+    assert(out(106L) == (("dropped_batch", Some(102L)))) // transitive loser
+    assert(out(108L) == (("kept", None)))
+  }
+
+  test("incremental semdedup ANN: a near-dup in an unprobed list is missed " +
+      "— the recall-leg class — and probed pairs are always ⊆ exact") {
+    def e(i: Int): Array[Float] = { val a = Array.fill(8)(0f); a(i) = 1f; a }
+    // w pulls cos .4 toward lists 0/1/2 and its own mass to dim 5; its
+    // exact twin (base id 9) hides in list 4 whose centroid is dominated
+    // by six e4 members → cos(w, centroid_4) ≈ .17 < .4, so probes(100) =
+    // {0, 1, 2} and the twin is never scored: the documented ANN miss
+    val w = Array(0.4f, 0.4f, 0.4f, 0f, 0f, 0.72f, 0f, 0f)
+    val base = Seq((1L, e(0), 0), (3L, e(1), 1), (5L, e(2), 2),
+      (7L, e(3), 3), (9L, w, 4)) ++
+      (11L to 21L by 2).map(id => (id, e(4), 4))
+    val dir = embFixture(base ++ Seq((100L, w, 4)))
+    val theta = SimilarityOps.IncrSemProdThetaMilli
+    val exact = SimilarityOps.incrSemExactCrossPairs(spark, dir, theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = SimilarityOps.incrSemAnnCrossPairs(spark, dir, theta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((9L, 100L)), exact.toString) // the twin pair exists
+    assert(probed.isEmpty, probed.toString)          // ...and ANN misses it
+    assert(probed.subsetOf(exact))                   // refinement law
+    val verdict = SimilarityOps.incrIngestSemDedupAnn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdict == Map(100L -> "kept"), verdict.toString)
+    // on the harness corpus the same law must hold at both thresholds
+    Seq(SimilarityOps.IncrSemProdThetaMilli,
+        SimilarityOps.IncrSemLiveThetaMilli).foreach { th =>
+      val x = SimilarityOps.incrSemExactCrossPairs(spark, sfDir, th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val p = SimilarityOps.incrSemAnnCrossPairs(spark, sfDir, th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p.subsetOf(x), s"theta=$th: probed ⊄ exact")
+    }
+  }
+
+  test("learned quality gate catches a rule-passing doc whose vocabulary " +
+      "is fail-associated; clean unseen-vocab doc passes") {
+    // train slice: 32 gibberish docs of pure 'zzzz' (fail every gopher
+    // word-count rule) + 4 well-formed docs — so 'zzzz' carries a
+    // near-zero learned ratio while stopwords/filler carry high ones
+    val failDocs = (0 until 40).map(i =>
+      (100L + i, Seq.fill(10)("zzzz").mkString(" "), "en"))
+    val passDocs = (1 to 4).map(i =>
+      (i.toLong, "the of " + (1 to 58).map(j => s"w${i}x$j").mkString(" "), "en"))
+    // id 18 = EVAL slice: 48 'zzzz' + the 2 stopwords the rule gate
+    // needs — 50 words, mwl 3.94, alpha 1.0, sym 0 → rules PASS, but the
+    // token mass is fail-associated → learned gate drops it
+    val trojan = (18L, (Seq.fill(48)("zzzz") ++ Seq("the", "of")).mkString(" "), "en")
+    // id 28 = EVAL slice: well-formed with fresh vocabulary (unseen
+    // tokens take the prior-odds weight) → learned gate passes it
+    val clean = (28L, "the of " + (1 to 58).map(j => s"qual$j").mkString(" "), "en")
+    val dir = docsFixture(failDocs ++ passDocs ++ Seq(trojan, clean))
+    val rules = TextOps.gopherFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(rules(18L), "trojan must PASS the rule gate")
+    assert(rules(28L), "clean doc must pass the rule gate")
+    val learned = TextOps.qualityLearned(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(!learned(18L)._2,
+      s"learned gate must catch the trojan: score ${learned(18L)._1}")
+    assert(learned(28L)._2,
+      s"clean doc must pass the learned gate: score ${learned(28L)._1}")
+    // gibberish scores near zero, well-formed train docs score high
+    assert(learned(18L)._1 < TextOps.QualityLearnedScale / 2)
+    assert(learned(1L)._1 > TextOps.QualityLearnedScale)
+  }
+
+  test("semantic source drift flags a content shift token-level drift " +
+      "cannot see; identical half distributions score zero") {
+    import spark.implicits._
+    def e(i: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(eps); a(i) = 1f; a
+    }
+    // every doc carries the SAME text — the two halves' token
+    // distributions are bit-identical, so NO token-space statistic can
+    // separate them (asserted below, not assumed); the embeddings split
+    // by snapshot half (below/above the id midpoint): the early half
+    // sits at e0, the late half at e1 (ids 0..7 seed the Lloyd run)
+    val dir = tmpDir("driftsem")
+    val n = 40
+    val docs = (0 until n).map(i => (i.toLong, "alpha beta gamma delta", "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def emb(shifted: Boolean) = (0 until n).map { i =>
+      val home = if (shifted && i >= n / 2) 1 else 0
+      (i.toLong, e(home, 0.01f * (i % 5)), home)
+    }
+    emb(shifted = true).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // token-space check: the halves really are indistinguishable
+    val toks = graft.Tables.documents(spark, dir)
+      .selectExpr(s"CAST(doc_id >= ${n / 2} AS INT) AS half",
+        "explode(split(text, ' ')) AS t")
+      .groupBy("half", "t").count().collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.map(r => (r.getString(1), r.getLong(2))).toSet).toMap
+    assert(toks(0) == toks(1), "fixture broke: halves differ in tokens")
+    val drift = SimilarityOps.sourceDriftSemantic(spark, dir).collect()
+    assert(drift.length == 1)
+    assert(drift.head.getAs[Double]("tv") == 1.0,
+      s"disjoint cluster masses must give TV 1.0: ${drift.toSeq}")
+    // control: same corpus, embeddings NOT shifted — both halves share
+    // one cluster-mass distribution → TV exactly 0
+    val dir2 = tmpDir("driftsem0")
+    docs.toDF("doc_id", "text", "lang")
+      .selectExpr("doc_id", "text", "lang", "'src' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    emb(shifted = false).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val flat = SimilarityOps.sourceDriftSemantic(spark, dir2).collect()
+    assert(flat.length == 1 && flat.head.getAs[Double]("tv") == 0.0,
+      flat.toSeq.toString)
+  }
+
   test("cluster keepers: argmax-quality representative per cluster") {
     def doc(lo: Int): String = (lo until lo + 40).map(i => s"w$i").mkString(" ")
     val dir = docsFixture(Seq(
@@ -1255,6 +1405,31 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("global quartiles: closed-form arithmetic equals the ntile(4) window") {
+    // the two-pass rank + remainder arithmetic must be BIT-identical to
+    // the single-reducer ntile it replaced (the oracle still replays
+    // ntile) — asserted on the harness corpus (n % 4 = 0 there) AND on
+    // fixtures hitting every remainder class including n < 4
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    def viaWindow(dir: String) =
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("quartile", ntile(4)
+          .over(Window.orderBy(col("n_chars"), col("doc_id"))).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def viaRank(dir: String) =
+      TextOps.lenQuartiles(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaRank(sfDir) == viaWindow(sfDir))
+    // remainder classes: n = 3 (q=0), 5, 6, 7 — ties included
+    Seq(3, 5, 6, 7).foreach { n =>
+      val dir = docsFixture((1 to n).map(i =>
+        (i.toLong, ("x " * (1 + i % 3)).trim, "en")))
+      assert(viaRank(dir) == viaWindow(dir), s"n=$n")
+    }
+  }
+
   test("approx percentiles sit within the GK rank-error bound of exact") {
     val exact = TextOps.sourceLenPercentiles(spark, sfDir).collect()
       .map(r => r.getString(0) -> r).toMap
@@ -1687,8 +1862,9 @@ class ExtOpsSpec extends SparkSpec {
       "flattened, rare clusters kept whole (rate cap), summary consistent") {
     // 8 well-separated blobs, one Lloyd seed (ids 0-7) per blob; blob 0
     // gets 56 extra members (ids 8-63), blob 1 gets 3 (ids 64-66) —
-    // sizes 57,4,1,1,1,1,1,1 → w=(7,2,1×6), Σw=15, T=34:
-    // rate_0 = 34·7/(15·57) ≈ 0.28 (strict subset), every other cluster's
+    // sizes 57,4,1,1,1,1,1,1 → w=(7,2,1×6), Σw=15,
+    // T = n_total div ClusterSampleBudgetDen = 67 div 2 = 33:
+    // rate_0 = 33·7/(15·57) ≈ 0.27 (strict subset), every other cluster's
     // rate > 1 → the h32 < 2^32 bound keeps it whole
     def center(b: Int): Array[Float] = {
       val a = Array.fill(8)(0f); a(b) = 1f; a
@@ -1721,7 +1897,10 @@ class ExtOpsSpec extends SparkSpec {
       java.lang.Long.parseLong(hex.take(8), 16)
     }
     val sizesByCluster = Map(0L -> 57L, 1L -> 4L) ++ (2L to 7L).map(_ -> 1L)
-    val sumW = 15L; val t = 34L
+    // T derived exactly as the engine does (the replay must share the
+    // inequality's every operand, not a by-coincidence neighbor value)
+    val sumW = 15L
+    val t = rows.size / SimilarityOps.ClusterSampleBudgetDen
     def wOf(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
     val expected = rows.map(_._1).map { id =>
       val c = if (id < 8) id else if (id < 64) 0L else 1L
