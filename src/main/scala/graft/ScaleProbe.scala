@@ -204,7 +204,13 @@ object ScaleProbe {
     // the semantic drift row (doc→cluster equi-join + aggregates
     // bounded by #sources × k)
     "incr_ingest_semdedup_ann", "incr_ingest_semdedup_ann_047",
-    "quality_learned", "quality_learned_audit", "source_drift_semantic")
+    "quality_learned", "quality_learned_audit", "source_drift_semantic",
+    // r14 session 2: the learned score inside the per-source prune
+    // policy — rides the session-cached learned-score frame + the
+    // histogram-cut plan, so its ratio should track the LM prune's —
+    // and the quality-curriculum order (learned scores + the two-pass
+    // rank; the ratio should track training_order's ≈ flat shape)
+    "quality_prune_learned", "curriculum_order")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

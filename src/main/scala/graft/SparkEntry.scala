@@ -142,6 +142,9 @@ object SparkEntry {
     // reproducible global training-order shuffle + shard assignment
     // (two-pass prefix sum — no single-reducer global sort)
     "training_order"   -> (TextOps.trainingOrder(_, _)),
+    // quality-curriculum order: ascending learned-quality buckets, the
+    // same reproducible md5 shuffle within each bucket
+    "curriculum_order" -> (TextOps.curriculumOrder(_, _)),
     "chunk_docs"       -> (TextOps.chunkDocs(_, _)),
     "decontam_ngram"   -> (TextOps.decontamNgram(_, _)),
     // per-doc benchmark-overlap FRACTION (exact milli-ratio incl. zero
@@ -200,6 +203,9 @@ object SparkEntry {
     // (trained ON r_gopher — would double-count; see the scaladoc)
     "quality_learned"       -> (TextOps.qualityLearned(_, _)),
     "quality_learned_audit" -> (TextOps.qualityLearnedAudit(_, _)),
+    // the learned score plugged into the per-source prune policy (the
+    // shared histogram-cut core — LM and learned rows cannot fork)
+    "quality_prune_learned" -> (TextOps.qualityPruneLearned(_, _)),
     // keep each source's top 20% by LM score — per-source cuts preserve
     // mixture diversity; the cut comes from a histogram window, no
     // per-source doc sort
@@ -736,26 +742,31 @@ object SparkEntry {
          |  < ((n // ${TextOps.DsirSampleBudgetDen})::HUGEINT)
          |    * dsir_score * 4294967296
          |ORDER BY doc_id""".stripMargin,
-    // per-doc decontamination verdict: the three registered modality
+    // per-doc decontamination verdict: the four registered modality
     // oracles verbatim as CTEs (no-fork), distinct-doc'd, left-joined
     // onto the clean-side corpus with the fixed flag precedence
+    // (cheapest signal first; semantic — embedding scoring — last)
     "decontam_verdict" ->
       s"""WITH ngx AS (${TextOps.oracles("decontam_ngram")}),
          |ndx AS (${DedupOps.oracles("decontam_neardup")}),
-         |mdx AS (${JsonMediaOps.oracles("media_decontam")})
+         |mdx AS (${JsonMediaOps.oracles("media_decontam")}),
+         |smx AS (${SimilarityOps.oracles("decontam_semantic")})
          |SELECT d.doc_id,
          |  (ng.doc_id IS NOT NULL) AS hit_ngram,
          |  (nd.doc_id IS NOT NULL) AS hit_neardup,
          |  (md.doc_id IS NOT NULL) AS hit_media,
+         |  (sm.doc_id IS NOT NULL) AS hit_semantic,
          |  CASE WHEN ng.doc_id IS NOT NULL THEN 'ngram'
          |       WHEN nd.doc_id IS NOT NULL THEN 'neardup'
-         |       WHEN md.doc_id IS NOT NULL THEN 'media' END AS first_flag,
-         |  (ng.doc_id IS NULL AND nd.doc_id IS NULL AND md.doc_id IS NULL)
-         |    AS keep
+         |       WHEN md.doc_id IS NOT NULL THEN 'media'
+         |       WHEN sm.doc_id IS NOT NULL THEN 'semantic' END AS first_flag,
+         |  (ng.doc_id IS NULL AND nd.doc_id IS NULL AND md.doc_id IS NULL
+         |   AND sm.doc_id IS NULL) AS keep
          |FROM documents d
          |LEFT JOIN (SELECT DISTINCT doc_id FROM ngx) ng ON ng.doc_id = d.doc_id
          |LEFT JOIN (SELECT DISTINCT doc_id FROM ndx) nd ON nd.doc_id = d.doc_id
          |LEFT JOIN (SELECT DISTINCT doc_id FROM mdx) md ON md.doc_id = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM smx) sm ON sm.doc_id = d.doc_id
          |WHERE d.doc_id % 100 <> 0 AND d.doc_id % ${DedupOps.DecontamBenchMod} <> 0
          |ORDER BY d.doc_id""".stripMargin,
     // the MULTIMODAL capstone reuses the text capstone's four component

@@ -864,25 +864,52 @@ object TextOps {
     * for the decision. */
   def qualityPrunePerSource(spark: SparkSession, sfDir: String,
       keepPct: Int = PruneKeepPct): DataFrame = {
-    require(keepPct > 0 && keepPct <= 100, s"keepPct in (0, 100], got $keepPct")
-    val W = org.apache.spark.sql.expressions.Window
     val sc = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
       .join(lmLikelihood(spark, sfDir).select(col("doc_id"), col("lm_score")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"),
         coalesce(col("lm_score"), lit(0L)).as("lm_score"))
-    val hist = sc.groupBy(col("source"), col("lm_score"))
+    pruneBySource(sc, "lm_score", keepPct)
+  }
+
+  /** [[qualityPrunePerSource]] by the LEARNED score — the integration
+    * row the [[qualityLearned]] audit motivates: the learned classifier
+    * plugged into the policy operator real pipelines run it through
+    * (RefinedWeb/FineWeb prune by a model score, not by rules), while
+    * the mixer deliberately stays rule-composed (the double-counting
+    * argument on [[qualityLearned]]). Same keep-top-[[PruneKeepPct]]%
+    * per source, same histogram-cut plan, EXACT-integer scores — only
+    * the scorer differs, via the shared [[pruneBySource]] core, so the
+    * two prune rows cannot fork on cut semantics. */
+  def qualityPruneLearned(spark: SparkSession, sfDir: String,
+      keepPct: Int = PruneKeepPct): DataFrame =
+    pruneBySource(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+        .join(qualityLearnedScored(spark, sfDir), Seq("doc_id")),
+      "score_milli", keepPct)
+
+  /** The per-source keep-top-share decision over an arbitrary
+    * `(doc_id, source, <scoreCol>)` frame — the histogram-cut machinery
+    * extracted from [[qualityPrunePerSource]] so every scorer (LM,
+    * learned) shares it verbatim: the decision window rides the
+    * per-(source, score) HISTOGRAM (bounded by distinct scores, never
+    * documents), the ≤ #sources cut table broadcasts back. */
+  private def pruneBySource(sc: DataFrame, scoreCol: String,
+      keepPct: Int): DataFrame = {
+    require(keepPct > 0 && keepPct <= 100, s"keepPct in (0, 100], got $keepPct")
+    val W = org.apache.spark.sql.expressions.Window
+    val hist = sc.groupBy(col("source"), col(scoreCol))
       .agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("cum", sum(col("c"))
-        .over(W.partitionBy(col("source")).orderBy(col("lm_score").desc)))
+        .over(W.partitionBy(col("source")).orderBy(col(scoreCol).desc)))
       .withColumn("n", sum(col("c")).over(W.partitionBy(col("source"))))
     val cuts = cum
       .filter(col("cum") >= expr(s"(n * $keepPct + 99) div 100"))
-      .groupBy(col("source")).agg(max(col("lm_score")).as("cut"))
+      .groupBy(col("source")).agg(max(col(scoreCol)).as("cut"))
     sc.join(broadcast(cuts), "source")
-      .select(col("doc_id"), col("source"), col("lm_score"),
-        (col("lm_score") >= col("cut")).as("keep"))
+      .select(col("doc_id"), col("source"), col(scoreCol),
+        (col(scoreCol) >= col("cut")).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -1347,6 +1374,44 @@ object TextOps {
           1, 8), 16, 10).cast("long").as("h"))
     globalRank(keyed, "h", "doc_id")._1
       .select(col("doc_id"), col("global_pos"),
+        expr(s"global_pos div $shardDocs").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Milli-score width of one curriculum bucket — coarse enough that
+    * every bucket holds many documents, so the within-bucket shuffle is
+    * a real shuffle and not a per-doc total order. Shared with the
+    * oracle. */
+  val CurriculumBucketMilli = 100L
+
+  /** QUALITY-CURRICULUM training order — [[trainingOrder]] with the
+    * quality dimension real schedules add: documents are bucketed by
+    * their LEARNED quality score ([[qualityLearned]], milli score div
+    * [[CurriculumBucketMilli]]), buckets ordered ASCENDING (training
+    * ends on the highest-quality bucket — the anneal-to-quality recipe
+    * of quality-annealed pretraining mixes), and order WITHIN a bucket
+    * is the same reproducible md5 shuffle as the flat row, so two runs
+    * — and two engines — emit byte-identical curricula with no seed
+    * file. Output adds the bucket so a data loader can also read the
+    * schedule boundary positions.
+    *
+    * Plan: the session-cached learned-score frame keyed by the packed
+    * (bucket, h) long — packing is order-preserving because h < 2^32 —
+    * through the SAME two-pass [[globalRank]] as trainingOrder /
+    * lenQuartiles: range exchange, pid-local rank, O(#partitions)
+    * driver prefix. No global sort, no corpus-sized window, at any
+    * scale. */
+  def curriculumOrder(spark: SparkSession, sfDir: String,
+      shardDocs: Long = TrainingShardDocs): DataFrame = {
+    val keyed = qualityLearnedScored(spark, sfDir)
+      .select(col("doc_id"),
+        expr(s"score_milli div $CurriculumBucketMilli").as("bucket"),
+        conv(substring(md5(concat(lit("ord"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), col("bucket"),
+        (col("bucket") * lit(8589934592L) + col("h")).as("bh"))
+    globalRank(keyed, "bh", "doc_id")._1
+      .select(col("doc_id"), col("bucket"), col("global_pos"),
         expr(s"global_pos div $shardDocs").as("shard_id"))
       .orderBy("doc_id")
   }
@@ -2149,16 +2214,28 @@ object TextOps {
         "hit_neardup"), Seq("doc_id"), "left")
       .join(hits(graft.ext.JsonMediaOps.mediaDecontam(spark, sfDir),
         "hit_media"), Seq("doc_id"), "left")
+      // r14: the SEMANTIC modality joins the verdict — the paraphrase
+      // face the other three are blind to (decontamSemantic's scaladoc);
+      // flagged pairs distinct-doc'd like every other modality, doc_id
+      // aligning with vec_id on the harness corpus. Precedence puts it
+      // LAST: it is the most expensive signal (embedding scoring vs
+      // token/hash lookups), the cheapest-first convention of the
+      // mixer's drop_reason
+      .join(hits(graft.ext.SimilarityOps.decontamSemantic(spark, sfDir),
+        "hit_semantic"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("hit_ngram"), lit(false)).as("hit_ngram"),
         coalesce(col("hit_neardup"), lit(false)).as("hit_neardup"),
-        coalesce(col("hit_media"), lit(false)).as("hit_media"))
+        coalesce(col("hit_media"), lit(false)).as("hit_media"),
+        coalesce(col("hit_semantic"), lit(false)).as("hit_semantic"))
       .withColumn("first_flag",
         when(col("hit_ngram"), lit("ngram"))
           .when(col("hit_neardup"), lit("neardup"))
-          .when(col("hit_media"), lit("media")))
+          .when(col("hit_media"), lit("media"))
+          .when(col("hit_semantic"), lit("semantic")))
       .withColumn("keep",
-        !(col("hit_ngram") || col("hit_neardup") || col("hit_media")))
+        !(col("hit_ngram") || col("hit_neardup") || col("hit_media")
+          || col("hit_semantic")))
       .orderBy("doc_id")
   }
 
@@ -3687,26 +3764,41 @@ object TextOps {
   /** [[qualityPrunePerSource]]'s oracle — the LM scores come from the
     * component oracle verbatim (same no-fork rule as the mixer); the cut
     * is replayed with the same histogram-cumulative rank arithmetic. */
+  /** The histogram-cut tail of the prune oracles, over an in-scope
+    * `<scFrom>(doc_id, source, <scoreCol>)` CTE — ONE text for the LM
+    * and learned instances (the [[pruneBySource]] no-fork rule in SQL;
+    * the frame name is a parameter because the learned chain already
+    * owns a CTE named `sc`). */
+  private def pruneTailSql(scFrom: String, scoreCol: String): String =
+    s"""hist AS (
+       |  SELECT source, $scoreCol, COUNT(*) AS c FROM $scFrom GROUP BY source, $scoreCol
+       |), cum AS (
+       |  SELECT source, $scoreCol,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY $scoreCol DESC) AS cum,
+       |    SUM(c) OVER (PARTITION BY source) AS n
+       |  FROM hist
+       |), cuts AS (
+       |  SELECT source, MAX($scoreCol) AS cut FROM cum
+       |  WHERE cum >= (n * $PruneKeepPct + 99) // 100
+       |  GROUP BY source
+       |)
+       |SELECT $scFrom.doc_id, $scFrom.source, $scFrom.$scoreCol,
+       |  $scFrom.$scoreCol >= cuts.cut AS keep
+       |FROM $scFrom JOIN cuts ON $scFrom.source = cuts.source
+       |ORDER BY $scFrom.doc_id""".stripMargin
+
   private def pruneOracleSql: String =
     s"""WITH lm AS (${baseOracles("lm_likelihood")}),
        |sc AS (
        |  SELECT d.doc_id, d.source, COALESCE(lm.lm_score, 0)::BIGINT AS lm_score
        |  FROM documents d LEFT JOIN lm ON d.doc_id = lm.doc_id
-       |), hist AS (
-       |  SELECT source, lm_score, COUNT(*) AS c FROM sc GROUP BY source, lm_score
-       |), cum AS (
-       |  SELECT source, lm_score,
-       |    SUM(c) OVER (PARTITION BY source ORDER BY lm_score DESC) AS cum,
-       |    SUM(c) OVER (PARTITION BY source) AS n
-       |  FROM hist
-       |), cuts AS (
-       |  SELECT source, MAX(lm_score) AS cut FROM cum
-       |  WHERE cum >= (n * $PruneKeepPct + 99) // 100
-       |  GROUP BY source
-       |)
-       |SELECT sc.doc_id, sc.source, sc.lm_score, sc.lm_score >= cuts.cut AS keep
-       |FROM sc JOIN cuts ON sc.source = cuts.source
-       |ORDER BY sc.doc_id""".stripMargin
+       |), ${pruneTailSql("sc", "lm_score")}""".stripMargin
+
+  private def pruneLearnedOracleSql: String =
+    s"""$qualityLearnedCtes, scp AS (
+       |  SELECT d.doc_id, d.source, q.score_milli
+       |  FROM documents d JOIN ql q ON q.doc_id = d.doc_id
+       |), ${pruneTailSql("scp", "score_milli")}""".stripMargin
 
   /** Learning-CTE chain of the learned-quality oracles — the
     * [[LangLearnedCte]] discipline: labels replayed from the
@@ -3766,7 +3858,28 @@ object TextOps {
          |FROM ql q JOIN lbl l USING (doc_id)
          |WHERE q.doc_id % 10 >= 8
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
-    ("quality_prune_per_source" -> pruneOracleSql) + ("quality_mixer" ->
+    ("quality_prune_per_source" -> pruneOracleSql) +
+    ("quality_prune_learned" -> pruneLearnedOracleSql) +
+    // quality curriculum: the learned-score chain + bucketed md5 rank —
+    // ROW_NUMBER over (bucket, h, doc_id) replays the packed-key order
+    // exactly (packing is order-preserving for h < 2^32). Lives OUTSIDE
+    // baseOracles: the learning CTEs read baseOracles("gopher_filter"),
+    // which is null while baseOracles' own literal initializes
+    ("curriculum_order" ->
+      s"""$qualityLearnedCtes
+         |SELECT doc_id, bucket,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY bucket, h, doc_id) - 1 AS BIGINT)
+         |    AS global_pos,
+         |  CAST((ROW_NUMBER() OVER (ORDER BY bucket, h, doc_id) - 1)
+         |    // $TrainingShardDocs AS BIGINT) AS shard_id
+         |FROM (
+         |  SELECT doc_id, score_milli // $CurriculumBucketMilli AS bucket,
+         |    list_sum([(strpos('0123456789abcdef',
+         |        substr(md5('ord' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+         |      * ([268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1])[i]
+         |      FOR i IN range(1, 9)]) AS h
+         |  FROM ql) d
+         |ORDER BY doc_id""".stripMargin) + ("quality_mixer" ->
     s"""WITH g AS (${baseOracles("gopher_filter")}),
        |rep AS (${baseOracles("doc_repetition")}),
        |oov AS (${baseOracles("doc_oov_rate")}),

@@ -854,6 +854,27 @@ class ExtOpsSpec extends SparkSpec {
     }
   }
 
+  test("learned-score prune: same cut laws as the LM prune, learned ranking") {
+    // the shared pruneBySource core must uphold the LM row's laws under
+    // the learned scorer: per-source keep count >= the exact ceil share,
+    // and keep ≡ score >= the source's cut (clean threshold — every kept
+    // score >= every dropped score)
+    val rows = TextOps.qualityPruneLearned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.length == 500)
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val kept = rs.filter(_._4)
+      assert(kept.size >= (rs.size * 20 + 99) / 100, s"$src share")
+      if (kept.size < rs.size)
+        assert(kept.map(_._3).min >= rs.filterNot(_._4).map(_._3).max,
+          s"$src cut not a clean threshold")
+    }
+    // the ranking really is the learned score, not the LM score
+    val learned = TextOps.qualityLearned(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _, s, _) => assert(s == learned(id)) }
+  }
+
   test("curation pipeline: survivors are exactly the intersection of its four gates") {
     val out = TextOps.curationPipeline(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
@@ -1817,6 +1838,8 @@ class ExtOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     val md = JsonMediaOps.mediaDecontam(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
+    val sm = SimilarityOps.decontamSemantic(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
     val out = TextOps.decontamVerdict(spark, sfDir).collect()
     val cleanSide = graft.Tables.documents(spark, sfDir)
       .collect().map(_.getLong(0))
@@ -1824,18 +1847,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == cleanSide)
     out.foreach { r =>
       val id = r.getLong(0)
-      val (hn, hd, hm) = (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))
-      assert(hn == ng(id) && hd == nd(id) && hm == md(id),
-        s"doc $id flags ($hn,$hd,$hm) vs components")
+      val (hn, hd, hm, hs) =
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+      assert(hn == ng(id) && hd == nd(id) && hm == md(id) && hs == sm(id),
+        s"doc $id flags ($hn,$hd,$hm,$hs) vs components")
       val expFlag = if (hn) Some("ngram") else if (hd) Some("neardup")
-        else if (hm) Some("media") else None
-      assert(Option(r.getString(4)) == expFlag, s"doc $id precedence")
-      assert(r.getBoolean(5) == !(hn || hd || hm))
+        else if (hm) Some("media") else if (hs) Some("semantic") else None
+      assert(Option(r.getString(5)) == expFlag, s"doc $id precedence")
+      assert(r.getBoolean(6) == !(hn || hd || hm || hs))
     }
     // the precedence column must actually bind on multi-flag docs
     // somewhere in the harness corpus (measured: neardup ∩ media ≠ ∅)
     assert(out.exists(r => r.getBoolean(2) && r.getBoolean(3)),
       "no multi-modality doc — precedence untested on harness data")
+    // the semantic column must be LIVE on harness data (it flags the
+    // paraphrase class the other three miss — docs flagged ONLY by it)
+    assert(out.exists(r => r.getBoolean(4) &&
+      !r.getBoolean(1) && !r.getBoolean(2) && !r.getBoolean(3)),
+      "no semantic-only hit — the fourth modality adds nothing here")
   }
 
   test("curation training order: exactly the staged survivors, ordered by " +
@@ -1856,6 +1885,33 @@ class ExtOpsSpec extends SparkSpec {
     out.foreach { case (id, pos, shard) =>
       assert(pos == expected(id) && shard == pos / TextOps.TrainingShardDocs)
     }
+  }
+
+  test("curriculum order: ascending quality buckets, md5 shuffle within, " +
+      "independent position replay") {
+    val scores = TextOps.qualityLearned(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = TextOps.curriculumOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == scores.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"ord$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    // independent replay: sort by (bucket, h, id) and compare positions
+    val expected = scores.keys.toSeq
+      .sortBy(id => (scores(id) / TextOps.CurriculumBucketMilli, h32(id), id))
+      .zipWithIndex.map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, bucket, pos, shard) =>
+      assert(bucket == scores(id) / TextOps.CurriculumBucketMilli, s"doc $id")
+      assert(pos == expected(id), s"doc $id position")
+      assert(shard == pos / TextOps.TrainingShardDocs)
+    }
+    // the curriculum is non-degenerate on the harness corpus (several
+    // buckets) and bucket is monotone in the global position
+    val byPos = out.sortBy(_._3).map(_._2)
+    assert(byPos.distinct.length >= 2, "single bucket — no curriculum")
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
   }
 
   test("cluster-balanced sample: independent inclusion replay, dense cluster " +
