@@ -21,6 +21,7 @@ object CountPrunedClass {
     "doc_oov_rate", "doc_repetition", "dsir_scores", "dsir_sample",
     "incr_ingest_dedup", "incr_ingest_semdedup",
     "incr_ingest_semdedup_ann", "incr_ingest_semdedup_ann_047",
+    "incr_ingest_semdedup_banded",
     "pagerank_near_dup", "quality_mixer", "source_drift",
     "source_drift_semantic", "source_mixture_summary", "substring_dedup")
 }

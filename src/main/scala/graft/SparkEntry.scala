@@ -333,6 +333,14 @@ object SparkEntry {
     "incr_ingest_semdedup_ann_047" -> ((s, d) =>
       SimilarityOps.incrIngestSemDedupAnn(s, d,
         SimilarityOps.IncrSemLiveThetaMilli)),
+    // the BANDED batch face at the production threshold: candidates
+    // from ±1 md5-hyperplane LSH collisions (exact-integer signs, so —
+    // unlike the Gaussian-banded emb_lsh rows — the candidate set
+    // itself replays in the oracle); needs no centroid index and holds
+    // ~0.996 recall at 0.8 where the probed face loses near-threshold
+    // pairs. Recall legs for both faces ride dedup_recall_report
+    "incr_ingest_semdedup_banded" ->
+      (SimilarityOps.incrIngestSemDedupBanded(_, _)),
     // SemDeDup as the paper runs it: pair search scoped to k-means
     // clusters (linear at scale), CC + min-rep election as semdedup
     "semdedup_clustered" -> (SimilarityOps.semDedupClustered(_, _)),

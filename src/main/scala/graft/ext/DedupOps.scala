@@ -228,6 +228,26 @@ object DedupOps {
         SimilarityOps.incrSemExactCrossPairs(spark, sfDir,
           SimilarityOps.IncrSemLiveThetaMilli)
           .select(col("vec_a"), col("vec_b"))))
+      // the BANDED face's twin legs — the probed-vs-banded comparison
+      // at both thresholds is the operating decision this report now
+      // answers per corpus: centroid probes lose near-threshold pairs
+      // (724 bp at 0.47/sf1) while LSH collisions hold most of them
+      // with no list structure, at the cost of collision-physics
+      // candidate volume
+      .unionAll(leg("incr_semdedup_banded",
+        SimilarityOps.incrSemBandedCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemProdThetaMilli)
+          .select(col("vec_a"), col("vec_b")),
+        SimilarityOps.incrSemExactCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemProdThetaMilli)
+          .select(col("vec_a"), col("vec_b"))))
+      .unionAll(leg("incr_semdedup_banded_047",
+        SimilarityOps.incrSemBandedCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemLiveThetaMilli)
+          .select(col("vec_a"), col("vec_b")),
+        SimilarityOps.incrSemExactCrossPairs(spark, sfDir,
+          SimilarityOps.IncrSemLiveThetaMilli)
+          .select(col("vec_a"), col("vec_b"))))
       .orderBy("family")
   }
 
@@ -1418,6 +1438,16 @@ object DedupOps {
           SimilarityOps.IncrSemProdThetaMilli)),
       recallLegSql("incr_semdedup_ann_047", "vec_a", "vec_b",
         SimilarityOps.incrSemAnnCrossPairsSql(
+          SimilarityOps.IncrSemLiveThetaMilli),
+        SimilarityOps.incrSemExactCrossPairsSql(
+          SimilarityOps.IncrSemLiveThetaMilli)),
+      recallLegSql("incr_semdedup_banded", "vec_a", "vec_b",
+        SimilarityOps.incrSemBandedCrossPairsSql(
+          SimilarityOps.IncrSemProdThetaMilli),
+        SimilarityOps.incrSemExactCrossPairsSql(
+          SimilarityOps.IncrSemProdThetaMilli)),
+      recallLegSql("incr_semdedup_banded_047", "vec_a", "vec_b",
+        SimilarityOps.incrSemBandedCrossPairsSql(
           SimilarityOps.IncrSemLiveThetaMilli),
         SimilarityOps.incrSemExactCrossPairsSql(
           SimilarityOps.IncrSemLiveThetaMilli)))

@@ -1503,20 +1503,17 @@ object SimilarityOps {
     * Production batches are broadcast-sized next to the accepted corpus,
     * so the keyed join degenerates to a broadcast probe of the base —
     * the [[annIndexAppend]] write-path asymmetry on the read side. */
-  def incrIngestSemDedupAnn(spark: SparkSession, sfDir: String,
-      thetaMilli: Long = IncrSemProdThetaMilli,
-      nprobe: Int = IncrSemNprobe): DataFrame = {
-    val f = semDecontamFrame(spark, sfDir)
-    val m = IncrSemIngestMod
-    val base = f.filter(col("vec_id") % m =!= 0)
-      .select(col("vec_id").as("b_id"), col("lbl").as("b_lbl"),
-        col("qd").as("b_qd"), col("nrm").as("b_nrm"))
-    val incr = f.filter(col("vec_id") % m === 0)
-    // probe ranking: batch × L centroid rows — the one expected nested
-    // loop (L-row broadcast); exact-integer-valued doubles end to end
+  /** The batch-side probe frame (i_id, i_qd, i_nrm, p_label) of the
+    * probed incremental family, UNCACHED — the PlanAuditSpec view (the
+    * L-row centroid broadcast is the one expected nested loop) and the
+    * cache's build. */
+  private[graft] def incrSemProbesUncached(spark: SparkSession,
+      sfDir: String, nprobe: Int = IncrSemNprobe): DataFrame = {
+    val incr = semDecontamFrame(spark, sfDir)
+      .filter(col("vec_id") % IncrSemIngestMod === 0)
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_label").asc)
-    val probes = incr
+    incr
       .join(broadcast(baseListCentroidsCached(spark, sfDir)), lit(true))
       .select(col("vec_id"), col("qd"), col("nrm"), col("c_label"),
         cosine(col("qd"), col("centroid")).as("c_cos"))
@@ -1525,11 +1522,103 @@ object SimilarityOps {
       .filter(col("probe_rank") <= nprobe)
       .select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
         col("nrm").as("i_nrm"), col("c_label").cast("long").as("p_label"))
-    // cross stage: ONE keyed equi-join on the probed list id, threshold
-    // as residual — the decontam_semantic_ann shape
-    val baseDup = probes.join(base, col("b_lbl") === col("p_label"))
+  }
+
+  /** The base side (b_id, b_lbl, b_qd, b_nrm) shared by the probed and
+    * exact cross stages. */
+  private def incrSemBase(spark: SparkSession, sfDir: String): DataFrame =
+    semDecontamFrame(spark, sfDir)
+      .filter(col("vec_id") % IncrSemIngestMod =!= 0)
+      .select(col("vec_id").as("b_id"), col("lbl").as("b_lbl"),
+        col("qd").as("b_qd"), col("nrm").as("b_nrm"))
+
+  /** Probed cross-stage SCORES (i_id, b_id, cos_milli) — every probed
+    * (batch, base) candidate scored, NO threshold: probe choice and the
+    * exact-integer score never read theta (only the downstream filter
+    * does), so ONE scored frame serves every registered consumer — both
+    * verdict rows (0.8 and 0.47) and both recall legs. Uncached builder
+    * = the PlanAuditSpec view: candidates from the KEYED equi-join on
+    * the probed list id, never a batch×base loop. */
+  private[graft] def incrSemScoredCrossUncached(spark: SparkSession,
+      sfDir: String, nprobe: Int = IncrSemNprobe): DataFrame =
+    incrSemScoredCrossFrom(incrSemProbesUncached(spark, sfDir, nprobe),
+      incrSemBase(spark, sfDir))
+
+  private def incrSemScoredCrossFrom(probes: DataFrame,
+      base: DataFrame): DataFrame =
+    probes.join(base, col("b_lbl") === col("p_label"))
       .select(col("i_id"), col("b_id"),
         cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+
+  /** Session caches for the theta-independent stages: FOUR registered
+    * consumers (incr_ingest_semdedup_ann, _ann_047, and the two recall
+    * legs in dedup_recall_report) were each re-deriving the probe
+    * ranking and the cross-stage scoring per call — measured, sharing
+    * them cut the family's warm bench cost materially (PERF.md r14
+    * session 3). localCheckpoint (not persist) so downstream plans are
+    * scans and the checkpointed probe frame feeds the scored build
+    * without recompute. At 100 TB the statement is the
+    * [[listCentroidsCached]] one: the scored candidate table is a
+    * per-increment ARTIFACT — score once, verdict at any threshold. */
+  private val incrSemProbesCache = new graft.SessionFrameCache[(String, Int)]
+  private val incrSemCrossCache = new graft.SessionFrameCache[(String, Int)]
+  private val incrSemExactCache = new graft.SessionFrameCache[String]
+
+  private def incrSemProbesCached(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame =
+    incrSemProbesCache.getOrElseUpdateRaw(spark, (sfDir, nprobe)) {
+      incrSemProbesUncached(spark, sfDir, nprobe).localCheckpoint()
+    }
+
+  private def incrSemScoredCrossCached(spark: SparkSession, sfDir: String,
+      nprobe: Int): DataFrame =
+    incrSemCrossCache.getOrElseUpdateRaw(spark, (sfDir, nprobe)) {
+      incrSemScoredCrossFrom(incrSemProbesCached(spark, sfDir, nprobe),
+        incrSemBase(spark, sfDir)).localCheckpoint()
+    }
+
+  /** [[incrIngestSemDedupCorpus]] over PROBED-IVF candidates — the
+    * 100 TB batch face of incremental SEMANTIC dedup (what the exact
+    * row's scaladoc promises at the production threshold): the exact
+    * batch×base cross stage scores every pair — O(batch × base) grows
+    * 100× for 10× data — while here each batch vector probes its
+    * [[IncrSemNprobe]] closest BASE lists (ranked by the exact-integer
+    * centroid cosine against the frozen base-trained centroids — the
+    * [[decontamSemanticAnn]] deterministic-probe contract, so probe
+    * choice and therefore the candidate set replay in the oracle) and
+    * only base vectors in probed lists are scored, with the exact-integer
+    * milli-cosine of the decontam family. Per-batch-vector work drops
+    * from |base| to nprobe·|base|/L (k-means lists at scale: L ~ √n).
+    *
+    * Policy is the stream's, EXACTLY (the [[incrIngestSemDedup]]
+    * contract): `dropped_base` on any probed base pair at or above
+    * `thetaMilli` (dup_of = smallest such base id); among base-check
+    * survivors, in-batch candidates are pairs where either endpoint's
+    * home list is probed by the other (the symmetric closure of the
+    * keyed-list rule, normalized by least/greatest), verified with the
+    * same milli-cosine, closed transitively, min id kept; `kept`
+    * otherwise. Approximate in WHICH pairs are seen (a near-dup in an
+    * unprobed list is missed — the recall legs in
+    * [[DedupOps.dedupRecallReport]] measure exactly that against the
+    * exact relation); exact in every emitted score, so the whole verdict
+    * table is hash-checked.
+    *
+    * Plan: the cross stage reads the session-cached scored-candidate
+    * frame ([[incrSemScoredCrossCached]] — built once by ONE keyed
+    * equi-join on the list id, shared across thresholds; the base is
+    * scanned once, hash-shuffled only by its own list id, never
+    * replicated per batch vector and never self-paired) and filters at
+    * `thetaMilli`; the in-batch stage joins the cached probe frame
+    * against survivor home lists. PlanAuditSpec gates the UNCACHED
+    * builders (no cartesian, the one BNLJ is the L-row centroid
+    * broadcast, candidates keyed) plus the verdict plan itself. */
+  def incrIngestSemDedupAnn(spark: SparkSession, sfDir: String,
+      thetaMilli: Long = IncrSemProdThetaMilli,
+      nprobe: Int = IncrSemNprobe): DataFrame = {
+    val m = IncrSemIngestMod
+    val incr = semDecontamFrame(spark, sfDir).filter(col("vec_id") % m === 0)
+    val probes = incrSemProbesCached(spark, sfDir, nprobe)
+    val baseDup = incrSemScoredCrossCached(spark, sfDir, nprobe)
       .filter(col("cos_milli") >= thetaMilli)
       .groupBy(col("i_id"))
       .agg(min(col("b_id")).as("base_dup_of"))
@@ -1541,12 +1630,7 @@ object SimilarityOps {
     val surv = incr.join(baseDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val survProbes = probes
       .join(baseDup.select(col("vec_id").as("i_id")), Seq("i_id"), "left_anti")
-    val cand = survProbes
-      .join(surv.select(col("vec_id").as("s_id"), col("lbl").as("s_lbl")),
-        col("s_lbl") === col("p_label") && col("s_id") =!= col("i_id"))
-      .select(least(col("i_id"), col("s_id")).as("va"),
-        greatest(col("i_id"), col("s_id")).as("vb"))
-      .distinct()
+    val cand = incrSemInBatchCand(survProbes, surv)
     val ipairs = cand
       .join(surv.select(col("vec_id").as("va"), col("qd").as("a_qd"),
         col("nrm").as("a_nrm")), "va")
@@ -1573,6 +1657,186 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** In-batch candidate pairs from probe rows × home lists — candidate
+    * (a, b) iff either endpoint's home list is probed by the other,
+    * symmetrized by least/greatest + distinct. Extracted so the KEYED
+    * join shape is gateable on its own plan (inside the verdict row it
+    * sits behind connectedComponents' checkpoint and never prints). */
+  private[graft] def incrSemInBatchCand(probes: DataFrame,
+      surv: DataFrame): DataFrame =
+    probes
+      .join(surv.select(col("vec_id").as("s_id"), col("lbl").as("s_lbl")),
+        col("s_lbl") === col("p_label") && col("s_id") =!= col("i_id"))
+      .select(least(col("i_id"), col("s_id")).as("va"),
+        greatest(col("i_id"), col("s_id")).as("vb"))
+      .distinct()
+
+  /** [[incrSemInBatchCand]] over the UNCACHED probe frame and the whole
+    * batch slice — the PlanAuditSpec view of the in-batch join shape
+    * (survivor filtering changes cardinality, not the join). */
+  private[graft] def incrSemInBatchCandUncached(spark: SparkSession,
+      sfDir: String): DataFrame =
+    incrSemInBatchCand(
+      incrSemProbesUncached(spark, sfDir, IncrSemNprobe),
+      semDecontamFrame(spark, sfDir)
+        .filter(col("vec_id") % IncrSemIngestMod === 0))
+
+  /** Banding config of [[incrIngestSemDedupBanded]] — the
+    * [[embLshNearDupHi]] production regime (8-bit band keys: a
+    * background pair passes a band with probability 2^-8, a 0.8-cosine
+    * pair with ~0.16, so 32 bands give ~0.996 recall while pruning
+    * background candidates ~256× per band). Shared with the oracle. */
+  val IncrSemBandB = 32
+  val IncrSemBandR = 8
+
+  /** Deterministic ±1 hyperplane matrix for the BANDED incremental face
+    * — the [[rpSigns]] md5 derivation ("ihp:j:i", first hex digit >= 8
+    * → +1) so band keys are exact-integer signs of integer dots and the
+    * whole candidate rule replays in DuckDB (the seeded-Gaussian matrix
+    * of [[embLshNearDup]] cannot: its keys sit on FP sign boundaries —
+    * that row's rows-only argument. ±1 rows are a full LSH family too:
+    * sign(±1 · x) hyperplanes are the SimHash construction). */
+  private def ihpSigns(dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(IncrSemBandB * IncrSemBandR, dim) { (j, i) =>
+      val d0 = md.digest(s"ihp:$j:$i".getBytes("UTF-8"))(0)
+      if (((d0 >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+  }
+
+  /** (vec_id, band, band_key) over the quantized corpus under the ±1
+    * md5 hyperplanes, UNCACHED — band keys are signs of exact-integer
+    * dots (|Σ qd_i·(±1)| < 2^26 — an exact double), so the frame is
+    * bit-replayable cross-engine. */
+  private[graft] def incrSemBandFrameUncached(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val f = semDecontamFrame(spark, sfDir)
+    // dimension probe: one O(1) driver action (the embLshNearDup note)
+    val dim = f.select(size(col("qd"))).head().getInt(0)
+    hyperplaneBandFrame(f.select(col("vec_id"), col("qd").as("unit")),
+      ihpSigns(dim), IncrSemBandB, IncrSemBandR)
+  }
+
+  private val incrSemBandCache = new graft.SessionFrameCache[String]
+  private val incrSemBandCrossCache = new graft.SessionFrameCache[String]
+
+  private def incrSemBandFrameCached(spark: SparkSession,
+      sfDir: String): DataFrame =
+    incrSemBandCache.getOrElseUpdateRaw(spark, sfDir) {
+      incrSemBandFrameUncached(spark, sfDir).localCheckpoint()
+    }
+
+  /** Banded cross-stage SCORES (i_id, b_id, cos_milli), theta-independent
+    * and session-cached like [[incrSemScoredCrossCached]]: candidates
+    * from the (band, band_key) equi-join of batch bands against base
+    * bands, each surviving pair scored once with the exact-integer
+    * milli-cosine. */
+  private[graft] def incrSemBandedScoredCrossUncached(spark: SparkSession,
+      sfDir: String): DataFrame =
+    incrSemBandedScoredCrossFrom(incrSemBandFrameUncached(spark, sfDir),
+      spark, sfDir)
+
+  private def incrSemBandedScoredCrossFrom(bandFrame: DataFrame,
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val m = IncrSemIngestMod
+    val f = semDecontamFrame(spark, sfDir)
+    val cand = bandFrame.filter(col("vec_id") % m === 0)
+      .select(col("vec_id").as("i_id"), col("band"), col("band_key"))
+      .join(bandFrame.filter(col("vec_id") % m =!= 0)
+        .select(col("vec_id").as("b_id"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("i_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(f.select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
+        col("nrm").as("i_nrm")), "i_id")
+      .join(f.select(col("vec_id").as("b_id"), col("qd").as("b_qd"),
+        col("nrm").as("b_nrm")), "b_id")
+      .select(col("i_id"), col("b_id"),
+        cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+  }
+
+  private def incrSemBandedScoredCrossCached(spark: SparkSession,
+      sfDir: String): DataFrame =
+    incrSemBandCrossCache.getOrElseUpdateRaw(spark, sfDir) {
+      incrSemBandedScoredCrossFrom(incrSemBandFrameCached(spark, sfDir),
+        spark, sfDir).localCheckpoint()
+    }
+
+  /** The BANDED batch face of incremental semantic dedup — the sibling
+    * scale path to [[incrIngestSemDedupAnn]], completing both candidate
+    * rules the production threshold admits: where the probed face prunes
+    * by closest-centroid LISTS (and loses near-threshold recall when
+    * pairs sit close to the noise floor — the registered 724 bp number),
+    * the banded face prunes by LSH collision, which needs no list
+    * structure and holds ~0.996 recall at cosine 0.8 under the
+    * [[IncrSemBandB]]×[[IncrSemBandR]] config. The ±1 md5 hyperplanes
+    * make every band key the sign of an exact-integer dot, so — unlike
+    * the Gaussian-banded [[embLshNearDup]] — the candidate set itself
+    * replays in the oracle and the verdict table is hash-checked end to
+    * end. Policy is [[incrIngestSemDedup]]'s verbatim; in-batch
+    * candidates are survivor pairs sharing any band key.
+    *
+    * At 100 TB: signatures are one codegen'd pass (B·R dots/row), the
+    * band join shuffles (vec_id, band, key) triples, candidates then pay
+    * one exact scoring each — no all-pairs anywhere, no centroid table
+    * needed (the trade against the probed face: banding carries
+    * B·R-bit signatures per vector instead of an L-row index, and its
+    * candidate volume follows collision physics instead of list sizes).
+    * The recall legs in [[DedupOps.dedupRecallReport]] carry the
+    * banded-vs-probed comparison at BOTH thresholds. */
+  def incrIngestSemDedupBanded(spark: SparkSession, sfDir: String,
+      thetaMilli: Long = IncrSemProdThetaMilli): DataFrame = {
+    val m = IncrSemIngestMod
+    val incr = semDecontamFrame(spark, sfDir).filter(col("vec_id") % m === 0)
+    val bandFrame = incrSemBandFrameCached(spark, sfDir)
+    val baseDup = incrSemBandedScoredCrossCached(spark, sfDir)
+      .filter(col("cos_milli") >= thetaMilli)
+      .groupBy(col("i_id"))
+      .agg(min(col("b_id")).as("base_dup_of"))
+      .select(col("i_id").as("vec_id"), col("base_dup_of"))
+    val surv = incr.join(baseDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val survBands = bandFrame
+      .join(surv.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    val cand = survBands.select(col("vec_id").as("xa"), col("band"), col("band_key"))
+      .join(survBands.select(col("vec_id").as("xb"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("xa") < col("xb"))
+      .select(col("xa").as("va"), col("xb").as("vb"))
+      .distinct()
+    val ipairs = cand
+      .join(surv.select(col("vec_id").as("va"), col("qd").as("a_qd"),
+        col("nrm").as("a_nrm")), "va")
+      .join(surv.select(col("vec_id").as("vb"), col("qd").as("z_qd"),
+        col("nrm").as("z_nrm")), "vb")
+      .select(col("va"), col("vb"),
+        cosMilli(col("a_qd"), col("a_nrm"), col("z_qd"), col("z_nrm")))
+      .filter(col("cos_milli") >= thetaMilli)
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+    val batchDup = graft.ext.DedupOps.connectedComponents(ipairs)
+      .filter(col("label") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"), col("label").as("batch_dup_of"))
+    Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      .filter(col("vec_id") % m === 0)
+      .join(baseDup, Seq("vec_id"), "left")
+      .join(batchDup, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("base_dup_of").isNotNull, lit("dropped_base"))
+          .when(col("batch_dup_of").isNotNull, lit("dropped_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("base_dup_of"), col("batch_dup_of")).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** Banded cross-stage pair relation at `thetaMilli` — the recall
+    * report's banded `found` side ([[incrSemAnnCrossPairs]]'s twin). */
+  private[graft] def incrSemBandedCrossPairs(spark: SparkSession,
+      sfDir: String, thetaMilli: Long): DataFrame =
+    incrSemBandedScoredCrossCached(spark, sfDir)
+      .filter(col("cos_milli") >= thetaMilli)
+      .select(least(col("i_id"), col("b_id")).as("vec_a"),
+        greatest(col("i_id"), col("b_id")).as("vec_b"))
+
   /** The CANDIDATE-COMPLETENESS relation behind
     * [[incrIngestSemDedupAnn]]'s recall legs: every (batch, base) pair
     * the probed cross stage verifies at or above `thetaMilli`,
@@ -1580,57 +1844,38 @@ object SimilarityOps {
     * comparing it against the exact batch×base relation isolates the
     * probe rule's recall from policy effects (a pair missed here is a
     * contaminated-verdict miss; a pair missed by the VERDICT table could
-    * just be policy ordering). */
+    * just be policy ordering). Reads the shared scored frame. */
   private[graft] def incrSemAnnCrossPairs(spark: SparkSession, sfDir: String,
-      thetaMilli: Long, nprobe: Int = IncrSemNprobe): DataFrame = {
-    val f = semDecontamFrame(spark, sfDir)
-    val m = IncrSemIngestMod
-    val base = f.filter(col("vec_id") % m =!= 0)
-      .select(col("vec_id").as("b_id"), col("lbl").as("b_lbl"),
-        col("qd").as("b_qd"), col("nrm").as("b_nrm"))
-    val incr = f.filter(col("vec_id") % m === 0)
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_label").asc)
-    val probes = incr
-      .join(broadcast(baseListCentroidsCached(spark, sfDir)), lit(true))
-      .select(col("vec_id"), col("qd"), col("nrm"), col("c_label"),
-        cosine(col("qd"), col("centroid")).as("c_cos"))
-      .filter(!isnan(col("c_cos")))
-      .withColumn("probe_rank", row_number().over(wProbe))
-      .filter(col("probe_rank") <= nprobe)
-      .select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
-        col("nrm").as("i_nrm"), col("c_label").cast("long").as("p_label"))
-    probes.join(base, col("b_lbl") === col("p_label"))
-      .select(col("i_id"), col("b_id"),
-        cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+      thetaMilli: Long, nprobe: Int = IncrSemNprobe): DataFrame =
+    incrSemScoredCrossCached(spark, sfDir, nprobe)
       .filter(col("cos_milli") >= thetaMilli)
       .select(least(col("i_id"), col("b_id")).as("vec_a"),
         greatest(col("i_id"), col("b_id")).as("vec_b"))
-  }
 
   /** The EXACT batch×base milli-cosine relation at `thetaMilli` — the
     * ground truth [[incrSemAnnCrossPairs]] is measured against in the
     * recall report (quadratic-class: a verifier, not a production path;
-    * the [[DedupOps.jaccardPairs]] bounded-audit-sample note applies). */
+    * the [[DedupOps.jaccardPairs]] bounded-audit-sample note applies).
+    * The scored frame is theta-independent and session-cached: the
+    * report's two legs (0.8 / 0.47) share one quadratic pass. */
   private[graft] def incrSemExactCrossPairs(spark: SparkSession, sfDir: String,
-      thetaMilli: Long): DataFrame = {
-    val f = semDecontamFrame(spark, sfDir)
-    val m = IncrSemIngestMod
-    val base = f.filter(col("vec_id") % m =!= 0)
-      .select(col("vec_id").as("b_id"), col("lbl").as("b_lbl"),
-        col("qd").as("b_qd"), col("nrm").as("b_nrm"),
-        pmod(col("vec_id"), lit(16)).cast("int").as("b_blk"))
-    val incrRep = f.filter(col("vec_id") % m === 0)
-      .select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
-        col("nrm").as("i_nrm"),
-        explode(sequence(lit(0), lit(15))).as("i_blk"))
-    incrRep.join(base, col("i_blk") === col("b_blk"))
-      .select(col("i_id"), col("b_id"),
-        cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+      thetaMilli: Long): DataFrame =
+    incrSemExactCache.getOrElseUpdateRaw(spark, sfDir) {
+      val base = incrSemBase(spark, sfDir)
+        .withColumn("b_blk", pmod(col("b_id"), lit(16)).cast("int"))
+      val incrRep = semDecontamFrame(spark, sfDir)
+        .filter(col("vec_id") % IncrSemIngestMod === 0)
+        .select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
+          col("nrm").as("i_nrm"),
+          explode(sequence(lit(0), lit(15))).as("i_blk"))
+      incrRep.join(base, col("i_blk") === col("b_blk"))
+        .select(col("i_id"), col("b_id"),
+          cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+        .localCheckpoint()
+    }
       .filter(col("cos_milli") >= thetaMilli)
       .select(least(col("i_id"), col("b_id")).as("vec_a"),
         greatest(col("i_id"), col("b_id")).as("vec_b"))
-  }
 
   /** Int8-quantized exact-rerank-free ANN: per-vector symmetric scalar
     * quantization (scale = max|x|/127, elements rounded to int8 — 4× the
@@ -3041,7 +3286,16 @@ object SimilarityOps {
        |  FROM iprobe p
        |  JOIN surv s ON s.label = p.label AND s.vec_id <> p.i_id
        |  WHERE p.i_id IN (SELECT vec_id FROM surv)
-       |), ip AS MATERIALIZED (
+       |), ${incrSemClosureSql(theta)}"""
+  }
+
+  /** Shared policy-closure tail of the incremental-semantic verdict
+    * oracles (probed AND banded faces — the no-fork rule): in-batch
+    * verification of `icand` over `surv(vec_id, …, qv, nrm)`, recursive
+    * transitive closure, min-id election, final verdict over the batch
+    * slice. */
+  private def incrSemClosureSql(theta: Long): String =
+    s"""ip AS MATERIALIZED (
        |  SELECT va, vb FROM icand
        |  JOIN surv a ON a.vec_id = va
        |  JOIN surv b ON b.vec_id = vb
@@ -3067,8 +3321,86 @@ object SimilarityOps {
        |FROM embeddings e
        |LEFT JOIN basedup bd ON bd.vec_id = e.vec_id
        |LEFT JOIN batchdup iu ON iu.vec_id = e.vec_id
-       |WHERE e.vec_id % $m = 0
+       |WHERE e.vec_id % $IncrSemIngestMod = 0
        |ORDER BY e.vec_id""".stripMargin
+
+  /** Banding-replay CTE chain of the banded incremental-semantic
+    * oracles: qn (quantized norms), vexp (per-component rows), ihp (the
+    * md5 ±1 sign table — B·R × dim rows), dots (exact-integer hyperplane
+    * dots), bkeys ((vec_id, band, band_key) — the engine's
+    * HyperplaneBandKeys bit packing replayed: bit r set iff dot >= 0),
+    * bbcand/bscored (banded batch×base candidates + milli-cosine). */
+  private def incrSemBandedCtes: String = {
+    val m = IncrSemIngestMod
+    val br = IncrSemBandB * IncrSemBandR
+    s"""$SemDecontamQnCtes, ihp AS (
+       |  SELECT j, i,
+       |    CASE WHEN strpos('89abcdef', substr(md5('ihp:' ||
+       |        CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+       |    THEN 1 ELSE -1 END AS sgn
+       |  FROM range(0, $br) t1(j),
+       |    (SELECT unnest(range(len(qv))) AS i
+       |     FROM (SELECT qv FROM qn LIMIT 1) one) t2
+       |), ihpl AS (
+       |  -- one sign LIST per hyperplane: dots below are then an n × B·R
+       |  -- cross of list comprehensions (1.3M rows at sf1) instead of an
+       |  -- exploded n·dim × B·R join (82M rows — measured spilling DuckDB
+       |  -- past the disk at sf1)
+       |  SELECT j, list(sgn ORDER BY i) AS sgns FROM ihp GROUP BY j
+       |), dots AS (
+       |  SELECT q.vec_id, h.j,
+       |    list_sum([q.qv[i] * h.sgns[i]
+       |      for i in range(1, len(q.qv)+1)]) AS d
+       |  FROM qn q, ihpl h
+       |), bkeys AS (
+       |  SELECT vec_id, j // $IncrSemBandR AS band,
+       |    CAST(SUM(CASE WHEN d >= 0
+       |      THEN 1 << (j % $IncrSemBandR) ELSE 0 END) AS BIGINT) AS band_key
+       |  FROM dots GROUP BY vec_id, j // $IncrSemBandR
+       |), bbcand AS (
+       |  SELECT DISTINCT ki.vec_id AS i_id, kb.vec_id AS b_id
+       |  FROM bkeys ki JOIN bkeys kb
+       |    ON ki.band = kb.band AND ki.band_key = kb.band_key
+       |  WHERE ki.vec_id % $m = 0 AND kb.vec_id % $m <> 0
+       |), bscored AS (
+       |  SELECT c.i_id, c.b_id,
+       |    CAST(floor(CAST(list_sum([a.qv[i] * b.qv[i]
+       |        for i in range(1, len(a.qv)+1)]) AS DOUBLE)
+       |      / (a.nrm * b.nrm) * 1000) AS BIGINT) AS cos_milli
+       |  FROM bbcand c
+       |  JOIN qn a ON a.vec_id = c.i_id
+       |  JOIN qn b ON b.vec_id = c.b_id
+       |)""".stripMargin
+  }
+
+  /** The banded cross-stage pair relation as standalone SQL — the recall
+    * report's banded `found` side. */
+  private[ext] def incrSemBandedCrossPairsSql(theta: Long): String =
+    s"""WITH $incrSemBandedCtes
+       |SELECT LEAST(i_id, b_id) AS vec_a, GREATEST(i_id, b_id) AS vec_b
+       |FROM bscored WHERE cos_milli >= $theta""".stripMargin
+
+  /** Oracle for [[incrIngestSemDedupBanded]]: the banding replay +
+    * banded in-batch candidates + the SHARED policy-closure tail. */
+  private def incrSemBandedOracleSql(theta: Long): String = {
+    val m = IncrSemIngestMod
+    s"""WITH RECURSIVE $incrSemBandedCtes,
+       |basedup AS (
+       |  SELECT i_id AS vec_id, MIN(b_id) AS base_dup_of
+       |  FROM bscored WHERE cos_milli >= $theta GROUP BY i_id
+       |), surv AS MATERIALIZED (
+       |  SELECT vec_id, qv, nrm FROM qn
+       |  WHERE vec_id % $m = 0
+       |    AND vec_id NOT IN (SELECT vec_id FROM basedup)
+       |), icand AS (
+       |  SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS va,
+       |    GREATEST(x.vec_id, y.vec_id) AS vb
+       |  FROM bkeys x JOIN bkeys y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |      AND x.vec_id < y.vec_id
+       |  WHERE x.vec_id IN (SELECT vec_id FROM surv)
+       |    AND y.vec_id IN (SELECT vec_id FROM surv)
+       |), ${incrSemClosureSql(theta)}""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -3077,6 +3409,8 @@ object SimilarityOps {
       incrSemAnnOracleSql(IncrSemProdThetaMilli),
     "incr_ingest_semdedup_ann_047" ->
       incrSemAnnOracleSql(IncrSemLiveThetaMilli),
+    "incr_ingest_semdedup_banded" ->
+      incrSemBandedOracleSql(IncrSemProdThetaMilli),
     "cluster_balanced_sample" ->
       s"""WITH $clusterSampleCtesSql
          |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster

@@ -244,31 +244,49 @@ class PlanAuditSpec extends SparkSpec {
     // feeds both the cross and in-batch stages, so its subtree prints
     // once per consumer); every CANDIDATE join — cross stage and
     // in-batch — is KEYED on the probed list id
-    val pann = plan(graft.ext.SimilarityOps.incrIngestSemDedupAnn(spark, sfDir))
-    assert(!pann.contains("CartesianProduct"), pann)
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(pann).length
-    assert(bnlj >= 1 && bnlj <= 2, s"probe-scoring BNLJ count $bnlj:\n$pann")
-    // (the in-batch stage's joins sit behind connectedComponents'
-    // localCheckpoint and don't print here; its candidate join is the
-    // same keyed code shape, gated below on the visible cross stage)
-    val keyedCand = pann.split("\n").filter(l =>
-      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
-        l.contains("ShuffledHashJoin")) && l.contains("p_label"))
-    assert(keyedCand.nonEmpty,
-      s"expected a keyed candidate join on p_label:\n$pann")
-    // cross stage in isolation: exactly one nested loop (the L-row
-    // centroid broadcast), candidates from the keyed list join with the
-    // milli-cosine threshold as residual — never a batch×base loop
-    val pxp = plan(graft.ext.SimilarityOps.incrSemAnnCrossPairs(
-      spark, sfDir, graft.ext.SimilarityOps.IncrSemProdThetaMilli))
+    // the probed family's theta-independent stages are session-cached
+    // (localCheckpoint), so the scale-shape gates run on the UNCACHED
+    // builders — the plans that actually build the shared artifacts
+    val pprobe = plan(graft.ext.SimilarityOps.incrSemProbesUncached(spark, sfDir))
+    assert(!pprobe.contains("CartesianProduct"), pprobe)
+    // probe scoring over L centroids is the one expected nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pprobe).length == 1, pprobe)
+    val pxp = plan(graft.ext.SimilarityOps.incrSemScoredCrossUncached(spark, sfDir))
     assert(!pxp.contains("CartesianProduct"), pxp)
     assert("BroadcastNestedLoopJoin".r.findAllIn(pxp).length == 1, pxp)
+    // candidates come from the KEYED equi-join on the probed list id —
+    // never a batch×base loop (the threshold is applied downstream on
+    // the shared scored frame; scoring volume is the candidate set
+    // either way, and one scored artifact serves every theta)
     val crossJoin = pxp.split("\n").find(l =>
       (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
         l.contains("ShuffledHashJoin")) && l.contains("p_label"))
     assert(crossJoin.isDefined, pxp)
-    assert(crossJoin.get.contains("FLOOR"),
-      s"threshold not residual on the keyed cross join:\n${crossJoin.get}")
+    // the in-batch candidate join shape, on its own plan (inside the
+    // verdict row it sits behind connectedComponents' checkpoint and
+    // never prints): keyed on the probed list id, never a loop
+    val pib = plan(graft.ext.SimilarityOps.incrSemInBatchCandUncached(spark, sfDir))
+    assert(!pib.contains("CartesianProduct"), pib)
+    val keyedCand = pib.split("\n").filter(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("p_label"))
+    assert(keyedCand.nonEmpty,
+      s"expected a keyed candidate join on p_label:\n$pib")
+    // the verdict row itself: no cartesian anywhere
+    val pann = plan(graft.ext.SimilarityOps.incrIngestSemDedupAnn(spark, sfDir))
+    assert(!pann.contains("CartesianProduct"), pann)
+    // the BANDED face: signatures are one projection pass (no join at
+    // all), candidates an equi-join on (band, band_key) — never a loop
+    val pbf = plan(graft.ext.SimilarityOps.incrSemBandFrameUncached(spark, sfDir))
+    assert(!pbf.contains("Join"), s"band frame must be a pure scan:\n$pbf")
+    val pbx = plan(graft.ext.SimilarityOps.incrSemBandedScoredCrossUncached(spark, sfDir))
+    assert(!pbx.contains("CartesianProduct") &&
+      !pbx.contains("BroadcastNestedLoopJoin"), pbx)
+    assert(pbx.split("\n").exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("band_key")), pbx)
+    val pbv = plan(graft.ext.SimilarityOps.incrIngestSemDedupBanded(spark, sfDir))
+    assert(!pbv.contains("CartesianProduct"), pbv)
   }
 
   test("winnow pair join is an equi-join; bigram top-k avoids a global sort") {

@@ -174,6 +174,39 @@ class ExtOpsSpec extends SparkSpec {
     assert(out(108L) == (("kept", None)))
   }
 
+  test("incremental semdedup BANDED: LSH collisions drive both drop paths " +
+      "at the production threshold; banded pairs ⊆ exact") {
+    def e(i: Int): Array[Float] = { val a = Array.fill(8)(0f); a(i) = 1f; a }
+    val w0 = Array(0.6f, 0.48f, 0f, 0f, 0.64f, 0f, 0f, 0f)
+    val v2 = Array(0f, 0f, 0.8f, 0f, 0f, 0.6f, 0f, 0f)
+    // identical twins collide in EVERY band (equal keys) — deterministic
+    // drops with no collision-probability argument needed: 100 is 1's
+    // exact twin (dropped_base, min of the internal 1/5 dup), 104 is
+    // 102's (dropped_batch); 108 is alone → kept
+    val dir = embFixture(Seq(
+      (1L, w0, 0), (5L, w0, 0), (3L, e(1), 1),   // base (odd ids)
+      (100L, w0, 0), (102L, v2, 1), (104L, v2, 1), (108L, e(3), 0)))
+    val out = SimilarityOps.incrIngestSemDedupBanded(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(out.keySet == Set(100L, 102L, 104L, 108L), out.toString)
+    assert(out(100L) == (("dropped_base", Some(1L))))
+    assert(out(102L) == (("kept", None)))
+    assert(out(104L) == (("dropped_batch", Some(102L))))
+    assert(out(108L) == (("kept", None)))
+    // refinement law on the harness corpus, both thresholds: LSH
+    // collisions can only MISS exact pairs, never invent them
+    Seq(SimilarityOps.IncrSemProdThetaMilli,
+        SimilarityOps.IncrSemLiveThetaMilli).foreach { th =>
+      val x = SimilarityOps.incrSemExactCrossPairs(spark, sfDir, th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = SimilarityOps.incrSemBandedCrossPairs(spark, sfDir, th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b.subsetOf(x), s"theta=$th: banded ⊄ exact")
+    }
+  }
+
   test("incremental semdedup ANN: a near-dup in an unprobed list is missed " +
       "— the recall-leg class — and probed pairs are always ⊆ exact") {
     def e(i: Int): Array[Float] = { val a = Array.fill(8)(0f); a(i) = 1f; a }
