@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — driver contract: the LAST stdout line is ONE compact
   * JSON object `{"metric":"total","value":N,"unit":"sec","complete":B,
-  * "sf":"…","errors":[…]}` — and NOTHING per-query. Rounds 4 and 5 both
+  * "degraded":B,"sf":"…","errors":[…]}` — and NOTHING per-query. Rounds 4 and 5 both
   * lost driver-side perf tracking because the per-query map (~4.5 KB at
   * 106 queries) was kept on that line and the driver's 2000-char tail
   * capture truncated the head. Per-query times + telemetry live ONLY in
@@ -91,8 +91,61 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadStart = loadAvg
-    val probeStart = epochProbeSecs(spark)
+    // LOAD GATE (r15 — closes the r14 adjudication hole: every r14
+    // artifact landed on a ~2.6× slower machine epoch, so "did this
+    // round make it faster?" had no evidence either way; the artifact
+    // recorded the epoch honestly but never ACTED on it). Two gates:
+    //
+    //  1. PRE-WARMUP, on the 1-minute load average only (the r14 driver
+    //     run started at load 10.38 — its own artifact). The START epoch
+    //     probe is deliberately NOT gated: measured across all 15 dated
+    //     artifacts it reads 0.18–0.38 s on fast AND slow epochs alike
+    //     (JVM/JIT warm-up dominates it), so it cannot discriminate.
+    //  2. POST-WARMUP, on a FRESH epoch probe taken after the warm-up
+    //     pass — the steady-state reading that DOES discriminate
+    //     (fast band 0.067–0.087 s, r14's slow epoch 0.10–0.16 s) —
+    //     immediately before the timed passes, which are all that
+    //     matters for comparability.
+    //
+    // Each gate sleeps and re-probes a bounded number of times; if the
+    // machine never cools, the run proceeds but `degraded:true` is
+    // stamped on BOTH the compact line and the file artifact so no
+    // consumer mistakes a contended total for a regression (or a
+    // parity) again. Every attempt lands in the artifact's gate trail.
+    val maxLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "4.0").toDouble
+    val maxProbe =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PROBE", "0.12").toDouble
+    val gateRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_RETRIES", "3").toInt
+    val gateSleepSecs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_SLEEP", "45").toInt
+    var gateAttempts = List.empty[(String, Double, Double)] // newest first
+    def gate(phase: String, hot: () => Boolean,
+        sample: () => (Double, Double)): Boolean = {
+      var s = sample(); gateAttempts ::= ((phase, s._1, s._2))
+      var retriesLeft = gateRetries
+      var isHot = hot()
+      while (isHot && retriesLeft > 0) {
+        System.err.println(f"[bench] $phase gate hot (load=${s._1}%.2f " +
+          f"probe=${s._2}%.3fs; limits load $maxLoad%.1f / warm probe " +
+          f"$maxProbe%.2fs) — sleeping ${gateSleepSecs}s " +
+          s"($retriesLeft retries left)")
+        Thread.sleep(gateSleepSecs * 1000L)
+        retriesLeft -= 1
+        s = sample(); gateAttempts ::= ((phase, s._1, s._2))
+        isHot = hot()
+      }
+      isHot
+    }
+    var lastLoad = -1.0
+    var lastProbe = -1.0
+    val hotPre = gate("pre_warmup",
+      () => lastLoad >= 0 && lastLoad > maxLoad,
+      () => { lastLoad = loadAvg; lastProbe = epochProbeSecs(spark)
+              (lastLoad, lastProbe) })
+    val loadStart = lastLoad
+    val probeStart = lastProbe
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // Warm-up pass (disable with SPARK_GRAFT_WARMUP=0): the first run of
     // each query pays 0.5-2 s of one-time JVM/codegen/scan-setup cost at
@@ -104,6 +157,22 @@ object Bench {
     if (warmup) queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // gate 2: the post-warmup probe is the first epoch reading taken in
+    // a hot JVM — the only one comparable across rounds; it guards the
+    // timed passes below
+    val hotWarm = gate("post_warmup",
+      () => (lastLoad >= 0 && lastLoad > maxLoad) || lastProbe > maxProbe,
+      () => { lastLoad = loadAvg; lastProbe = epochProbeSecs(spark)
+              (lastLoad, lastProbe) })
+    val probeWarm = lastProbe
+    val degraded = hotPre || hotWarm
+    if (degraded)
+      System.err.println("[bench] gate exhausted — running DEGRADED " +
+        "(artifact is stamped; totals are not comparable to a fast epoch)")
+    val gateJson = gateAttempts.reverse
+      .map { case (ph, l, p) =>
+        s"""{"phase":${jstr(ph)},"load_avg":$l,"probe_secs":$p}""" }
+      .mkString("[", ",", "]")
     // 3 passes ≈ +30 s wall for a min() that survives one contended pass
     // AND one GC/compaction hiccup — the r3 recorded figure was wrecked by
     // exactly that class of noise
@@ -182,7 +251,7 @@ object Bench {
         (if (errors.size > 3) Seq(jstr(s"...and ${errors.size - 3} more")) else Nil))
         .mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"n_errors":${errors.size},"sf":"$sfDir","errors":$errsCompact}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"degraded":$degraded,"n_errors":${errors.size},"sf":"$sfDir","errors":$errsCompact}"""
     val telemetry = queries.map { case (name, _) =>
       val (_, gc, mb) = timesPerRun.head(name)
       val all = timesPerRun.map(_(name)._1.fold(_ => "null", _.toString))
@@ -203,7 +272,7 @@ object Bench {
     val probeEnd = epochProbeSecs(spark)
     val loadEnd = loadAvg
     val machine =
-      s""""cpus":$cpus,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"epoch_probe_secs_start":$probeStart,"epoch_probe_secs_end":$probeEnd"""
+      s""""cpus":$cpus,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"epoch_probe_secs_start":$probeStart,"epoch_probe_secs_warm":$probeWarm,"epoch_probe_secs_end":$probeEnd,"degraded":$degraded,"gate_attempts":$gateJson"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","complete":$complete,"queries":$qs,"sf":"$sfDir","errors":${errors.map(jstr).mkString("[", ",", "]")},"warmup":$warmup,"runs":$runs,"heap_mb":$maxHeapMb,$machine,"telemetry":$telemetry}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

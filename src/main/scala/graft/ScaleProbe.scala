@@ -210,7 +210,15 @@ object ScaleProbe {
     // histogram-cut plan, so its ratio should track the LM prune's —
     // and the quality-curriculum order (learned scores + the two-pass
     // rank; the ratio should track training_order's ≈ flat shape)
-    "quality_prune_learned", "curriculum_order")
+    "quality_prune_learned", "curriculum_order",
+    // r15: the multi-batch accept-then-grow loop — per wave the batch
+    // bands equi-join the grown base's band index, so the ratio should
+    // track incr_ingest_dedup's join-bound band (never the quadratic
+    // class: nothing re-pairs base×base as the base grows); the
+    // artifact row should be ≈ the served search alone (write once per
+    // session, L-row read-back); the safety gate is one stateless scan
+    // (expect the gopher_filter ≈ linear band)
+    "incr_ingest_dedup_multi", "ann_ivf_artifact_topk", "safety_filter")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

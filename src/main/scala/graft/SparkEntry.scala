@@ -101,6 +101,10 @@ object SparkEntry {
     // exact-integer milli-ratios; the thresholded sibling of the soft
     // text_quality score
     "gopher_filter"    -> (TextOps.gopherFilter(_, _)),
+    // toxicity/safety gate: severity-tiered lexicon verdicts (severe =
+    // any hit drops; moderate = milli-ratio cut), the safety sibling of
+    // the quality gates — lexicon interpolated into engine AND oracle
+    "safety_filter"    -> (TextOps.safetyFilter(_, _)),
     "lang_id"          -> (TextOps.langId(_, _)),
     "lang_id_ngram"    -> (TextOps.langIdNgram(_, _)),
     // confusion matrix of the n-gram classifier vs the metadata label
@@ -248,6 +252,11 @@ object SparkEntry {
     // against the accepted base WITHOUT re-pairing base with itself —
     // the daily-delta shape; policy mirrors the minhash ingest stream
     "incr_ingest_dedup" -> (DedupOps.incrIngestDedupCorpus(_, _)),
+    // the MULTI-batch accept-then-grow loop: K=3 deterministic waves,
+    // each verdicted against the base grown by prior waves' survivors
+    // (wave 3 drops against wave-1/2 keepers — live at sf0.01); the
+    // oracle chains the single-step policy replay K times
+    "incr_ingest_dedup_multi" -> (DedupOps.incrIngestDedupMulti(_, _)),
     // per-doc decontamination verdict across the doc_id-keyed modalities
     // (ngram/neardup/media) with first-flag precedence + keep decision
     "decontam_verdict"      -> (TextOps.decontamVerdict(_, _)),
@@ -306,6 +315,11 @@ object SparkEntry {
     // approximate recall by design, but DETERMINISTIC (exact-integer
     // centroid/probe arithmetic) — so nprobe=3 is oracle-checked too:
     "ann_ivf_topk"     -> (SimilarityOps.ivfTopk(_, _)),
+    // the PERSISTED-INDEX-ARTIFACT contract demonstrated: centroid table
+    // trained + written to parquet once, the search served from the
+    // READ-BACK artifact (bit-identical to ann_ivf_topk, shared oracle;
+    // a second SparkSession serves it artifact-only — spec-proven)
+    "ann_ivf_artifact_topk" -> (SimilarityOps.annIvfArtifactTopk(_, _)),
     // IVF over K-MEANS lists (production construction: L a free
     // parameter grown with the corpus) — deterministic Lloyd + integer
     // probe metric, so oracle-checked like ann_ivf_topk

@@ -535,6 +535,77 @@ object DedupOps {
       threshold = 0.6, maxBandDf = MinHashBandDfCap)
   }
 
+  /** Number of deterministic arrival waves of the MULTI-batch
+    * incremental row: the single-step batch slice (doc_id %
+    * [[IncrIngestMod]] == [[IncrIngestMod]]−1) divided into K waves by
+    * doc_id % ([[IncrIngestMod]]·K) — wave k (1-based) is residue
+    * [[IncrIngestMod]]·k − 1 (3, 7, 11 at the defaults), so the waves
+    * partition exactly the single-step batch and the two rows diff
+    * directly. */
+  val IncrMultiK = 3
+
+  /** MULTI-BATCH incremental ingest — the accept-then-grow loop the
+    * single-step row ([[incrIngestDedupCorpus]]) deliberately does not
+    * exercise: batch k is verdicted against the base AS GROWN by batches
+    * 1..k−1's survivors, i.e. the production daily loop where each
+    * day's kept docs join the accepted index before the next day
+    * arrives. Policy per wave is [[incrIngestCore]] VERBATIM (the
+    * single-step machinery — the two rows cannot fork on verdict
+    * semantics); what's new is only the base recurrence
+    * base_k = base_{k−1} ∪ kept_k.
+    *
+    * Non-vacuous at the driver gate (measured sf0.01): every wave has
+    * live drops, and wave 3 drops two docs whose dup_of is an EARLIER
+    * WAVE's survivor (docs 107→387, 383→31) — pairs the single-step row
+    * classifies as in-batch become grown-base hits here, which is
+    * exactly the semantics under test (spec-asserted in ExtOpsSpec).
+    *
+    * Plan/scale shape: per wave, the batch bands equi-join the grown
+    * base's band index (a left-semi filter of the session-cached corpus
+    * band frame — the index-append convention) and only candidates pay
+    * the verify join, so per-batch cost stays O(batch + matched
+    * candidates) as the base grows; nothing ever re-pairs base×base.
+    * The K verdicts localCheckpoint per wave — bounded (K=3), exactly
+    * the per-batch materialization a production loop does when it
+    * writes each day's verdict table — and the unioned verdict frame is
+    * itself session-cached (the per-increment ARTIFACT convention of
+    * the semantic siblings: a production loop writes each day's verdict
+    * table ONCE; re-deriving all K waves per consumer call would pay
+    * 3× the single-step row on every invocation — measured 21.6 s/pass
+    * at sf0.1 uncached). */
+  private val incrMultiCache = new graft.SessionFrameCache[String]
+
+  def incrIngestDedupMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val verdicts = incrMultiCache.getOrElseUpdateRaw(spark, sfDir) {
+      val mod = IncrIngestMod * IncrMultiK
+      def isWave(k: Int): Column =
+        (col("doc_id") % mod) === (IncrIngestMod * k - 1)
+      val isAnyWave = (col("doc_id") % IncrIngestMod) === (IncrIngestMod - 1)
+      val s = withShingles(spark, sfDir).filter(size(col("sh")) > 0)
+      val bands = corpusBands(spark, sfDir)
+      val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      val base0 = docs.filter(!isAnyWave)
+      val (_, waves) = (1 to IncrMultiK)
+        .foldLeft((base0, List.empty[DataFrame])) { case ((base, acc), k) =>
+          val v = incrIngestCore(
+            docs.filter(isWave(k)),
+            s.join(base, Seq("doc_id"), "left_semi"),
+            bands.join(base, Seq("doc_id"), "left_semi"),
+            s.filter(isWave(k)), bands.filter(isWave(k)),
+            threshold = 0.6, maxBandDf = MinHashBandDfCap)
+            .withColumn("batch_k", lit(k.toLong))
+            .localCheckpoint()
+          val grown = base.unionByName(
+            v.filter(col("status") === "kept").select(col("doc_id")))
+          (grown, acc :+ v)
+        }
+      waves.reduce(_.unionByName(_)).localCheckpoint()
+    }
+    verdicts
+      .select(col("doc_id"), col("batch_k"), col("status"), col("dup_of"))
+      .orderBy("doc_id")
+  }
+
   /** The two lazily-planned pair stages of the incremental path —
     * (base-dup verdicts, within-batch survivor pairs) — split out so
     * PlanAuditSpec can pin their plan shapes (the final verdict frame
@@ -1455,8 +1526,84 @@ object DedupOps {
         "\nUNION ALL\n", "\n) rr ORDER BY family")
   }
 
+  /** Oracle for [[incrIngestDedupMulti]]: the single-step policy replay
+    * CHAINED K times on the exact pair graph — per wave k, base-dup
+    * check against base_{k−1}, in-wave closure over survivors, then
+    * base_k = base_{k−1} ∪ kept_k feeds wave k+1 (the accept-then-grow
+    * recurrence as literal CTEs, generated from the same K/mod
+    * constants the engine reads). */
+  private def incrMultiOracleSql: String = {
+    val m = IncrIngestMod
+    val mod = m * IncrMultiK
+    val steps = (1 to IncrMultiK).map { k =>
+      val r = m * k - 1
+      val prev = s"base${k - 1}"
+      s"""basedup$k AS MATERIALIZED (
+         |  SELECT i AS doc_id, MIN(b) AS dup_of FROM (
+         |    SELECT jp.doc_a AS i, jp.doc_b AS b FROM jp
+         |    JOIN $prev bb ON bb.doc_id = jp.doc_b
+         |    WHERE jp.doc_a % $mod = $r
+         |    UNION ALL
+         |    SELECT jp.doc_b AS i, jp.doc_a AS b FROM jp
+         |    JOIN $prev bb ON bb.doc_id = jp.doc_a
+         |    WHERE jp.doc_b % $mod = $r
+         |  ) u GROUP BY i
+         |), surv$k AS MATERIALIZED (
+         |  SELECT doc_id FROM documents WHERE doc_id % $mod = $r
+         |    AND doc_id NOT IN (SELECT doc_id FROM basedup$k)
+         |), ip$k AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM jp
+         |  WHERE doc_a IN (SELECT doc_id FROM surv$k)
+         |    AND doc_b IN (SELECT doc_id FROM surv$k)
+         |), edges$k AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ip$k
+         |  UNION ALL SELECT doc_b, doc_a FROM ip$k
+         |), reach$k AS (
+         |  SELECT src, dst FROM edges$k
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach$k r JOIN edges$k e ON r.dst = e.src
+         |), batchdup$k AS MATERIALIZED (
+         |  SELECT src AS doc_id, MIN(dst) AS dup_of FROM reach$k
+         |  GROUP BY src HAVING MIN(dst) < src
+         |), base$k AS MATERIALIZED (
+         |  SELECT doc_id FROM $prev
+         |  UNION ALL
+         |  SELECT doc_id FROM surv$k
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM batchdup$k)
+         |)""".stripMargin
+    }
+    val finals = (1 to IncrMultiK).map { k =>
+      val r = m * k - 1
+      s"""SELECT d.doc_id, CAST($k AS BIGINT) AS batch_k,
+         |  CASE WHEN bd.dup_of IS NOT NULL THEN 'dropped_base'
+         |       WHEN iu.dup_of IS NOT NULL THEN 'dropped_batch'
+         |       ELSE 'kept' END AS status,
+         |  COALESCE(bd.dup_of, iu.dup_of) AS dup_of
+         |FROM documents d
+         |LEFT JOIN basedup$k bd ON bd.doc_id = d.doc_id
+         |LEFT JOIN batchdup$k iu ON iu.doc_id = d.doc_id
+         |WHERE d.doc_id % $mod = $r""".stripMargin
+    }
+    shingleCteFrom("documents").replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", sx AS (
+         |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
+         |), jp AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+         |), base0 AS MATERIALIZED (
+         |  SELECT doc_id FROM documents WHERE doc_id % $m <> ${m - 1}
+         |), """.stripMargin +
+      steps.mkString(",\n") +
+      "\nSELECT doc_id, batch_k, status, dup_of FROM (\n" +
+      finals.mkString("\nUNION ALL\n") +
+      "\n) v ORDER BY doc_id"
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_recall_report" -> dedupRecallReportSql,
+    "incr_ingest_dedup_multi" -> incrMultiOracleSql,
     "doc_simhash" -> (simhashCte +
       "SELECT doc_id, simhash FROM sh ORDER BY doc_id"),
     // the guard replay (dfc/bs) is inert wherever band dfs stay under

@@ -129,9 +129,18 @@ object SimilarityOps {
     }
 
   def ivfTopk(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame =
+    ivfTopkFrom(spark, sfDir, listCentroidsCached(spark, sfDir),
+      nQueries, k, nprobe)
+
+  /** [[ivfTopk]]'s probe + search against an EXPLICIT centroid table —
+    * extracted so the served-from-artifact row ([[annIvfArtifactTopk]])
+    * and the derive-in-session row run ONE search implementation and
+    * can only differ in where the L-row index table came from. */
+  private def ivfTopkFrom(spark: SparkSession, sfDir: String,
+      centroids: DataFrame,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val centroids = listCentroidsCached(spark, sfDir)
 
     // each query probes the nprobe closest centroids (by quantized query)
     val q = e.filter(col("vec_id") < nQueries)
@@ -155,6 +164,70 @@ object SimilarityOps {
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("q_emb")).as("cos"))
     topkPerQuery(scored, k)
+  }
+
+  /** On-disk location of the persisted IVF centroid artifact for a data
+    * directory — a parquet table (c_label, centroid) under the JVM temp
+    * root, keyed by the sanitized source path. In production this is a
+    * table in the lakehouse next to the corpus; the temp root stands in
+    * because the harness data dirs are read-only. */
+  def ivfCentroidArtifactPath(sfDir: String): String =
+    sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_artifacts/" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "/ivf_centroids.parquet"
+
+  /** TRAIN-AND-PERSIST half of the artifact contract: the exact-integer
+    * [[listCentroids]] aggregate written to parquet at
+    * [[ivfCentroidArtifactPath]] (one file — the table is L rows).
+    * Deterministic content (order-free integer arithmetic), so a
+    * rewrite is byte-stable across sessions and engines. */
+  def writeIvfCentroidArtifact(spark: SparkSession, sfDir: String): String = {
+    val path = ivfCentroidArtifactPath(sfDir)
+    listCentroidsCached(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** SERVE half of the artifact contract: the centroid table read back
+    * from the persisted parquet — NO training path, no corpus
+    * aggregate; throws if the artifact was never written. This is the
+    * function a scoring-only session calls (spec-proven: a second
+    * SparkSession serves [[ivfTopk]]'s exact output through it with the
+    * training code never invoked). */
+  def ivfTopkFromArtifact(spark: SparkSession, sfDir: String,
+      nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val path = ivfCentroidArtifactPath(sfDir)
+    require(new java.io.File(path).exists(),
+      s"IVF centroid artifact not found at $path — run " +
+        "writeIvfCentroidArtifact (or the registered ann_ivf_artifact_topk " +
+        "row) in a training session first")
+    ivfTopkFrom(spark, sfDir, spark.read.parquet(path), nQueries, k, nprobe)
+  }
+
+  /** Once-per-session guard for the artifact write (the registered row
+    * runs under the bench's warm-up + repeated timed passes — the write
+    * must cost one pass, not four). */
+  private val ivfArtifactWritten = new graft.SessionValueCache[String, String]
+
+  /** The registered PERSISTED-INDEX-ARTIFACT row — the demonstrated form
+    * of the claim the index-side scaladocs make ("built once, persisted,
+    * broadcast at scoring"): TRAINS the exact-integer centroid table,
+    * WRITES it to parquet ([[writeIvfCentroidArtifact]], once per
+    * session), then serves the [[ivfTopk]] search from the READ-BACK
+    * table — the plan under this row scans the L-row artifact file, not
+    * the corpus aggregate (the centroid derivation appears only in the
+    * write, exactly like a production index build). Output is
+    * bit-identical to ann_ivf_topk (shared oracle text — the no-fork
+    * rule), and the cross-session half of the contract is spec-proven:
+    * a SECOND SparkSession with its own (empty) session caches serves
+    * the same result via [[ivfTopkFromArtifact]] without ever touching
+    * the training path. At 100 TB: the corpus pass happens at index
+    * build; every scoring job thereafter broadcasts the tiny read-back
+    * table. */
+  def annIvfArtifactTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    ivfArtifactWritten.getOrElseUpdate(spark, sfDir) {
+      writeIvfCentroidArtifact(spark, sfDir)
+    }
+    ivfTopkFromArtifact(spark, sfDir)
   }
 
   /** Distributed k-means (Lloyd) over the embedding corpus, DETERMINISTIC
@@ -1469,40 +1542,6 @@ object SimilarityOps {
         .filter(col("vec_id") % IncrSemIngestMod =!= 0))
     }
 
-  /** [[incrIngestSemDedupCorpus]] over PROBED-IVF candidates — the
-    * 100 TB batch face of incremental SEMANTIC dedup (what the exact
-    * row's scaladoc promises at the production threshold): the exact
-    * batch×base cross stage scores every pair — O(batch × base) grows
-    * 100× for 10× data — while here each batch vector probes its
-    * [[IncrSemNprobe]] closest BASE lists (ranked by the exact-integer
-    * centroid cosine against the frozen base-trained centroids — the
-    * [[decontamSemanticAnn]] deterministic-probe contract, so probe
-    * choice and therefore the candidate set replay in the oracle) and
-    * only base vectors in probed lists are scored, with the exact-integer
-    * milli-cosine of the decontam family. Per-batch-vector work drops
-    * from |base| to nprobe·|base|/L (k-means lists at scale: L ~ √n).
-    *
-    * Policy is the stream's, EXACTLY (the [[incrIngestSemDedup]]
-    * contract): `dropped_base` on any probed base pair at or above
-    * `thetaMilli` (dup_of = smallest such base id); among base-check
-    * survivors, in-batch candidates are pairs where either endpoint's
-    * home list is probed by the other (the symmetric closure of the
-    * keyed-list rule, normalized by least/greatest), verified with the
-    * same milli-cosine, closed transitively, min id kept; `kept`
-    * otherwise. Approximate in WHICH pairs are seen (a near-dup in an
-    * unprobed list is missed — the recall legs in
-    * [[DedupOps.dedupRecallReport]] measure exactly that against the
-    * exact relation); exact in every emitted score, so the whole verdict
-    * table is hash-checked.
-    *
-    * Plan: the batch side carries (nprobe × batch) probe rows into ONE
-    * keyed equi-join on the list id — the base is scanned once and hash-
-    * shuffled only by its own list id, never replicated per batch vector
-    * and never self-paired (PlanAuditSpec gates: no cartesian, the one
-    * BNLJ is the L-row centroid broadcast, candidates from keyed joins).
-    * Production batches are broadcast-sized next to the accepted corpus,
-    * so the keyed join degenerates to a broadcast probe of the base —
-    * the [[annIndexAppend]] write-path asymmetry on the read side. */
   /** The batch-side probe frame (i_id, i_qd, i_nrm, p_label) of the
     * probed incremental family, UNCACHED — the PlanAuditSpec view (the
     * L-row centroid broadcast is the one expected nested loop) and the
@@ -3286,7 +3325,7 @@ object SimilarityOps {
        |  FROM iprobe p
        |  JOIN surv s ON s.label = p.label AND s.vec_id <> p.i_id
        |  WHERE p.i_id IN (SELECT vec_id FROM surv)
-       |), ${incrSemClosureSql(theta)}"""
+       |), ${incrSemClosureSql(theta)}""".stripMargin
   }
 
   /** Shared policy-closure tail of the incremental-semantic verdict
@@ -3403,7 +3442,7 @@ object SimilarityOps {
        |), ${incrSemClosureSql(theta)}""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "incr_ingest_semdedup" -> incrSemOracleSql,
     "incr_ingest_semdedup_ann" ->
       incrSemAnnOracleSql(IncrSemProdThetaMilli),
@@ -3806,4 +3845,12 @@ object SimilarityOps {
          |WHERE cos_milli >= $SemDecontamThetaMilli
          |ORDER BY doc_id, bench_vec_id""".stripMargin,
   )
+
+  /** [[annIvfArtifactTopk]] must serve [[ivfTopk]]'s EXACT output from
+    * the persisted centroid artifact, so the two rows share ONE oracle
+    * text — the no-fork rule applied to the artifact contract: if the
+    * served result ever drifted from the derived one, the artifact row
+    * would hash-fail against the derivation replay. */
+  val oracles: Map[String, String] = oraclesBase +
+    ("ann_ivf_artifact_topk" -> oraclesBase("ann_ivf_topk"))
 }

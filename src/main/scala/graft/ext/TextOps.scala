@@ -194,6 +194,105 @@ object TextOps {
     gopherAnnotated(docs).filter(col("keep")).select(orig.map(col): _*)
   }
 
+  /** Severity-tiered safety lexicon — term lists interpolated into BOTH
+    * the engine expressions and the generated oracle (the no-fork rule
+    * for every ruled/learned artifact in this file). A production
+    * pipeline runs a curated unsafe-term lexicon here (thousands of
+    * terms across severity tiers, usually with a distilled classifier
+    * beside it); the harness corpus is a ~31-token synthetic vocabulary,
+    * so the tiers are STAND-IN terms chosen for live verdict coverage
+    * (sf0.01: 25 docs carry a severe hit, 95 exceed the moderate ratio
+    * cut — both drop paths and the keep path are hash-checked live).
+    * The mechanism — whole-token severity counts, exact-integer
+    * milli-ratio, tier rules, severe-first precedence — is the
+    * contract; the lists are configuration. */
+  private[graft] val SafetySevereTerms = Seq("dup")
+  private[graft] val SafetyModerateTerms = Seq("slow", "big")
+
+  /** Moderate-tier cut: a kept document's moderate-term milli-ratio
+    * (flagged tokens × 1000 div n_words) must stay BELOW this. Severe
+    * terms have no ratio — one occurrence drops the document. */
+  val SafetyRatioMilliMax = 100L
+
+  /** Reserved rule-column names of the safety pass — the
+    * [[GopherRuleCols]] collision contract. */
+  private[graft] val SafetyRuleCols: Set[String] = Set(
+    "toks", "n_words", "n_severe", "n_flagged", "flag_milli",
+    "r_severe", "r_ratio", "keep")
+
+  /** The safety measurements + verdicts annotated onto ANY frame with a
+    * `text` column — single code path behind [[safetyFilter]] (the batch
+    * audit row) and [[safetyPrefilter]] (the ingest gate), the
+    * gopherAnnotated discipline: the two consumers can never fork on
+    * rule semantics. Stateless projection (legal on streaming frames):
+    * one token split feeds both tier counts, all measurements are exact
+    * integers, so the verdict table hash-replays cross-engine. */
+  private def safetyAnnotated(docs: DataFrame): DataFrame = {
+    val clash = docs.columns.filter(SafetyRuleCols.contains)
+    require(clash.isEmpty,
+      s"safety rules reserve column name(s) ${clash.mkString(", ")} — " +
+        "rename them on the input frame before gating")
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_severe",
+        size(filter(col("toks"), t => t.isInCollection(SafetySevereTerms)))
+          .cast("long"))
+      .withColumn("n_flagged",
+        size(filter(col("toks"), t => t.isInCollection(SafetyModerateTerms)))
+          .cast("long"))
+      .withColumn("flag_milli",
+        expr("""CASE WHEN n_words = 0 THEN 0L ELSE
+               |  n_flagged * 1000L div n_words
+               |END""".stripMargin))
+      .withColumn("r_severe", col("n_severe") === 0L)
+      .withColumn("r_ratio", col("flag_milli") < SafetyRatioMilliMax)
+      .withColumn("keep", col("r_severe") && col("r_ratio"))
+  }
+
+  /** Toxicity/safety document gate — the safety sibling every production
+    * LLM pipeline runs NEXT TO the quality gates ([[gopherFilter]],
+    * [[qualityMixer]], the prunes): per-document severity-tier
+    * measurements and verdicts with the WHY exposed per rule, so a
+    * policy can audit what dropped a document. Severe terms drop on any
+    * occurrence (`r_severe`); moderate terms drop on an exact-integer
+    * milli-ratio at or above [[SafetyRatioMilliMax]] (`r_ratio`) — the
+    * two-tier shape real lexicon gates use (hard blocklist + density
+    * cut), with the lexicon as interpolated configuration shared with
+    * the oracle.
+    *
+    * DELIBERATELY NOT a stage of the four registered curation capstones:
+    * those rows' outputs, their ⊆/diff relations, and the composed-CTE
+    * oracles are frozen contracts several specs and the training-order
+    * row build on — retroactively inserting a gate would change all of
+    * them at once for no new mechanism (the capstones already
+    * demonstrate that adding a doc-local gate is ONE more cheap join of
+    * a `keep`-filtered frame). A production composition joins
+    * `safetyFilter(...).filter(col("keep"))` exactly like `mix`/`pr` in
+    * [[curationPipeline]]; the ingest-side entry point is
+    * [[safetyPrefilter]], planted-case-tested in ExtOpsSpec (a document
+    * every quality gate passes but the safety gate catches).
+    *
+    * Plan: one stateless whole-stage-codegen projection over the
+    * documents scan — no shuffle, no join, no UDF; at 100 TB it rides
+    * the same cheapest-first slot as the Gopher gate (the two share one
+    * scan when composed). */
+  def safetyFilter(spark: SparkSession, sfDir: String): DataFrame =
+    safetyAnnotated(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("n_words"), col("n_severe"),
+        col("n_flagged"), col("flag_milli"), col("r_severe"),
+        col("r_ratio"), col("keep"))
+      .orderBy("doc_id")
+
+  /** Safety-gate PREFILTER for ingest streams — the [[gopherPrefilter]]
+    * contract: drop failing docs from any (…, text, …) frame and return
+    * survivors with the input's exact columns. Stateless, so a
+    * streaming plan stays stateless ahead of its sink. */
+  def safetyPrefilter(docs: DataFrame): DataFrame = {
+    val orig = docs.columns.toSeq
+    safetyAnnotated(docs).filter(col("keep")).select(orig.map(col): _*)
+  }
+
   /** Language identification by marker-token voting (n-gram-free heuristic;
     * a real pipeline would plug a fastText-style model in the same shape).
     * Tie-break follows the declaration order of the CASE chain. */
@@ -1396,11 +1495,16 @@ object TextOps {
     * schedule boundary positions.
     *
     * Plan: the session-cached learned-score frame keyed by the packed
-    * (bucket, h) long — packing is order-preserving because h < 2^32 —
-    * through the SAME two-pass [[globalRank]] as trainingOrder /
-    * lenQuartiles: range exchange, pid-local rank, O(#partitions)
-    * driver prefix. No global sort, no corpus-sized window, at any
-    * scale. */
+    * (bucket, h) long — packing is order-preserving because h < 2^32
+    * AND the bucket is saturated at 2^29 before the ×2^33 multiply
+    * (2^29·2^33 + 2^32 < 2^63, so the key can never overflow; the
+    * learned likelihood-ratio score is unbounded in principle, and a
+    * silent Long wrap would corrupt the global order with no ANSI
+    * guard — buckets past the saturation point collapse into one
+    * top bucket, still ordered by (h, doc_id)) — through the SAME
+    * two-pass [[globalRank]] as trainingOrder / lenQuartiles: range
+    * exchange, pid-local rank, O(#partitions) driver prefix. No
+    * global sort, no corpus-sized window, at any scale. */
   def curriculumOrder(spark: SparkSession, sfDir: String,
       shardDocs: Long = TrainingShardDocs): DataFrame = {
     val keyed = qualityLearnedScored(spark, sfDir)
@@ -1409,7 +1513,8 @@ object TextOps {
         conv(substring(md5(concat(lit("ord"), col("doc_id").cast("string"))),
           1, 8), 16, 10).cast("long").as("h"))
       .select(col("doc_id"), col("bucket"),
-        (col("bucket") * lit(8589934592L) + col("h")).as("bh"))
+        (least(col("bucket"), lit(536870912L)) * lit(8589934592L)
+          + col("h")).as("bh"))
     globalRank(keyed, "bh", "doc_id")._1
       .select(col("doc_id"), col("bucket"), col("global_pos"),
         expr(s"global_pos div $shardDocs").as("shard_id"))
@@ -2188,9 +2293,11 @@ object TextOps {
     * quality_mixer discipline applied to the decontam family: one row
     * per clean-side corpus doc with a boolean per registered modality
     * (exact 4-gram overlap, fuzzy MinHash near-dup, perceptual-hash
-    * media), the first flagging modality in fixed precedence
-    * (ngram > neardup > media — cheapest-signal-first, the order a
-    * policy would short-circuit in), and the keep decision. The family
+    * media, embedding-cosine semantic), the first flagging modality in
+    * fixed precedence (ngram > neardup > media > semantic —
+    * cheapest-signal-first, the order a policy would short-circuit in;
+    * semantic last as the most expensive signal), and the keep
+    * decision. The family
     * reports hit LISTS; a removal policy needs the per-doc decision
     * table including the clean zero rows — this row is that table.
     *
@@ -2198,9 +2305,9 @@ object TextOps {
     * (ngram: doc_id % 100, neardup/media: % [[DedupOps.DecontamBenchMod]]
     * — the slice-width reasoning in each component's scaladoc); the
     * verdict covers docs on the CORPUS side of every modality, i.e. in
-    * no eval slice. Composition only: the three component frames are the
+    * no eval slice. Composition only: the four component frames are the
     * registered operators verbatim (session-cached shingle/band/hash
-    * frames shared), three doc_id left-joins — adding a modality is one
+    * frames shared), four doc_id left-joins — adding a modality is one
     * more join, the curation-capstone scaling argument. */
   def decontamVerdict(spark: SparkSession, sfDir: String): DataFrame = {
     val m = graft.ext.DedupOps.DecontamBenchMod
@@ -3211,6 +3318,34 @@ object TextOps {
         |   AND mwl_milli BETWEEN 3000 AND 10000 AND alpha_milli >= 800
         |   AND n_stop >= 2 AND sym_milli < 100) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    // safety gate replay: the tier lists and the ratio cut interpolate
+    // from the SAME constants the engine expressions read
+    "safety_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(text), ' '), w -> w <> '') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(len(list_filter(toks,
+         |      w -> w IN (${SafetySevereTerms.map(t => s"'$t'").mkString(", ")})))
+         |      AS BIGINT) AS n_severe,
+         |    CAST(len(list_filter(toks,
+         |      w -> w IN (${SafetyModerateTerms.map(t => s"'$t'").mkString(", ")})))
+         |      AS BIGINT) AS n_flagged
+         |  FROM t
+         |), r AS (
+         |  SELECT doc_id, n_words, n_severe, n_flagged,
+         |    CAST(CASE WHEN n_words = 0 THEN 0
+         |      ELSE n_flagged * 1000 // n_words END AS BIGINT) AS flag_milli
+         |  FROM m
+         |)
+         |SELECT doc_id, n_words, n_severe, n_flagged, flag_milli,
+         |  (n_severe = 0) AS r_severe,
+         |  (flag_milli < $SafetyRatioMilliMax) AS r_ratio,
+         |  (n_severe = 0 AND flag_milli < $SafetyRatioMilliMax) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     // anchor replay: rn = 1 within each shingle hash is the global first
     // occurrence; every rn > 1 anchor covers its L positions in its doc
     "substring_dedup" ->

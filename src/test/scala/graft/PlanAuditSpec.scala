@@ -803,4 +803,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("artifact-served IVF: the plan scans the persisted table, never the training aggregate") {
+    // the persisted-index contract at the PLAN level: the served row's
+    // centroid side is a parquet scan of the artifact file — the
+    // training derivation (posexplode over the corpus + the centroid
+    // aggregate) must appear NOWHERE in the scoring plan, which is what
+    // "built once, persisted, broadcast at scoring" means physically
+    SimilarityOps.annIvfArtifactTopk(spark, sfDir) // ensure written
+    val served = plan(SimilarityOps.ivfTopkFromArtifact(spark, sfDir))
+    assert(served.contains("graft_artifacts"),
+      s"served plan must scan the artifact parquet:\n$served")
+    assert(!served.toLowerCase.contains("posexplode"),
+      s"served plan must not contain the centroid training explode:\n$served")
+    // the derive-in-session sibling, for contrast, never reads it
+    val derived = plan(SimilarityOps.ivfTopk(spark, sfDir))
+    assert(!derived.contains("graft_artifacts"), derived)
+  }
 }

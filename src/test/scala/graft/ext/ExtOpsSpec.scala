@@ -1205,6 +1205,108 @@ class ExtOpsSpec extends SparkSpec {
     assert(big.exists(!_.getBoolean(big.head.fieldIndex("keep"))))
   }
 
+  test("multi-batch incremental ingest: later waves drop against EARLIER waves' survivors") {
+    val m = DedupOps.IncrIngestMod
+    val mod = m * DedupOps.IncrMultiK
+    val rows = DedupOps.incrIngestDedupMulti(spark, "/root/testdata/sf0.01")
+      .collect()
+    // the waves partition exactly the single-step batch slice
+    assert(rows.length == 125)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("batch_k")
+      assert(r.getLong(0) % mod == m * k - 1)
+    }
+    // accept-then-grow is LIVE, not vacuous: at least one dropped_base
+    // verdict points at a dup_of that is itself a batch-slice doc (an
+    // earlier wave's survivor — impossible in the single-step row, where
+    // every base partner is outside the batch slice)
+    val grownHits = rows.filter(r => r.getString(2) == "dropped_base"
+      && !r.isNullAt(3) && r.getLong(3) % m == m - 1)
+    assert(grownHits.nonEmpty, "no wave dropped against a grown base")
+    grownHits.foreach { r =>
+      val partnerWave = (r.getLong(3) % mod + 1) / m
+      assert(partnerWave < r.getAs[Long]("batch_k"),
+        s"grown-base partner must come from an EARLIER wave: $r")
+      // and the partner itself was kept in its wave
+      val partner = rows.find(_.getLong(0) == r.getLong(3)).get
+      assert(partner.getString(2) == "kept")
+    }
+    // every wave has live drops at this scale (the non-vacuity gate)
+    val dropsPerWave = rows.filter(_.getString(2) != "kept")
+      .groupBy(_.getAs[Long]("batch_k")).view.mapValues(_.length).toMap
+    assert((1 to DedupOps.IncrMultiK).forall(k => dropsPerWave.getOrElse(k.toLong, 0) > 0))
+  }
+
+  test("persisted IVF centroid artifact: a SECOND SparkSession serves the query from the artifact alone") {
+    val expected = SimilarityOps.ivfTopk(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    // the registered row: trains, writes the artifact, serves the
+    // read-back table — bit-identical to the derive-in-session row
+    val served = SimilarityOps.annIvfArtifactTopk(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(served == expected)
+    assert(new java.io.File(
+      SimilarityOps.ivfCentroidArtifactPath(sfDir)).exists())
+    // a SECOND SparkSession (fresh session state, EMPTY session caches —
+    // the frame caches key by session instance) serves the same result
+    // through the serve-only path, which never invokes the training
+    // aggregate: the artifact alone carries the index
+    val spark2 = spark.newSession()
+    val served2 = SimilarityOps.ivfTopkFromArtifact(spark2, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(served2 == expected)
+  }
+
+  test("safety gate: planted doc passes every quality gate but the safety gate catches it") {
+    // same construction as the mixer's doc A (passes all quality rules:
+    // 60+ tokens, distinct bigrams, >= 2 stopwords, all-alpha) — vocab
+    // shares no term with the safety lexicon
+    val vocab = Vector("the", "and") ++ (1 to 18).map(i => f"word$i%02d")
+    def stride(k: Int) = (0 until 20).map(i => vocab((i * k) % 20))
+    val base = stride(1) ++ stride(3) ++ stride(7)
+    val docClean = base.mkString(" ")
+    // severe tier: ONE occurrence of a severe term drops the doc even
+    // though every quality gate still passes
+    val docSevere = (base :+ "dup").mkString(" ")
+    // moderate tier: no severe term, but 7 moderate hits in 67 tokens
+    // (flag_milli = 104) breach the ratio cut
+    val docModerate =
+      (base ++ Seq("slow", "big", "slow", "big", "slow", "big", "slow"))
+        .mkString(" ")
+    val dir = docsFixture(Seq(
+      (1L, docClean, "en"), (2L, docSevere, "en"), (3L, docModerate, "en")))
+    // the quality gates all pass the severe-planted doc...
+    assert(TextOps.gopherPrefilter(
+      graft.Tables.documents(spark, dir)).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    val mixer = TextOps.qualityMixer(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    assert(mixer(2L), "quality mixer must keep the severe-planted doc")
+    // ...and the safety gate catches it, with the right tier blamed
+    val rows = TextOps.safetyFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(rows(1L).fieldIndex("keep")))
+    assert(!rows(2L).getBoolean(rows(2L).fieldIndex("r_severe")))
+    assert(rows(2L).getBoolean(rows(2L).fieldIndex("r_ratio"))) // severe only
+    assert(!rows(2L).getBoolean(rows(2L).fieldIndex("keep")))
+    assert(rows(3L).getBoolean(rows(3L).fieldIndex("r_severe")))
+    assert(!rows(3L).getBoolean(rows(3L).fieldIndex("r_ratio")))
+    assert(rows(3L).getAs[Long]("flag_milli") == 7000L / 67L)
+    // prefilter: survivors keep the input's exact columns
+    val pre = TextOps.safetyPrefilter(graft.Tables.documents(spark, dir))
+    assert(pre.columns.toSeq == graft.Tables.documents(spark, dir).columns.toSeq)
+    assert(pre.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // harness corpus: keep == conjunction, both paths live
+    val big = TextOps.safetyFilter(spark, sfDir).collect()
+    big.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("keep")) ==
+        (r.getBoolean(r.fieldIndex("r_severe"))
+          && r.getBoolean(r.fieldIndex("r_ratio"))))
+    }
+    assert(big.exists(_.getBoolean(big.head.fieldIndex("keep"))))
+    assert(big.exists(!_.getBoolean(big.head.fieldIndex("keep"))))
+  }
+
   test("near-dup decontam: paraphrased bench doc is caught, corpus-only near-dups are not") {
     val m = DedupOps.DecontamBenchMod
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
