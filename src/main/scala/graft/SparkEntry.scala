@@ -105,6 +105,11 @@ object SparkEntry {
     // any hit drops; moderate = milli-ratio cut), the safety sibling of
     // the quality gates — lexicon interpolated into engine AND oracle
     "safety_filter"    -> (TextOps.safetyFilter(_, _)),
+    // the DISTILLED safety classifier (rules label, a model
+    // generalizes): the shared NB learn/score core trained on the
+    // lexicon gate's own verdicts, + its held-out confusion audit
+    "safety_learned"       -> (TextOps.safetyLearned(_, _)),
+    "safety_learned_audit" -> (TextOps.safetyLearnedAudit(_, _)),
     "lang_id"          -> (TextOps.langId(_, _)),
     "lang_id_ngram"    -> (TextOps.langIdNgram(_, _)),
     // confusion matrix of the n-gram classifier vs the metadata label

@@ -293,6 +293,54 @@ object TextOps {
     safetyAnnotated(docs).filter(col("keep")).select(orig.map(col): _*)
   }
 
+  private val slCache = new graft.SessionFrameCache[String]
+
+  private def safetyLearnedScored(spark: SparkSession,
+      sfDir: String): DataFrame =
+    slCache.getOrElseUpdate(spark, sfDir) {
+      val docs = Tables.documents(spark, sfDir)
+      learnedScoreFrame(docs,
+        safetyAnnotated(docs).select(col("doc_id"), col("keep")))
+    }
+
+  /** LEARNED safety classifier — the distilled sibling of
+    * [[safetyFilter]], exactly as [[qualityLearned]] is of the Gopher
+    * gate: the add-one-smoothed NB likelihood-ratio core
+    * ([[learnedScoreFrame]] — shared VERBATIM with the quality
+    * distillation, the no-fork rule) trained on the %-10 train slice of
+    * the LEXICON gate's own verdicts. This is how production safety
+    * models are bootstrapped (rules label, a model generalizes): the
+    * distilled scorer flags documents whose VOCABULARY co-occurs with
+    * lexicon hits even when no lexicon term appears — the paraphrase
+    * face the rule gate is blind to, spec-planted in ExtOpsSpec.
+    * `pred_pass` at the neutral ratio (score ≥ [[QualityLearnedScale]]).
+    *
+    * Plan: identical to quality_learned's (one token explode feeds
+    * class counts AND per-doc terms, vocabulary-keyed weight join — an
+    * index artifact at 100 TB — broadcast 1-row totals, no corpus
+    * window); the label pass is the stateless safety projection. */
+  def safetyLearned(spark: SparkSession, sfDir: String): DataFrame =
+    safetyLearnedScored(spark, sfDir)
+      .select(col("doc_id"), col("score_milli"),
+        (col("score_milli") >= QualityLearnedScale).as("pred_pass"))
+      .orderBy("doc_id")
+
+  /** Held-out confusion/calibration audit of [[safetyLearned]] vs the
+    * lexicon gate on the eval slice (doc_id % 10 >= 8 — labels the
+    * model never saw) — the [[qualityLearnedAudit]] shape: one row per
+    * (rule_keep, pred_pass) cell with count and score range. */
+  def safetyLearnedAudit(spark: SparkSession, sfDir: String): DataFrame =
+    safetyLearnedScored(spark, sfDir)
+      .join(safetyAnnotated(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), col("keep").as("rule_keep")), "doc_id")
+      .filter(col("doc_id") % 10 >= 8)
+      .withColumn("pred_pass", col("score_milli") >= QualityLearnedScale)
+      .groupBy(col("rule_keep"), col("pred_pass"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score_milli")).as("min_score"),
+        max(col("score_milli")).as("max_score"))
+      .orderBy("rule_keep", "pred_pass")
+
   /** Language identification by marker-token voting (n-gram-free heuristic;
     * a real pipeline would plug a fastText-style model in the same shape).
     * Tie-break follows the declaration order of the CASE chain. */
@@ -899,8 +947,20 @@ object TextOps {
   /** [[qualityLearned]] over an arbitrary `(doc_id, text, …)` frame —
     * train on the frame's own %-10 slice, score every row; extracted so
     * planted-fixture specs drive the learn/score path directly. */
-  private[ext] def qualityLearnedFrame(docs: DataFrame): DataFrame = {
-    val lbl = gopherAnnotated(docs).select(col("doc_id"), col("keep"))
+  private[ext] def qualityLearnedFrame(docs: DataFrame): DataFrame =
+    learnedScoreFrame(docs,
+      gopherAnnotated(docs).select(col("doc_id"), col("keep")))
+
+  /** The add-one-smoothed NB likelihood-ratio learn/score core over an
+    * arbitrary `(doc_id, text, …)` frame and an arbitrary per-doc
+    * boolean label frame `(doc_id, keep)` — ONE implementation behind
+    * the quality distillation ([[qualityLearnedFrame]], gopher labels)
+    * and the safety distillation ([[safetyLearned]], lexicon-gate
+    * labels); the two learned families cannot fork on training or
+    * scoring arithmetic. Trains on the %-10 train slice of the labels,
+    * scores every doc; all arithmetic exact-integer (DECIMAL(38,0)). */
+  private[ext] def learnedScoreFrame(docs: DataFrame,
+      lbl: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("token"))
     val cw = tok.join(lbl.filter(col("doc_id") % 10 < 8), "doc_id")
@@ -3930,7 +3990,7 @@ object TextOps {
        |), ${pruneTailSql("sc", "lm_score")}""".stripMargin
 
   private def pruneLearnedOracleSql: String =
-    s"""$qualityLearnedCtes, scp AS (
+    s"""${learnedCtes(baseOracles("gopher_filter"))}, scp AS (
        |  SELECT d.doc_id, d.source, q.score_milli
        |  FROM documents d JOIN ql q ON q.doc_id = d.doc_id
        |), ${pruneTailSql("scp", "score_milli")}""".stripMargin
@@ -3940,9 +4000,15 @@ object TextOps {
     * gopher_filter oracle text itself (the no-fork rule), token counts,
     * smoothed integer weights in HUGEINT, per-doc mean; nothing learned
     * leaks in as a constant. */
-  private def qualityLearnedCtes: String =
+  /** The NB learn/score CTE chain parameterized by the LABEL relation —
+    * the [[learnedScoreFrame]] replay: quality passes the gopher_filter
+    * oracle, safety passes the safety_filter oracle, and the shared text
+    * guarantees the two learned families replay with identical
+    * training/scoring arithmetic (the engine-side no-fork rule mirrored
+    * on the oracle side). */
+  private def learnedCtes(lblSql: String): String =
     s"""WITH $TokCte, lbl AS (
-       |  SELECT doc_id, keep FROM (${baseOracles("gopher_filter")})
+       |  SELECT doc_id, keep FROM ($lblSql)
        |), cw AS (
        |  SELECT t.token,
        |    CAST(SUM(CASE WHEN l.keep THEN 1 ELSE 0 END) AS HUGEINT) AS c_pos,
@@ -3979,12 +4045,30 @@ object TextOps {
 
   val oracles: Map[String, String] = baseOracles +
     ("quality_learned" ->
-      s"""$qualityLearnedCtes
+      s"""${learnedCtes(baseOracles("gopher_filter"))}
          |SELECT doc_id, score_milli,
          |  score_milli >= $QualityLearnedScale AS pred_pass
          |FROM ql ORDER BY doc_id""".stripMargin) +
     ("quality_learned_audit" ->
-      s"""$qualityLearnedCtes
+      s"""${learnedCtes(baseOracles("gopher_filter"))}
+         |SELECT l.keep AS rule_keep,
+         |  q.score_milli >= $QualityLearnedScale AS pred_pass,
+         |  COUNT(*)::BIGINT AS n_docs,
+         |  MIN(q.score_milli) AS min_score,
+         |  MAX(q.score_milli) AS max_score
+         |FROM ql q JOIN lbl l USING (doc_id)
+         |WHERE q.doc_id % 10 >= 8
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+    // safety distillation: the SAME learning-CTE text rooted at the
+    // safety_filter oracle's labels (also outside baseOracles — the
+    // lbl CTE reads baseOracles("safety_filter") at init)
+    ("safety_learned" ->
+      s"""${learnedCtes(baseOracles("safety_filter"))}
+         |SELECT doc_id, score_milli,
+         |  score_milli >= $QualityLearnedScale AS pred_pass
+         |FROM ql ORDER BY doc_id""".stripMargin) +
+    ("safety_learned_audit" ->
+      s"""${learnedCtes(baseOracles("safety_filter"))}
          |SELECT l.keep AS rule_keep,
          |  q.score_milli >= $QualityLearnedScale AS pred_pass,
          |  COUNT(*)::BIGINT AS n_docs,
@@ -4001,7 +4085,7 @@ object TextOps {
     // baseOracles: the learning CTEs read baseOracles("gopher_filter"),
     // which is null while baseOracles' own literal initializes
     ("curriculum_order" ->
-      s"""$qualityLearnedCtes
+      s"""${learnedCtes(baseOracles("gopher_filter"))}
          |SELECT doc_id, bucket,
          |  CAST(ROW_NUMBER() OVER (ORDER BY bucket, h, doc_id) - 1 AS BIGINT)
          |    AS global_pos,

@@ -273,6 +273,44 @@ class ExtOpsSpec extends SparkSpec {
     assert(learned(1L)._1 > TextOps.QualityLearnedScale)
   }
 
+  test("learned safety gate catches a lexicon-free doc whose vocabulary " +
+      "is flag-associated; clean unseen-vocab doc passes") {
+    // train slice: 40 docs carrying the severe term 'dup' next to a
+    // co-occurring marker token — the lexicon drops them, so the marker
+    // accumulates flag-class mass (400 neg tokens vs 240 pos, mirroring
+    // the quality trojan fixture's class balance so unseen vocabulary
+    // takes a mildly passing prior-odds weight)
+    val flagged = (0 until 40).map(i =>
+      (100L + i, ("dup " + Seq.fill(9)("toxtok").mkString(" ")), "en"))
+    val cleanTrain = (1 to 4).map(i =>
+      (i.toLong, (1 to 60).map(j => s"s${i}x$j").mkString(" "), "en"))
+    // id 18 = EVAL slice: pure marker vocabulary, NO lexicon term — the
+    // rule gate passes it (zero severe, zero moderate), the distilled
+    // model drops it: the paraphrase face rules are blind to
+    val trojan = (18L, Seq.fill(50)("toxtok").mkString(" "), "en")
+    // id 28 = EVAL slice: fresh vocabulary → prior-odds weight → passes
+    val clean = (28L, (1 to 50).map(j => s"fresh$j").mkString(" "), "en")
+    val dir = docsFixture(flagged ++ cleanTrain ++ Seq(trojan, clean))
+    val rules = TextOps.safetyFilter(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(rules(18L), "trojan must PASS the lexicon gate")
+    assert(rules(28L), "clean doc must pass the lexicon gate")
+    assert(!rules(100L), "flagged train docs must fail the lexicon gate")
+    val learned = TextOps.safetyLearned(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(!learned(18L)._2,
+      s"learned safety gate must catch the trojan: score ${learned(18L)._1}")
+    assert(learned(28L)._2,
+      s"clean doc must pass the learned gate: score ${learned(28L)._1}")
+    assert(learned(18L)._1 < TextOps.QualityLearnedScale / 2)
+    // harness corpus: the audit row is non-degenerate (cells on both
+    // sides of the rule verdict exist at the spec scale)
+    val audit = TextOps.safetyLearnedAudit(spark, sfDir).collect()
+    assert(audit.map(_.getAs[Long]("n_docs")).sum > 0)
+    assert(audit.map(_.getBoolean(0)).toSet == Set(true, false),
+      audit.mkString("; "))
+  }
+
   test("semantic source drift flags a content shift token-level drift " +
       "cannot see; identical half distributions score zero") {
     import spark.implicits._
