@@ -159,9 +159,14 @@ object Bench {
     }
     // gate 2: the post-warmup probe is the first epoch reading taken in
     // a hot JVM — the only one comparable across rounds; it guards the
-    // timed passes below
+    // timed passes below. PROBE-ONLY by design: the load average here is
+    // self-induced (the warm-up pass just saturated every core — measured
+    // 9.07 decaying to 2.04 over the retry sleeps), so gating on it
+    // burns bounded-retry sleeps on our own wake and would stamp
+    // `degraded` on an idle machine; the probe measures what the timed
+    // passes will actually see
     val hotWarm = gate("post_warmup",
-      () => (lastLoad >= 0 && lastLoad > maxLoad) || lastProbe > maxProbe,
+      () => lastProbe > maxProbe,
       () => { lastLoad = loadAvg; lastProbe = epochProbeSecs(spark)
               (lastLoad, lastProbe) })
     val probeWarm = lastProbe

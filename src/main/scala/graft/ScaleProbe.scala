@@ -218,7 +218,11 @@ object ScaleProbe {
     // artifact row should be ≈ the served search alone (write once per
     // session, L-row read-back); the safety gate is one stateless scan
     // (expect the gopher_filter ≈ linear band)
-    "incr_ingest_dedup_multi", "ann_ivf_artifact_topk", "safety_filter")
+    "incr_ingest_dedup_multi", "ann_ivf_artifact_topk", "safety_filter",
+    // the embedding-face multi: one intrinsic signature pass + K banded
+    // equi-joins against the grown base — expect the banded family's
+    // collision-physics band, not the text multi's 3×-explode blend
+    "incr_ingest_semdedup_multi")
 
   /** Optional comma-separated subset (SPARK_GRAFT_PROBE_ONLY) — rerun a
     * few rows without repaying the whole sweep; unknown names fail

@@ -262,6 +262,11 @@ object SparkEntry {
     // (wave 3 drops against wave-1/2 keepers — live at sf0.01); the
     // oracle chains the single-step policy replay K times
     "incr_ingest_dedup_multi" -> (DedupOps.incrIngestDedupMulti(_, _)),
+    // the embedding-face sibling: K=3 waves under the BANDED candidate
+    // rule (band keys are vector-intrinsic — one signature pass serves
+    // every wave at every base state), at the 0.47 live point
+    "incr_ingest_semdedup_multi" ->
+      (SimilarityOps.incrIngestSemDedupMulti(_, _)),
     // per-doc decontamination verdict across the doc_id-keyed modalities
     // (ngram/neardup/media) with first-flag precedence + keep decision
     "decontam_verdict"      -> (TextOps.decontamVerdict(_, _)),

@@ -1867,6 +1867,118 @@ object SimilarityOps {
       .orderBy("vec_id")
   }
 
+  /** Arrival waves of the MULTI-batch semantic row — the
+    * [[DedupOps.IncrMultiK]] convention on the embedding face: the
+    * single-step batch slice (vec_id % [[IncrSemIngestMod]] == 0) split
+    * into K waves by vec_id % ([[IncrSemIngestMod]]·K), wave k =
+    * residue (k−1)·[[IncrSemIngestMod]] (0, 2, 4 at the defaults). */
+  val IncrSemMultiK = 3
+
+  private val incrSemMultiCache = new graft.SessionFrameCache[(String, Long)]
+
+  /** MULTI-BATCH incremental SEMANTIC dedup — the accept-then-grow loop
+    * on the embedding face, the [[DedupOps.incrIngestDedupMulti]]
+    * sibling: wave k's vectors are verdicted against the base GROWN by
+    * waves 1..k−1's survivors, with the BANDED candidate rule (the ±1
+    * md5-hyperplane LSH of [[incrIngestSemDedupBanded]] — band keys are
+    * vector-INTRINSIC, so one session-cached signature pass serves
+    * every wave at every base state; a probed face would have to
+    * retrain or freeze centroids per wave, which is exactly the
+    * trade-off this face avoids). Per-wave policy is the banded row's
+    * verbatim: banded base candidates scored with the exact-integer
+    * milli-cosine, min-base-id election, survivor in-wave band
+    * collisions verified and transitively closed, min id kept; kept
+    * survivors join the base before the next wave.
+    *
+    * Registered at [[IncrSemLiveThetaMilli]] (0.47), where harness
+    * drops EXIST at every wave (sf0.01: a wave-2 in-wave drop and three
+    * wave-3 base drops, one of them against a wave-1 SURVIVOR — the
+    * grown-base semantics live, spec-asserted; the 0.8 production
+    * point's zero-pair certificate is the single-step banded row's
+    * job). Oracle = the banded replay chained K times (generated CTEs,
+    * sbase_k = sbase_{k−1} ∪ kept_k), hash-checked end to end.
+    *
+    * At 100 TB: signatures are computed once per vector EVER (the
+    * band frame is an index artifact appended per batch); each wave
+    * pays one (band, band_key) equi-join against the grown index and
+    * exact scoring on collisions only — per-batch cost follows
+    * collision physics, never O(total²), and the K verdicts
+    * localCheckpoint exactly like the per-day verdict writes of the
+    * text sibling. */
+  def incrIngestSemDedupMulti(spark: SparkSession, sfDir: String,
+      thetaMilli: Long = IncrSemLiveThetaMilli): DataFrame = {
+    val verdicts = incrSemMultiCache.getOrElseUpdateRaw(spark, (sfDir, thetaMilli)) {
+      val m = IncrSemIngestMod
+      val mod = m * IncrSemMultiK
+      val f = semDecontamFrame(spark, sfDir)
+      val bands = incrSemBandFrameCached(spark, sfDir)
+      def isWave(k: Int): Column = (col("vec_id") % mod) === ((k - 1) * m)
+      val isAnyWave = (col("vec_id") % m) === 0
+      val allIds = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+      val base0 = f.filter(!isAnyWave).select(col("vec_id"))
+      val (_, waves) = (1 to IncrSemMultiK)
+        .foldLeft((base0, List.empty[DataFrame])) { case ((base, acc), k) =>
+          val baseBands = bands.join(base, Seq("vec_id"), "left_semi")
+          val waveBands = bands.filter(isWave(k))
+          val cand = waveBands
+            .select(col("vec_id").as("i_id"), col("band"), col("band_key"))
+            .join(baseBands.select(col("vec_id").as("b_id"), col("band"),
+              col("band_key")), Seq("band", "band_key"))
+            .select(col("i_id"), col("b_id")).distinct()
+          val baseDup = cand
+            .join(f.select(col("vec_id").as("i_id"), col("qd").as("i_qd"),
+              col("nrm").as("i_nrm")), "i_id")
+            .join(f.select(col("vec_id").as("b_id"), col("qd").as("b_qd"),
+              col("nrm").as("b_nrm")), "b_id")
+            .select(col("i_id"), col("b_id"),
+              cosMilli(col("i_qd"), col("i_nrm"), col("b_qd"), col("b_nrm")))
+            .filter(col("cos_milli") >= thetaMilli)
+            .groupBy(col("i_id")).agg(min(col("b_id")).as("base_dup_of"))
+            .select(col("i_id").as("vec_id"), col("base_dup_of"))
+          val surv = f.filter(isWave(k))
+            .join(baseDup.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          val survBands = bands
+            .join(surv.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          val icand = survBands
+            .select(col("vec_id").as("xa"), col("band"), col("band_key"))
+            .join(survBands.select(col("vec_id").as("xb"), col("band"),
+              col("band_key")), Seq("band", "band_key"))
+            .filter(col("xa") < col("xb"))
+            .select(col("xa").as("va"), col("xb").as("vb")).distinct()
+          val ipairs = icand
+            .join(surv.select(col("vec_id").as("va"), col("qd").as("a_qd"),
+              col("nrm").as("a_nrm")), "va")
+            .join(surv.select(col("vec_id").as("vb"), col("qd").as("z_qd"),
+              col("nrm").as("z_nrm")), "vb")
+            .select(col("va"), col("vb"),
+              cosMilli(col("a_qd"), col("a_nrm"), col("z_qd"), col("z_nrm")))
+            .filter(col("cos_milli") >= thetaMilli)
+            .select(col("va").as("doc_a"), col("vb").as("doc_b"))
+          val batchDup = graft.ext.DedupOps.connectedComponents(ipairs)
+            .filter(col("label") =!= col("doc_id"))
+            .select(col("doc_id").as("vec_id"), col("label").as("batch_dup_of"))
+          val v = allIds.filter(isWave(k))
+            .join(baseDup, Seq("vec_id"), "left")
+            .join(batchDup, Seq("vec_id"), "left")
+            .select(col("vec_id"), lit(k.toLong).as("batch_k"),
+              when(col("base_dup_of").isNotNull, lit("dropped_base"))
+                .when(col("batch_dup_of").isNotNull, lit("dropped_batch"))
+                .otherwise(lit("kept")).as("status"),
+              coalesce(col("base_dup_of"), col("batch_dup_of")).as("dup_of"))
+            .localCheckpoint()
+          // grow by the qn-side kept survivors only: zero-norm vectors
+          // are trivially kept but carry no band rows, so they can never
+          // candidate with anything — adding them would be a no-op
+          val kept = surv.join(v.filter(col("status") === "kept")
+            .select(col("vec_id")), Seq("vec_id"), "left_semi")
+            .select(col("vec_id"))
+          (base.unionByName(kept).localCheckpoint(), acc :+ v)
+        }
+      waves.reduce(_.unionByName(_)).localCheckpoint()
+    }
+    verdicts.orderBy("vec_id")
+  }
+
   /** Banded cross-stage pair relation at `thetaMilli` — the recall
     * report's banded `found` side ([[incrSemAnnCrossPairs]]'s twin). */
   private[graft] def incrSemBandedCrossPairs(spark: SparkSession,
@@ -3851,6 +3963,91 @@ object SimilarityOps {
     * text — the no-fork rule applied to the artifact contract: if the
     * served result ever drifted from the derived one, the artifact row
     * would hash-fail against the derivation replay. */
+  /** Oracle for [[incrIngestSemDedupMulti]]: the banded policy replay
+    * CHAINED K times on the shared banding CTEs ([[incrSemBandedCtes]]
+    * — band keys are vector-intrinsic, so ONE bkeys table serves every
+    * wave), with the accept-then-grow recurrence sbase_k = sbase_{k−1}
+    * ∪ kept_k as generated CTEs — the [[DedupOps]] multi oracle's shape
+    * on the embedding face. */
+  private def incrSemMultiOracleSql(theta: Long): String = {
+    val m = IncrSemIngestMod
+    val mod = m * IncrSemMultiK
+    def cosSql(a: String, b: String): String =
+      s"""CAST(floor(CAST(list_sum([$a.qv[i] * $b.qv[i]
+         |      for i in range(1, len($a.qv)+1)]) AS DOUBLE)
+         |    / ($a.nrm * $b.nrm) * 1000) AS BIGINT)""".stripMargin
+    val steps = (1 to IncrSemMultiK).map { k =>
+      val r = (k - 1) * m
+      val prev = s"sbase${k - 1}"
+      s"""basedup$k AS MATERIALIZED (
+         |  SELECT i_id AS vec_id, MIN(b_id) AS dup_of FROM (
+         |    SELECT DISTINCT x.vec_id AS i_id, y.vec_id AS b_id
+         |    FROM bkeys x JOIN bkeys y
+         |      ON x.band = y.band AND x.band_key = y.band_key
+         |    JOIN $prev bb ON bb.vec_id = y.vec_id
+         |    WHERE x.vec_id % $mod = $r
+         |  ) c
+         |  JOIN qn a ON a.vec_id = c.i_id
+         |  JOIN qn b ON b.vec_id = c.b_id
+         |  WHERE ${cosSql("a", "b")} >= $theta
+         |  GROUP BY i_id
+         |), surv$k AS MATERIALIZED (
+         |  SELECT vec_id FROM qn WHERE vec_id % $mod = $r
+         |    AND vec_id NOT IN (SELECT vec_id FROM basedup$k)
+         |), icand$k AS (
+         |  SELECT DISTINCT LEAST(x.vec_id, y.vec_id) AS va,
+         |    GREATEST(x.vec_id, y.vec_id) AS vb
+         |  FROM bkeys x JOIN bkeys y
+         |    ON x.band = y.band AND x.band_key = y.band_key
+         |      AND x.vec_id < y.vec_id
+         |  WHERE x.vec_id IN (SELECT vec_id FROM surv$k)
+         |    AND y.vec_id IN (SELECT vec_id FROM surv$k)
+         |), ip$k AS MATERIALIZED (
+         |  SELECT va, vb FROM icand$k
+         |  JOIN qn a ON a.vec_id = va
+         |  JOIN qn b ON b.vec_id = vb
+         |  WHERE ${cosSql("a", "b")} >= $theta
+         |), edges$k AS MATERIALIZED (
+         |  SELECT va AS src, vb AS dst FROM ip$k
+         |  UNION ALL SELECT vb, va FROM ip$k
+         |), reach$k AS (
+         |  SELECT src, dst FROM edges$k
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach$k r JOIN edges$k e ON r.dst = e.src
+         |), batchdup$k AS MATERIALIZED (
+         |  SELECT src AS vec_id, MIN(dst) AS dup_of FROM reach$k
+         |  GROUP BY src HAVING MIN(dst) < src
+         |), sbase$k AS MATERIALIZED (
+         |  SELECT vec_id FROM $prev
+         |  UNION ALL
+         |  SELECT vec_id FROM surv$k
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM batchdup$k)
+         |)""".stripMargin
+    }
+    val finals = (1 to IncrSemMultiK).map { k =>
+      val r = (k - 1) * m
+      s"""SELECT e.vec_id, CAST($k AS BIGINT) AS batch_k,
+         |  CASE WHEN bd.dup_of IS NOT NULL THEN 'dropped_base'
+         |       WHEN iu.dup_of IS NOT NULL THEN 'dropped_batch'
+         |       ELSE 'kept' END AS status,
+         |  COALESCE(bd.dup_of, iu.dup_of) AS dup_of
+         |FROM embeddings e
+         |LEFT JOIN basedup$k bd ON bd.vec_id = e.vec_id
+         |LEFT JOIN batchdup$k iu ON iu.vec_id = e.vec_id
+         |WHERE e.vec_id % $mod = $r""".stripMargin
+    }
+    s"""WITH RECURSIVE $incrSemBandedCtes,
+       |sbase0 AS MATERIALIZED (
+       |  SELECT vec_id FROM qn WHERE vec_id % $m <> 0
+       |), """.stripMargin +
+      steps.mkString(",\n") +
+      "\nSELECT vec_id, batch_k, status, dup_of FROM (\n" +
+      finals.mkString("\nUNION ALL\n") +
+      "\n) v ORDER BY vec_id"
+  }
+
   val oracles: Map[String, String] = oraclesBase +
-    ("ann_ivf_artifact_topk" -> oraclesBase("ann_ivf_topk"))
+    ("ann_ivf_artifact_topk" -> oraclesBase("ann_ivf_topk")) +
+    ("incr_ingest_semdedup_multi" ->
+      incrSemMultiOracleSql(IncrSemLiveThetaMilli))
 }

@@ -1275,6 +1275,31 @@ class ExtOpsSpec extends SparkSpec {
     assert((1 to DedupOps.IncrMultiK).forall(k => dropsPerWave.getOrElse(k.toLong, 0) > 0))
   }
 
+  test("multi-batch semantic ingest: a later wave drops against an earlier wave's survivor") {
+    val m = SimilarityOps.IncrSemIngestMod
+    val mod = m * SimilarityOps.IncrSemMultiK
+    val rows = SimilarityOps.incrIngestSemDedupMulti(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 250) // the waves partition the batch slice
+    rows.foreach { r =>
+      val k = r.getAs[Long]("batch_k")
+      assert(r.getLong(0) % mod == (k - 1) * m)
+    }
+    // grown-base liveness: a dropped_base verdict whose dup_of is a
+    // batch-slice vector (even id) — an earlier wave's KEPT survivor
+    val grownHits = rows.filter(r => r.getString(2) == "dropped_base"
+      && !r.isNullAt(3) && r.getLong(3) % m == 0)
+    assert(grownHits.nonEmpty, "no wave dropped against a grown base")
+    grownHits.foreach { r =>
+      val partnerWave = r.getLong(3) % mod / m + 1
+      assert(partnerWave < r.getAs[Long]("batch_k"), r.toString)
+      assert(rows.find(_.getLong(0) == r.getLong(3)).get.getString(2) == "kept")
+    }
+    // both drop kinds live across the run at this scale
+    val statuses = rows.map(_.getString(2)).toSet
+    assert(statuses == Set("kept", "dropped_base", "dropped_batch"), statuses)
+  }
+
   test("persisted IVF centroid artifact: a SECOND SparkSession serves the query from the artifact alone") {
     val expected = SimilarityOps.ivfTopk(spark, sfDir).collect()
       .map(_.toString).sorted.toSeq
