@@ -164,8 +164,14 @@ object Bench {
     // 9.07 decaying to 2.04 over the retry sleeps), so gating on it
     // burns bounded-retry sleeps on our own wake and would stamp
     // `degraded` on an idle machine; the probe measures what the timed
-    // passes will actually see
-    val hotWarm = gate("post_warmup",
+    // passes will actually see. SKIPPED entirely when the warm-up pass
+    // is disabled: epoch_probe_secs_warm is only meaningful in a hot
+    // JVM (a cold probe reads 0.18-0.38 s on fast and slow epochs
+    // alike — the gate-1 rationale), so gating on it here would burn
+    // 3× gate sleeps and stamp `degraded` spuriously on an idle
+    // machine; a warmup-disabled run is a debugging mode, not a
+    // comparable artifact, and falls back to the load-only gate above.
+    val hotWarm = warmup && gate("post_warmup",
       () => lastProbe > maxProbe,
       () => { lastLoad = loadAvg; lastProbe = epochProbeSecs(spark)
               (lastLoad, lastProbe) })

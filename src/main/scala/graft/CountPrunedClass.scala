@@ -19,9 +19,10 @@ object CountPrunedClass {
     "bpe_encode", "cluster_balanced_summary", "clustering_coeff",
     "contam_fraction", "contam_semantic", "decontam_verdict",
     "doc_oov_rate", "doc_repetition", "dsir_scores", "dsir_sample",
-    "incr_ingest_dedup", "incr_ingest_semdedup",
+    "incr_ingest_dedup", "incr_ingest_dedup_served", "incr_ingest_semdedup",
     "incr_ingest_semdedup_ann", "incr_ingest_semdedup_ann_047",
     "incr_ingest_semdedup_banded",
-    "pagerank_near_dup", "quality_mixer", "source_drift",
+    "pagerank_near_dup", "quality_learned_served", "quality_mixer",
+    "source_drift",
     "source_drift_semantic", "source_mixture_summary", "substring_dedup")
 }

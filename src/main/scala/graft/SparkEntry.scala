@@ -212,6 +212,11 @@ object SparkEntry {
     // (trained ON r_gopher — would double-count; see the scaladoc)
     "quality_learned"       -> (TextOps.qualityLearned(_, _)),
     "quality_learned_audit" -> (TextOps.qualityLearnedAudit(_, _)),
+    // the SERVED face: the trained NB weight table persisted as a
+    // cross-session parquet artifact, every doc scored from the
+    // READ-BACK vocabulary table (second artifact family after IVF/
+    // incr-base; same output and oracle text as quality_learned)
+    "quality_learned_served" -> (TextOps.qualityLearnedServed(_, _)),
     // the learned score plugged into the per-source prune policy (the
     // shared histogram-cut core — LM and learned rows cannot fork)
     "quality_prune_learned" -> (TextOps.qualityPruneLearned(_, _)),
@@ -257,6 +262,13 @@ object SparkEntry {
     // against the accepted base WITHOUT re-pairing base with itself —
     // the daily-delta shape; policy mirrors the minhash ingest stream
     "incr_ingest_dedup" -> (DedupOps.incrIngestDedupCorpus(_, _)),
+    // the SERVED face of the daily loop: the accepted base's shingle +
+    // band index persisted as a cross-session parquet artifact, the
+    // batch verdicted against the READ-BACK index (no session-cache
+    // dependence — a second SparkSession reproduces it from the
+    // artifact alone, spec-proven); same policy core and oracle text
+    // as incr_ingest_dedup
+    "incr_ingest_dedup_served" -> (DedupOps.incrIngestDedupServed(_, _)),
     // the MULTI-batch accept-then-grow loop: K=3 deterministic waves,
     // each verdicted against the base grown by prior waves' survivors
     // (wave 3 drops against wave-1/2 keepers — live at sf0.01); the
@@ -267,6 +279,12 @@ object SparkEntry {
     // every wave at every base state), at the 0.47 live point
     "incr_ingest_semdedup_multi" ->
       (SimilarityOps.incrIngestSemDedupMulti(_, _)),
+    // the same K-chain at the production 0.8 point — the certificate
+    // row: the oracle PROVES the all-kept verdict on the harness corpus
+    // (the incr_ingest_semdedup_ann 0.8/0.47 pairing convention)
+    "incr_ingest_semdedup_multi_08" -> ((s, d) =>
+      SimilarityOps.incrIngestSemDedupMulti(s, d,
+        SimilarityOps.IncrSemProdThetaMilli)),
     // per-doc decontamination verdict across the doc_id-keyed modalities
     // (ngram/neardup/media) with first-flag precedence + keep decision
     "decontam_verdict"      -> (TextOps.decontamVerdict(_, _)),

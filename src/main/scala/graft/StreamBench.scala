@@ -63,8 +63,8 @@ object StreamBench {
     // roll-up, state snapshot, and output range compaction end to end.
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "5").toInt
 
-    val allStreams = Seq("taxi", "minhash", "filtered", "emb", "media",
-      "mediafiltered")
+    val allStreams = Seq("taxi", "minhash", "filtered", "safetyfiltered",
+      "emb", "media", "mediafiltered")
     val only: Set[String] = sys.env.get("SPARK_GRAFT_STREAM_ONLY") match {
       case None => allStreams.toSet
       case Some(s) =>
@@ -187,6 +187,30 @@ object StreamBench {
       val filtKept = StreamingOps.committedKept(spark, s"$filtOut/kept").count()
       dirStats("filtered_kept", s"$filtOut/kept")
       fields += s""""filtered_secs":$filtSecs,"filtered_docs_per_s":$filtRate,"filtered_kept":$filtKept"""
+    }
+
+    // ---- safety-gated MinHash ingest (safety-filter-then-dedup) --------
+    // same corpus, same batch split — the delta vs `minhash` is the
+    // lexicon gate's cost (a stateless scan-bounded projection) minus
+    // the dedup work the gated-out docs never do
+    if (only("safetyfiltered")) {
+      val sfOut = tmp("streambench_safetydedup")
+      val sfIn = MemoryStream[(Long, String)]
+      val sfQ = StreamingOps.runSafetyFilteredMinhashDedupStream(
+        sfIn.toDS().toDF("doc_id", "text"),
+        s"$sfOut/state", s"$sfOut/kept", s"$sfOut/ckpt")
+      val t1c = System.nanoTime()
+      try {
+        docs.grouped(docBatch).foreach { chunk =>
+          sfIn.addData(chunk.toIndexedSeq)
+          sfQ.processAllAvailable()
+        }
+      } finally sfQ.stop()
+      val sfSecs = (System.nanoTime() - t1c) / 1e9
+      val sfRate = docs.length / sfSecs
+      val sfKept = StreamingOps.committedKept(spark, s"$sfOut/kept").count()
+      dirStats("safetyfiltered_kept", s"$sfOut/kept")
+      fields += s""""safetyfiltered_secs":$sfSecs,"safetyfiltered_docs_per_s":$sfRate,"safetyfiltered_kept":$sfKept"""
     }
 
     // ---- hyperplane-LSH embedding ingest-dedup stream over embeddings --

@@ -535,6 +535,93 @@ object DedupOps {
       threshold = 0.6, maxBandDf = MinHashBandDfCap)
   }
 
+  /** On-disk location of the persisted incremental-ingest BASE index —
+    * the accepted set's shingle frame and MinHash band index as two
+    * parquet tables under one artifact directory ([[graft.Artifacts]]
+    * conventions: temp-root stand-in for a lakehouse table, provenance
+    * sidecar keyed on the documents table's fingerprint). */
+  def incrBaseArtifactPath(sfDir: String): String =
+    graft.Artifacts.artifactDir(sfDir) + "/incr_base_index"
+
+  /** TRAIN-AND-PERSIST half of the incremental-ingest artifact
+    * contract: the accepted base's shingle frame (`doc_id, sh`) and
+    * band index (`doc_id, band, band_key`) written to parquet — the
+    * table a production daily loop maintains on disk and appends each
+    * day's kept docs to. Content is the session-cached corpus frames'
+    * base slice VERBATIM (the same frames the in-session row reads), so
+    * the served verdict cannot fork from [[incrIngestDedupCorpus]];
+    * the [[graft.Artifacts]] sidecar stamps the corpus fingerprint so a
+    * serve session refuses a stale index. */
+  def writeIncrBaseArtifact(spark: SparkSession, sfDir: String): String = {
+    val path = incrBaseArtifactPath(sfDir)
+    val isIncr = (col("doc_id") % IncrIngestMod) === (IncrIngestMod - 1)
+    withShingles(spark, sfDir).filter(size(col("sh")) > 0).filter(!isIncr)
+      .write.mode("overwrite").parquet(path + "/shingles")
+    corpusBands(spark, sfDir).filter(!isIncr)
+      .write.mode("overwrite").parquet(path + "/bands")
+    graft.Artifacts.writeSidecar(path,
+      graft.Artifacts.fingerprint(Tables.documents(spark, sfDir), "doc_id"))
+    path
+  }
+
+  /** SERVE half of the incremental-ingest artifact contract — the
+    * production daily loop's actual shape: verdict today's batch
+    * against the READ-BACK base index, with no session-cache
+    * dependence and no corpus-wide shingle pass. The base side comes
+    * entirely from the persisted parquet tables
+    * ([[writeIncrBaseArtifact]]; freshness-checked against the current
+    * corpus fingerprint); the batch side shingles and bands are
+    * computed from the batch slice alone (the filter reaches the
+    * parquet scan — a serve session pays O(batch), not O(corpus)).
+    * Policy is [[incrIngestCore]] VERBATIM, so the served verdict
+    * shares the in-session row's oracle text — the no-fork rule.
+    * Spec-proven cross-session: a SECOND SparkSession with empty
+    * session caches reproduces [[incrIngestDedupCorpus]] bit-for-bit
+    * from the artifact alone. */
+  def incrIngestDedupFromArtifact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = incrBaseArtifactPath(sfDir)
+    graft.Artifacts.requireFresh(path,
+      graft.Artifacts.fingerprint(Tables.documents(spark, sfDir), "doc_id"),
+      "incremental-ingest base index")
+    val isIncr = (col("doc_id") % IncrIngestMod) === (IncrIngestMod - 1)
+    val batch = Tables.documents(spark, sfDir).filter(isIncr)
+    val sIncr = shingleFrame(batch).filter(size(col("sh")) > 0)
+    incrIngestCore(
+      batch.select(col("doc_id")),
+      spark.read.parquet(path + "/shingles"),
+      spark.read.parquet(path + "/bands"),
+      sIncr, bandFrame(sIncr),
+      threshold = 0.6, maxBandDf = MinHashBandDfCap)
+  }
+
+  /** Once-per-session guard for the base-index write (the bench's
+    * warm-up + repeated timed passes must pay the write once — the
+    * [[graft.ext.SimilarityOps.annIvfArtifactTopk]] convention). */
+  private val incrBaseWritten = new graft.SessionValueCache[String, String]
+
+  /** The registered SERVED incremental-ingest row — r15's two best
+    * deliveries composed into the real daily production loop: the
+    * accepted base's shingle + band index PERSISTED as a cross-session
+    * parquet artifact ([[writeIncrBaseArtifact]], once per session),
+    * then the batch verdicted against the READ-BACK index
+    * ([[incrIngestDedupFromArtifact]]). Output and oracle text are
+    * [[incrIngestDedupCorpus]]'s exactly (same policy core, same
+    * %-split) — what this row adds is the demonstrated artifact
+    * boundary: the plan under the verdict scans the artifact files for
+    * the base side and only the batch slice of the corpus. At 100 TB:
+    * the corpus-wide signature pass happens once at index build;
+    * every daily batch thereafter pays O(batch + matched candidates)
+    * against the on-disk index, and each day's kept docs append to it
+    * (the accept-then-grow recurrence the _multi row exercises
+    * in-session). */
+  def incrIngestDedupServed(spark: SparkSession, sfDir: String): DataFrame = {
+    incrBaseWritten.getOrElseUpdate(spark, sfDir) {
+      writeIncrBaseArtifact(spark, sfDir)
+    }
+    incrIngestDedupFromArtifact(spark, sfDir)
+  }
+
   /** Number of deterministic arrival waves of the MULTI-batch
     * incremental row: the single-step batch slice (doc_id %
     * [[IncrIngestMod]] == [[IncrIngestMod]]−1) divided into K waves by
@@ -1601,6 +1688,56 @@ object DedupOps {
       "\n) v ORDER BY doc_id"
   }
 
+  /** The incremental-ingest policy replay on the exact pair graph —
+    * shared VERBATIM by the in-session row (incr_ingest_dedup) and
+    * the artifact-served row (incr_ingest_dedup_served). */
+  private def incrIngestOracleSql: String = (shingleCteFrom("documents")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", sx AS (
+         |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
+         |), jp AS MATERIALIZED (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
+         |), basedup AS (
+         |  SELECT i AS doc_id, MIN(b) AS base_dup_of FROM (
+         |    SELECT doc_a AS i, doc_b AS b FROM jp
+         |    WHERE doc_a % $IncrIngestMod = ${IncrIngestMod - 1}
+         |      AND doc_b % $IncrIngestMod <> ${IncrIngestMod - 1}
+         |    UNION ALL
+         |    SELECT doc_b AS i, doc_a AS b FROM jp
+         |    WHERE doc_b % $IncrIngestMod = ${IncrIngestMod - 1}
+         |      AND doc_a % $IncrIngestMod <> ${IncrIngestMod - 1}
+         |  ) GROUP BY i
+         |), ip AS MATERIALIZED (
+         |  SELECT doc_a, doc_b FROM jp
+         |  WHERE doc_a % $IncrIngestMod = ${IncrIngestMod - 1}
+         |    AND doc_b % $IncrIngestMod = ${IncrIngestMod - 1}
+         |    AND doc_a NOT IN (SELECT doc_id FROM basedup)
+         |    AND doc_b NOT IN (SELECT doc_id FROM basedup)
+         |), edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ip
+         |  UNION ALL SELECT doc_b, doc_a FROM ip
+         |), reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), batchdup AS (
+         |  SELECT src AS doc_id, MIN(dst) AS batch_dup_of FROM reach
+         |  GROUP BY src HAVING MIN(dst) < src
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN bd.base_dup_of IS NOT NULL THEN 'dropped_base'
+         |       WHEN iu.batch_dup_of IS NOT NULL THEN 'dropped_batch'
+         |       ELSE 'kept' END AS status,
+         |  COALESCE(bd.base_dup_of, iu.batch_dup_of) AS dup_of
+         |FROM documents d
+         |LEFT JOIN basedup bd ON bd.doc_id = d.doc_id
+         |LEFT JOIN batchdup iu ON iu.doc_id = d.doc_id
+         |WHERE d.doc_id % $IncrIngestMod = ${IncrIngestMod - 1}
+         |ORDER BY d.doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "dedup_recall_report" -> dedupRecallReportSql,
     "incr_ingest_dedup_multi" -> incrMultiOracleSql,
@@ -1646,52 +1783,12 @@ object DedupOps {
     // first, then in-batch closure over survivors) on the exact pair
     // graph — banding + verify must reproduce that graph, the same
     // independence argument as minhash_near_dup's oracle
-    "incr_ingest_dedup" -> (shingleCteFrom("documents")
-      .replaceFirst("WITH ", "WITH RECURSIVE ") +
-      s""", sx AS (
-         |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS g FROM s
-         |), jp AS MATERIALIZED (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sx a JOIN sx b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
-         |  HAVING CAST(COUNT(*) AS DOUBLE) / (a.nsh + b.nsh - COUNT(*)) >= 0.6
-         |), basedup AS (
-         |  SELECT i AS doc_id, MIN(b) AS base_dup_of FROM (
-         |    SELECT doc_a AS i, doc_b AS b FROM jp
-         |    WHERE doc_a % $IncrIngestMod = ${IncrIngestMod - 1}
-         |      AND doc_b % $IncrIngestMod <> ${IncrIngestMod - 1}
-         |    UNION ALL
-         |    SELECT doc_b AS i, doc_a AS b FROM jp
-         |    WHERE doc_b % $IncrIngestMod = ${IncrIngestMod - 1}
-         |      AND doc_a % $IncrIngestMod <> ${IncrIngestMod - 1}
-         |  ) GROUP BY i
-         |), ip AS MATERIALIZED (
-         |  SELECT doc_a, doc_b FROM jp
-         |  WHERE doc_a % $IncrIngestMod = ${IncrIngestMod - 1}
-         |    AND doc_b % $IncrIngestMod = ${IncrIngestMod - 1}
-         |    AND doc_a NOT IN (SELECT doc_id FROM basedup)
-         |    AND doc_b NOT IN (SELECT doc_id FROM basedup)
-         |), edges AS MATERIALIZED (
-         |  SELECT doc_a AS src, doc_b AS dst FROM ip
-         |  UNION ALL SELECT doc_b, doc_a FROM ip
-         |), reach AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-         |), batchdup AS (
-         |  SELECT src AS doc_id, MIN(dst) AS batch_dup_of FROM reach
-         |  GROUP BY src HAVING MIN(dst) < src
-         |)
-         |SELECT d.doc_id,
-         |  CASE WHEN bd.base_dup_of IS NOT NULL THEN 'dropped_base'
-         |       WHEN iu.batch_dup_of IS NOT NULL THEN 'dropped_batch'
-         |       ELSE 'kept' END AS status,
-         |  COALESCE(bd.base_dup_of, iu.batch_dup_of) AS dup_of
-         |FROM documents d
-         |LEFT JOIN basedup bd ON bd.doc_id = d.doc_id
-         |LEFT JOIN batchdup iu ON iu.doc_id = d.doc_id
-         |WHERE d.doc_id % $IncrIngestMod = ${IncrIngestMod - 1}
-         |ORDER BY d.doc_id""".stripMargin),
+    "incr_ingest_dedup" -> incrIngestOracleSql,
+    // the SERVED row verdicts the same batch against the same policy
+    // from the READ-BACK artifact — oracle text shared VERBATIM (the
+    // no-fork rule): the artifact boundary must be invisible to the
+    // result
+    "incr_ingest_dedup_served" -> incrIngestOracleSql,
     // cluster-granular split: every member inherits its representative's
     // content-hash split (same salt+cut as the train_test_split oracle)
     "train_test_split_neardup" -> (clustersCte +

@@ -179,27 +179,34 @@ object SimilarityOps {
     * [[listCentroids]] aggregate written to parquet at
     * [[ivfCentroidArtifactPath]] (one file — the table is L rows).
     * Deterministic content (order-free integer arithmetic), so a
-    * rewrite is byte-stable across sessions and engines. */
+    * rewrite is byte-stable across sessions and engines. Stamps a
+    * [[graft.Artifacts]] provenance sidecar with the embeddings table's
+    * fingerprint so a serve-only session can refuse a stale artifact. */
   def writeIvfCentroidArtifact(spark: SparkSession, sfDir: String): String = {
     val path = ivfCentroidArtifactPath(sfDir)
     listCentroidsCached(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(path)
+    graft.Artifacts.writeSidecar(path,
+      graft.Artifacts.fingerprint(Tables.embeddings(spark, sfDir), "vec_id"))
     path
   }
 
   /** SERVE half of the artifact contract: the centroid table read back
     * from the persisted parquet — NO training path, no corpus
-    * aggregate; throws if the artifact was never written. This is the
-    * function a scoring-only session calls (spec-proven: a second
-    * SparkSession serves [[ivfTopk]]'s exact output through it with the
-    * training code never invoked). */
+    * aggregate; throws if the artifact was never written, or if its
+    * provenance sidecar does not fingerprint-match the CURRENT
+    * embeddings table (an artifact left under the temp root by an
+    * earlier run over different data at the same sanitized path must
+    * not be served silently). This is the function a scoring-only
+    * session calls (spec-proven: a second SparkSession serves
+    * [[ivfTopk]]'s exact output through it with the training code never
+    * invoked). */
   def ivfTopkFromArtifact(spark: SparkSession, sfDir: String,
       nQueries: Int = 10, k: Int = 5, nprobe: Int = 3): DataFrame = {
     val path = ivfCentroidArtifactPath(sfDir)
-    require(new java.io.File(path).exists(),
-      s"IVF centroid artifact not found at $path — run " +
-        "writeIvfCentroidArtifact (or the registered ann_ivf_artifact_topk " +
-        "row) in a training session first")
+    graft.Artifacts.requireFresh(path,
+      graft.Artifacts.fingerprint(Tables.embeddings(spark, sfDir), "vec_id"),
+      "IVF centroid")
     ivfTopkFrom(spark, sfDir, spark.read.parquet(path), nQueries, k, nprobe)
   }
 
@@ -4049,5 +4056,12 @@ object SimilarityOps {
   val oracles: Map[String, String] = oraclesBase +
     ("ann_ivf_artifact_topk" -> oraclesBase("ann_ivf_topk")) +
     ("incr_ingest_semdedup_multi" ->
-      incrSemMultiOracleSql(IncrSemLiveThetaMilli))
+      incrSemMultiOracleSql(IncrSemLiveThetaMilli)) +
+    // the production 0.8 operating point of the same K-chain — the
+    // certificate row convention (incr_ingest_semdedup_ann's 0.8/0.47
+    // pairing): on the harness corpus the waves keep everything at 0.8,
+    // and the oracle PROVES that all-kept verdict rather than assuming
+    // it; one theta parameter, shared generator, no fork
+    ("incr_ingest_semdedup_multi_08" ->
+      incrSemMultiOracleSql(IncrSemProdThetaMilli))
 }

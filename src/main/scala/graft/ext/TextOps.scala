@@ -960,6 +960,17 @@ object TextOps {
     * scoring arithmetic. Trains on the %-10 train slice of the labels,
     * scores every doc; all arithmetic exact-integer (DECIMAL(38,0)). */
   private[ext] def learnedScoreFrame(docs: DataFrame,
+      lbl: DataFrame): DataFrame =
+    scoreWithNbWeights(docs, learnedNbWeightFrame(docs, lbl))
+
+  /** TRAIN half of [[learnedScoreFrame]], split out so the weight table
+    * is a first-class frame (and therefore a persistable INDEX
+    * ARTIFACT — [[writeQualityNbWeightArtifact]]): one row per
+    * vocabulary token with its milli likelihood-ratio weight, plus ONE
+    * NULL-token row carrying the unseen-token default (the smoothed
+    * prior-odds weight), so the whole trained model is a single
+    * self-contained table. */
+  private[ext] def learnedNbWeightFrame(docs: DataFrame,
       lbl: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(tokens(lower(col("text")))).as("token"))
@@ -971,19 +982,36 @@ object TextOps {
       coalesce(sum(col("c_pos")), lit(0L)).as("n_pos"),
       coalesce(sum(col("c_neg")), lit(0L)).as("n_neg"),
       count(lit(1)).as("v"))
-    val w = cw.crossJoin(broadcast(tot))
+    cw.crossJoin(broadcast(tot))
       .select(col("token"), expr(
         s"""(CAST(c_pos + 1 AS DECIMAL(38,0)) * (n_neg + v) * $QualityLearnedScale)
            |div (CAST(c_neg + 1 AS DECIMAL(38,0)) * (n_pos + v))""".stripMargin)
         .as("w"))
+      .unionByName(tot.select(lit(null).cast("string").as("token"), expr(
+        s"(CAST(n_neg + v AS DECIMAL(38,0)) * $QualityLearnedScale) div (n_pos + v)")
+        .as("w")))
+  }
+
+  /** SCORE half of [[learnedScoreFrame]]: per-doc occurrence-weighted
+    * mean of the weight-table lookups, unseen tokens falling back to
+    * the table's NULL-token default row. Takes the weight table AS A
+    * FRAME — the in-session path passes the freshly trained one, the
+    * served path passes the parquet read-back ([[qualityLearnedServed]])
+    * — so train-then-score and persist-then-score cannot fork on
+    * scoring arithmetic. */
+  private[ext] def scoreWithNbWeights(docs: DataFrame,
+      weights: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("token"))
+    val w = weights.filter(col("token").isNotNull)
+    val dflt = weights.filter(col("token").isNull)
+      .select(col("w").as("w_dflt"))
     val sc = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("c_doc"))
       .join(w, Seq("token"), "left")
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(dflt))
       .select(col("doc_id"), col("c_doc"),
-        coalesce(col("w"), expr(
-          s"(CAST(n_neg + v AS DECIMAL(38,0)) * $QualityLearnedScale) div (n_pos + v)"))
-          .as("wv"))
+        coalesce(col("w"), col("w_dflt")).as("wv"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c_doc") * expr("CAST(wv AS DECIMAL(38,0))")).as("s"),
         sum(col("c_doc")).as("n"))
@@ -992,6 +1020,67 @@ object TextOps {
       .select(col("doc_id"), expr(
         s"""CAST(CASE WHEN n IS NULL OR n = 0 THEN $QualityLearnedScale
            |ELSE s div n END AS BIGINT)""".stripMargin).as("score_milli"))
+  }
+
+  /** On-disk location of the persisted NB weight-table artifact for the
+    * QUALITY distillation ([[graft.Artifacts]] conventions). */
+  def qualityNbWeightArtifactPath(sfDir: String): String =
+    graft.Artifacts.artifactDir(sfDir) + "/nb_weights_quality"
+
+  /** TRAIN-AND-PERSIST half of the NB-weight artifact contract — the
+    * second demonstrated artifact family (after IVF centroids and the
+    * incr-ingest base index), making the scaladocs' "the trained table
+    * is an index artifact" claim a convention rather than a one-off:
+    * the [[learnedNbWeightFrame]] of the quality distillation (gopher
+    * labels) written to parquet — a vocabulary-sized table, one file —
+    * with the [[graft.Artifacts]] provenance sidecar. */
+  def writeQualityNbWeightArtifact(spark: SparkSession,
+      sfDir: String): String = {
+    val path = qualityNbWeightArtifactPath(sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    learnedNbWeightFrame(docs,
+      gopherAnnotated(docs).select(col("doc_id"), col("keep")))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.Artifacts.writeSidecar(path,
+      graft.Artifacts.fingerprint(docs, "doc_id"))
+    path
+  }
+
+  /** SERVE half of the NB-weight artifact contract: score every doc
+    * from the READ-BACK weight table — no token-class aggregate, no
+    * label derivation; [[scoreWithNbWeights]] shared verbatim with the
+    * in-session row. Freshness-checked against the current corpus
+    * fingerprint. */
+  def qualityLearnedFromArtifact(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val path = qualityNbWeightArtifactPath(sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    graft.Artifacts.requireFresh(path,
+      graft.Artifacts.fingerprint(docs, "doc_id"), "NB quality weight")
+    scoreWithNbWeights(docs, spark.read.parquet(path))
+      .select(col("doc_id"), col("score_milli"),
+        (col("score_milli") >= QualityLearnedScale).as("pred_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** Once-per-session guard for the weight-table write (the
+    * [[graft.ext.SimilarityOps.annIvfArtifactTopk]] convention). */
+  private val qualityNbWritten = new graft.SessionValueCache[String, String]
+
+  /** The registered SERVED learned-quality row: trains the NB weight
+    * table, WRITES it to parquet ([[writeQualityNbWeightArtifact]],
+    * once per session), then scores the corpus from the READ-BACK
+    * table. Output and oracle text are [[qualityLearned]]'s exactly —
+    * the artifact boundary must be invisible to the result. At 100 TB:
+    * training's token-class aggregate runs once at model build; every
+    * scoring job thereafter broadcast-joins the tiny persisted
+    * vocabulary table (it also serves the safety distillation's twin,
+    * [[safetyLearned]], through the same shared scorer). */
+  def qualityLearnedServed(spark: SparkSession, sfDir: String): DataFrame = {
+    qualityNbWritten.getOrElseUpdate(spark, sfDir) {
+      writeQualityNbWeightArtifact(spark, sfDir)
+    }
+    qualityLearnedFromArtifact(spark, sfDir)
   }
 
   /** Keep-percentage for [[qualityPrunePerSource]] (shared with the
@@ -4049,6 +4138,14 @@ object TextOps {
          |SELECT doc_id, score_milli,
          |  score_milli >= $QualityLearnedScale AS pred_pass
          |FROM ql ORDER BY doc_id""".stripMargin) +
+    // the SERVED row scores from the read-back weight-table artifact —
+    // oracle text shared VERBATIM with quality_learned (the no-fork
+    // rule): the artifact boundary must be invisible to the result
+    ("quality_learned_served" ->
+      s"""${learnedCtes(baseOracles("gopher_filter"))}
+         |SELECT doc_id, score_milli,
+         |  score_milli >= $QualityLearnedScale AS pred_pass
+         |FROM ql ORDER BY doc_id""".stripMargin) +
     ("quality_learned_audit" ->
       s"""${learnedCtes(baseOracles("gopher_filter"))}
          |SELECT l.keep AS rule_keep,
@@ -4080,16 +4177,21 @@ object TextOps {
     ("quality_prune_per_source" -> pruneOracleSql) +
     ("quality_prune_learned" -> pruneLearnedOracleSql) +
     // quality curriculum: the learned-score chain + bucketed md5 rank —
-    // ROW_NUMBER over (bucket, h, doc_id) replays the packed-key order
-    // exactly (packing is order-preserving for h < 2^32). Lives OUTSIDE
+    // ROW_NUMBER over (LEAST(bucket, 2^29), h, doc_id) replays the
+    // packed-key order exactly, INCLUDING the engine's overflow guard:
+    // the packed key saturates the bucket at 2^29 before the multiply,
+    // so in the saturation regime top buckets collapse to (h, doc_id)
+    // order — the oracle mirrors the saturation in its sort key while
+    // the OUTPUT bucket column stays raw on both sides. Lives OUTSIDE
     // baseOracles: the learning CTEs read baseOracles("gopher_filter"),
     // which is null while baseOracles' own literal initializes
     ("curriculum_order" ->
       s"""${learnedCtes(baseOracles("gopher_filter"))}
          |SELECT doc_id, bucket,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY bucket, h, doc_id) - 1 AS BIGINT)
-         |    AS global_pos,
-         |  CAST((ROW_NUMBER() OVER (ORDER BY bucket, h, doc_id) - 1)
+         |  CAST(ROW_NUMBER() OVER (ORDER BY LEAST(bucket, 536870912), h,
+         |    doc_id) - 1 AS BIGINT) AS global_pos,
+         |  CAST((ROW_NUMBER() OVER (ORDER BY LEAST(bucket, 536870912), h,
+         |    doc_id) - 1)
          |    // $TrainingShardDocs AS BIGINT) AS shard_id
          |FROM (
          |  SELECT doc_id, score_milli // $CurriculumBucketMilli AS bucket,

@@ -1190,6 +1190,32 @@ object StreamingOps {
     runMinhashDedupStream(graft.ext.TextOps.gopherPrefilter(docs),
       statePath, keptPath, checkpointDir, threshold)
 
+  /** [[runMinhashDedupStream]] with the SAFETY gate ahead of the dedup
+    * sink — the toxicity sibling of [[runFilteredMinhashDedupStream]],
+    * wired the same way: FILTER (stateless, cheapest signal) then DEDUP
+    * (stateful). A document carrying a severe term — or breaching the
+    * moderate milli-ratio cut — never pays shingling, banding, or state
+    * I/O, and never enters the kept set or the band state, so a later
+    * byte-identical resend is gated again rather than matched to state.
+    * The gate is [[graft.ext.TextOps.safetyPrefilter]] — the SAME
+    * annotated-frame code path as the oracle-checked batch
+    * `safety_filter` row, so stream and batch cannot fork on tier
+    * semantics. Exactly-once is untouched: the gate is a deterministic
+    * stateless projection of the micro-batch (the
+    * [[runFilteredMinhashDedupStream]] argument verbatim). A production
+    * ingest composes BOTH gates ahead of the sink —
+    * `safetyPrefilter(gopherPrefilter(docs))` — sharing one scan; the
+    * two registered shapes keep the gates' costs separately
+    * measurable (StreamBench `filtered` vs `safetyfiltered`). */
+  def runSafetyFilteredMinhashDedupStream(
+      docs: DataFrame,
+      statePath: String,
+      keptPath: String,
+      checkpointDir: String,
+      threshold: Double = 0.6): org.apache.spark.sql.streaming.StreamingQuery =
+    runMinhashDedupStream(graft.ext.TextOps.safetyPrefilter(docs),
+      statePath, keptPath, checkpointDir, threshold)
+
   /** GATED MULTIMODAL ingest — the streaming face of the staged
     * multimodal pipeline's first two stages: a (doc_id, text, blob)
     * stream where the Gopher TEXT gate runs AHEAD of the media-dedup

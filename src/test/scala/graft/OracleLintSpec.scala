@@ -44,5 +44,29 @@ class OracleLintSpec extends AnyFunSuite {
     val orphanOracles = oracles.keySet.diff(queries)
     assert(orphanOracles.isEmpty,
       s"oracleSql keys with no matching query: ${orphanOracles.mkString(", ")}")
+    // the REVERSE direction — the gap this spec exists to catch: a
+    // registered query that silently lost (or never gained) its oracle
+    // would otherwise reach the driver with cross-engine verification
+    // never having run. The only rows allowed to be SQL-free are the
+    // three documented rows-only-by-design members (sketch outputs and
+    // the noise-regime LSH face, each with a green exact sibling);
+    // adding a fourth requires listing it HERE, with the design reason
+    // in its scaladoc.
+    val rowsOnlyByDesign = Set(
+      "q8_approx_distinct",             // HLL sketch — no DuckDB twin
+      "source_len_approx_percentiles",  // GK sketch — no DuckDB twin
+      "emb_lsh_near_dup")               // noise-regime LSH; _hi is exact
+    val unoracled = queries.diff(oracles.keySet ++ rowsOnlyByDesign)
+    assert(unoracled.isEmpty,
+      s"registered queries with no oracle and no rows-only-by-design " +
+        s"listing: ${unoracled.mkString(", ")}")
+    val staleAllowlist = rowsOnlyByDesign.diff(queries)
+    assert(staleAllowlist.isEmpty,
+      s"rows-only allowlist names unregistered queries: " +
+        staleAllowlist.mkString(", "))
+    val overAllowed = rowsOnlyByDesign.intersect(oracles.keySet)
+    assert(overAllowed.isEmpty,
+      s"allowlisted rows-only queries that DO have oracles (remove from " +
+        s"the allowlist): ${overAllowed.mkString(", ")}")
   }
 }

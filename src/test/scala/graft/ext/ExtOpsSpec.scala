@@ -1320,6 +1320,62 @@ class ExtOpsSpec extends SparkSpec {
     assert(served2 == expected)
   }
 
+  test("persisted incr-ingest base index: a SECOND SparkSession verdicts the batch from the artifact alone") {
+    val expected = DedupOps.incrIngestDedupCorpus(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    // the registered row: writes the base shingle + band index once,
+    // then verdicts the batch against the read-back tables — identical
+    // to the in-session row (shared incrIngestCore + oracle text)
+    val served = DedupOps.incrIngestDedupServed(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(served == expected)
+    assert(new java.io.File(DedupOps.incrBaseArtifactPath(sfDir)).exists())
+    // a SECOND SparkSession (fresh session state — empty shingle/band
+    // caches) verdicts the batch through the serve-only path, which
+    // never runs the corpus-wide signature pass: the artifact alone
+    // carries the accepted-set index
+    val spark2 = spark.newSession()
+    val served2 = DedupOps.incrIngestDedupFromArtifact(spark2, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served2 == expected)
+  }
+
+  test("persisted NB weight table: a SECOND SparkSession scores from the artifact alone") {
+    val expected = TextOps.qualityLearned(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    // the registered row: trains + writes the weight table once, then
+    // scores from the read-back table — identical to the in-session row
+    val served = TextOps.qualityLearnedServed(spark, sfDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(served == expected)
+    // a SECOND SparkSession (fresh session state — empty learned-score
+    // caches) scores through the serve-only path, which never runs the
+    // token-class training aggregate: the weight table alone carries
+    // the model
+    val spark2 = spark.newSession()
+    val served2 = TextOps.qualityLearnedFromArtifact(spark2, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served2 == expected)
+  }
+
+  test("artifact provenance sidecar: a stale artifact is refused at serve time") {
+    DedupOps.incrIngestDedupServed(spark, sfDir).count() // ensure written
+    val sc = java.nio.file.Paths.get(
+      DedupOps.incrBaseArtifactPath(sfDir) + ".fingerprint")
+    val good = java.nio.file.Files.readAllBytes(sc)
+    try {
+      // simulate an artifact left behind by a run over DIFFERENT data at
+      // the same sanitized path: the stamped fingerprint no longer
+      // matches the current corpus, and the serve path must refuse it
+      java.nio.file.Files.write(sc, "0:0".getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        DedupOps.incrIngestDedupFromArtifact(spark.newSession(), sfDir)
+          .count()
+      }
+      assert(e.getMessage.contains("STALE"))
+    } finally java.nio.file.Files.write(sc, good)
+  }
+
   test("safety gate: planted doc passes every quality gate but the safety gate catches it") {
     // same construction as the mixer's doc A (passes all quality rules:
     // 60+ tokens, distinct bigrams, >= 2 stopwords, all-alpha) — vocab

@@ -410,6 +410,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("safety-gated ingest: severe-term doc gated before dedup; near-dups still deduped") {
+    implicit val sqlCtx = spark.sqlContext
+    // quality-passing construction (the filtered-ingest vocabulary walk:
+    // 60 words, distinct bigrams, stopwords) — the safety gate must act
+    // on its OWN tiers, not piggyback on quality junk
+    val vocab = (Vector("the", "and") ++ (1 to 18).map(i => f"word$i%02d"))
+    def walk(v: Vector[String]) =
+      Seq(1, 3, 7).flatMap(k => (0 until 20).map(i => v((i * k) % 20))).mkString(" ")
+    val good = walk(vocab)
+    val goodNear = good + " x1 x2"
+    val otherGood = walk(Vector("the", "and") ++ (1 to 18).map(i => f"item$i%02d"))
+    // severe tier: ONE occurrence of a severe term ("dup") drops the doc
+    // even though every quality gate would pass it
+    val severe = good + " dup"
+    // moderate tier: 7 moderate hits in 67 tokens (flag_milli = 104)
+    // breach the ratio cut
+    val moderate = good + " slow big slow big slow big slow"
+    val out = tmpDir("sfmhstream")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.runSafetyFilteredMinhashDedupStream(
+      input.toDS().toDF("doc_id", "text"),
+      s"$out/state", s"$out/kept", s"$out/ckpt")
+    try {
+      // batch 1: the severe doc is gated out BEFORE the sink (never
+      // kept, never state) even though it near-dups doc 1
+      input.addData((1L, good), (2L, severe), (3L, moderate))
+      q.processAllAvailable()
+      // batch 2: 4 near-dups KEPT doc 1 (cross-batch band state), 5 is
+      // novel — the dedup machinery is fully live behind the gate
+      input.addData((4L, goodNear), (5L, otherGood))
+      q.processAllAvailable()
+      val kept = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 5L), kept.toString)
+      // the gated docs left no trace in the band state: byte-identical
+      // resends must be gated again, not matched to state
+      input.addData((6L, severe), (7L, moderate))
+      q.processAllAvailable()
+      val kept2 = StreamingOps.committedKept(spark, s"$out/kept")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 5L), kept2.toString)
+    } finally q.stop()
+  }
+
   test("gated multimodal ingest: text gate drops junk blobs before the " +
       "media sink; cross-container media near-dups still deduped") {
     implicit val sqlCtx = spark.sqlContext
