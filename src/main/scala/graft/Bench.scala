@@ -89,6 +89,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Size the compiled-codegen-class cache to the workload (static
+      // conf, default 100 entries): one pass of the 187-row registry
+      // compiles >1000 distinct whole-stage/expression fragments, so at
+      // the default every pass evicts every other pass's classes and
+      // re-pays Janino compilation for EVERY stage of EVERY query —
+      // measured: rows that run in 0.24 s back-to-back (graft.Profile,
+      // warm cache) cost 3.7-12 s per bench pass under the 100-entry
+      // thrash. Any long-lived multi-query session (a 100 TB driver
+      // serving a query mix) wants the same sizing; env-tunable.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // LOAD GATE (r15 — closes the r14 adjudication hole: every r14
